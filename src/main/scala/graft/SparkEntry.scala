@@ -1,13 +1,594 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
+import graft.model.PartitionerSpec
+import graft.operators.{Dedup, Similarity, Transforms}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or the
+  * training-data extension surface) exercised end-to-end on the driver's
+  * parquet tables; `oracleSql` holds the DuckDB-equivalent SQL for the
+  * hash-compare gate. Column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column usable as a Spark timestamp.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
+    * Bench/test sessions): parquet nanos arrive as a long, converted here via
+    * integer division to microseconds — same floor semantics as DuckDB's
+    * native nanosecond timestamp reads. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Flagship: the full singer-style ingestion pipeline in batch-replay mode —
+    * documents → LogRecord envelope → filter/transform/prepend → checksum →
+    * partition assignment (reference: SURVEY.md §3.2 hot path). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+    val envelope = docs.select(
+      col("doc_id").cast("string").cast("binary").as("key"),
+      col("text").cast("binary").as("value"),
+      (col("doc_id") * 1000000L).as("timestampNanos"),
+      lit(null).cast("long").as("checksum"))
+    val checked = Transforms.withChecksum(envelope)
+    val withHdrs = Transforms.withHeaders(checked, Map("hostname" -> "local", "az" -> "dev"))
+    Transforms.withPartition(withHdrs, PartitionerSpec.Crc32Key(32))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ relational core
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1996-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q4_order_priority" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").select("l_orderkey").distinct()
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q5_local_supplier" -> ((s, d) => {
+      val r = t(s, d, "region")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "q6_revenue_forecast" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+    "q7_customers_no_orders" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q8_top3_orders_per_cust" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q9_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q10_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    "q11_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.intersect(y96).orderBy("o_custkey")
+    }),
+    "q12_distinct_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+    "q13_string_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey")
+    }),
+    "q14_monthly_revenue" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("month")
+    }),
+    "q15_math_funcs" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_partkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+          ceil(col("l_quantity")).as("ceil_qty"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          abs(col("l_quantity") - 25).as("abs_dev"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q16_case_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0)), 2).as("returned_qty"),
+          round(sum(when(col("l_returnflag") =!= "R", col("l_quantity")).otherwise(0)), 2).as("kept_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    }),
+    "q17_having" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"), count(lit(1)).as("n"))
+        .filter(col("total_qty") > 150)
+        .orderBy("l_partkey")
+    }),
+    "q18_region_customers" -> ((s, d) => {
+      val r = t(s, d, "region")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+        .orderBy("r_name")
+    }),
+    "q19_disjunctive_join" -> ((s, d) => {
+      val p = t(s, d, "part")
+      val l = t(s, d, "lineitem")
+      l.join(p, l("l_partkey") === p("p_partkey") &&
+        ((p("p_brand") === "Brand#1" && l("l_quantity") >= 5) ||
+         (p("p_brand") === "Brand#2" && l("l_quantity") >= 10)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ------------------------------------------------ singer-parity dataflow ops
+    "s1_filter_regex" -> ((s, d) =>
+      Transforms.filterRegex(events(s, d), "props", "\"k\": 8[0-9]\\}")
+        .select("event_id", "props").orderBy("event_id")),
+    "s2_regex_modify" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(Transforms.regexModify(col("text"), "^(\\w+) (\\w+)", "$2 $1"), 1, 40)
+            .as("modified"))
+        .orderBy("doc_id")),
+    "s3_prepend" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          Transforms.prepend(col("event_type"), " ",
+            unix_millis(col("ts")), lit("host-1")).as("value"))
+        .orderBy("event_id")),
+    "s4_partition_assign" -> ((s, d) =>
+      events(s, d)
+        .withColumn("partition", Partitioners.modPartition(col("event_id"), 32))
+        .groupBy("partition")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("partition")),
+    "s5_sample_decider" -> ((s, d) =>
+      Transforms.sampleDecider(events(s, d), 37, Some(col("event_id")))
+        .select("event_id", "event_type").orderBy("event_id")),
+    "s6_audit_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("num_messages"), min("event_id").as("first_id"),
+          max("event_id").as("last_id"))
+        .orderBy("event_type")),
+    "s7_checksum_crc32" -> ((s, d) =>
+      // no crc32 in DuckDB — rows-only check
+      Transforms.withChecksum(
+        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("value")))
+        .select("doc_id", "checksum", "checksumValid").orderBy("doc_id")),
+    "s8_mid_headers" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          concat(lpad(hex(col("event_id")), 16, "0"),
+            lpad(hex(col("user_id")), 16, "0")).as("mid"),
+          lpad(hex(unix_millis(col("ts"))), 16, "0").as("ots"))
+        .orderBy("event_id")),
+
+    // ------------------------------------------------ training-data ops
+    "d1_dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDuplicateGroups(t(s, d, "documents"))
+        .orderBy("content_hash")),
+    "d2_dedup_exact_survivors" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"))
+        .select("doc_id").orderBy("doc_id")),
+    "d3_token_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("len"),
+          round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_tok_len"))
+        .orderBy("doc_id")),
+    "d4_stopword_ratio" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+        .orderBy("doc_id")),
+    "d5_quality_filter" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      scored.filter(col("quality") >= 0.75).orderBy("doc_id")
+    }),
+    "d6_fingerprint" -> ((s, d) =>
+      // xxhash64-based rolling hash — rows-only check
+      t(s, d, "documents")
+        .select(col("doc_id"), HashFunctions.docFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+    "d7_minhash_pairs" -> ((s, d) =>
+      // MinHash+LSH candidates — rows-only check (sketches not SQL-expressible)
+      Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
+        .orderBy("id_a", "id_b")),
+    "d8_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 16)
+        .orderBy("id_a", "id_b")),
+    "d9_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 40)
+      val sh = docs.select(col("doc_id"), HashFunctions.wordShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(HashFunctions.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.01)
+        .orderBy("id_a", "id_b")
+    }),
+    "d10_lang_id" -> ((s, d) =>
+      // heuristic n-gram language ID — rows-only check
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ------------------------------------------------ similarity search
+    "e1_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e2_ivf_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("corpus_vec"))
+        .join(broadcast(cents))
+        .select(col("corpus_id"), col("centroid_id"),
+          VectorFunctions.l2Sq(col("corpus_vec"), col("centroid_vec")).as("dist"))
+      val w = Window.partitionBy("corpus_id").orderBy(col("dist"), col("centroid_id"))
+      assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .groupBy(col("centroid_id").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cell")
+    }),
+
+    // ------------------------------------------------ streaming twins (batch mode)
+    "w1_hourly_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("hour", "event_type")),
+    "w2_dedup_events" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type"))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q6_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q7_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q8_top3_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders WHERE o_custkey < 50) x
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q9_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q11_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q12_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q13_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+         substring(p_name, 1, 8) AS name_prefix, length(p_name) AS name_len,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word
+         FROM part WHERE p_partkey < 200 ORDER BY p_partkey""",
+    "q14_monthly_revenue" ->
+      """SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "q15_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(sqrt(l_quantity), 6) AS sqrt_qty,
+         round(ln(l_extendedprice), 6) AS ln_price,
+         round(power(l_discount, 2), 6) AS disc_sq,
+         ceil(l_quantity)::BIGINT AS ceil_qty, floor(l_extendedprice)::BIGINT AS floor_price,
+         abs(l_quantity - 25) AS abs_dev
+         FROM lineitem WHERE l_partkey < 100 ORDER BY l_orderkey, l_linenumber""",
+    "q16_case_agg" ->
+      """SELECT l_linestatus,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS returned_qty,
+         round(sum(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END), 2) AS kept_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q17_having" ->
+      """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+         FROM lineitem GROUP BY l_partkey HAVING round(sum(l_quantity), 2) > 150
+         ORDER BY l_partkey""",
+    "q18_region_customers" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q19_disjunctive_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+          AND ((p_brand = 'Brand#1' AND l_quantity >= 5)
+            OR (p_brand = 'Brand#2' AND l_quantity >= 10))""",
+    "s1_filter_regex" ->
+      """SELECT event_id, props FROM events
+         WHERE regexp_matches(props, '"k": 8[0-9]\}') ORDER BY event_id""",
+    "s2_regex_modify" ->
+      """SELECT doc_id, substring(regexp_replace(text, '^(\w+) (\w+)', '\2 \1'), 1, 40)
+         AS modified FROM documents ORDER BY doc_id""",
+    "s3_prepend" ->
+      """SELECT event_id, concat_ws(' ', epoch_ms(ts), 'host-1', event_type) AS value
+         FROM events ORDER BY event_id""",
+    "s4_partition_assign" ->
+      """SELECT (event_id % 32)::INT AS partition, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY 1 ORDER BY partition""",
+    "s5_sample_decider" ->
+      """SELECT event_id, event_type FROM events WHERE event_id % 100 < 37
+         ORDER BY event_id""",
+    "s6_audit_counts" ->
+      """SELECT event_type, count(*) AS num_messages, min(event_id) AS first_id,
+         max(event_id) AS last_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s8_mid_headers" ->
+      """SELECT event_id,
+         lpad(hex(event_id), 16, '0') || lpad(hex(user_id), 16, '0') AS mid,
+         lpad(hex(epoch_ms(ts)), 16, '0') AS ots
+         FROM events ORDER BY event_id""",
+    "d1_dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d2_dedup_exact_survivors" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "d3_token_stats" ->
+      """SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) AS n_tokens,
+         length(text) AS len,
+         round(CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) = 0 THEN 0.0
+           ELSE list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0), t -> length(t)))::DOUBLE
+             / len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0)) END, 4) AS mean_tok_len
+         FROM documents ORDER BY doc_id""",
+    "d4_stopword_ratio" ->
+      """SELECT doc_id,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+           ELSE len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it','that','for',
+              'on','with','as','was','at','by','be','this','are','from','but'], t)))::DOUBLE
+             / len(toks) END, 4) AS stopword_ratio
+         FROM (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+           FROM documents) ORDER BY doc_id""",
+    "d5_quality_filter" ->
+      """WITH s AS (SELECT doc_id, length(text) AS n,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS ltoks,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS npunct
+           FROM documents),
+         sc AS (SELECT doc_id, round(
+           (CASE WHEN n < 10 THEN n / 10.0 WHEN n > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+           + (CASE WHEN npunct::DOUBLE / n > 0.3 THEN 0.0 ELSE 1.0 END) * 0.25
+           + (CASE WHEN len(ltoks) > 0 AND len(list_filter(ltoks, t -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that','for',
+                'on','with','as','was','at','by','be','this','are','from','but'], t)))::DOUBLE
+               / len(ltoks) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.25
+           + (CASE WHEN len(toks) > 0
+               AND list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) >= 2.5
+               AND list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) <= 12.0
+               THEN 1.0 ELSE 0.4 END) * 0.25, 4) AS quality
+           FROM s)
+         SELECT doc_id, quality FROM sc WHERE quality >= 0.75 ORDER BY doc_id""",
+    "d10_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 'und' ELSE substring(greatest(
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t)))::VARCHAR, 10, '0') || 'de',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['the','and','is','of','to','in','that','it','was','for'], t)))::VARCHAR, 10, '0') || 'en',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['el','la','los','las','que','de','y','es','en','por'], t)))::VARCHAR, 10, '0') || 'es',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['le','la','les','et','est','que','des','une','dans','pour'], t)))::VARCHAR, 10, '0') || 'fr'), 11)
+           END AS pred_lang, lang
+         FROM s ORDER BY doc_id""",
+    "d9_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+             FROM documents WHERE doc_id < 40))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.01
+         ORDER BY id_a, id_b""",
+    "e1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           scored AS (
+             SELECT q.query_id, e.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+           ranked AS (
+             SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "e2_ivf_assign" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT e.vec_id, c.centroid_id,
+               list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+             FROM embeddings e, c),
+           best AS (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS r
+             FROM scored)
+         SELECT centroid_id AS cell, count(*) AS n_vectors
+         FROM best WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    "w1_hourly_counts" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "w2_dedup_events" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+  )
 }

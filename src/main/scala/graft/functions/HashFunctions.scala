@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash/sketch column functions: shingling, MinHash signatures, SimHash,
+  * rolling-hash document fingerprints. Pure `functions._` higher-order
+  * expressions — distributed, codegen-friendly, no driver-side state.
+  */
+object HashFunctions {
+
+  /** Word n-gram shingles (distinct), e.g. n=3 ⇒ "a b c" trigram strings. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array(concat_ws(" ", toks)).cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val count = length(t) - (n - 1)
+    when(count <= 0, array(t)).otherwise(
+      array_distinct(transform(sequence(lit(0), count - 1), i => t.substr(lit(1) + i, lit(n)))))
+  }
+
+  /** MinHash signature: k independent permutations approximated by seeding
+    * xxhash64 with the band index. `sig[i] = min over shingles of
+    * xxhash64(shingle, i)`. Standard construction (Broder '97); the
+    * probability two docs agree at position i equals their Jaccard
+    * similarity. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys: split the k-length signature into `bands` bands of
+    * `k/bands` rows each and hash each band. Docs sharing any band key are
+    * candidate pairs — the classic banding amplification. Returns
+    * `array<struct<band:int, key:bigint>>` ready to `explode` + shuffle-join
+    * on (band, key); at scale this is a hash-partitioned equi-join on a
+    * 12-byte key instead of an O(n²) cross join. */
+  def lshBandKeys(signature: Column, bands: Int): Column = {
+    val rows = transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws(",", transform(
+          slice(signature, b * (size(signature) / bands) + 1, size(signature) / bands),
+          v => v.cast("string"))), b).as("key")))
+    rows
+  }
+
+  /** Estimated Jaccard similarity from two equal-length MinHash signatures. */
+  def minHashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** 64-bit SimHash over tokens (Charikar '02): for each bit b, sum +1/-1
+    * across token hashes, emit bit b if the sum is positive. Near-duplicate
+    * docs land within small Hamming distance. */
+  def simHash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0),
+          (s, h) => s + when(call_function("shiftright", h, b.cast("int"))
+            .bitwiseAND(1L) === 1L, 1).otherwise(-1))
+        acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(lit(0L)))
+      })
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling-hash document fingerprint: chained hash over the token stream,
+    * order-sensitive — two docs get equal fingerprints iff their token
+    * sequences match (mod collisions). Implemented as an xxhash64 chain
+    * (`acc' = xxhash64(acc, token)`) — overflow-free under ANSI mode and
+    * equally collision-resistant. */
+  def docFingerprint(text: Column): Column =
+    aggregate(TextFunctions.tokens(lower(text)), lit(0L),
+      (acc, t) => xxhash64(acc, t))
+}

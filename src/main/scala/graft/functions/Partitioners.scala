@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression partitioner family — the reference's "shuffle".
+  *
+  * Each mirrors a `KafkaMessagePartitioner` implementation
+  * (reference: writer/KafkaMessagePartitioner.java:1-35 and
+  * writer/partitioners/). In Spark the Kafka sink honors an explicit
+  * `partition` column, so every partitioner is a pure, codegen'd column
+  * expression — no executor-side plugin loading, no per-record virtual call.
+  * At 100 TB this matters: the partition assignment stays inside
+  * whole-stage codegen instead of being a black-box UDF.
+  */
+object Partitioners {
+
+  /** Uniform random partition per message
+    * (reference: writer/partitioners/DefaultPartitioner.java:25-32). */
+  def defaultPartition(numPartitions: Int): Column =
+    floor(rand() * numPartitions).cast("int")
+
+  /** `abs(crc32(key) % n)`, random on null key
+    * (reference: writer/partitioners/Crc32ByteArrayPartitioner.java:40-66).
+    * Spark's `crc32` returns an unsigned 32-bit value in a long, so `pmod`
+    * reproduces the reference's double-`Math.abs` result exactly. */
+  def crc32Partition(key: Column, numPartitions: Int): Column =
+    when(key.isNull, defaultPartition(numPartitions))
+      .otherwise(pmod(crc32(key), lit(numPartitions.toLong)).cast("int"))
+
+  /** `abs(murmur3_32(key) % n)`, random on null key
+    * (reference: writer/partitioners/MurmurByteArrayPartitioner.java:30-52).
+    * Spark's `hash` is murmur3_x86_32 (seed 42); the reference uses seed 0 —
+    * distribution-equivalent, constants differ. */
+  def murmurPartition(key: Column, numPartitions: Int): Column =
+    when(key.isNull, defaultPartition(numPartitions))
+      .otherwise(pmod(hash(key), lit(numPartitions)).cast("int"))
+
+  /** `abs(md5(utf8(key)) % n)` legacy string-key partitioner
+    * (reference: writer/StringKeyMd5Partitioner.java:1-52). Uses the top 15
+    * hex digits (60 bits) of the digest — sign-safe and cheap. */
+  def md5StringKeyPartition(key: Column, numPartitions: Int): Column =
+    when(key.isNull, defaultPartition(numPartitions))
+      .otherwise(pmod(conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long"),
+        lit(numPartitions.toLong)).cast("int"))
+
+  /** Deterministic modulo partitioner for integral keys — the oracle-friendly
+    * member of the family (same arithmetic as the crc/murmur family, minus the
+    * hash). */
+  def modPartition(key: Column, numPartitions: Int): Column =
+    pmod(key.cast("long"), lit(numPartitions.toLong)).cast("int")
+
+  /** Round-robin across all partitions
+    * (reference: writer/partitioners/SimpleRoundRobinPartitioner.java:1-52).
+    * `monotonically_increasing_id` keeps it distributed — per-partition
+    * counters, no global coordination. */
+  def roundRobinPartition(numPartitions: Int): Column =
+    pmod(monotonically_increasing_id(), lit(numPartitions.toLong)).cast("int")
+
+  /** One partition pinned per query start — batches a host's traffic
+    * (reference: writer/partitioners/SinglePartitionPartitioner.java:30-43). */
+  def singlePartition(numPartitions: Int, seed: Long = System.nanoTime()): Column =
+    lit(new java.util.Random(seed).nextInt(numPartitions))
+
+  /** Pin to a fixed subset, round-robin within
+    * (reference: writer/partitioners/FixedPartitionsPartitioner.java:38-76). */
+  def fixedPartitions(chosen: Seq[Int]): Column = {
+    require(chosen.nonEmpty, "fixedPartitions needs at least one partition")
+    element_at(
+      array(chosen.map(lit): _*),
+      (pmod(monotonically_increasing_id(), lit(chosen.size.toLong)) + 1).cast("int"))
+  }
+
+  /** Random among a locality-filtered partition list — the driver resolves
+    * rack-local partitions (e.g. via Kafka AdminClient) and broadcasts the
+    * list into the plan as a literal array
+    * (reference: writer/partitioners/LocalityAwareRandomPartitioner.java:26-51). */
+  def localityAwareRandom(localPartitions: Seq[Int]): Column = {
+    require(localPartitions.nonEmpty, "no local partitions")
+    element_at(
+      array(localPartitions.map(lit): _*),
+      (floor(rand() * localPartitions.size) + 1).cast("int"))
+  }
+}

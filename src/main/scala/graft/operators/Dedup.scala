@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Deduplication operators for training-data pipelines, exact → fuzzy.
+  *
+  * Scale notes (the design constraint is 100 TB of documents):
+  *  - exact dedup is one hash-partitioned aggregation on a 32-byte digest —
+  *    the shuffle moves (digest, id), never the document bodies;
+  *  - MinHash/LSH turns the O(n²) pair problem into an equi-join on band
+  *    keys: shuffle keys are 12 bytes, candidate verification touches only
+  *    colliding pairs. Band/row counts tune the similarity threshold
+  *    (threshold ≈ (1/b)^(1/r));
+  *  - SimHash keeps one i64 per doc; near-dup candidates come from grouping
+  *    on rotated bit-bands of that i64 — cheapest of the three at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per md5(text). Deterministic (min
+    * id), aggregation-based — no window, single shuffle on the digest. */
+  def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Exact dedup, returning the surviving rows only. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = exactDuplicateGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, idCol)   // keep-set is small relative to docs ⇒ AQE broadcasts when it fits
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with verified estimated
+    * Jaccard. Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    *
+    * shingleN-gram words → k-hash MinHash signature → `bands` LSH bands →
+    * self-equi-join on (band, key) → dedup pairs → signature-verified
+    * similarity ≥ `threshold`.
+    */
+  def minHashLshPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), k))
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = sigs.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minHashJaccard(col("sig_a"), col("sig_b")).as("jaccard_est"))
+      .groupBy("id_a", "id_b").agg(first("jaccard_est").as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+  }
+
+  /** MinHash/LSH dedup: drop every doc that collides (est. Jaccard ≥
+    * threshold) with a lower-id doc. */
+  def minHashDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val drop = minHashLshPairs(docs, textCol, idCol, shingleN, k, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup candidate pairs: docs whose 64-bit SimHash agrees on at
+    * least one of `bands` 16-bit bands, verified by Hamming distance ≤
+    * `maxHamming`. */
+  def simHashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val bands = 4 // 4 × 16-bit bands of the 64-bit hash
+    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
+    val banded = withSig.select(col("id"), col("sim"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sim"), (b * 16).cast("int"))
+            .bitwiseAND(0xFFFFL).as("key")))).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over LSH-pruned candidates — the expensive verify
+    * step, run only on MinHash candidates so the shingle arrays of both sides
+    * are materialized solely for colliding pairs. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val candidates = minHashLshPairs(docs, textCol, idCol, shingleN,
+      k = 64, bands = 16, threshold = threshold * 0.5)
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ threshold, via the ANN operator
+    * (see [[Similarity]]); returns (id_a, id_b, cosine). */
+  def embeddingDupPairs(embeddings: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", threshold: Double = 0.95): DataFrame =
+    Similarity.cosineSelfJoinLsh(embeddings, vecCol, idCol, threshold)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{PartitionerSpec, TransformSpec}
+import graft.functions.Partitioners
+
+/** Per-record pipeline transforms — the reference's processor/transform stage
+  * (reference: SURVEY.md §2.2), each a `DataFrame => DataFrame` over a column.
+  * All are narrow (no shuffle) and codegen'd: at 100 TB they run at scan
+  * speed, fused into the same whole-stage-codegen span as the source read.
+  */
+object Transforms {
+
+  /** Drop records whose `col` does not match `regex`
+    * (reference: reader/TextLogFileReader.java:167-171 marks skip,
+    * processor/DefaultLogStreamProcessor.java:312-324 drops). */
+  def filterRegex(df: DataFrame, col: String, regex: String): DataFrame =
+    df.filter(org.apache.spark.sql.functions.col(col).rlike(regex))
+
+  /** Regex capture-group rewrite with pass-through on no-match — exact
+    * semantics of the reference's RegexBasedModifier
+    * (reference: transforms/RegexBasedModifier.java:60-107): only rows
+    * matching `regex` are rewritten via the `$1`-style template; others pass
+    * unchanged. Spark's `regexp_replace` uses the same `$n` group syntax. */
+  def regexModify(c: Column, regex: String, replacement: String,
+      appendNewline: Boolean = false): Column = {
+    val rewritten = regexp_replace(c, regex, replacement)
+    val out = when(c.rlike(regex), rewritten).otherwise(c)
+    if (appendNewline) concat(out, lit("\n")) else out
+  }
+
+  /** Prepend timestamp and/or hostname with a delimiter
+    * (reference: reader/TextLogFileReader.java:178-188). `ts` and `host` are
+    * caller-supplied columns so batch replays stay deterministic. */
+  def prepend(value: Column, delimiter: String, prefixes: Column*): Column =
+    concat_ws(delimiter, prefixes :+ value: _*)
+
+  /** Trim one trailing newline (reference: TextLogFileReader.java:201-203). */
+  def trimTrailingNewline(c: Column): Column = regexp_replace(c, "\n$", "")
+
+  /** Decider-based message sampling: pass iff `deciderValue > uniform(0,100)`
+    * (reference: processor/MemoryEfficientLogStreamProcessor.java:114-120).
+    * `keyCol=Some(k)` gives the deterministic variant (hash-mod-100 of the
+    * key) — same pass-rate, reproducible, oracle-checkable. */
+  def sampleDecider(df: DataFrame, percent: Int, keyCol: Option[Column] = None): DataFrame =
+    keyCol match {
+      case Some(k) => df.filter(pmod(k.cast("long"), lit(100L)) < percent)
+      case None => df.filter(rand() * 100 < percent)
+    }
+
+  /** Compute crc32(value) where checksum is null; flag mismatches
+    * (reference: writer/KafkaWriter.java:438-507). Adds `checksum` (filled)
+    * and `checksumValid` columns. */
+  def withChecksum(df: DataFrame, valueCol: String = "value",
+      checksumCol: String = "checksum"): DataFrame = {
+    val v = col(valueCol)
+    val existing = if (df.columns.contains(checksumCol)) col(checksumCol) else lit(null).cast("long")
+    df.withColumn(checksumCol, coalesce(existing, crc32(v)))
+      .withColumn("checksumValid", col(checksumCol) === crc32(v))
+  }
+
+  /** Inject static headers (hostname / file / az / pod metadata)
+    * (reference: reader/ThriftLogFileReader.java:110-120). */
+  def withHeaders(df: DataFrame, headers: Map[String, String],
+      headersCol: String = "headers"): DataFrame = {
+    if (headers.isEmpty) df
+    else {
+      val kvs = headers.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(v.getBytes("UTF-8")))
+      }
+      val newMap = map(kvs: _*)
+      val merged = if (df.columns.contains(headersCol))
+        map_concat(coalesce(col(headersCol), map().cast("map<string,binary>")), newMap)
+      else newMap
+      df.withColumn(headersCol, merged)
+    }
+  }
+
+  /** Standard sink headers `_mid` (16-byte message id from two longs, e.g.
+    * inode+offset) and `_ots` (8-byte original timestamp)
+    * (reference: writer/kafka/CommittableKafkaWriter.java:223-236). */
+  def midHeader(idHigh: Column, idLow: Column): Column =
+    concat(unhex(lpad(hex(idHigh), 16, "0")), unhex(lpad(hex(idLow), 16, "0")))
+
+  def otsHeader(tsNanos: Column): Column = unhex(lpad(hex(tsNanos), 16, "0"))
+
+  /** Attach a `partition` column per the configured partitioner
+    * (reference: SURVEY.md §2.3). */
+  def withPartition(df: DataFrame, spec: PartitionerSpec,
+      keyCol: String = "key"): DataFrame = {
+    val k = col(keyCol)
+    val p = spec match {
+      case PartitionerSpec.Default => Partitioners.defaultPartition(32)
+      case PartitionerSpec.Crc32Key(n) => Partitioners.crc32Partition(k, n)
+      case PartitionerSpec.MurmurKey(n) => Partitioners.murmurPartition(k, n)
+      case PartitionerSpec.Md5StringKey(n) => Partitioners.md5StringKeyPartition(k, n)
+      case PartitionerSpec.RoundRobin(n) => Partitioners.roundRobinPartition(n)
+      case PartitionerSpec.SinglePartition(n, seed) => Partitioners.singlePartition(n, seed)
+      case PartitionerSpec.FixedPartitions(ps) => Partitioners.fixedPartitions(ps)
+    }
+    df.withColumn("partition", p)
+  }
+
+  /** Apply a configured transform chain. */
+  def apply(df: DataFrame, specs: Seq[TransformSpec], valueCol: String = "value"): DataFrame =
+    specs.foldLeft(df) {
+      case (d, TransformSpec.RegexModifier(re, repl, nl)) =>
+        d.withColumn(valueCol, regexModify(col(valueCol), re, repl, nl))
+      case (d, TransformSpec.SampleDecider(pct)) => sampleDecider(d, pct)
+    }
+}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle_sql.json SQL in DuckDB over <sfDir>/*.parquet, sorts columns by name
+and rows by all columns, and compares values (exact for non-floats, 1e-9
+tolerance report for floats so float-risk is visible before the driver's
+hash compare).
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        rr = []
+        for v in r:
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            rr.append(v)
+        out.append(tuple(rr))
+    return sorted(out, key=lambda t: tuple(("" if x is None else str(x)) for x in t))
+
+
+def cmp_rows(a, b):
+    if len(a) != len(b):
+        return f"row count {len(a)} vs {len(b)}"
+    worst = 0.0
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return f"col count {len(ra)} vs {len(rb)}"
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                d = abs(va - vb)
+                rel = d / max(abs(va), abs(vb), 1e-12)
+                worst = max(worst, min(d, rel))
+                if d > 1e-6 and rel > 1e-6:
+                    return f"float mismatch {va} vs {vb}"
+            elif va != vb:
+                return f"value mismatch {va!r} vs {vb!r}"
+    return f"OK (worst float delta {worst:.2e})" if worst > 0 else "OK"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    n_ok = n_bad = n_rowsonly = 0
+    for name in names:
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = sorted(c[0] for c in spark_rel.description)
+            spark_rows = norm(con.execute(
+                f"SELECT {', '.join(spark_cols)} FROM '{out_dir}/{name}/*.parquet'").fetchall())
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark result: {e}")
+            n_bad += 1
+            continue
+        if name not in oracle:
+            status = "ROWS-ONLY" if spark_rows else "ROWS-ONLY-EMPTY!"
+            print(f"{status:9s} {name}: {len(spark_rows)} rows")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.execute(oracle[name])
+            cols = sorted(c[0] for c in rel.description)
+            duck_rows = norm(con.execute(
+                f"SELECT {', '.join(cols)} FROM ({oracle[name]}) oq").fetchall())
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        if cols != spark_cols:
+            print(f"FAIL  {name}: columns {spark_cols} vs oracle {cols}")
+            n_bad += 1
+            continue
+        verdict = cmp_rows(spark_rows, duck_rows)
+        if verdict.startswith("OK"):
+            print(f"ok    {name}: {len(spark_rows)} rows  {verdict[3:]}")
+            n_ok += 1
+        else:
+            print(f"FAIL  {name}: {verdict}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_rowsonly} rows-only")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
