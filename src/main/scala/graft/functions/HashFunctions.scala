@@ -26,30 +26,29 @@ object HashFunctions {
       array_distinct(transform(sequence(lit(0), count - 1), i => t.substr(lit(1) + i, lit(n)))))
   }
 
-  /** MinHash signature: k independent permutations approximated by seeding
-    * xxhash64 with the band index. `sig[i] = min over shingles of
-    * xxhash64(shingle, i)`. Standard construction (Broder '97); the
-    * probability two docs agree at position i equals their Jaccard
-    * similarity. */
+  /** MinHash signature: k permutations via one xxhash64 per shingle + k
+    * hashLong re-mixes. `sig[i] = min over shingles of mix_i(h(shingle))` —
+    * the probability two docs agree at position i equals their Jaccard
+    * similarity (Broder '97). Backed by a native Catalyst expression
+    * ([[graft.plans.MinHashSignatureExpr]]) — the HOF formulation is ~1000×
+    * slower (interpreted per-element lambdas). */
   def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.plans.SketchExpressions.minHashSignature(shingles, k)
 
-  /** LSH band keys: split the k-length signature into `bands` bands of
-    * `k/bands` rows each and hash each band. Docs sharing any band key are
-    * candidate pairs — the classic banding amplification. Returns
+  /** LSH band keys: split the signature into `bands` bands of `rowsPerBand`
+    * rows each and hash each band. Docs sharing any band key are candidate
+    * pairs — the classic banding amplification. Returns
     * `array<struct<band:int, key:bigint>>` ready to `explode` + shuffle-join
     * on (band, key); at scale this is a hash-partitioned equi-join on a
-    * 12-byte key instead of an O(n²) cross join. */
-  def lshBandKeys(signature: Column, bands: Int): Column = {
-    val rows = transform(sequence(lit(0), lit(bands - 1)),
+    * 12-byte key instead of an O(n²) cross join. `rowsPerBand` is a literal
+    * so Catalyst folds the slice bounds. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.cast("int").as("band"),
         xxhash64(concat_ws(",", transform(
-          slice(signature, b * (size(signature) / bands) + 1, size(signature) / bands),
+          slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
           v => v.cast("string"))), b).as("key")))
-    rows
-  }
 
   /** Estimated Jaccard similarity from two equal-length MinHash signatures. */
   def minHashJaccard(sigA: Column, sigB: Column): Column =
@@ -65,21 +64,10 @@ object HashFunctions {
 
   /** 64-bit SimHash over tokens (Charikar '02): for each bit b, sum +1/-1
     * across token hashes, emit bit b if the sum is positive. Near-duplicate
-    * docs land within small Hamming distance. */
-  def simHash64(text: Column): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(hashes, lit(0),
-          (s, h) => s + when(call_function("shiftright", h, b.cast("int"))
-            .bitwiseAND(1L) === 1L, 1).otherwise(-1))
-        acc.bitwiseOR(when(vote > 0, call_function("shiftleft", lit(1L), b.cast("int")))
-          .otherwise(lit(0L)))
-      })
-  }
+    * docs land within small Hamming distance. Backed by a native Catalyst
+    * expression ([[graft.plans.SimHash64Expr]]). */
+  def simHash64(text: Column): Column =
+    graft.plans.SketchExpressions.simHash64(TextFunctions.tokens(lower(text)))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -42,19 +42,28 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    // Signatures are computed ONCE and cached: the self-join otherwise
+    // re-derives the k-hash MinHash pipeline on both sides (2× the dominant
+    // cost), and candidate verification would re-derive it a third time.
+    // The cached relation is tiny relative to the corpus — (id, k longs).
     val sigs = docs
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), k))
-      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = sigs.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+      .select(col("id"), minHashSignature(col("shingles"), k).as("sig"))
+      .cache()
+    val banded = sigs
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // distinct candidate id pairs first (small), then re-attach signatures
+    val pairs = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         minHashJaccard(col("sig_a"), col("sig_b")).as("jaccard_est"))
-      .groupBy("id_a", "id_b").agg(first("jaccard_est").as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
   }
 

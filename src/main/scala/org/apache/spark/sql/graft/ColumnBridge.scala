@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ↔ Expression converters, needed to
+  * expose custom Catalyst expressions as user-facing `Column`s (the supported
+  * extension seam — SparkSessionExtensions function injection uses the same
+  * machinery). Lives in `org.apache.spark.sql` purely for access; contains no
+  * Spark-internal logic. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
