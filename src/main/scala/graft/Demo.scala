@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.PipelineConfig
+import graft.streaming.{AuditWriter, BufferingHeartbeat, HeartbeatListener, LogPipeline, PipelineManager}
+
+/** End-to-end smoke demo of the public API: parse a singer-style properties
+  * config, run the pipeline in batch-replay mode, then as a standing
+  * streaming query with audit + heartbeat side-channels, with a restart in
+  * between. Prints DEMO lines a reviewer can eyeball.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val logDir = Files.createTempDirectory("demo-logs")
+    val outDir = Files.createTempDirectory("demo-out")
+    val auditDir = Files.createTempDirectory("demo-audit")
+    val cpDir = Files.createTempDirectory("demo-cp")
+
+    val cfg = PipelineConfig.fromProperties(
+      s"""logName=demo_pipeline
+         |logDir=$logDir
+         |reader.type=text
+         |reader.text.filterMessageRegex=^data.*
+         |# properties-file escaping: \\\\w reaches the engine as \\w
+         |transformer.regex=^data:(\\\\w+)
+         |transformer.replacement=payload=$$1
+         |writer.type=file
+         |writer.file.path=$outDir
+         |writer.kafka.partitioner.class=Crc32Partitioner
+         |writer.kafka.numPartitions=8
+         |checkpointDir=$cpDir
+         |""".stripMargin)
+    println(s"DEMO config parsed: ${cfg.name}, partitioner=${cfg.partitioner}")
+
+    Files.writeString(logDir.resolve("app.log"), "data:one\nnoise\ndata:two\n")
+    val batch = LogPipeline.runBatch(spark, cfg)
+    println(s"DEMO batch replay rows=${batch.count()} (expect 2; noise filtered)")
+    val values = batch.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toList
+    println(s"DEMO transformed values=$values (expect payload=one, payload=two)")
+    batch.show(5, false)
+
+    val heartbeats = new BufferingHeartbeat
+    val listener = new HeartbeatListener(heartbeats)
+    spark.streams.addListener(listener)
+    val audit = new AuditWriter(spark, auditDir.toString)
+    val mgr = new PipelineManager(spark, audit = Some(audit))
+
+    val q = mgr.start(cfg, Trigger.ProcessingTime("200 milliseconds"))
+    q.processAllAvailable()
+    println(s"DEMO stream epoch-1 sink rows=${spark.read.parquet(outDir.toString).count()}")
+
+    Files.writeString(logDir.resolve("app2.log"), "data:three\ndata:four\ndata:five\n")
+    q.processAllAvailable()
+    println(s"DEMO stream epoch-2 sink rows=${spark.read.parquet(outDir.toString).count()} (expect 5)")
+    mgr.drain(cfg.name)
+
+    // restart from checkpoint — previously committed files must not replay
+    Files.writeString(logDir.resolve("app3.log"), "data:six\n")
+    val q2 = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("200 milliseconds"), Some(audit))
+    q2.processAllAvailable()
+    q2.stop()
+    println(s"DEMO after restart sink rows=${spark.read.parquet(outDir.toString).count()} (expect 6, no dupes)")
+    audit.totals().show(false)
+    println(s"DEMO heartbeats=${heartbeats.messages.count(_.contains("progress"))} progress events")
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+}

@@ -86,7 +86,12 @@ object Transforms {
   def otsHeader(tsNanos: Column): Column = unhex(lpad(hex(tsNanos), 16, "0"))
 
   /** Attach a `partition` column per the configured partitioner
-    * (reference: SURVEY.md §2.3). */
+    * (reference: SURVEY.md §2.3). Counter-based partitioners
+    * (round-robin / fixed-subset) rely on `monotonically_increasing_id`,
+    * which streaming plans reject — there they degrade to the uniform-random
+    * equivalent, which preserves the partitioner's load-spreading intent
+    * (the reference's counters are per-producer-instance anyway, so global
+    * sequence was never guaranteed). */
   def withPartition(df: DataFrame, spec: PartitionerSpec,
       keyCol: String = "key"): DataFrame = {
     val k = col(keyCol)
@@ -95,9 +100,13 @@ object Transforms {
       case PartitionerSpec.Crc32Key(n) => Partitioners.crc32Partition(k, n)
       case PartitionerSpec.MurmurKey(n) => Partitioners.murmurPartition(k, n)
       case PartitionerSpec.Md5StringKey(n) => Partitioners.md5StringKeyPartition(k, n)
-      case PartitionerSpec.RoundRobin(n) => Partitioners.roundRobinPartition(n)
+      case PartitionerSpec.RoundRobin(n) =>
+        if (df.isStreaming) Partitioners.defaultPartition(n)
+        else Partitioners.roundRobinPartition(n)
       case PartitionerSpec.SinglePartition(n, seed) => Partitioners.singlePartition(n, seed)
-      case PartitionerSpec.FixedPartitions(ps) => Partitioners.fixedPartitions(ps)
+      case PartitionerSpec.FixedPartitions(ps) =>
+        if (df.isStreaming) Partitioners.localityAwareRandom(ps)
+        else Partitioners.fixedPartitions(ps)
     }
     df.withColumn("partition", p)
   }

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.ReaderSpec
+
+/** Source readers: directory of log files → envelope DataFrame, in both batch
+  * (replay) and streaming (tail) modes from ONE definition — the reference's
+  * reader layer re-expressed on Spark's file source
+  * (reference: SURVEY.md §2.1).
+  *
+  * Rotation-aware convention (SURVEY.md §7.3 option b): files are ingested
+  * once closed/rotated; the streaming file source tracks seen files in the
+  * checkpoint, replacing the reference's inode+offset watermark
+  * (reference: utils/WatermarkUtils.java:47-105). Intra-file tailing is
+  * traded for idiomatic, exactly-tracked file-granularity progress.
+  *
+  * Scale: file listing is driver-side but O(new files/trigger) with
+  * `maxFileAge`/`cleanSource`; decode runs distributed, one task per file
+  * group, and all downstream transforms are narrow.
+  */
+object LogSources {
+
+  /** Decoded thrift record row — the `LogMessageAndPosition` DTO
+    * (reference: singer-commons/src/main/thrift/singer.thrift:29-39). */
+  case class ThriftLogRow(
+      path: String,
+      key: Array[Byte],
+      value: Array[Byte],
+      timestampNanos: Option[Long],
+      checksum: Option[Long],
+      nextByteOffset: Long)
+
+  /** One text record (single- or multi-line) with its source file. */
+  case class TextLogRow(path: String, value: String)
+
+  // ------------------------------------------------------------ text: lines
+
+  /** Batch: one record per line. */
+  def textLines(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.textFile(s"$dir/$glob").toDF("value")
+      .withColumn("path", input_file_name())
+
+  /** Streaming twin of [[textLines]]. */
+  def textLinesStream(spark: SparkSession, dir: String, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(s"$dir/$glob").withColumn("path", input_file_name())
+  }
+
+  // -------------------------------------------------------- text: multiline
+
+  /** Split one file's content into records that START at `messageStartRegex`
+    * matches and run to the next match or EOF
+    * (reference: reader/TextMessageReader.java:88-138). Content before the
+    * first start-line is dropped (no record boundary); records longer than
+    * `maxMessageChars` are truncated, not fatal
+    * (reference: TextMessageReader.java:107-115). */
+  private[sources] def splitMultiline(content: String, startRegex: String,
+      maxMessageChars: Int): Iterator[String] = {
+    val m = java.util.regex.Pattern.compile(startRegex, java.util.regex.Pattern.MULTILINE)
+      .matcher(content)
+    val starts = Iterator.continually(if (m.find()) m.start() else -1)
+      .takeWhile(_ >= 0).toArray
+    starts.iterator.zipWithIndex.map { case (s, i) =>
+      val end = if (i + 1 < starts.length) starts(i + 1) else content.length
+      val rec = content.substring(s, math.min(end, s + maxMessageChars))
+      rec.stripSuffix("\n")
+    }
+  }
+
+  /** Batch: multi-line records assembled per file. `wholetext` keeps each
+    * file in one row — correct for rotation-bounded log files (the reference
+    * caps file size the same way via rotation). */
+  def textMultiline(spark: SparkSession, dir: String, startRegex: String,
+      maxMessageChars: Int = 1 << 20, glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.option("wholetext", "true").textFile(s"$dir/$glob")
+      .withColumn("path", input_file_name())
+      .as[(String, String)]
+    files.flatMap { case (content, path) =>
+      splitMultiline(content, startRegex, maxMessageChars).map(TextLogRow(path, _))
+    }.toDF()
+  }
+
+  /** Streaming twin of [[textMultiline]]. Multi-line assembly is safe in
+    * streaming precisely because of the rotation convention: a file is only
+    * listed once it exists, and each file is processed exactly once, so
+    * records never straddle a trigger boundary. */
+  def textMultilineStream(spark: SparkSession, dir: String, startRegex: String,
+      maxMessageChars: Int = 1 << 20, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val r = spark.readStream.option("wholetext", "true")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    val files = r.text(s"$dir/$glob")
+      .withColumn("path", input_file_name())
+      .as[(String, String)]
+    files.flatMap { case (content, path) =>
+      splitMultiline(content, startRegex, maxMessageChars).map(TextLogRow(path, _))
+    }.toDF()
+  }
+
+  // ------------------------------------------------------------------ thrift
+
+  private def decodeThriftFiles(df: DataFrame, maxMessageBytes: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        ThriftLogCodec.decodeFrames(bytes, 0L, maxMessageBytes).map { d =>
+          ThriftLogRow(path, d.key, d.message,
+            Option(d.timestampNanos).map(_.longValue),
+            Option(d.checksum).map(_.longValue),
+            d.nextByteOffset)
+        }
+      }.toDF()
+  }
+
+  /** Batch: framed-thrift LogMessage files
+    * (reference: reader/ThriftLogFileReader.java). */
+  def thriftFramed(spark: SparkSession, dir: String,
+      maxMessageBytes: Int = 1 << 20, glob: String = "*"): DataFrame =
+    decodeThriftFiles(
+      spark.read.format("binaryFile").load(s"$dir/$glob"), maxMessageBytes)
+
+  /** Streaming twin of [[thriftFramed]]. The binaryFile source requires its
+    * schema stated explicitly in streaming mode. */
+  def thriftFramedStream(spark: SparkSession, dir: String,
+      maxMessageBytes: Int = 1 << 20, glob: String = "*",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val r = spark.readStream.format("binaryFile").schema(binaryFileSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    decodeThriftFiles(r.load(s"$dir/$glob"), maxMessageBytes)
+  }
+
+  /** Source per config spec, batch or streaming. */
+  def fromSpec(spark: SparkSession, dir: String, spec: ReaderSpec, streaming: Boolean,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = spec match {
+    case ReaderSpec.TextLine(_, _, _, _, _) =>
+      if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
+      else textLines(spark, dir)
+    case ReaderSpec.TextMultiline(re, maxChars) =>
+      if (streaming) textMultilineStream(spark, dir, re, maxChars,
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      else textMultiline(spark, dir, re, maxChars)
+    case ReaderSpec.ThriftFramed(maxBytes) =>
+      if (streaming) thriftFramedStream(spark, dir, maxBytes,
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      else thriftFramed(spark, dir, maxBytes)
+  }
+}

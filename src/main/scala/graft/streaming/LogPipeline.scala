@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.net.InetAddress
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model._
+import graft.operators.Transforms
+import graft.sources.LogSources
+
+/** One `PipelineConfig` → one dataflow: source → per-record transforms →
+  * partition assignment → sink (+ audit side-channel). The same logical plan
+  * runs in two modes:
+  *
+  *  - **streaming** (`start`): `readStream` → `foreachBatch` sink with a
+  *    checkpoint — the reference's standing pipeline with its watermark
+  *    commit protocol (reference: SURVEY.md §3.2-3.3; checkpoint offsets/
+  *    commits WAL ≙ WatermarkUtils tmp-file+rename). At-least-once: a batch
+  *    is re-run from the checkpoint if the process dies mid-write.
+  *  - **batch** (`runBatch`): `read` over the same directory — the
+  *    reference's "replay this directory" use, identical operators.
+  *
+  * Audit parity (reference: writer/KafkaWriter.java:641-693): each epoch
+  * writes `(batchId, numMessages)` to the audit directory, idempotently
+  * keyed by batchId — re-executed epochs overwrite rather than double-count,
+  * which is the at-least-once-safe upgrade over the reference's over-counting
+  * audit (SURVEY.md §7.3.2).
+  */
+object LogPipeline {
+
+  val hostname: String =
+    try InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+
+  /** The transform chain shared by both modes. Everything here is narrow and
+    * codegen'd — no shuffle between source and sink. */
+  def applyTransforms(df: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val valueCol = "value"
+    // reader-level text options
+    var out = df
+    cfg.reader match {
+      case ReaderSpec.TextLine(filterRegex, prependTs, prependHost, delim, trim) =>
+        filterRegex.foreach(re => out = Transforms.filterRegex(out, valueCol, re))
+        if (trim) out = out.withColumn(valueCol, Transforms.trimTrailingNewline(col(valueCol)))
+        val prefixes =
+          (if (prependTs) Seq(unix_millis(current_timestamp())) else Nil) ++
+          (if (prependHost) Seq(lit(hostname)) else Nil)
+        if (prefixes.nonEmpty)
+          out = out.withColumn(valueCol, Transforms.prepend(col(valueCol), delim, prefixes: _*))
+      case _ => ()
+    }
+    out = Transforms(out, cfg.transforms, valueCol)
+    // envelope: key/value binary + checksum + headers (LogRecord schema)
+    if (!out.columns.contains("key")) out = out.withColumn("key", lit(null).cast("binary"))
+    out = out.withColumn(valueCol, col(valueCol).cast("binary"))
+    if (cfg.computeChecksum) out = Transforms.withChecksum(out, valueCol)
+    out = Transforms.withHeaders(out, cfg.injectHeaders)
+    Transforms.withPartition(out, cfg.partitioner)
+  }
+
+  def runBatch(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    applyTransforms(
+      LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = false), cfg)
+
+  /** Write one epoch's records to the configured sink. Kafka rows use the
+    * Spark Kafka sink contract (key/value/partition/headers columns pass
+    * through unchanged). */
+  private def writeBatch(df: DataFrame, cfg: PipelineConfig): Long = {
+    val n = cfg.writer match {
+      case WriterSpec.Files(path, format) =>
+        val out = df.cache()
+        val count = out.count()
+        out.write.mode("append").format(format).save(path)
+        out.unpersist()
+        count
+      case WriterSpec.Kafka(servers, topic, _) =>
+        val out = df.cache()
+        val count = out.count()
+        out.selectExpr("key", "value", "partition", "topic")
+          .write.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("topic", topic)
+          .save()
+        out.unpersist()
+        count
+      case WriterSpec.Noop =>
+        df.count()
+    }
+    n
+  }
+
+  /** Start the standing streaming pipeline. */
+  def start(spark: SparkSession, cfg: PipelineConfig,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      audit: Option[AuditWriter] = None): StreamingQuery = {
+    val src = LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = true,
+      cfg.maxFilesPerTrigger)
+    val transformed = applyTransforms(src, cfg)
+    val checkpoint = cfg.checkpointDir.getOrElse(
+      s"/tmp/graft-checkpoints/${cfg.name}")
+    transformed.writeStream
+      .queryName(cfg.name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = writeBatch(
+          if (batch.columns.contains("topic")) batch
+          else batch.withColumn("topic", lit(cfg.name)), cfg)
+        audit.foreach(_.record(cfg.name, batchId, n))
+        ()
+      }
+      .start()
+  }
+}
+
+/** Idempotent per-epoch audit sink: one small parquet file per batchId,
+  * overwritten on epoch retry — Σ num_messages over distinct batchIds equals
+  * messages delivered (the e2e oracle of the reference's test strategy,
+  * reference: e2e/SingerEndToEndTest.java:26-121). */
+class AuditWriter(spark: SparkSession, auditDir: String) extends Serializable {
+  def record(pipeline: String, batchId: Long, numMessages: Long): Unit = {
+    import spark.implicits._
+    Seq((pipeline, batchId, numMessages, System.currentTimeMillis(), LogPipeline.hostname))
+      .toDF("pipeline", "batch_id", "num_messages", "timestamp_ms", "hostname")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$auditDir/batch_id=$batchId")
+  }
+
+  /** Total delivered message count per pipeline (audit oracle). */
+  def totals(): DataFrame =
+    spark.read.parquet(auditDir)
+      .groupBy("pipeline")
+      .agg(sum("num_messages").as("total_messages"),
+        count(lit(1)).as("num_batches"))
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.PipelineConfig
+
+/** Control plane: one `StreamingQuery` per pipeline config, with stuck-query
+  * detection and drain — the reference's `DefaultLogMonitor` collapsed into a
+  * driver-side registry (reference: monitor/DefaultLogMonitor.java:104,
+  * 233-273 start-per-stream; 543-601 stuck detection; drain
+  * monitor/LogStreamManager.java:657).
+  *
+  * Instance-level decider sampling (process-or-skip a whole pipeline,
+  * reference: monitor/DefaultLogMonitor.java:203-224) happens here at
+  * `startAll` — a skipped pipeline's query is simply never started.
+  */
+class PipelineManager(spark: SparkSession,
+    stuckThresholdMs: Long = 10 * 60 * 1000L,
+    audit: Option[AuditWriter] = None) {
+
+  private val queries = TrieMap.empty[String, StreamingQuery]
+
+  def start(cfg: PipelineConfig,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val q = LogPipeline.start(spark, cfg, trigger, audit)
+    queries.put(cfg.name, q)
+    q
+  }
+
+  /** Start every config that passes its instance decider:
+    * pass iff `deciderPercent > hash(name) mod 100`
+    * (deterministic per pipeline name, reference semantics
+    * processor-decider, monitor/DefaultLogMonitor.java:203-224). */
+  def startAll(cfgs: Seq[PipelineConfig], deciderPercent: Int = 100): Seq[StreamingQuery] =
+    cfgs.filter(c => deciderPercent > math.floorMod(c.name.hashCode, 100))
+      .map(start(_))
+
+  def get(name: String): Option[StreamingQuery] = queries.get(name)
+
+  def active: Map[String, StreamingQuery] = queries.toMap.filter(_._2.isActive)
+
+  /** Queries with no progress for longer than the threshold
+    * (reference: stuck-stream alert, monitor/DefaultLogMonitor.java:561-601). */
+  def stuck(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    queries.collect {
+      case (name, q) if q.isActive =>
+        val last = Option(q.lastProgress)
+          .map(p => java.time.Instant.parse(p.timestamp).toEpochMilli)
+        (name, last)
+    }.collect {
+      case (name, Some(t)) if nowMs - t > stuckThresholdMs => name
+      case (name, None) => name // never progressed
+    }.toSeq
+
+  /** Drain: let in-flight work finish, then stop
+    * (reference: skip-draining, monitor/LogStreamManager.java:657). */
+  def drain(name: String): Unit = queries.get(name).foreach { q =>
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  def stopAll(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
+}

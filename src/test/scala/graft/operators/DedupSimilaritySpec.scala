@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different content about spark distributed query engines and shuffles"),
+    (5L, "another unrelated document describing minhash signatures and lsh banding methods")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content hash") {
+    val groups = Dedup.exactDuplicateGroups(docs).collect()
+    assert(groups.length == 4) // 1&2 merge
+    val dupGroup = groups.find(_.getAs[Long]("group_size") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val survivors = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashLshPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical ⇒ jaccard_est 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val dedup = Dedup.minHashDedup(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dedup.contains(1L) && !dedup.contains(2L))
+    assert(dedup.contains(4L) && dedup.contains(5L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, unrelated far") {
+    val sigs = docs.select($"doc_id",
+      HashFunctions.simHash64($"text").as("sim")).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard verification on candidates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.98f, 0.2f)),  // close to 2
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute force top-k ranks by cosine") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank").select("corpus_id").as[Long].collect()
+    assert(res.head == 1L) // nearest neighbor of 0 is 1
+  }
+
+  test("cosine function matches manual computation") {
+    val c = vecs.filter($"vec_id" === 0L).select(
+      VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect().head
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ivf with stride centroids assigns every vector to one cell") {
+    val cents = Similarity.strideCentroids(vecs, 2)
+    assert(cents.count() == 2)
+    val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 4L), cents, k = 1, nProbe = 2)
+    assert(res.count() <= 1)
+  }
+
+  test("lsh self-join finds the close pairs") {
+    val pairs = Similarity.cosineSelfJoinLsh(vecs, threshold = 0.9, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("text functions: tokens, quality, lang id") {
+    val df = Seq(
+      "The cat sat on the mat and it was a good day for everyone involved.",
+      "der hund und die katze sind nicht mit dem auto gefahren",
+      "").toDF("text")
+    val rows = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.qualityScore($"text").as("q"),
+      TextFunctions.langId($"text").as("lang")).collect()
+    assert(rows(0).getAs[Long]("n") == 15L)
+    assert(rows(0).getAs[Double]("q") >= 0.75)
+    assert(rows(0).getAs[String]("lang") == "en")
+    assert(rows(1).getAs[String]("lang") == "de")
+    assert(rows(2).getAs[Long]("n") == 0L)
+    assert(rows(2).getAs[String]("lang") == "und")
+  }
+
+  test("doc fingerprint is order-sensitive") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("text")
+    val fps = df.select(HashFunctions.docFingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.Partitioners
+import graft.model.PartitionerSpec
+
+class TransformsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("filterRegex drops non-matching rows") {
+    val df = Seq("INFO ok", "DEBUG noise", "INFO fine").toDF("value")
+    val out = Transforms.filterRegex(df, "value", "^INFO").as[String].collect()
+    assert(out.toList == List("INFO ok", "INFO fine"))
+  }
+
+  test("regexModify rewrites matches and passes through non-matches") {
+    val df = Seq("user=alice action=login", "malformed line").toDF("value")
+    val out = df.select(
+      Transforms.regexModify($"value", "user=(\\w+) action=(\\w+)", "$2 by $1").as("v"))
+      .as[String].collect()
+    assert(out.toList == List("login by alice", "malformed line"))
+  }
+
+  test("prepend builds delimited prefix") {
+    val df = Seq("payload").toDF("value")
+    val out = df.select(
+      Transforms.prepend($"value", " ", lit(123L), lit("host-x")).as("v"))
+      .as[String].collect()
+    assert(out.head == "123 host-x payload")
+  }
+
+  test("withChecksum computes crc32 and validates") {
+    val df = Seq(("a", "hello".getBytes)).toDF("id", "value")
+    val row = Transforms.withChecksum(df).select("checksum", "checksumValid").collect().head
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello".getBytes)
+    assert(row.getLong(0) == crc.getValue)
+    assert(row.getBoolean(1))
+  }
+
+  test("withChecksum flags mismatched existing checksum") {
+    val df = Seq(("a", "hello".getBytes, 999L)).toDF("id", "value", "checksum")
+    val row = Transforms.withChecksum(df).select("checksum", "checksumValid").collect().head
+    assert(row.getLong(0) == 999L) // preserved
+    assert(!row.getBoolean(1))     // flagged invalid (reference: KafkaWriter.java:438-458)
+  }
+
+  test("deterministic decider sampling passes exactly keys mod 100 < pct") {
+    val df = (0L until 1000L).toDF("k")
+    val out = Transforms.sampleDecider(df, 37, Some($"k")).count()
+    assert(out == 370)
+  }
+
+  test("withHeaders merges into existing map") {
+    val df = Seq("x").toDF("value")
+    val once = Transforms.withHeaders(df, Map("a" -> "1"))
+    val twice = Transforms.withHeaders(once, Map("b" -> "2"))
+    val m = twice.select("headers").as[Map[String, Array[Byte]]].collect().head
+    assert(m.keySet == Set("a", "b"))
+    assert(new String(m("b")) == "2")
+  }
+
+  test("withPartition crc32 matches reference abs(crc32(key) % n)") {
+    val keys = Seq("k1", "k2", "some-longer-key", "")
+    val df = keys.map(_.getBytes).toDF("key")
+    val got = Transforms.withPartition(df, PartitionerSpec.Crc32Key(16))
+      .select("partition").as[Int].collect().toList
+    val expected = keys.map { k =>
+      val crc = new java.util.zip.CRC32(); crc.update(k.getBytes)
+      math.abs(math.abs(crc.getValue) % 16).toInt
+    }
+    assert(got == expected)
+  }
+
+  test("partitioners stay within [0, n)") {
+    val df = (0L until 500L).map(i => s"key$i".getBytes).toDF("key")
+    for (spec <- Seq[PartitionerSpec](
+        PartitionerSpec.Crc32Key(8), PartitionerSpec.MurmurKey(8),
+        PartitionerSpec.Md5StringKey(8), PartitionerSpec.RoundRobin(8),
+        PartitionerSpec.SinglePartition(8, seed = 1L),
+        PartitionerSpec.FixedPartitions(Seq(2, 5)))) {
+      val parts = Transforms.withPartition(df, spec).select("partition").as[Int].collect()
+      assert(parts.forall(p => p >= 0 && p < 8), s"$spec out of range")
+    }
+  }
+
+  test("fixedPartitions round-robins within the chosen subset") {
+    val df = (0L until 100L).toDF("k")
+    val parts = df.withColumn("partition", Partitioners.fixedPartitions(Seq(3, 7)))
+      .select("partition").as[Int].collect().toSet
+    assert(parts == Set(3, 7))
+  }
+}

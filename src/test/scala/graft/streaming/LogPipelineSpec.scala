@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+
+class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tempDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def cfgFor(name: String, logDir: Path, outDir: Path, cp: Path): PipelineConfig =
+    PipelineConfig(
+      name = name,
+      logDir = logDir.toString,
+      reader = ReaderSpec.TextLine(filterRegex = Some("^data")),
+      transforms = Seq(TransformSpec.RegexModifier("^data:(\\w+)", "payload=$1")),
+      partitioner = PartitionerSpec.Crc32Key(8),
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(cp.toString),
+      injectHeaders = Map("az" -> "test-az"))
+
+  test("batch replay applies the full transform chain") {
+    val logDir = tempDir("graft-batch-logs")
+    Files.writeString(logDir.resolve("x.log"), "data:a\nnoise line\ndata:b\n")
+    val cfg = cfgFor("batch-test", logDir, tempDir("o"), tempDir("c"))
+    val out = LogPipeline.runBatch(spark, cfg).collect()
+    assert(out.length == 2) // noise filtered
+    val values = out.map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(values == Set("payload=a", "payload=b"))
+    assert(out.forall(r => r.getAs[Int]("partition") >= 0 && r.getAs[Int]("partition") < 8))
+    assert(out.forall(_.getAs[Boolean]("checksumValid")))
+    assert(out.forall(r =>
+      new String(r.getAs[Map[String, Array[Byte]]]("headers")("az")) == "test-az"))
+  }
+
+  test("streaming pipeline delivers, resumes after restart without loss or dupes, audits") {
+    val logDir = tempDir("graft-stream-logs")
+    val outDir = tempDir("graft-stream-out")
+    val cpDir = tempDir("graft-stream-cp")
+    val auditDir = tempDir("graft-audit")
+    val audit = new AuditWriter(spark, auditDir.toString)
+    val cfg = PipelineConfig(
+      name = "stream-test",
+      logDir = logDir.toString,
+      reader = ReaderSpec.TextLine(),
+      partitioner = PartitionerSpec.Crc32Key(4),
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(cpDir.toString))
+
+    Files.writeString(logDir.resolve("f1.log"), (1 to 10).map(i => s"m$i").mkString("", "\n", "\n"))
+    val q1 = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"), Some(audit))
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir.toString).count() == 10)
+
+    Files.writeString(logDir.resolve("f2.log"), (11 to 15).map(i => s"m$i").mkString("", "\n", "\n"))
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir.toString).count() == 15)
+    q1.stop()
+
+    // restart from checkpoint; add more data — resumed query must deliver
+    // only the new file (at-least-once, no reprocessing of committed files)
+    Files.writeString(logDir.resolve("f3.log"), (16 to 20).map(i => s"m$i").mkString("", "\n", "\n"))
+    val q2 = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"), Some(audit))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() == 20)
+    val values = out.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(values == (1 to 20).map(i => s"m$i").toSet)
+
+    // audit oracle: sum of per-batch counts == delivered rows
+    val totals = audit.totals().collect().head
+    assert(totals.getAs[Long]("total_messages") == 20)
+  }
+
+  test("multiline streaming pipeline assembles records per file") {
+    val logDir = tempDir("graft-ml-logs")
+    val outDir = tempDir("graft-ml-out")
+    val cfg = PipelineConfig(
+      name = "ml-test",
+      logDir = logDir.toString,
+      reader = ReaderSpec.TextMultiline("^I[0-9]{5}"),
+      partitioner = PartitionerSpec.RoundRobin(4),
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(tempDir("graft-ml-cp").toString))
+    Files.writeString(logDir.resolve("g.log"), "I00001 a\n cont-a\nI00002 b\n")
+    val q = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"))
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.read.parquet(outDir.toString).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(vals == Set("I00001 a\n cont-a", "I00002 b"))
+  }
+
+  test("thrift streaming pipeline decodes frames end-to-end") {
+    val logDir = tempDir("graft-th-logs")
+    val outDir = tempDir("graft-th-out")
+    import graft.sources.ThriftLogCodec
+    val frames = (1 to 5).map(i =>
+      ThriftLogCodec.encodeFrame(s"k$i".getBytes, s"msg$i".getBytes, Some(i.toLong), None))
+    Files.write(logDir.resolve("t.log"), frames.reduce(_ ++ _))
+    val cfg = PipelineConfig(
+      name = "thrift-test",
+      logDir = logDir.toString,
+      reader = ReaderSpec.ThriftFramed(),
+      partitioner = PartitionerSpec.MurmurKey(4),
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(tempDir("graft-th-cp").toString))
+    val q = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir.toString).collect()
+    assert(out.length == 5)
+    assert(out.map(r => new String(r.getAs[Array[Byte]]("value"))).toSet ==
+      (1 to 5).map(i => s"msg$i").toSet)
+  }
+
+  test("heartbeat listener emits progress JSON") {
+    val buf = new BufferingHeartbeat
+    val listener = new HeartbeatListener(buf)
+    spark.streams.addListener(listener)
+    try {
+      val logDir = tempDir("graft-hb-logs")
+      Files.writeString(logDir.resolve("h.log"), "a\nb\n")
+      val cfg = PipelineConfig(
+        name = "hb-test", logDir = logDir.toString,
+        writer = WriterSpec.Noop,
+        checkpointDir = Some(tempDir("graft-hb-cp").toString))
+      val q = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(10000)
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !buf.messages.exists(_.contains("\"event\":\"progress\""))) Thread.sleep(100)
+      assert(buf.messages.exists(_.contains("\"event\":\"started\"")))
+      assert(buf.messages.exists(m =>
+        m.contains("\"event\":\"progress\"") && m.contains("\"name\":\"hb-test\"")))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("PipelineConfig.fromProperties parses singer-style properties") {
+    val props =
+      """logName=app_log
+        |logDir=/var/log/app
+        |logStreamRegex=app\.log.*
+        |reader.type=text
+        |reader.text.filterMessageRegex=^INFO.*
+        |reader.text.prependTimestamp=true
+        |reader.text.prependHostname=true
+        |transformer.regex=^(\w+) (.*)$
+        |transformer.replacement=$2 [$1]
+        |writer.type=kafka
+        |writer.kafka.topic=app-topic
+        |writer.kafka.bootstrap.servers=broker:9092
+        |writer.kafka.numPartitions=64
+        |writer.kafka.partitioner.class=com.example.Crc32Partitioner
+        |processor.maxFilesPerTrigger=10
+        |""".stripMargin
+    val cfg = PipelineConfig.fromProperties(props)
+    assert(cfg.name == "app_log")
+    assert(cfg.logDir == "/var/log/app")
+    cfg.reader match {
+      case ReaderSpec.TextLine(filter, ts, host, _, _) =>
+        assert(filter.contains("^INFO.*")); assert(ts); assert(host)
+      case other => fail(s"wrong reader: $other")
+    }
+    assert(cfg.transforms.exists {
+      case TransformSpec.RegexModifier(re, repl, _) => repl == "$2 [$1]" && re.nonEmpty
+      case _ => false
+    })
+    cfg.writer match {
+      case WriterSpec.Kafka(servers, topic, _) =>
+        assert(servers == "broker:9092"); assert(topic == "app-topic")
+      case other => fail(s"wrong writer: $other")
+    }
+    assert(cfg.partitioner == PartitionerSpec.Crc32Key(64))
+    assert(cfg.maxFilesPerTrigger.contains(10))
+  }
+}
