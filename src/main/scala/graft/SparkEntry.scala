@@ -28,6 +28,14 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  // NOTE on small-input parallelism: the test corpora are single-row-group
+  // parquet files, so scans are one task. A repartition-based fan-out was
+  // measured (sf0.1, local[32]) and REJECTED: the exchange costs more than
+  // the narrow work it parallelizes at this data size (d10: 0.53s -> 1.1s).
+  // At 100 TB the scan has thousands of row-group splits and the question
+  // disappears. Fan-out only pays when per-row work is ~ms-scale (e.g.
+  // multimodal decode), which is where Multimodal.scala applies it.
+
   /** Flagship: the full singer-style ingestion pipeline in batch-replay mode —
     * documents → LogRecord envelope → filter/transform/prepend → checksum →
     * partition assignment (reference: SURVEY.md §3.2 hot path). */
@@ -268,19 +276,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")),
     "d3_token_stats" -> ((s, d) =>
       t(s, d, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          size(col("toks")).cast("long").as("n_tokens"),
           length(col("text")).cast("long").as("len"),
-          round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_tok_len"))
+          round(TextFunctions.meanTokenLengthOf(col("toks")), 4).as("mean_tok_len"))
         .orderBy("doc_id")),
     "d4_stopword_ratio" -> ((s, d) =>
       t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("ltoks"))
         .select(col("doc_id"),
-          round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+          round(TextFunctions.stopwordRatioOf(col("ltoks")), 4).as("stopword_ratio"))
         .orderBy("doc_id")),
     "d5_quality_filter" -> ((s, d) => {
       val scored = t(s, d, "documents")
-        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"),
+          TextFunctions.tokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreOf(col("text"), col("toks"), col("ltoks")).as("quality"))
       scored.filter(col("quality") >= 0.75).orderBy("doc_id")
     }),
     "d6_fingerprint" -> ((s, d) =>
@@ -297,8 +311,8 @@ object SparkEntry {
       Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 16)
         .orderBy("id_a", "id_b")),
     "d9_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 40)
-      val sh = docs.select(col("doc_id"), HashFunctions.wordShingles(col("text"), 3).as("sh"))
+      val dd = t(s, d, "documents").filter(col("doc_id") < 40)
+      val sh = dd.select(col("doc_id"), HashFunctions.wordShingles(col("text"), 3).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
@@ -308,9 +322,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "d10_lang_id" -> ((s, d) =>
-      // heuristic n-gram language ID — rows-only check
       t(s, d, "documents")
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"), col("lang"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
     // ------------------------------------------------ similarity search

@@ -46,10 +46,14 @@ object Dedup {
     // re-derives the k-hash MinHash pipeline on both sides (2× the dominant
     // cost), and candidate verification would re-derive it a third time.
     // The cached relation is tiny relative to the corpus — (id, k longs).
+    // Shingling is fused into the signature expression: no shingle strings
+    // are materialized (graft.plans.MinHashShingleSigExpr).
     val sigs = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("id"), minHashSignature(col("shingles"), k).as("sig"))
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"),
+        graft.plans.SketchExpressions.minHashShingleSignature(col("toks"), shingleN, k).as("sig"))
       .cache()
     val banded = sigs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))

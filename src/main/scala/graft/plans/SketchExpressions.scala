@@ -51,6 +51,53 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `minhash_shingle_signature(tokens, n, k)`: array<string> → array<long>.
+  * Fuses word-n-gram shingling INTO the MinHash: each token is hashed once,
+  * each n-token window combines those hashes with a chain mix, and the k
+  * signature slots take mins over window hashes. No shingle strings are ever
+  * materialized (duplicates can't change a min, so no distinct needed) —
+  * ~100× less allocation than shingle-string construction at 100 TB. */
+case class MinHashShingleSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_shingle_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val tokHashes = new Array[Long](nTok)
+    var j = 0
+    while (j < nTok) {
+      val s = arr.getUTF8String(j)
+      tokHashes(j) = XXH64.hashUTF8String(s, 42L)
+      j += 1
+    }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nWin = math.max(nTok - (n - 1), if (nTok > 0) 1 else 0)
+    var w = 0
+    while (w < nWin) {
+      var h0 = tokHashes(w)
+      var d = 1
+      while (d < n && w + d < nTok) {
+        h0 = XXH64.hashLong(tokHashes(w + d), h0)
+        d += 1
+      }
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(h0, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: array<string> → long Charikar sketch — per-bit vote
   * of +1/-1 across token hashes, bit set where the vote is positive. */
 case class SimHash64Expr(child: Expression)
@@ -87,10 +134,49 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** `count_in_set(tokens, set)`: array<string> → int — how many elements are
+  * members of a compile-time string set. Replaces the interpreted
+  * `size(filter(toks, array_contains(...)))` lambda in stopword-ratio and
+  * language-ID scoring (one hash-set probe per token instead of a per-token
+  * lambda frame). */
+case class CountInSetExpr(child: Expression, values: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](values.size * 2)
+    values.foreach(v => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var count = 0
+    var j = 0
+    while (j < n) {
+      if (set.contains(arr.getUTF8String(j))) count += 1
+      j += 1
+    }
+    java.lang.Integer.valueOf(count)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minHashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(shingles), k))
 
+  def minHashShingleSignature(tokens: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashShingleSigExpr(ColumnBridge.expression(tokens), n, k))
+
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def countInSet(tokens: Column, values: Seq[String]): Column =
+    ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tokens), values))
 }
