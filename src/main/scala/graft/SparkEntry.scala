@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Dedup, Similarity, Transforms}
+import graft.operators.{Dedup, Multimodal, Similarity, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -351,6 +351,31 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // ------------------------------------------------ multimodal (stub decode, real plumbing)
+    "m1_media_decode" -> ((s, d) =>
+      Multimodal.decodeImages(
+        t(s, d, "documents").select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content")))
+        .toDF().orderBy("media_id")),
+    "m2_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        t(s, d, "documents").select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content")), everyMs = 100L)
+        .toDF().select("media_id", "frame_idx", "ts_ms")
+        .orderBy("media_id", "frame_idx")),
+    "m3_media_features_ann" -> ((s, d) => {
+      // stub features -> real ANN operator; rows-only check
+      val feats = Multimodal.extractFeatures(
+        t(s, d, "documents").select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content")), dim = 32)
+        .toDF().withColumnRenamed("feature", "embedding")
+        .withColumnRenamed("media_id", "vec_id")
+      Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 5)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ------------------------------------------------ streaming twins (batch mode)
     "w1_hourly_counts" -> ((s, d) =>
       events(s, d)
@@ -598,6 +623,18 @@ object SparkEntry {
              FROM scored)
          SELECT centroid_id AS cell, count(*) AS n_vectors
          FROM best WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    "m1_media_decode" ->
+      """SELECT doc_id AS media_id,
+         ((octet_length(encode(text)) % 512) + 16)::INT AS width,
+         (((octet_length(encode(text)) // 512) % 512) + 16)::INT AS height,
+         CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         FROM documents ORDER BY media_id""",
+    "m2_frame_sample" ->
+      """SELECT media_id, u::INT AS frame_idx, (u * 100)::BIGINT AS ts_ms
+         FROM (SELECT doc_id AS media_id,
+           unnest(range(0, octet_length(encode(text)) * 2 // 100 + 1)) AS u
+           FROM documents)
+         ORDER BY media_id, frame_idx""",
     "w1_hourly_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
          round(sum(value), 2) AS total_value
