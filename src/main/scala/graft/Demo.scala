@@ -73,6 +73,19 @@ object Demo {
     println(s"DEMO after restart sink rows=${spark.read.parquet(outDir.toString).count()} (expect 6, no dupes)")
     audit.totals().show(false)
     println(s"DEMO heartbeats=${heartbeats.messages.count(_.contains("progress"))} progress events")
+
+    // rolled-object sink with S3-style key templating (file:// here, s3a:// in prod)
+    val objDir = Files.createTempDirectory("demo-objects")
+    val objCfg = cfg.copy(name = "demo_objects",
+      writer = graft.model.WriterSpec.RolledObjects(
+        s"file://$objDir", "{{LOGNAME}}/{{y}}/{{M}}/{{UUID}}.log", maxObjectBytes = 1 << 20),
+      checkpointDir = Some(Files.createTempDirectory("demo-obj-cp").toString))
+    val q3 = LogPipeline.start(spark, objCfg, Trigger.ProcessingTime("200 milliseconds"))
+    q3.processAllAvailable()
+    q3.stop()
+    val objects = java.nio.file.Files.walk(objDir)
+      .filter(_.toString.endsWith(".log")).toArray.map(_.toString)
+    println(s"DEMO rolled objects: ${objects.length} under templated keys, e.g. ${objects.headOption.map(_.stripPrefix(objDir.toString)).getOrElse("none")}")
     spark.streams.removeListener(listener)
     spark.stop()
   }

@@ -82,3 +82,25 @@ object Partitioners {
       (floor(rand() * localPartitions.size) + 1).cast("int"))
   }
 }
+
+/** Driver-side partition-set resolution feeding the partitioner expressions —
+  * the metadata half of the reference's locality/leaderless logic. In
+  * production the maps come from Kafka AdminClient `describeTopics`; the
+  * resolution itself is pure and broadcast into the plan as literals (no
+  * executor-side metadata RPCs, refreshed per micro-batch at most). */
+object PartitionMetadata {
+
+  /** Partitions whose leader broker sits in the local rack/AZ; falls back to
+    * ALL partitions when none are local
+    * (reference: writer/partitioners/LocalityAwarePartitioner.java:60-104). */
+  def localPartitions(partitionRacks: Map[Int, String], localRack: String): Seq[Int] = {
+    val local = partitionRacks.collect { case (p, r) if r == localRack => p }.toSeq.sorted
+    if (local.nonEmpty) local else partitionRacks.keys.toSeq.sorted
+  }
+
+  /** Drop partitions with no leader (under-replicated) so writes never block
+    * on them (reference: writer/KafkaWriter.java:315-325;
+    * config.thrift:142 `skipNoLeaderPartitions`). */
+  def skipLeaderless(partitionLeaders: Map[Int, Option[Int]]): Seq[Int] =
+    partitionLeaders.collect { case (p, Some(_)) => p }.toSeq.sorted
+}

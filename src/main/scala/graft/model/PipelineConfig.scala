@@ -60,6 +60,10 @@ object WriterSpec {
   /** File sink (parquet) — also the local stand-in for S3
     * (reference: writer/s3/S3Writer.java key-templating collapses to a path). */
   case class Files(path: String, format: String = "parquet") extends WriterSpec
+  /** Raw-object sink with size rolling + templated keys
+    * (reference: writer/s3/S3Writer.java; see graft.streaming.RolledObjectSink). */
+  case class RolledObjects(baseDir: String, keyFormat: String,
+      maxObjectBytes: Long = 50L * 1024 * 1024) extends WriterSpec
   case object Noop extends WriterSpec
 }
 

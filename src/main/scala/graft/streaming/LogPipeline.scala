@@ -66,8 +66,12 @@ object LogPipeline {
   /** Write one epoch's records to the configured sink. Kafka rows use the
     * Spark Kafka sink contract (key/value/partition/headers columns pass
     * through unchanged). */
-  private def writeBatch(df: DataFrame, cfg: PipelineConfig): Long = {
+  private def writeBatch(df: DataFrame, cfg: PipelineConfig, batchId: Long = 0L): Long = {
     val n = cfg.writer match {
+      case WriterSpec.RolledObjects(baseDir, keyFormat, maxBytes) =>
+        val sink = new RolledObjectSink(baseDir,
+          KeyTemplate(keyFormat, cfg.name), maxBytes)
+        sink.writeEpoch(df, batchId).map(_.records).sum
       case WriterSpec.Files(path, format) =>
         val out = df.cache()
         val count = out.count()
@@ -106,7 +110,7 @@ object LogPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val n = writeBatch(
           if (batch.columns.contains("topic")) batch
-          else batch.withColumn("topic", lit(cfg.name)), cfg)
+          else batch.withColumn("topic", lit(cfg.name)), cfg, batchId)
         audit.foreach(_.record(cfg.name, batchId, n))
         ()
       }

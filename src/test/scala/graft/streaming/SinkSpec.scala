@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.PartitionMetadata
+
+class SinkSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("KeyTemplate renders default tokens, env vars, filename groups") {
+    val t = KeyTemplate(
+      keyFormat = "logs/{{LOGNAME}}/{{y}}/{{M}}/{{d}}/${STAGE}/%{app}-{{UUID}}.log",
+      logName = "mylog",
+      hostname = "h1",
+      filenamePattern = Some("(?<app>[a-z]+)\\.log.*"),
+      filenameTokens = Seq("app"),
+      env = Map("STAGE" -> "prod"))
+    val key = t.render(sourceFilename = "frontend.log.1",
+      nowMs = 1704067200000L, uuid = "abcd1234") // 2024-01-01T00:00:00Z
+    assert(key == "logs/mylog/2024/01/01/prod/frontend-abcd1234.log")
+  }
+
+  test("KeyTemplate leaves filename tokens unreplaced on pattern miss (reference behavior)") {
+    val t = KeyTemplate("k/%{app}.log", "l",
+      filenamePattern = Some("(?<app>[a-z]+)\\.log"), filenameTokens = Seq("app"))
+    assert(t.render(sourceFilename = "UNMATCHED", nowMs = 0L, uuid = "u") == "k/%{app}.log")
+  }
+
+  test("KeyTemplate passes unknown tokens through verbatim") {
+    val t = KeyTemplate("a/{{NOPE}}/b", "l")
+    assert(t.render(nowMs = 0L, uuid = "u") == "a/{{NOPE}}/b")
+  }
+
+  test("RolledObjectSink rolls at size threshold and reports metadata") {
+    val outDir = Files.createTempDirectory("graft-objsink")
+    val tmpl = KeyTemplate("{{LOGNAME}}-{{UUID}}.log", "roll")
+    val sink = new RolledObjectSink(s"file://$outDir", tmpl, maxObjectBytes = 64)
+    val df = (1 to 20).map(i => f"record-$i%03d".getBytes).toDF("value").coalesce(1)
+    val metas = sink.writeEpoch(df, batchId = 7L)
+    assert(metas.map(_.records).sum == 20)
+    assert(metas.size > 1, "should roll into multiple objects at 64-byte threshold")
+    assert(metas.forall(_.bytes <= 64))
+    // content roundtrip
+    val all = metas.sortBy(_.path).flatMap { m =>
+      new String(Files.readAllBytes(java.nio.file.Paths.get(
+        m.path.stripPrefix("file:")))).split("\n").toSeq
+    }
+    assert(all.size == 20)
+    assert(all.head.startsWith("record-"))
+    // deterministic names: batchId embedded => retry overwrites
+    assert(metas.forall(_.path.contains("roll-0007-")))
+  }
+
+  test("streaming pipeline with RolledObjects writer delivers templated raw objects") {
+    import graft.model._
+    import org.apache.spark.sql.streaming.Trigger
+    val logDir = Files.createTempDirectory("graft-ro-logs")
+    val outDir = Files.createTempDirectory("graft-ro-out")
+    Files.writeString(logDir.resolve("a.log"), "x1\nx2\nx3\n")
+    val cfg = PipelineConfig(
+      name = "ro-test", logDir = logDir.toString,
+      writer = WriterSpec.RolledObjects(s"file://$outDir", "{{LOGNAME}}/{{y}}/{{UUID}}.log"),
+      checkpointDir = Some(Files.createTempDirectory("graft-ro-cp").toString))
+    val q = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"))
+    q.processAllAvailable()
+    q.stop()
+    val files = java.nio.file.Files.walk(outDir).filter(_.toString.endsWith(".log"))
+      .toArray.map(_.toString)
+    assert(files.nonEmpty)
+    assert(files.head.contains("ro-test/"))
+    val lines = files.flatMap(f =>
+      new String(Files.readAllBytes(java.nio.file.Paths.get(f))).split("\n").toSeq)
+    assert(lines.toSet == Set("x1", "x2", "x3"))
+  }
+
+  test("PartitionMetadata: locality filter with fallback; leaderless skip") {
+    val racks = Map(0 -> "us-east-1a", 1 -> "us-east-1b", 2 -> "us-east-1a", 3 -> "us-east-1c")
+    assert(PartitionMetadata.localPartitions(racks, "us-east-1a") == Seq(0, 2))
+    assert(PartitionMetadata.localPartitions(racks, "eu-west-1a") == Seq(0, 1, 2, 3))
+    val leaders = Map(0 -> Some(101), 1 -> None, 2 -> Some(103))
+    assert(PartitionMetadata.skipLeaderless(leaders) == Seq(0, 2))
+  }
+}
