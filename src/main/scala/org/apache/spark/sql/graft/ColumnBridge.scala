@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column tree to a concrete Catalyst expression.
+    * `expression` wraps lazily in a ColumnNodeExpression, which resolves
+    * fine inside normal DataFrame plans but NOT when returned from a
+    * function-registry builder (the analyzer does not descend into the
+    * wrapper) — SQL-registered composed functions need this eager form. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

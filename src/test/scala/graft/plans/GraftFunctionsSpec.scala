@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(
+      ("the quick brown fox and the lazy dog", 1L),
+      ("der hund und die katze", 2L)
+    ).toDF("text", "id").createOrReplaceTempView("docs_sql")
+
+    val row = spark.sql(
+      """SELECT id,
+         token_count(text) AS n,
+         lang_id(text) AS lang,
+         quality_score(text) AS q,
+         doc_fingerprint(text) AS fp,
+         simhash64(split(text, ' ')) AS sh,
+         count_in_set(split(text, ' '), array('the', 'und')) AS hits,
+         crc32_partition(cast(text AS binary), 8) AS part,
+         size(minhash_shingle_signature(split(text, ' '), 3, 16)) AS sig_len
+         FROM docs_sql ORDER BY id""").collect()
+
+    assert(row(0).getAs[Long]("n") == 8L)
+    assert(row(0).getAs[String]("lang") == "en")
+    assert(row(1).getAs[String]("lang") == "de")
+    assert(row(0).getAs[Int]("hits") == 2)
+    assert(row(1).getAs[Int]("hits") == 1)
+    assert(row(0).getAs[Int]("sig_len") == 16)
+    val p = row(0).getAs[Int]("part")
+    assert(p >= 0 && p < 8)
+  }
+
+  test("cosine/jaccard SQL functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0, 0.0), array(1.0, 0.0)) AS c,
+         jaccard_similarity(array('a','b'), array('b','c')) AS j,
+         hamming64(7, 0) AS h""").collect().head
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("j") - (1.0 / 3.0)) < 1e-12)
+    assert(r.getAs[Int]("h") == 3)
+  }
+
+  test("non-literal k rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("k must be"))
+  }
+}
