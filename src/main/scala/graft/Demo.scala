@@ -86,6 +86,27 @@ object Demo {
     val objects = java.nio.file.Files.walk(objDir)
       .filter(_.toString.endsWith(".log")).toArray.map(_.toString)
     println(s"DEMO rolled objects: ${objects.length} under templated keys, e.g. ${objects.headOption.map(_.stripPrefix(objDir.toString)).getOrElse("none")}")
+
+    // stateful event-time sessionization over a live stream
+    {
+      import graft.streaming.EventAnalytics
+      import graft.streaming.EventAnalytics.Ev
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[Ev]
+      val sq2 = EventAnalytics.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, watermark = "1 minute")
+        .writeStream.outputMode("append").format("memory").queryName("demo_sessions")
+        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      in.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(2), "view", 2.0), Ev(1, ts(10), "click", 5.0))
+      sq2.processAllAvailable()
+      in.addData(Ev(2, ts(45), "click", 0.0)) // advance watermark, close sessions
+      sq2.processAllAvailable()
+      sq2.stop()
+      println(s"DEMO sessions emitted:")
+      spark.table("demo_sessions").orderBy("user_id", "session_start").show(false)
+    }
     spark.streams.removeListener(listener)
     spark.stop()
   }

@@ -386,7 +386,10 @@ object SparkEntry {
       events(s, d)
         .groupBy("user_id", "event_type")
         .agg(min("event_id").as("first_event_id"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+    "w3_sessionize" -> ((s, d) =>
+      graft.streaming.EventAnalytics.sessionizeBatch(events(s, d), gapMs = 30 * 60 * 1000)
+        .orderBy("user_id", "session_start"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -641,6 +644,22 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     "w2_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
-         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+         FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "w3_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+               THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM x)
+         SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+           max(ts)::TIMESTAMP AS session_end, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start"""
   )
 }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the engine's event streams — the
+  * additive analytics surface on top of reference parity (SURVEY.md §2.6:
+  * the reference has no event-time processing; these are the operators a
+  * training-data/metrics pipeline adds).
+  *
+  * All operators work on any DataFrame with an event-time `ts` column —
+  * batch or streaming — so each has an oracle-checkable batch twin.
+  *
+  * Scale: state size is the design constraint. Watermarks bound every
+  * stateful operator (windows/dedup state evicted at watermark; sessions
+  * time out at watermark + gap), so state is O(active keys), not O(history).
+  */
+object EventAnalytics {
+
+  /** Tumbling-window counts/sums with watermark-bounded state. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window rate (events/min over the last `windowDur`, emitted per
+    * `slideDur`). */
+  def slidingRate(events: DataFrame, windowDur: String = "10 minutes",
+      slideDur: String = "1 minute", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("n"))
+
+  /** Streaming exact dedup: first occurrence per key set wins; duplicate
+    * arrivals inside the watermark horizon are dropped, state evicted past
+    * it. Batch mode falls back to plain dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+  case class SessionBuf(startMs: Long, endMs: Long, n: Long, sumValue: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives for `gapMs` (event time). Emits closed
+    * sessions in Append mode; open sessions are held as per-user state and
+    * closed by event-time timeout at watermark + gap. */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, evs: Iterator[Ev],
+        state: GroupState[SessionBuf]): Iterator[UserSession] = {
+      val closed = Seq.newBuilder[UserSession]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          closed += UserSession(userId, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.endMs), s.n, math.round(s.sumValue * 100) / 100.0)
+        }
+        state.remove()
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var cur = state.getOption.orNull
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          if (cur == null) cur = SessionBuf(t, t, 1, e.value)
+          else if (t - cur.endMs <= gapMs)
+            cur = SessionBuf(cur.startMs, math.max(cur.endMs, t), cur.n + 1, cur.sumValue + e.value)
+          else {
+            closed += UserSession(userId, new java.sql.Timestamp(cur.startMs),
+              new java.sql.Timestamp(cur.endMs), cur.n, math.round(cur.sumValue * 100) / 100.0)
+            cur = SessionBuf(t, t, 1, e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.endMs + gapMs)
+        }
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Batch twin of [[sessionize]] — identical gap semantics via window
+    * functions, used as the oracle for the stateful path. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val tsMs = unix_millis(col("ts"))
+    val newSession = when(
+      tsMs - lag(tsMs, 1).over(byUser) > gapMs || lag(tsMs, 1).over(byUser).isNull, 1
+    ).otherwise(0)
+    events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .drop("session_id")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.EventAnalytics.Ev
+
+class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowedCounts over a memory stream matches its batch twin") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAnalytics.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wc")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData(
+        Ev(1, ts(1), "click", 1.0), Ev(2, ts(2), "click", 2.0), Ev(1, ts(4), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      input.addData(Ev(9, ts(59), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      val clicks = rows.find(r => r.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") == 2)
+      assert(clicks.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops replays in-stream; batch twin dedups") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAnalytics.dedupWithinWatermark(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dd")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData(
+        Ev(1, ts(1), "click", 1.0), Ev(1, ts(2), "click", 9.0), // dup key within watermark
+        Ev(2, ts(2), "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+    // batch twin
+    val batch = Seq(Ev(1, ts(1), "click", 1.0), Ev(1, ts(2), "click", 9.0)).toDF()
+    assert(EventAnalytics.dedupWithinWatermark(batch, Seq("user_id", "event_type")).count() == 1)
+  }
+
+  test("stateful sessionize emits gap-separated sessions; matches batch twin") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventAnalytics.sessionize(input.toDS(), gapMs = 5 * 60 * 1000, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // user 1: two sessions separated by >5min gap; user 2: one session
+      input.addData(
+        Ev(1, ts(0), "click", 1.0), Ev(1, ts(2), "view", 2.0), // session A: 10:00-10:02
+        Ev(1, ts(10), "click", 5.0),                           // session B starts 10:10
+        Ev(2, ts(1), "click", 7.0))
+      q.processAllAvailable()
+      // push watermark beyond session B timeout (10:10 + 5min gap + 1min wm)
+      input.addData(Ev(9, ts(30), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(59), "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").where(col("user_id") === 1).collect()
+        .sortBy(_.getAs[Timestamp]("session_start").getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).getAs[Long]("n_events") == 2)
+      assert(sessions(0).getAs[Double]("total_value") == 3.0)
+      assert(sessions(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+
+    // batch twin over the same data gives the same sessions
+    val batch = Seq(
+      Ev(1, ts(0), "click", 1.0), Ev(1, ts(2), "view", 2.0),
+      Ev(1, ts(10), "click", 5.0), Ev(2, ts(1), "click", 7.0)).toDF()
+    val twin = EventAnalytics.sessionizeBatch(batch, 5 * 60 * 1000)
+      .where(col("user_id") === 1).orderBy("session_start").collect()
+    assert(twin.length == 2)
+    assert(twin(0).getAs[Long]("n_events") == 2)
+    assert(twin(1).getAs[Long]("n_events") == 1)
+  }
+}
