@@ -87,6 +87,25 @@ object Demo {
       .filter(_.toString.endsWith(".log")).toArray.map(_.toString)
     println(s"DEMO rolled objects: ${objects.length} under templated keys, e.g. ${objects.headOption.map(_.stripPrefix(objDir.toString)).getOrElse("none")}")
 
+    // graft-tail source: ingest APPENDS to a growing file (intra-file offsets)
+    {
+      val tailDir = Files.createTempDirectory("demo-tail")
+      val f = tailDir.resolve("grow.log")
+      Files.writeString(f, "first\n")
+      val tq = spark.readStream.format("graft-tail")
+        .option("path", tailDir.toString).option("format", "text").load()
+        .writeStream.format("memory").queryName("demo_tail")
+        .option("checkpointLocation", Files.createTempDirectory("demo-tail-cp").toString)
+        .trigger(Trigger.ProcessingTime("200 milliseconds")).start()
+      tq.processAllAvailable()
+      val n1 = spark.table("demo_tail").count()
+      Files.writeString(f, "appended\n", java.nio.file.StandardOpenOption.APPEND)
+      tq.processAllAvailable()
+      val n2 = spark.table("demo_tail").count()
+      tq.stop()
+      println(s"DEMO graft-tail: $n1 row before append, $n2 after (built-in file source would stay at $n1)")
+    }
+
     // stateful event-time sessionization over a live stream
     {
       import graft.streaming.EventAnalytics

@@ -78,7 +78,11 @@ case class PipelineConfig(
     checkpointDir: Option[String] = None,
     computeChecksum: Boolean = true,
     injectHeaders: Map[String, String] = Map.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** true ⇒ stream with the `graft-tail` source: growing files ingested
+      * from intra-file byte offsets (the reference's inode+offset model)
+      * instead of the closed-file rotation convention. */
+    tailMode: Boolean = false)
 
 object PipelineConfig {
   /** Parse a singer-style `.properties` pipeline definition
@@ -137,6 +141,7 @@ object PipelineConfig {
       partitioner = partitioner,
       writer = writer,
       checkpointDir = opt("checkpointDir"),
-      maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt))
+      maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt),
+      tailMode = opt("reader.tailMode").exists(_.toBoolean))
   }
 }

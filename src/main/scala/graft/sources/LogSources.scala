@@ -142,19 +142,32 @@ object LogSources {
     decodeThriftFiles(r.load(s"$dir/$glob"), maxMessageBytes)
   }
 
-  /** Source per config spec, batch or streaming. */
+  /** Source per config spec, batch or streaming. `tailMode` streams with
+    * the `graft-tail` DSv2 source (growing files, intra-file offsets);
+    * multiline assembly requires whole closed files and falls back to the
+    * rotation convention. */
   def fromSpec(spark: SparkSession, dir: String, spec: ReaderSpec, streaming: Boolean,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = spec match {
-    case ReaderSpec.TextLine(_, _, _, _, _) =>
-      if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
-      else textLines(spark, dir)
-    case ReaderSpec.TextMultiline(re, maxChars) =>
-      if (streaming) textMultilineStream(spark, dir, re, maxChars,
-        maxFilesPerTrigger = maxFilesPerTrigger)
-      else textMultiline(spark, dir, re, maxChars)
-    case ReaderSpec.ThriftFramed(maxBytes) =>
-      if (streaming) thriftFramedStream(spark, dir, maxBytes,
-        maxFilesPerTrigger = maxFilesPerTrigger)
-      else thriftFramed(spark, dir, maxBytes)
-  }
+      maxFilesPerTrigger: Option[Int] = None, tailMode: Boolean = false): DataFrame =
+    spec match {
+      case ReaderSpec.TextLine(_, _, _, _, _) if streaming && tailMode =>
+        spark.readStream.format("graft-tail")
+          .option("path", dir).option("format", "text").load()
+          .select(col("value").cast("string").as("value"), col("path"))
+      case ReaderSpec.ThriftFramed(_) if streaming && tailMode =>
+        spark.readStream.format("graft-tail")
+          .option("path", dir).option("format", "thrift").load()
+          .select(col("path"), col("key"), col("value"), col("timestampNanos"),
+            col("checksum"), col("byteOffset").as("nextByteOffset"))
+      case ReaderSpec.TextLine(_, _, _, _, _) =>
+        if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
+        else textLines(spark, dir)
+      case ReaderSpec.TextMultiline(re, maxChars) =>
+        if (streaming) textMultilineStream(spark, dir, re, maxChars,
+          maxFilesPerTrigger = maxFilesPerTrigger)
+        else textMultiline(spark, dir, re, maxChars)
+      case ReaderSpec.ThriftFramed(maxBytes) =>
+        if (streaming) thriftFramedStream(spark, dir, maxBytes,
+          maxFilesPerTrigger = maxFilesPerTrigger)
+        else thriftFramed(spark, dir, maxBytes)
+    }
 }

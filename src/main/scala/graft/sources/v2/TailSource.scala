@@ -1,0 +1,287 @@
+package graft.sources.v2
+
+import java.io.RandomAccessFile
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.ThriftLogCodec
+
+/** `graft-tail`: a DataSourceV2 streaming source that tails GROWING log
+  * files with intra-file byte offsets — the faithful port of the
+  * reference's `inode+byteOffset` watermark model
+  * (reference: docs/DESIGN.md:14-24, singer.thrift:21-27 LogPosition,
+  * reader/DefaultLogStreamReader.java:99-227), which Spark's built-in file
+  * source cannot express (it only ingests closed, immutable files —
+  * SURVEY.md §7.3).
+  *
+  * Streaming offset = `{path -> committed byte offset}` JSON, checkpointed
+  * by the engine's WAL exactly where the reference persisted thrift-JSON
+  * watermark files (reference: utils/WatermarkUtils.java:47-105). Each
+  * micro-batch reads the per-file byte ranges `[committed, length-at-
+  * listing)`; a crash re-reads from the last committed offset — the same
+  * at-least-once contract.
+  *
+  * Options: `path` (directory), `format` = `text` | `thrift`,
+  * `maxBytesPerTrigger` (rate limit, reference `batchSize` analog).
+  *
+  * Assumptions, shared with the reference: appends are record-atomic
+  * (thrift-logger writes whole frames; text loggers write whole lines —
+  * reference: reader/ThriftReader.java framing), and rotation renames
+  * never copy-truncate. A shrunken file is treated as rotated: its tail
+  * restarts from 0.
+  *
+  * Scale: listing is O(files) on the driver per trigger; decode runs in
+  * executors, one task per (file, range) — ranges of distinct files run in
+  * parallel. At 100 TB/day the per-trigger work is bounded by
+  * `maxBytesPerTrigger`, and file count per directory is bounded by
+  * rotation retention (reference: logRetentionInSeconds).
+  */
+class TailSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tail"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TailSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TailTable(properties.asScala.toMap)
+}
+
+object TailSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("byteOffset", LongType),       // offset of the NEXT byte (LogPosition)
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("timestampNanos", LongType),
+    StructField("checksum", LongType)))
+}
+
+class TailTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-tail(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = TailSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new TailScan(
+        options.get("path"),
+        Option(options.get("format")).getOrElse("text"),
+        Option(options.get("maxbytespertrigger")).map(_.toLong))
+    }
+}
+
+class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long]) extends Scan {
+  override def readSchema(): StructType = TailSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TailMicroBatchStream(dir, format, maxBytesPerTrigger)
+}
+
+/** Offset: map of file path → next byte to read. */
+case class TailOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val m = new java.util.TreeMap[String, java.lang.Long]()
+    files.foreach { case (k, v) => m.put(k, v) }
+    TailOffset.mapper.writeValueAsString(m)
+  }
+}
+
+object TailOffset {
+  private[v2] val mapper = new ObjectMapper()
+  def fromJson(json: String): TailOffset = {
+    val m = mapper.readValue(json, classOf[java.util.Map[String, Number]])
+    TailOffset(m.asScala.map { case (k, v) => k -> v.longValue() }.toMap)
+  }
+}
+
+class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def listFiles(): Seq[(String, Long)] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => (p.toString, Files.size(p)))
+      .toSeq.sortBy(_._1)
+    finally s.close()
+  }
+
+  override def initialOffset(): Offset = TailOffset(Map.empty)
+
+  /** Uncapped head of the stream (admission-control reporting). */
+  override def reportLatestOffset(): Offset = TailOffset(listFiles().toMap)
+
+  /** Rate-limited head: the returned offset IS what gets committed, so the
+    * per-trigger byte budget must be applied here, not at planning time —
+    * otherwise capped-away bytes would be skipped forever. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TailOffset].files
+    var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    val out = Map.newBuilder[String, Long]
+    listFiles().foreach { case (path, len) =>
+      val startOff = s.get(path) match {
+        case Some(off) if off <= len => off
+        case Some(_) => 0L // file shrank ⇒ rotated/truncated: restart
+        case None => 0L
+      }
+      val take = math.min(len - startOff, budget).max(0L)
+      // a capped range must end on a RECORD boundary or the split record
+      // would be emitted twice (fragment now, full line next trigger);
+      // EOF is a boundary by the record-atomic-append assumption
+      val end =
+        if (take == 0L || startOff + take >= len) startOff + take
+        else alignToRecordBoundary(path, startOff, startOff + take, len)
+      budget -= (end - startOff).max(0L)
+      out += path -> end
+    }
+    TailOffset(out.result())
+  }
+
+  /** Largest record boundary in (startOff, cappedEnd]; if a single record
+    * exceeds the budget, extends FORWARD past the cap to the next boundary
+    * so the stream always makes progress. Driver-side IO bounded by the
+    * trigger budget (and only runs for rate-capped files). */
+  private def alignToRecordBoundary(path: String, startOff: Long, cappedEnd: Long,
+      fileLen: Long): Long = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      if (format == "thrift") {
+        // walk 4-byte frame-length headers forward from startOff
+        var pos = startOff
+        var lastBoundary = startOff
+        var grown = false
+        while (pos + 4 <= fileLen && (pos < cappedEnd || !grown)) {
+          raf.seek(pos)
+          val len = raf.readInt()
+          if (len < 0 || pos + 4 + len > fileLen) return lastBoundary // partial tail
+          pos += 4 + len
+          if (pos <= cappedEnd) lastBoundary = pos
+          else if (lastBoundary == startOff) { lastBoundary = pos; grown = true } // oversize record
+          else grown = true
+        }
+        lastBoundary
+      } else {
+        // scan backward from cappedEnd for '\n'
+        val window = 8192
+        var end = cappedEnd
+        while (end > startOff) {
+          val from = math.max(startOff, end - window)
+          val buf = new Array[Byte]((end - from).toInt)
+          raf.seek(from)
+          raf.readFully(buf)
+          var i = buf.length - 1
+          while (i >= 0 && buf(i) != '\n') i -= 1
+          if (i >= 0) return from + i + 1
+          end = from
+        }
+        // no newline inside the budget: scan forward so we still progress
+        raf.seek(cappedEnd)
+        var pos = cappedEnd
+        var b = raf.read()
+        while (b != -1 && b != '\n') { pos += 1; b = raf.read() }
+        if (b == '\n') pos + 1 else fileLen
+      }
+    } finally raf.close()
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TailOffset].files
+    val e = end.asInstanceOf[TailOffset].files
+    val parts = Array.newBuilder[InputPartition]
+    e.toSeq.sortBy(_._1).foreach { case (path, endOff) =>
+      val startOff = s.get(path) match {
+        case Some(off) if off <= endOff => off
+        case Some(_) => 0L
+        case None => 0L
+      }
+      if (endOff > startOff) {
+        parts += TailInputPartition(path, startOff, endOff, format)
+      }
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new TailReaderFactory
+
+  override def commit(end: Offset): Unit = () // engine WAL is the watermark
+  override def deserializeOffset(json: String): Offset = TailOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+case class TailInputPartition(path: String, startOff: Long, endOff: Long, format: String)
+    extends InputPartition
+
+class TailReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TailInputPartition]
+    new TailPartitionReader(p)
+  }
+}
+
+/** Reads one (file, byte-range) slice and decodes records. */
+class TailPartitionReader(p: TailInputPartition) extends PartitionReader[InternalRow] {
+
+  private val bytes: Array[Byte] = {
+    val raf = new RandomAccessFile(p.path, "r")
+    try {
+      val len = (math.min(p.endOff, raf.length()) - p.startOff).max(0L).toInt
+      val buf = new Array[Byte](len)
+      raf.seek(p.startOff)
+      raf.readFully(buf)
+      buf
+    } finally raf.close()
+  }
+
+  private val pathUtf8 = UTF8String.fromString(p.path)
+
+  private val iter: Iterator[InternalRow] = p.format match {
+    case "thrift" =>
+      ThriftLogCodec.decodeFrames(bytes).map { d =>
+        new GenericInternalRow(Array[Any](
+          pathUtf8, p.startOff + d.nextByteOffset, d.key, d.message,
+          if (d.timestampNanos == null) null else d.timestampNanos.longValue(),
+          if (d.checksum == null) null else d.checksum.longValue()))
+      }
+    case _ =>
+      // text: records end at '\n'; a trailing partial line is still emitted
+      // (record-atomic-append assumption ⇒ only happens at a flush boundary
+      // the producer itself wrote without a newline)
+      new Iterator[InternalRow] {
+        private var pos = 0
+        override def hasNext: Boolean = pos < bytes.length
+        override def next(): InternalRow = {
+          var nl = pos
+          while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+          val line = java.util.Arrays.copyOfRange(bytes, pos, nl)
+          val consumedTo = if (nl < bytes.length) nl + 1 else nl
+          pos = consumedTo
+          new GenericInternalRow(Array[Any](
+            pathUtf8, p.startOff + consumedTo, null, line, null, null))
+        }
+      }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (iter.hasNext) { current = iter.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

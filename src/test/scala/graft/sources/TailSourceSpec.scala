@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The capability the built-in file source lacks: ingesting APPENDS to a
+  * file it has already read, resuming from intra-file byte offsets. */
+class TailSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tempDir(): Path = {
+    val d = Files.createTempDirectory("graft-tail-")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def values(table: String): Set[String] =
+    spark.table(table).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+
+  test("tails a growing text file across micro-batches") {
+    val dir = tempDir()
+    val f = dir.resolve("app.log")
+    Files.writeString(f, "line1\nline2\n")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .load()
+      .writeStream.format("memory").queryName("tail_text")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(values("tail_text") == Set("line1", "line2"))
+      // APPEND to the same file — the built-in file source would never see this
+      Files.writeString(f, "line3\nline4\n", StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      assert(values("tail_text") == Set("line1", "line2", "line3", "line4"))
+      // new file alongside
+      Files.writeString(dir.resolve("b.log"), "line5\n")
+      q.processAllAvailable()
+      assert(values("tail_text") == Set("line1", "line2", "line3", "line4", "line5"))
+    } finally q.stop()
+  }
+
+  test("tails growing thrift-framed files with offset chain") {
+    val dir = tempDir()
+    val f = dir.resolve("t.log")
+    Files.write(f, ThriftLogCodec.encodeFrame("k1".getBytes, "m1".getBytes, Some(1L), None))
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "thrift")
+      .load()
+      .writeStream.format("memory").queryName("tail_thrift")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(values("tail_thrift") == Set("m1"))
+      Files.write(f, ThriftLogCodec.encodeFrame(null, "m2".getBytes, Some(2L), Some(9L)),
+        StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      assert(values("tail_thrift") == Set("m1", "m2"))
+      val rows = spark.table("tail_thrift").collect().sortBy(_.getAs[Long]("byteOffset"))
+      assert(rows.last.getAs[Long]("byteOffset") == Files.size(f))
+      assert(rows.last.getAs[Long]("checksum") == 9L)
+    } finally q.stop()
+  }
+
+  test("restart resumes from intra-file byte offset (no loss, no dupes)") {
+    val dir = tempDir()
+    val cp = tempDir()
+    val f = dir.resolve("app.log")
+    Files.writeString(f, "a1\na2\n")
+    def start(name: String) = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", dir.resolve("out").toString)
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val q1 = start("t1")
+    q1.processAllAvailable(); q1.stop()
+    // append while the query is DOWN
+    Files.writeString(f, "a3\n", StandardOpenOption.APPEND)
+    val q2 = start("t2")
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(dir.resolve("out").toString).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+    assert(out.sorted.toList == List("a1", "a2", "a3"))
+  }
+
+  test("rate limit caps bytes per micro-batch but eventually drains") {
+    val dir = tempDir()
+    Files.writeString(dir.resolve("big.log"), (1 to 100).map(i => s"r$i").mkString("", "\n", "\n"))
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .option("maxBytesPerTrigger", "64")
+      .load()
+      .writeStream.format("memory").queryName("tail_rate")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_rate").count() == 100)
+    } finally q.stop()
+  }
+
+  test("rate limit aligns to thrift frame boundaries (no torn frames)") {
+    val dir = tempDir()
+    val frames = (1 to 50).map(i =>
+      ThriftLogCodec.encodeFrame(null, s"msg-$i".getBytes, Some(i.toLong), None))
+    Files.write(dir.resolve("t.log"), frames.reduce(_ ++ _))
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "thrift")
+      .option("maxBytesPerTrigger", "100")
+      .load()
+      .writeStream.format("memory").queryName("tail_thrift_rate")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val vals = values("tail_thrift_rate")
+      assert(vals == (1 to 50).map(i => s"msg-$i").toSet)
+    } finally q.stop()
+  }
+
+  test("shrunken (rotated-in-place) file restarts from zero") {
+    val dir = tempDir()
+    val f = dir.resolve("rot.log")
+    Files.writeString(f, "old1\nold2\nold3\n")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .load()
+      .writeStream.format("memory").queryName("tail_rot")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_rot").count() == 3)
+      Files.writeString(f, "new1\n") // truncate + rewrite, shorter than before
+      q.processAllAvailable()
+      assert(values("tail_rot").contains("new1"))
+    } finally q.stop()
+  }
+}

@@ -123,6 +123,30 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
       (1 to 5).map(i => s"msg$i").toSet)
   }
 
+  test("tail-mode pipeline ingests appends to a growing file end-to-end") {
+    val logDir = tempDir("graft-tailp-logs")
+    val outDir = tempDir("graft-tailp-out")
+    val cfg = PipelineConfig(
+      name = "tailp-test", logDir = logDir.toString,
+      reader = ReaderSpec.TextLine(filterRegex = Some("^keep")),
+      partitioner = PartitionerSpec.Crc32Key(4),
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(tempDir("graft-tailp-cp").toString),
+      tailMode = true)
+    val f = logDir.resolve("grow.log")
+    Files.writeString(f, "keep-1\ndrop-1\n")
+    val q = LogPipeline.start(spark, cfg, Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir.toString).count() == 1)
+      Files.writeString(f, "keep-2\nkeep-3\n", java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val vals = spark.read.parquet(outDir.toString).collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+      assert(vals == Set("keep-1", "keep-2", "keep-3"))
+    } finally q.stop()
+  }
+
   test("heartbeat listener emits progress JSON") {
     val buf = new BufferingHeartbeat
     val listener = new HeartbeatListener(buf)
