@@ -223,6 +223,43 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "q20_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("median_price"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+    "q21_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+        .orderBy("user_bucket")),
+    "q22_array_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+    "q23_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")),
+    "q24_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(year(col("o_orderdate")) === 1995)
+        .select(lit("y1995").as("src"), col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996)
+        .select(lit("y1996").as("src"), col("o_custkey"))
+      a.unionAll(b).groupBy("src")
+        .agg(count(lit(1)).as("n"), countDistinct("o_custkey").as("n_cust"))
+        .orderBy("src")
+    }),
+
     // ------------------------------------------------ singer-parity dataflow ops
     "s1_filter_regex" -> ((s, d) =>
       Transforms.filterRegex(events(s, d), "props", "\"k\": 8[0-9]\\}")
@@ -335,6 +372,16 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e3_cosine_hist" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 40)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(floor(round(VectorFunctions.cosine(col("va"), col("vb")), 6) * 10)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
     }),
     "e2_ivf_assign" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -499,6 +546,41 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
           AND ((p_brand = 'Brand#1' AND l_quantity >= 5)
             OR (p_brand = 'Brand#2' AND l_quantity >= 10))""",
+    "q20_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+         round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q21_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+         round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+         round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+         round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+         round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
+    "q22_array_agg" ->
+      """SELECT o_orderstatus,
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q23_json_extract" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k
+         FROM events WHERE json_extract(props, '$.k')::BIGINT > 50
+         ORDER BY event_id""",
+    "q24_union_all" ->
+      """SELECT src, count(*) AS n, count(DISTINCT o_custkey) AS n_cust FROM (
+           SELECT 'y1995' AS src, o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           UNION ALL
+           SELECT 'y1996' AS src, o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         GROUP BY src ORDER BY src""",
+    "e3_cosine_hist" ->
+      """SELECT floor(round(c, 6) * 10)::BIGINT AS bucket, count(*) AS n_pairs FROM (
+           SELECT list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE a.vec_id < 40 AND b.vec_id < 40)
+         GROUP BY 1 ORDER BY bucket""",
     "s1_filter_regex" ->
       """SELECT event_id, props FROM events
          WHERE regexp_matches(props, '"k": 8[0-9]\}') ORDER BY event_id""",
