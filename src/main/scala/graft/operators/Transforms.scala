@@ -111,6 +111,27 @@ object Transforms {
     df.withColumn("partition", p)
   }
 
+  /** Per-message audit identity headers — the reference's
+    * `LoggingAuditHeaders(host, logName, pid, session, logSeqNumInSession,
+    * timestamp)` (reference: singer-commons/src/main/thrift/
+    * loggingaudit.thrift:28-66, writer/headersinjectors/
+    * LoggingAuditHeadersInjector.java:1-22). The per-session sequence
+    * number uses `monotonically_increasing_id` (unique, monotone per
+    * partition — the distributed analog of the reference's per-process
+    * counter; batch mode only). */
+  def withAuditHeaders(df: DataFrame, logName: String, host: String,
+      sessionId: Long): DataFrame = {
+    val seqCol =
+      if (df.isStreaming) crc32(col("value")) // stable per-record stand-in
+      else monotonically_increasing_id()
+    df.withColumn("auditHeaders", struct(
+      lit(host).as("host"),
+      lit(logName).as("logName"),
+      lit(sessionId).as("session"),
+      seqCol.as("logSeqNum"),
+      (unix_millis(current_timestamp())).as("timestampMs")))
+  }
+
   /** Apply a configured transform chain. */
   def apply(df: DataFrame, specs: Seq[TransformSpec], valueCol: String = "value"): DataFrame =
     specs.foldLeft(df) {

@@ -87,6 +87,19 @@ class TransformsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("withAuditHeaders attaches per-message audit identity") {
+    val df = Seq("a", "b").map(_.getBytes).toDF("value")
+    val rows = Transforms.withAuditHeaders(df, "mylog", "h1", sessionId = 42L)
+      .select("auditHeaders.*").collect()
+    assert(rows.forall(_.getAs[String]("logName") == "mylog"))
+    assert(rows.forall(_.getAs[Long]("session") == 42L))
+    assert(rows.map(_.getAs[Long]("logSeqNum")).distinct.length == 2)
+  }
+
+  test("SparkEntry.entry flagship pipeline returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("fixedPartitions round-robins within the chosen subset") {
     val df = (0L until 100L).toDF("k")
     val parts = df.withColumn("partition", Partitioners.fixedPartitions(Seq(3, 7)))
