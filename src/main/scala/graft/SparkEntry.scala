@@ -313,25 +313,22 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")),
     "d3_token_stats" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFunctions.textProfile(col("text")).as("p"))
         .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("len"),
-          round(TextFunctions.meanTokenLengthOf(col("toks")), 4).as("mean_tok_len"))
+          col("p.n_tokens").cast("long").as("n_tokens"),
+          col("p.n_chars").cast("long").as("len"),
+          round(TextFunctions.meanTokenLengthOfProfile(col("p")), 4).as("mean_tok_len"))
         .orderBy("doc_id")),
     "d4_stopword_ratio" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(lower(col("text"))).as("ltoks"))
+        .select(col("doc_id"), TextFunctions.textProfile(col("text")).as("p"))
         .select(col("doc_id"),
-          round(TextFunctions.stopwordRatioOf(col("ltoks")), 4).as("stopword_ratio"))
+          round(TextFunctions.stopwordRatioOfProfile(col("p")), 4).as("stopword_ratio"))
         .orderBy("doc_id")),
     "d5_quality_filter" -> ((s, d) => {
       val scored = t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          TextFunctions.tokens(col("text")).as("toks"),
-          TextFunctions.tokens(lower(col("text"))).as("ltoks"))
-        .select(col("doc_id"),
-          TextFunctions.qualityScoreOf(col("text"), col("toks"), col("ltoks")).as("quality"))
+        .select(col("doc_id"), TextFunctions.textProfile(col("text")).as("p"))
+        .select(col("doc_id"), TextFunctions.qualityScoreOfProfile(col("p")).as("quality"))
       scored.filter(col("quality") >= 0.75).orderBy("doc_id")
     }),
     "d6_fingerprint" -> ((s, d) =>

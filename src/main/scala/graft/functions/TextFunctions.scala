@@ -21,8 +21,16 @@ object TextFunctions {
     when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 
+  /** One-pass text statistics struct (n_chars, n_punct, n_letters, n_upper,
+    * n_tokens, sum_token_len, stopword_hits) — see
+    * [[graft.plans.TextProfileExpr]]. Project it ONCE and derive many
+    * metrics from the struct fields; each call is its own pass. */
+  def textProfile(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    graft.plans.TextProfileExpr.textProfile(text, stopwords)
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def tokenCount(text: Column): Column =
+    textProfile(text).getField("n_tokens").cast("long")
 
   /** BPE-ish subword count: words + digit runs + punctuation marks counted
     * separately (a cheap deterministic stand-in for a real tokenizer's token
@@ -59,7 +67,27 @@ object TextFunctions {
         size(lowerToks).cast("double"))
 
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
-    stopwordRatioOf(tokens(lower(text)), stopwords)
+    stopwordRatioOfProfile(textProfile(text, stopwords))
+
+  /** Derivations from a projected [[textProfile]] struct. */
+  def stopwordRatioOfProfile(p: Column): Column =
+    when(p.getField("n_tokens") === 0, lit(0.0)).otherwise(
+      p.getField("stopword_hits").cast("double") / p.getField("n_tokens").cast("double"))
+
+  def meanTokenLengthOfProfile(p: Column): Column =
+    when(p.getField("n_tokens") === 0, lit(0.0)).otherwise(
+      p.getField("sum_token_len").cast("double") / p.getField("n_tokens").cast("double"))
+
+  def qualityScoreOfProfile(p: Column): Column = {
+    val n = p.getField("n_chars").cast("double")
+    val lenScore = when(n < 10, n / 10.0).when(n > 10000, lit(0.5)).otherwise(lit(1.0))
+    val punctScore = when(n > 0 && p.getField("n_punct").cast("double") / n > 0.3, lit(0.0))
+      .otherwise(lit(1.0))
+    val swScore = when(stopwordRatioOfProfile(p) > 0.05, lit(1.0)).otherwise(lit(0.3))
+    val mtl = meanTokenLengthOfProfile(p)
+    val wordScore = when(mtl >= 2.5 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.4))
+    round(lenScore * 0.25 + punctScore * 0.25 + swScore * 0.25 + wordScore * 0.25, 4)
+  }
 
   /** Mean token length over a precomputed token array — sum of token lengths
     * is `length(concat_ws("", toks))`, all codegen'd. */
@@ -67,7 +95,8 @@ object TextFunctions {
     when(size(toks) === 0, lit(0.0)).otherwise(
       length(concat_ws("", toks)).cast("double") / size(toks).cast("double"))
 
-  def meanTokenLength(text: Column): Column = meanTokenLengthOf(tokens(text))
+  def meanTokenLength(text: Column): Column =
+    meanTokenLengthOfProfile(textProfile(text))
 
   /** Composite quality score in [0,1] — the classic cheap pre-filter for web
     * text (length band, low punctuation noise, some stopwords ⇒ natural
@@ -84,7 +113,7 @@ object TextFunctions {
   }
 
   def qualityScore(text: Column): Column =
-    qualityScoreOf(text, tokens(text), tokens(lower(text)))
+    qualityScoreOfProfile(textProfile(text))
 
   /** N-gram (stopword-marker) heuristic language ID over a fixed label set —
     * deterministic argmax with (score, lang) tuple tie-break. */
