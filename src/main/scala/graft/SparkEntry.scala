@@ -223,6 +223,33 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "q25_dense_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc)
+      t(s, d, "orders")
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy("o_orderstatus", "rnk", "o_orderkey")
+    }),
+    "q26_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)),
+    "q27_above_cust_avg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val avgs = o.groupBy(col("o_custkey").as("ak"))
+        .agg(avg("o_totalprice").as("cust_avg"))
+      // NOTE: the rounded average itself is NOT output — customer averages
+      // of 2-decimal prices land exactly on half-cent boundaries, where
+      // engines' low-bit summation differences flip round(x, 2).
+      o.join(avgs, o("o_custkey") === avgs("ak"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "q20_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy("o_orderstatus")
@@ -355,6 +382,11 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.01)
         .orderBy("id_a", "id_b")
     }),
+    "d11_subword_count" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          TextFunctions.subwordCount(col("props")).as("n_subwords"))
+        .orderBy("event_id")),
     "d10_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -543,6 +575,28 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
           AND ((p_brand = 'Brand#1' AND l_quantity >= 5)
             OR (p_brand = 'Brand#2' AND l_quantity >= 10))""",
+    "q25_dense_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+             dense_rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC) AS rnk
+           FROM orders) x
+         WHERE rnk <= 3 ORDER BY o_orderstatus, rnk, o_orderkey""",
+    "q26_cube" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS o_year, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+         ORDER BY o_orderstatus NULLS FIRST, o_year NULLS FIRST""",
+    "q27_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders JOIN (
+           SELECT o_custkey AS ak, avg(o_totalprice) AS cust_avg
+           FROM orders GROUP BY 1) a ON o_custkey = ak
+         WHERE o_totalprice > cust_avg ORDER BY o_orderkey""",
+    "d11_subword_count" ->
+      """SELECT event_id,
+         len(regexp_extract_all(props, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subwords
+         FROM events ORDER BY event_id""",
     "q20_percentiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,

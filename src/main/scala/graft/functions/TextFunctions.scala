@@ -32,12 +32,13 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     textProfile(text).getField("n_tokens").cast("long")
 
-  /** BPE-ish subword count: words + digit runs + punctuation marks counted
-    * separately (a cheap deterministic stand-in for a real tokenizer's token
-    * count, useful for per-doc budget accounting). */
+  /** BPE-ish subword count: letter runs + digit runs + individual symbol
+    * chars, each one "token" (a cheap deterministic stand-in for a real
+    * tokenizer's count, for per-doc budget accounting). Lookaround-free so
+    * the same pattern runs on RE2 engines. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0)).cast("long")
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("long")
 
   /** Punctuation chars / total chars, 0.0 for empty text. */
   def punctRatio(text: Column): Column = {
