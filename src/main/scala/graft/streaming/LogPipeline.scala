@@ -125,11 +125,14 @@ object LogPipeline {
 class AuditWriter(spark: SparkSession, auditDir: String) extends Serializable {
   def record(pipeline: String, batchId: Long, numMessages: Long): Unit = {
     import spark.implicits._
-    Seq((pipeline, batchId, numMessages, System.currentTimeMillis(), LogPipeline.hostname))
-      .toDF("pipeline", "batch_id", "num_messages", "timestamp_ms", "hostname")
+    // keyed by (pipeline, batchId) via the directory layout: epoch retries
+    // overwrite their own record, concurrent pipelines never share a
+    // directory, and both come back as partition columns on read
+    Seq((numMessages, System.currentTimeMillis(), LogPipeline.hostname))
+      .toDF("num_messages", "timestamp_ms", "hostname")
       .coalesce(1)
       .write.mode("overwrite")
-      .parquet(s"$auditDir/batch_id=$batchId")
+      .parquet(s"$auditDir/pipeline=$pipeline/batch_id=$batchId")
   }
 
   /** Total delivered message count per pipeline (audit oracle). */

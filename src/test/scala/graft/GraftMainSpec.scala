@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftMainSpec extends AnyFunSuite with SparkTestBase {
+
+  test("agent boots pipelines from a conf directory and delivers with audit") {
+    val confDir = Files.createTempDirectory("graft-conf")
+    val logA = Files.createTempDirectory("graft-agent-a")
+    val logB = Files.createTempDirectory("graft-agent-b")
+    val outA = Files.createTempDirectory("graft-agent-outa")
+    val outB = Files.createTempDirectory("graft-agent-outb")
+    val auditDir = Files.createTempDirectory("graft-agent-audit")
+
+    Files.writeString(confDir.resolve("pipe_a.properties"),
+      s"""logName=pipe_a
+         |logDir=$logA
+         |writer.type=file
+         |writer.file.path=$outA
+         |checkpointDir=${Files.createTempDirectory("cpa")}
+         |""".stripMargin)
+    Files.writeString(confDir.resolve("pipe_b.properties"),
+      s"""logName=pipe_b
+         |logDir=$logB
+         |reader.text.filterMessageRegex=^ok
+         |writer.type=file
+         |writer.file.path=$outB
+         |checkpointDir=${Files.createTempDirectory("cpb")}
+         |""".stripMargin)
+
+    Files.writeString(logA.resolve("a.log"), "a1\na2\n")
+    Files.writeString(logB.resolve("b.log"), "ok-1\nskip\nok-2\n")
+
+    val heartbeats = new graft.streaming.BufferingHeartbeat
+    val mgr = GraftMain.run(spark, confDir.toString,
+      auditDir = Some(auditDir.toString), heartbeat = Some(heartbeats),
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      mgr.active.values.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(outA.toString).count() == 2)
+      assert(spark.read.parquet(outB.toString).count() == 2) // 'skip' filtered
+      val totals = new graft.streaming.AuditWriter(spark, auditDir.toString)
+        .totals().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(totals == Map("pipe_a" -> 2L, "pipe_b" -> 2L))
+      assert(mgr.active.keySet == Set("pipe_a", "pipe_b"))
+      assert(mgr.stuck().isEmpty)
+    } finally mgr.stopAll()
+  }
+}
