@@ -86,7 +86,9 @@ object Dedup {
   def simHashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     val bands = 4 // 4 × 16-bit bands of the 64-bit hash
-    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
+    // cached: both join sides and the verify step reuse the sketches
+    // ((id, i64) — tiny) instead of re-hashing the corpus per side
+    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim")).cache()
     val banded = withSig.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
