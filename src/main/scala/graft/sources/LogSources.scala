@@ -58,7 +58,7 @@ object LogSources {
     * first start-line is dropped (no record boundary); records longer than
     * `maxMessageChars` are truncated, not fatal
     * (reference: TextMessageReader.java:107-115). */
-  private[sources] def splitMultiline(content: String, startRegex: String,
+  def splitMultiline(content: String, startRegex: String,
       maxMessageChars: Int): Iterator[String] = {
     val m = java.util.regex.Pattern.compile(startRegex, java.util.regex.Pattern.MULTILINE)
       .matcher(content)

@@ -75,7 +75,10 @@ object LogPipeline {
       case WriterSpec.Files(path, format) =>
         val out = df.cache()
         val count = out.count()
-        out.write.mode("append").format(format).save(path)
+        // one overwritten directory per epoch: a retried epoch replaces its
+        // own output instead of appending duplicates (at-least-once becomes
+        // effectively exactly-once for this sink)
+        out.write.mode("overwrite").format(format).save(s"$path/batch_id=$batchId")
         out.unpersist()
         count
       case WriterSpec.Kafka(servers, topic, _) =>
