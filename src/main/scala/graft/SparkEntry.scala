@@ -427,6 +427,21 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    "a1_asof_join" -> ((s, d) => {
+      // events mapped into the order-date range, then backward as-of joined
+      // to each user's latest order at-or-before the event date
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          pmod(col("event_id"), lit(2400)).cast("int"))).as("edate"))
+      val o = t(s, d, "orders")
+      graft.operators.Joins.asofBackward(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("edate"), rightTime = col("o_orderdate"),
+        rightId = col("o_orderkey"), rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
     // ------------------------------------------------ multimodal (stub decode, real plumbing)
     "m1_media_decode" -> ((s, d) =>
       Multimodal.decodeImages(
@@ -759,6 +774,16 @@ object SparkEntry {
              FROM scored)
          SELECT centroid_id AS cell, count(*) AS n_vectors
          FROM best WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    "a1_asof_join" ->
+      """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
+         FROM (SELECT event_id, user_id,
+             (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
+           FROM events) e
+         LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.edate
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) ord ON true
+         ORDER BY event_id""",
     "m1_media_decode" ->
       """SELECT doc_id AS media_id,
          ((octet_length(encode(text)) % 512) + 16)::INT AS width,

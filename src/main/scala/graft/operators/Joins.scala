@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively, built scale-first.
+  */
+object Joins {
+
+  /** Backward as-of join: for every left row, attach the single right row
+    * with the greatest `(rightTime, rightId)` such that
+    * `rightTime <= leftTime` and the keys match — e.g. "the dimension
+    * snapshot in effect when this event happened".
+    *
+    * Implementation: tag + union + running `last(..., ignoreNulls)` over a
+    * per-key time-ordered window, then keep left rows. ONE shuffle per side
+    * (hash partition by key) and one sort — the sort-merge formulation; no
+    * per-row subqueries, no broadcast requirement, skew behaves like any
+    * sort-merge join. Right payload ties at equal time break by `rightId`
+    * (largest wins) so results are deterministic.
+    *
+    * `rightCols` are the payload columns to carry; they appear nullable
+    * (null = no right row at or before the left time).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightId: Column, rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__key", leftKey).withColumn("__time", leftTime)
+      .withColumn("__isLeft", lit(1)).withColumn("__rid", lit(null).cast("long"))
+    val payloadNulls = rightCols.foldLeft(leftTagged) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val rightTagged = right
+      .withColumn("__key", rightKey).withColumn("__time", rightTime)
+      .withColumn("__isLeft", lit(0)).withColumn("__rid", rightId.cast("long"))
+    val rightProjected = rightTagged.select(
+      Seq(col("__key"), col("__time"), col("__isLeft"), col("__rid")) ++
+        rightCols.map(col) ++
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftProjected = payloadNulls.select(
+      Seq(col("__key"), col("__time"), col("__isLeft"), col("__rid")) ++
+        rightCols.map(c => lit(null).cast(rightTagged.schema(c).dataType).as(c)) ++
+        left.columns.map(col): _*)
+    // right rows sort BEFORE left rows at equal time (asof is inclusive);
+    // among right ties the largest (__time, __rid) is last ⇒ wins
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__time"), col("__isLeft"), col("__rid").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightProjected.unionByName(leftProjected)
+      .select(
+        (left.columns.map(col) :+
+          col("__isLeft")) ++
+          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__isLeft") === 1).drop("__isLeft")
+  }
+
+  /** Skew-resistant equi-join: the large side gets a random salt in
+    * [0, buckets), the small-but-too-big-to-broadcast side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot key
+    * spreads over `buckets` reducers instead of melting one executor.
+    * Row-for-row equivalent to `large.join(small, key)`. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt", (rand(42) * buckets).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
