@@ -387,6 +387,17 @@ object SparkEntry {
         .select(col("event_id"),
           TextFunctions.subwordCount(col("props")).as("n_subwords"))
         .orderBy("event_id")),
+    "d12_top_tokens" -> ((s, d) => {
+      // Space-Saving heavy hitters; capacity > vocab size ⇒ exact counts,
+      // so the DuckDB group-by oracle applies
+      val topk = udaf(new graft.functions.TopKAggregator(k = 10, capacity = 4096))
+      t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .agg(topk(col("token")).as("top"))
+        .select(explode(col("top")).as("tc"))
+        .select(col("tc.item").as("token"), col("tc.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
     "d10_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -730,6 +741,12 @@ object SparkEntry {
                ['le','la','les','et','est','que','des','une','dans','pour'], t)))::VARCHAR, 10, '0') || 'fr'), 11)
            END AS pred_lang, lang
          FROM s ORDER BY doc_id""",
+    "d12_top_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> length(t) > 0)) AS token
+           FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
     "d9_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

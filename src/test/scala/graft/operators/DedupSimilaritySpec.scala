@@ -107,6 +107,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2).getAs[String]("lang") == "und")
   }
 
+  test("TopKAggregator: exact within capacity, heavy hitters survive beyond it") {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAggregator(k = 2, capacity = 3))
+    // 'a' x5, 'b' x3, then 6 distinct singletons forcing evictions
+    val data = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d", "e", "f", "g", "h"))
+      .toDF("token")
+    val top = data.agg(topk($"token").as("t")).select(explode($"t").as("tc"))
+      .select("tc.item", "tc.cnt").as[(String, Long)].collect()
+    assert(top.map(_._1).take(2).toSet == Set("a", "b")) // heavy hitters found
+    assert(top.find(_._1 == "a").get._2 >= 5) // counts may over-estimate, never under
+  }
+
   test("doc fingerprint is order-sensitive") {
     val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma").toDF("text")
     val fps = df.select(HashFunctions.docFingerprint($"text")).as[Long].collect()
