@@ -107,21 +107,32 @@ object TailOffset {
 class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long])
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def listFiles(): Seq[(String, Long)] = {
+  /** Listing entry: (identity, path, length). Identity is the filesystem
+    * fileKey (device+inode on POSIX) so RENAME-rotation (`app.log` →
+    * `app.log.1`) keeps the committed offset — the reference's core
+    * invariant (reference: singer.thrift:9-11 LogFile.inode,
+    * docs/DESIGN.md:14-24). Falls back to the path where the filesystem
+    * exposes no fileKey. */
+  private def listFiles(): Seq[(String, String, Long)] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Nil
     val s = Files.list(d)
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p))
-      .map(p => (p.toString, Files.size(p)))
-      .toSeq.sortBy(_._1)
+      .map { p =>
+        val attrs = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        val id = Option(attrs.fileKey()).map(_.toString).getOrElse(p.toString)
+        (id, p.toString, attrs.size())
+      }
+      .toSeq.sortBy(_._2)
     finally s.close()
   }
 
   override def initialOffset(): Offset = TailOffset(Map.empty)
 
   /** Uncapped head of the stream (admission-control reporting). */
-  override def reportLatestOffset(): Offset = TailOffset(listFiles().toMap)
+  override def reportLatestOffset(): Offset =
+    TailOffset(listFiles().map { case (id, _, len) => id -> len }.toMap)
 
   /** Rate-limited head: the returned offset IS what gets committed, so the
     * per-trigger byte budget must be applied here, not at planning time —
@@ -130,10 +141,10 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
     val s = start.asInstanceOf[TailOffset].files
     var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     val out = Map.newBuilder[String, Long]
-    listFiles().foreach { case (path, len) =>
-      val startOff = s.get(path) match {
+    listFiles().foreach { case (id, path, len) =>
+      val startOff = s.get(id) match {
         case Some(off) if off <= len => off
-        case Some(_) => 0L // file shrank ⇒ rotated/truncated: restart
+        case Some(_) => 0L // file shrank ⇒ truncated in place: restart
         case None => 0L
       }
       val take = math.min(len - startOff, budget).max(0L)
@@ -144,7 +155,7 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
         if (take == 0L || startOff + take >= len) startOff + take
         else alignToRecordBoundary(path, startOff, startOff + take, len)
       budget -= (end - startOff).max(0L)
-      out += path -> end
+      out += id -> end
     }
     TailOffset(out.result())
   }
@@ -204,15 +215,21 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TailOffset].files
     val e = end.asInstanceOf[TailOffset].files
+    // offsets are keyed by file identity; resolve identities back to their
+    // CURRENT paths (a file may have been renamed since the offset was cut)
+    val idToPath = listFiles().map { case (id, path, _) => id -> path }.toMap
     val parts = Array.newBuilder[InputPartition]
-    e.toSeq.sortBy(_._1).foreach { case (path, endOff) =>
-      val startOff = s.get(path) match {
+    e.toSeq.sortBy(_._1).foreach { case (id, endOff) =>
+      val startOff = s.get(id) match {
         case Some(off) if off <= endOff => off
         case Some(_) => 0L
         case None => 0L
       }
-      if (endOff > startOff) {
-        parts += TailInputPartition(path, startOff, endOff, format)
+      // identity vanished from the directory (deleted/moved out): skip
+      idToPath.get(id).foreach { path =>
+        if (endOff > startOff) {
+          parts += TailInputPartition(path, startOff, endOff, format)
+        }
       }
     }
     parts.result()

@@ -126,6 +126,31 @@ class TailSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("rename-rotation keeps inode offsets: no re-ingest, tail follows the renamed file") {
+    val dir = tempDir()
+    val f = dir.resolve("app.log")
+    Files.writeString(f, "r1\nr2\n")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .load()
+      .writeStream.format("memory").queryName("tail_rename")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_rename").count() == 2)
+      // rename-rotate, then create a fresh file under the old name and
+      // keep appending to the rotated one — the reference's exact scenario
+      Files.move(f, dir.resolve("app.log.1"))
+      Files.writeString(f, "r3\n")
+      Files.writeString(dir.resolve("app.log.1"), "r4\n", StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val vals = values("tail_rename")
+      assert(vals == Set("r1", "r2", "r3", "r4"), s"got $vals")
+      assert(spark.table("tail_rename").count() == 4) // exactly once each
+    } finally q.stop()
+  }
+
   test("shrunken (rotated-in-place) file restarts from zero") {
     val dir = tempDir()
     val f = dir.resolve("rot.log")
