@@ -82,7 +82,10 @@ case class PipelineConfig(
     /** true ⇒ stream with the `graft-tail` source: growing files ingested
       * from intra-file byte offsets (the reference's inode+offset model)
       * instead of the closed-file rotation convention. */
-    tailMode: Boolean = false)
+    tailMode: Boolean = false,
+    /** Named instance decider gating whether this host runs the pipeline
+      * (reference: config.thrift logDecider). */
+    instanceDecider: Option[String] = None)
 
 object PipelineConfig {
   /** Parse a singer-style `.properties` pipeline definition
@@ -142,6 +145,7 @@ object PipelineConfig {
       writer = writer,
       checkpointDir = opt("checkpointDir"),
       maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt),
-      tailMode = opt("reader.tailMode").exists(_.toBoolean))
+      tailMode = opt("reader.tailMode").exists(_.toBoolean),
+      instanceDecider = opt("logDecider"))
   }
 }

@@ -30,12 +30,12 @@ class PipelineManager(spark: SparkSession,
     q
   }
 
-  /** Start every config that passes its instance decider:
-    * pass iff `deciderPercent > hash(name) mod 100`
-    * (deterministic per pipeline name, reference semantics
-    * processor-decider, monitor/DefaultLogMonitor.java:203-224). */
-  def startAll(cfgs: Seq[PipelineConfig], deciderPercent: Int = 100): Seq[StreamingQuery] =
-    cfgs.filter(c => deciderPercent > math.floorMod(c.name.hashCode, 100))
+  /** Start every config whose instance decider allows this instance
+    * (reference: monitor/DefaultLogMonitor.java:203-224); configs without a
+    * decider always start. */
+  def startAll(cfgs: Seq[PipelineConfig],
+      deciders: graft.model.Deciders = graft.model.Deciders.allOn): Seq[StreamingQuery] =
+    cfgs.filter(c => c.instanceDecider.forall(d => deciders.instanceAllowed(d, c.name)))
       .map(start(_))
 
   def get(name: String): Option[StreamingQuery] = queries.get(name)

@@ -1,0 +1,31 @@
+package graft.streaming
+
+/** Engine status snapshot — the reference's `SingerStatus` heartbeat body
+  * (reference: common/SingerStatus.java:63-93: version, hostname,
+  * jvmUptime, timestamp, numLogStreams, numStuckLogStreams, per-topic
+  * write/latency counters), sourced from the PipelineManager registry and
+  * each query's `lastProgress` instead of a hand-rolled metrics registry.
+  */
+class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1") {
+
+  private val startedAtMs = System.currentTimeMillis()
+
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def statusJson(nowMs: Long = System.currentTimeMillis()): String = {
+    val active = mgr.active
+    val stuck = mgr.stuck(nowMs)
+    val perPipeline = active.toSeq.sortBy(_._1).map { case (name, q) =>
+      val p = Option(q.lastProgress)
+      val batchId = p.map(_.batchId).getOrElse(-1L)
+      val rows = p.map(_.numInputRows).getOrElse(0L)
+      val rps = p.map(_.processedRowsPerSecond).filterNot(d => d.isNaN || d.isInfinite)
+        .getOrElse(0.0)
+      s""""${esc(name)}":{"batchId":$batchId,"numInputRows":$rows,"processedRowsPerSecond":$rps}"""
+    }.mkString("{", ",", "}")
+    s"""{"version":"${esc(version)}","hostname":"${esc(LogPipeline.hostname)}",""" +
+      s""""uptimeMs":${nowMs - startedAtMs},"timestamp":$nowMs,""" +
+      s""""numPipelines":${active.size},"numStuckPipelines":${stuck.size},""" +
+      s""""pipelines":$perPipeline}"""
+  }
+}

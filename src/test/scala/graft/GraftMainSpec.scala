@@ -47,6 +47,28 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
       assert(totals == Map("pipe_a" -> 2L, "pipe_b" -> 2L))
       assert(mgr.active.keySet == Set("pipe_a", "pipe_b"))
       assert(mgr.stuck().isEmpty)
+      // SingerStatus-style snapshot built from the same registry
+      val status = new graft.streaming.StatusReporter(mgr).statusJson()
+      assert(status.contains("\"numPipelines\":2"))
+      assert(status.contains("\"numStuckPipelines\":0"))
+      assert(status.contains("\"pipe_a\":{\"batchId\":"))
     } finally mgr.stopAll()
+  }
+
+  test("deciders gate sampling deterministically and instances fail open") {
+    import graft.model.Deciders
+    val d = Deciders.fromProperties("decider.mylog=50\ndecider.off=0\n")
+    assert(d.percent("mylog") == 50)
+    assert(d.percent("unknown") == 100)         // fail-open like the reference
+    assert(!d.instanceAllowed("off", "host-1")) // 0% never allows
+    assert(d.instanceAllowed("unknown", "any"))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 1000L).toDF("k")
+      .filter(d.messageFilter("mylog", Some(col("k")))).count()
+    assert(rows > 350 && rows < 650) // ~50% deterministic pass
+    val again = (0L until 1000L).toDF("k")
+      .filter(d.messageFilter("mylog", Some(col("k")))).count()
+    assert(rows == again)
   }
 }
