@@ -423,6 +423,15 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
         .orderBy("bucket")
     }),
+    "e4_ivf_kmeans" -> ((s, d) => {
+      // full IVF path: k-means index build + probe; rows-only (float means
+      // are order-sensitive in low bits, not SQL-oracle-safe)
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.KMeans.fit(emb, k = 8, iterations = 3)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), cents, k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e2_ivf_assign" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = emb.filter(col("vec_id") < 8)

@@ -107,6 +107,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2).getAs[String]("lang") == "und")
   }
 
+  test("KMeans converges on separated blobs; centroids power IVF search") {
+    val rnd = new scala.util.Random(7)
+    def blob(cx: Float, cy: Float, base: Long) =
+      (0 until 30).map(i => (base + i,
+        Array(cx + rnd.nextFloat() * 0.1f, cy + rnd.nextFloat() * 0.1f)))
+    val pts = (blob(0f, 0f, 0L) ++ blob(10f, 0f, 100L) ++ blob(0f, 10f, 200L))
+      .toDF("vec_id", "embedding")
+    val cents = KMeans.fit(pts, k = 3, iterations = 5)
+    assert(cents.count() == 3)
+    // each blob maps to exactly one distinct cell
+    val assigned = KMeans.assignCells(
+      pts.select($"vec_id".as("id"), $"embedding".as("vec")), cents, "vec", "id")
+      .select($"id", $"cell").as[(Long, Int)].collect()
+    val cellsPerBlob = assigned.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cellsPerBlob.values.forall(_.size == 1))
+    assert(cellsPerBlob.values.flatten.toSet.size == 3)
+    // centroids land near blob centers
+    val cvecs = cents.select("centroid_vec").collect()
+      .map(r => r.getSeq[Double](0).toList)
+    assert(cvecs.exists(v => math.abs(v.head - 10.0) < 0.2 && math.abs(v(1)) < 0.2))
+  }
+
   test("TopKAggregator: exact within capacity, heavy hitters survive beyond it") {
     import org.apache.spark.sql.functions.udaf
     val topk = udaf(new graft.functions.TopKAggregator(k = 2, capacity = 3))
