@@ -323,6 +323,12 @@ object SparkEntry {
       Transforms.withChecksum(
         t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("value")))
         .select("doc_id", "checksum", "checksumValid").orderBy("doc_id")),
+    "s9_json_decode" -> ((s, d) =>
+      Transforms.decodeJsonValue(
+        events(s, d).withColumn("value", col("props").cast("binary")), "k INT")
+        .groupBy(pmod(col("decoded.k"), lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min("decoded.k").as("min_k"), max("decoded.k").as("max_k"))
+        .orderBy("k_bucket")),
     "s8_mid_headers" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"),
@@ -692,6 +698,11 @@ object SparkEntry {
          lpad(hex(event_id), 16, '0') || lpad(hex(user_id), 16, '0') AS mid,
          lpad(hex(epoch_ms(ts)), 16, '0') AS ots
          FROM events ORDER BY event_id""",
+    "s9_json_decode" ->
+      """SELECT (json_extract(props, '$.k')::INT % 10)::INT AS k_bucket,
+         count(*) AS n, min(json_extract(props, '$.k')::INT) AS min_k,
+         max(json_extract(props, '$.k')::INT) AS max_k
+         FROM events GROUP BY 1 ORDER BY k_bucket""",
     "d1_dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS group_size
          FROM documents GROUP BY 1 ORDER BY content_hash""",

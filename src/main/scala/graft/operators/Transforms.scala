@@ -111,6 +111,16 @@ object Transforms {
     df.withColumn("partition", p)
   }
 
+  /** Schema-on-read payload decode: the engine keeps `value` as opaque
+    * bytes end-to-end (reference data model, SURVEY §1.3); consumers apply
+    * a schema at read time. Adds a struct column parsed from the JSON
+    * payload; malformed rows yield null fields (PERMISSIVE), never failures
+    * — the oversize/corrupt-tolerance stance of the reference readers. */
+  def decodeJsonValue(df: DataFrame, schemaDDL: String, valueCol: String = "value",
+      as: String = "decoded"): DataFrame =
+    df.withColumn(as, from_json(col(valueCol).cast("string"),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)))
+
   /** Per-message audit identity headers — the reference's
     * `LoggingAuditHeaders(host, logName, pid, session, logSeqNumInSession,
     * timestamp)` (reference: singer-commons/src/main/thrift/

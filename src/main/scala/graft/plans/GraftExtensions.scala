@@ -65,6 +65,12 @@ object GraftFunctions {
       args => x(TextFunctions.tokenCount(c(args(0))))),
     "crc32_partition" -> ("crc32_partition(key, n) - reference partitioner",
       args => x(Partitioners.crc32Partition(c(args(0)), intLit(args(1), "n")))),
+    "text_profile" -> ("text_profile(text) - one-pass stats struct",
+      args => TextProfileExpr(args(0), TextFunctions.defaultStopwords)),
+    "subword_count" -> ("subword_count(text) - BPE-ish token count",
+      args => x(TextFunctions.subwordCount(c(args(0))))),
+    "quality" -> ("quality(text) - alias of quality_score",
+      args => x(TextFunctions.qualityScore(c(args(0))))),
     "word_shingles" -> ("word_shingles(text, n) - distinct word n-grams",
       args => x(HashFunctions.wordShingles(c(args(0)), intLit(args(1), "n")))))
 
