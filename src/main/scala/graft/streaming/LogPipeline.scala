@@ -119,6 +119,30 @@ object LogPipeline {
       }
       .start()
   }
+
+
+  /** Adaptive polling loop — the reference's exponential poll backoff
+    * (min→max ×2 on an empty cycle, reset on data; reference:
+    * processor/DefaultLogStreamProcessor.java:387-402): each cycle runs the
+    * pipeline with `Trigger.AvailableNow` (drain everything, then stop —
+    * checkpoint-resumed next cycle) and sleeps the adapted interval.
+    * Returns the interval history (ms) for observability/tests. */
+  def runAdaptiveCycles(spark: SparkSession, cfg: PipelineConfig,
+      minIntervalMs: Long, maxIntervalMs: Long, cycles: Int,
+      audit: Option[AuditWriter] = None,
+      sleep: Long => Unit = Thread.sleep): Seq[Long] = {
+    var interval = minIntervalMs
+    val history = Seq.newBuilder[Long]
+    for (_ <- 1 to cycles) {
+      val q = start(spark, cfg, Trigger.AvailableNow(), audit)
+      q.awaitTermination()
+      val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+      interval = if (rows == 0) math.min(interval * 2, maxIntervalMs) else minIntervalMs
+      history += interval
+      sleep(interval)
+    }
+    history.result()
+  }
 }
 
 /** Idempotent per-epoch audit sink: one small parquet file per batchId,

@@ -64,3 +64,53 @@ class PipelineManager(spark: SparkSession,
 
   def stopAll(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
 }
+
+/** Restart-on-failure supervision — the reference restarts a writer after N
+  * consecutive failures and itself daily (reference:
+  * monitor/DefaultLogMonitor.java:164-188, writer/KafkaWriter.java:595-603).
+  * Wraps a query factory: when the current query terminates WITH an
+  * exception and the restart budget remains, a new query is started from
+  * the same checkpoint (at-least-once semantics make the retry safe).
+  * Clean stops end supervision. */
+class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
+    backoffMs: Long = 1000L) {
+
+  private val currentRef = new java.util.concurrent.atomic.AtomicReference[StreamingQuery](factory())
+  @volatile private var restartCount = 0
+  @volatile private var stopped = false
+
+  private val monitor = new Thread(() => {
+    var done = false
+    while (!done) {
+      val q = currentRef.get()
+      try q.awaitTermination()
+      catch { case _: Throwable => () } // exception recorded on the query
+      if (stopped || q.exception.isEmpty || restartCount >= maxRestarts) done = true
+      else {
+        restartCount += 1
+        Thread.sleep(backoffMs)
+        if (!stopped) currentRef.set(factory()) else done = true
+      }
+    }
+  }, "graft-supervisor")
+  monitor.setDaemon(true)
+  monitor.start()
+
+  def current: StreamingQuery = currentRef.get()
+  def restarts: Int = restartCount
+  def stop(): Unit = {
+    stopped = true
+    val q = currentRef.get()
+    if (q.isActive) q.stop()
+  }
+  /** Wait until the query is alive again after a crash (test helper). */
+  def awaitActive(timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      val q = currentRef.get()
+      if (q.isActive) return true
+      Thread.sleep(50)
+    }
+    currentRef.get().isActive
+  }
+}

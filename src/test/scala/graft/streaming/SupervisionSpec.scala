@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model._
+
+object SupervisionSpec {
+  // shared with the foreachBatch closure (same JVM in local mode)
+  val failures = new AtomicInteger(0)
+  val delivered = new AtomicInteger(0)
+}
+
+class SupervisionSpec extends AnyFunSuite with SparkTestBase {
+
+  test("SupervisedQuery restarts a crashed query from its checkpoint") {
+    val logDir = Files.createTempDirectory("graft-sup-logs")
+    val cp = Files.createTempDirectory("graft-sup-cp")
+    Files.writeString(logDir.resolve("a.log"), "m1\nm2\n")
+    SupervisionSpec.failures.set(0)
+    SupervisionSpec.delivered.set(0)
+
+    def factory() = spark.readStream.text(logDir.toString)
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // fail the FIRST attempt; succeed on retry — the poison-batch path
+        if (SupervisionSpec.failures.getAndIncrement() == 0)
+          throw new RuntimeException("injected batch failure")
+        SupervisionSpec.delivered.addAndGet(batch.count().toInt)
+        ()
+      }.start()
+
+    val sup = new SupervisedQuery(factory, maxRestarts = 3, backoffMs = 200L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && SupervisionSpec.delivered.get() < 2)
+        Thread.sleep(100)
+      assert(SupervisionSpec.delivered.get() == 2, "records delivered after restart")
+      assert(sup.restarts == 1)
+      assert(sup.awaitActive(5000))
+    } finally sup.stop()
+  }
+
+  test("adaptive cycles back off on idle and reset on data") {
+    val logDir = Files.createTempDirectory("graft-adapt-logs")
+    val outDir = Files.createTempDirectory("graft-adapt-out")
+    Files.writeString(logDir.resolve("a.log"), "x1\n")
+    val cfg = PipelineConfig(
+      name = "adapt-test", logDir = logDir.toString,
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(Files.createTempDirectory("graft-adapt-cp").toString))
+    var cycle = 0
+    val history = LogPipeline.runAdaptiveCycles(spark, cfg,
+      minIntervalMs = 10, maxIntervalMs = 80, cycles = 5,
+      sleep = _ => {
+        cycle += 1
+        // drop new data in just before the final cycle
+        if (cycle == 4) Files.writeString(logDir.resolve("b.log"), "x2\n")
+      })
+    // cycle1 has data → reset to min; cycles 2-4 idle → 20, 40, 80 (capped);
+    // cycle5 sees b.log → reset to min
+    assert(history == Seq(10L, 20L, 40L, 80L, 10L), s"got $history")
+    assert(spark.read.parquet(outDir.toString).count() == 2)
+  }
+}
