@@ -144,14 +144,19 @@ object LogSources {
 
   /** Source per config spec, batch or streaming. `tailMode` streams with
     * the `graft-tail` DSv2 source (growing files, intra-file offsets);
-    * multiline assembly requires whole closed files and falls back to the
-    * rotation convention. */
+    * multiline tail emits a record once its successor starts (the
+    * reference's partial-record buffering semantics). */
   def fromSpec(spark: SparkSession, dir: String, spec: ReaderSpec, streaming: Boolean,
       maxFilesPerTrigger: Option[Int] = None, tailMode: Boolean = false): DataFrame =
     spec match {
       case ReaderSpec.TextLine(_, _, _, _, _) if streaming && tailMode =>
         spark.readStream.format("graft-tail")
           .option("path", dir).option("format", "text").load()
+          .select(col("value").cast("string").as("value"), col("path"))
+      case ReaderSpec.TextMultiline(re, _) if streaming && tailMode =>
+        spark.readStream.format("graft-tail")
+          .option("path", dir).option("format", "multiline")
+          .option("messageStartRegex", re).load()
           .select(col("value").cast("string").as("value"), col("path"))
       case ReaderSpec.ThriftFramed(_) if streaming && tailMode =>
         spark.readStream.format("graft-tail")

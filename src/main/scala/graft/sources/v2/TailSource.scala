@@ -77,14 +77,16 @@ class TailTable(properties: Map[String, String]) extends Table with SupportsRead
       override def build(): Scan = new TailScan(
         options.get("path"),
         Option(options.get("format")).getOrElse("text"),
-        Option(options.get("maxbytespertrigger")).map(_.toLong))
+        Option(options.get("maxbytespertrigger")).map(_.toLong),
+        Option(options.get("messagestartregex")))
     }
 }
 
-class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long]) extends Scan {
+class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long],
+    startRegex: Option[String]) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TailMicroBatchStream(dir, format, maxBytesPerTrigger)
+    new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex)
 }
 
 /** Offset: map of file path → next byte to read. */
@@ -104,8 +106,12 @@ object TailOffset {
   }
 }
 
-class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long])
+class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long],
+    startRegex: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  @transient private lazy val startPattern =
+    startRegex.map(r => java.util.regex.Pattern.compile(r, java.util.regex.Pattern.MULTILINE))
 
   /** Listing entry: (identity, path, length). Identity is the filesystem
     * fileKey (device+inode on POSIX) so RENAME-rotation (`app.log` →
@@ -150,14 +156,43 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
       val take = math.min(len - startOff, budget).max(0L)
       // a capped range must end on a RECORD boundary or the split record
       // would be emitted twice (fragment now, full line next trigger);
-      // EOF is a boundary by the record-atomic-append assumption
+      // EOF is a boundary by the record-atomic-append assumption — EXCEPT
+      // for multiline records, whose final record is only complete once the
+      // NEXT record starts (reference: TextMessageReader.java:120-125), so
+      // multiline always aligns, even at EOF
       val end =
-        if (take == 0L || startOff + take >= len) startOff + take
+        if (take == 0L) startOff
+        else if (format == "multiline")
+          alignToMultilineBoundary(path, startOff, startOff + take, len)
+        else if (startOff + take >= len) startOff + take
         else alignToRecordBoundary(path, startOff, startOff + take, len)
       budget -= (end - startOff).max(0L)
       out += id -> end
     }
     TailOffset(out.result())
+  }
+
+  /** Multiline boundary: the last `messageStartRegex` match position in
+    * (startOff, cappedEnd] — every record BEFORE a following start is
+    * complete; the in-progress final record stays un-committed until its
+    * successor appears. Byte↔char math uses ISO-8859-1 (1:1) so offsets are
+    * exact for arbitrary bytes; patterns are expected to match ASCII. */
+  private def alignToMultilineBoundary(path: String, startOff: Long, cappedEnd: Long,
+      fileLen: Long): Long = {
+    val p = startPattern.getOrElse(throw new IllegalArgumentException(
+      "format=multiline requires option messageStartRegex"))
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val winLen = (math.min(cappedEnd, fileLen) - startOff).toInt
+      val buf = new Array[Byte](winLen)
+      raf.seek(startOff)
+      raf.readFully(buf)
+      val text = new String(buf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = p.matcher(text)
+      var last = -1
+      while (m.find()) if (m.start() > 0) last = m.start()
+      if (last > 0) startOff + last else startOff
+    } finally raf.close()
   }
 
   /** Largest record boundary in (startOff, cappedEnd]; if a single record
@@ -228,7 +263,7 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
       // identity vanished from the directory (deleted/moved out): skip
       idToPath.get(id).foreach { path =>
         if (endOff > startOff) {
-          parts += TailInputPartition(path, startOff, endOff, format)
+          parts += TailInputPartition(path, startOff, endOff, format, startRegex)
         }
       }
     }
@@ -242,7 +277,8 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
   override def stop(): Unit = ()
 }
 
-case class TailInputPartition(path: String, startOff: Long, endOff: Long, format: String)
+case class TailInputPartition(path: String, startOff: Long, endOff: Long, format: String,
+    startRegex: Option[String] = None)
     extends InputPartition
 
 class TailReaderFactory extends PartitionReaderFactory {
@@ -269,6 +305,22 @@ class TailPartitionReader(p: TailInputPartition) extends PartitionReader[Interna
   private val pathUtf8 = UTF8String.fromString(p.path)
 
   private val iter: Iterator[InternalRow] = p.format match {
+    case "multiline" =>
+      // range boundaries are start-regex positions (driver-aligned), so
+      // every record in the range is complete; ISO-8859-1 keeps byte math 1:1
+      val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = java.util.regex.Pattern
+        .compile(p.startRegex.getOrElse("^"), java.util.regex.Pattern.MULTILINE)
+        .matcher(text)
+      val starts = Iterator.continually(if (m.find()) m.start() else -1)
+        .takeWhile(_ >= 0).toArray
+      starts.iterator.zipWithIndex.map { case (s, i) =>
+        val end = if (i + 1 < starts.length) starts(i + 1) else text.length
+        val rec = text.substring(s, end).stripSuffix("\n")
+        new GenericInternalRow(Array[Any](
+          pathUtf8, p.startOff + end, null,
+          rec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), null, null))
+      }
     case "thrift" =>
       ThriftLogCodec.decodeFrames(bytes).map { d =>
         new GenericInternalRow(Array[Any](

@@ -126,6 +126,29 @@ class TailSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("multiline tail: record emits only once its successor starts") {
+    val dir = tempDir()
+    val f = dir.resolve("g.log")
+    Files.writeString(f, "I00001 first\n  cont-1\nI00002 second\n")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "multiline")
+      .option("messageStartRegex", "^I[0-9]{5}")
+      .load()
+      .writeStream.format("memory").queryName("tail_ml")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      // record 2 may still be growing — only record 1 is complete
+      assert(values("tail_ml") == Set("I00001 first\n  cont-1"))
+      // continuation of record 2 arrives, then record 3 starts ⇒ 2 completes
+      Files.writeString(f, "  cont-2\nI00003 third\n", StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      assert(values("tail_ml") ==
+        Set("I00001 first\n  cont-1", "I00002 second\n  cont-2"))
+    } finally q.stop()
+  }
+
   test("rename-rotation keeps inode offsets: no re-ingest, tail follows the renamed file") {
     val dir = tempDir()
     val f = dir.resolve("app.log")
