@@ -85,7 +85,10 @@ case class PipelineConfig(
     tailMode: Boolean = false,
     /** Named instance decider gating whether this host runs the pipeline
       * (reference: config.thrift logDecider). */
-    instanceDecider: Option[String] = None)
+    instanceDecider: Option[String] = None,
+    /** Restart a crashed query from its checkpoint up to this many times
+      * (reference: restart-on-failures policy). 0 = no supervision. */
+    maxRestarts: Int = 0)
 
 object PipelineConfig {
   /** Parse a singer-style `.properties` pipeline definition
@@ -146,6 +149,7 @@ object PipelineConfig {
       checkpointDir = opt("checkpointDir"),
       maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt),
       tailMode = opt("reader.tailMode").exists(_.toBoolean),
-      instanceDecider = opt("logDecider"))
+      instanceDecider = opt("logDecider"),
+      maxRestarts = opt("processor.maxRestarts").map(_.toInt).getOrElse(0))
   }
 }

@@ -22,12 +22,25 @@ class PipelineManager(spark: SparkSession,
     audit: Option[AuditWriter] = None) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
+  private val supervisors = TrieMap.empty[String, SupervisedQuery]
 
   def start(cfg: PipelineConfig,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val q = LogPipeline.start(spark, cfg, trigger, audit)
-    queries.put(cfg.name, q)
-    q
+    if (cfg.maxRestarts > 0) {
+      // supervised: the factory re-registers each restarted query so
+      // active/stuck tracking follows the live instance
+      val sup = new SupervisedQuery(() => {
+        val q = LogPipeline.start(spark, cfg, trigger, audit)
+        queries.put(cfg.name, q)
+        q
+      }, cfg.maxRestarts)
+      supervisors.put(cfg.name, sup)
+      sup.current
+    } else {
+      val q = LogPipeline.start(spark, cfg, trigger, audit)
+      queries.put(cfg.name, q)
+      q
+    }
   }
 
   /** Start every config whose instance decider allows this instance
@@ -62,7 +75,10 @@ class PipelineManager(spark: SparkSession,
     q.stop()
   }
 
-  def stopAll(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
+  def stopAll(): Unit = {
+    supervisors.values.foreach(_.stop())
+    queries.values.foreach(q => if (q.isActive) q.stop())
+  }
 }
 
 /** Restart-on-failure supervision — the reference restarts a writer after N
