@@ -107,6 +107,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2).getAs[String]("lang") == "und")
   }
 
+  test("IVF at-rest layout: cell-partitioned corpus prunes probe scans") {
+    val pts = (0L until 120L).map(i => (i, Array((i % 4).toFloat, (i % 4) * 2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.strideCentroids(pts, 4)
+    val assigned = KMeans.assignCells(
+      pts.select($"vec_id".as("id"), $"embedding".as("vec")), cents, "vec", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probe = spark.read.parquet(dir).filter($"cell".isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"))
+    assert(probe.count() == assigned.filter($"cell".isin(0, 1)).count())
+  }
+
   test("KMeans converges on separated blobs; centroids power IVF search") {
     val rnd = new scala.util.Random(7)
     def blob(cx: Float, cy: Float, base: Long) =

@@ -54,6 +54,27 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(EventAnalytics.dedupWithinWatermark(batch, Seq("user_id", "event_type")).count() == 1)
   }
 
+  test("windowed aggregation runs on the RocksDB state store (large-cardinality path)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val q = EventAnalytics.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("wc_rocks")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      try {
+        input.addData(Ev(1, ts(1), "click", 1.0), Ev(2, ts(3), "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Ev(9, ts(59), "click", 0.0))
+        q.processAllAvailable()
+        val clicks = spark.table("wc_rocks").collect()
+          .find(_.getAs[String]("event_type") == "click")
+        assert(clicks.exists(_.getAs[Long]("n") == 2))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful sessionize emits gap-separated sessions; matches batch twin") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
