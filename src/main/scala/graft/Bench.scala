@@ -60,8 +60,8 @@ object Bench {
   /** BASELINE.md parity measure: per-host ingestion throughput on the §7.4
     * minimum slice (text: filter+regex-modify+checksum+partition; thrift:
     * framed decode+checksum+partition). Reference targets: 20 MB/s text,
-    * 100 MB/s thrift. Synthetic corpus ≈ 32/64 MB over 16 files so the scan
-    * parallelizes; best of 2 runs (first pays codegen). */
+    * 100 MB/s thrift. Synthetic corpus ≈ 64/128 MB over 32 files (one per
+    * core) so the scan parallelizes; best of 2 runs (first pays codegen). */
   private def ingestionBench(spark: SparkSession): (Double, Double) = {
     import graft.sources.ThriftLogCodec
     val textDir = Files.createTempDirectory("graft-bench-text")
@@ -69,7 +69,9 @@ object Bench {
     var textBytes = 0L
     var thriftBytes = 0L
     val rnd = new java.util.Random(42)
-    for (f <- 0 until 16) {
+    // one file per local core: the scan parallelism a many-file production
+    // directory would have
+    for (f <- 0 until 32) {
       val sb = new StringBuilder(2 << 20)
       for (i <- 0 until 12500) {
         sb.append(s"2024-01-01T00:00:00 host-$f level=INFO msg=event-$i payload=")

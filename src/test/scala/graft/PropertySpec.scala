@@ -4,6 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.operators.Joins
 import graft.sources.ThriftLogCodec
 
 /** Property-based invariants (SURVEY §5: an upgrade the reference's test
@@ -55,6 +56,33 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     forAll(Gen.zip(Gen.alphaNumStr, Gen.chooseNum(0L, 4102444800000L))) { case (log, now) =>
       val t = graft.streaming.KeyTemplate("{{LOGNAME}}/{{TIMESTAMP}}/{{UUID}}", log)
       assert(t.render(nowMs = now, uuid = "u") == t.render(nowMs = now, uuid = "u"))
+    }
+  }
+
+  test("asofBackward matches a brute-force per-row reference on random data") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))))
+    forAll(gen, trials = 5) { case (leftRows, rightRows) =>
+      val left = leftRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lk", "lt")
+      val right = rightRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      val got = Joins.asofBackward(left, right,
+        leftKey = col("lk"), rightKey = col("rk"),
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightId = col("rid"), rightCols = Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+        val best = if (candidates.isEmpty) -1L
+        else candidates.maxBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong
+        i.toLong -> best
+      }.toMap
+      assert(got == expected)
     }
   }
 
