@@ -223,6 +223,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "q28_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.except(y96).orderBy("o_custkey")
+    }),
+    "q29_left_join" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") < 100)
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_pending"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("pending_total"))
+        .orderBy("c_custkey")
+    }),
     "q25_dense_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").desc)
@@ -616,6 +631,18 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
           AND ((p_brand = 'Brand#1' AND l_quantity >= 5)
             OR (p_brand = 'Brand#2' AND l_quantity >= 10))""",
+    "q28_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "q29_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_pending,
+         round(coalesce(sum(o_totalprice), 0.0), 2) AS pending_total
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+           ON c_custkey = o_custkey
+         WHERE c_custkey < 100
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q25_dense_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice, rnk FROM (
            SELECT o_orderstatus, o_orderkey, o_totalprice,
