@@ -338,6 +338,14 @@ object SparkEntry {
       Transforms.withChecksum(
         t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("value")))
         .select("doc_id", "checksum", "checksumValid").orderBy("doc_id")),
+    "s10_sql_surface" -> ((s, d) => {
+      // the registered SQL functions, driven through spark.sql itself
+      graft.plans.GraftFunctions.register(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id, token_count(text) AS n_tokens,
+               lang_id(text) AS pred_lang
+               FROM graft_docs ORDER BY doc_id""")
+    }),
     "s9_json_decode" -> ((s, d) =>
       Transforms.decodeJsonValue(
         events(s, d).withColumn("value", col("props").cast("binary")), "k INT")
@@ -725,6 +733,22 @@ object SparkEntry {
          lpad(hex(event_id), 16, '0') || lpad(hex(user_id), 16, '0') AS mid,
          lpad(hex(epoch_ms(ts)), 16, '0') AS ots
          FROM events ORDER BY event_id""",
+    "s10_sql_surface" ->
+      """WITH s AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+           FROM documents)
+         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 'und' ELSE substring(greatest(
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','mit','für','auf'], t)))::VARCHAR, 10, '0') || 'de',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['the','and','is','of','to','in','that','it','was','for'], t)))::VARCHAR, 10, '0') || 'en',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['el','la','los','las','que','de','y','es','en','por'], t)))::VARCHAR, 10, '0') || 'es',
+             lpad(len(list_filter(toks, t -> list_contains(
+               ['le','la','les','et','est','que','des','une','dans','pour'], t)))::VARCHAR, 10, '0') || 'fr'), 11)
+           END AS pred_lang
+         FROM s ORDER BY doc_id""",
     "s9_json_decode" ->
       """SELECT (json_extract(props, '$.k')::INT % 10)::INT AS k_bucket,
          count(*) AS n, min(json_extract(props, '$.k')::INT) AS min_k,
