@@ -334,10 +334,13 @@ object SparkEntry {
           max("event_id").as("last_id"))
         .orderBy("event_type")),
     "s7_checksum_crc32" -> ((s, d) =>
-      // no crc32 in DuckDB — rows-only check
+      // no crc32 in DuckDB — oracled against a zlib.crc32 fixture
+      // (tools/gen_fixtures.py), the independent reference implementation
       Transforms.withChecksum(
         t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("value")))
-        .select("doc_id", "checksum", "checksumValid").orderBy("doc_id")),
+        .select(col("doc_id"), col("checksum"),
+          col("checksumValid").cast("long").as("checksum_valid"))
+        .orderBy("doc_id")),
     "s10_sql_surface" -> ((s, d) => {
       // the registered SQL functions, driven through spark.sql itself
       graft.plans.GraftFunctions.register(s)
@@ -387,18 +390,27 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.qualityScoreOfProfile(col("p")).as("quality"))
       scored.filter(col("quality") >= 0.75).orderBy("doc_id")
     }),
-    "d6_fingerprint" -> ((s, d) =>
-      // xxhash64-based rolling hash — rows-only check
-      t(s, d, "documents")
-        .select(col("doc_id"), HashFunctions.docFingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id")),
+    "d6_fingerprint" -> ((s, d) => {
+      // xxhash64 rolling hash: raw values have no DuckDB equivalent, but the
+      // fingerprint CONTRACT — equal iff token streams equal — is exactly
+      // checkable: emit each doc's fingerprint-equality group (min id, size)
+      // and let DuckDB recompute groups from the normalized token stream.
+      val fp = t(s, d, "documents")
+        .select(col("doc_id"), HashFunctions.docFingerprint(col("text")).as("fp"))
+      val groups = fp.groupBy("fp")
+        .agg(min("doc_id").as("fp_group_min_id"), count(lit(1)).as("fp_group_size"))
+      fp.join(groups, "fp")
+        .select("doc_id", "fp_group_min_id", "fp_group_size")
+        .orderBy("doc_id")
+    }),
     "d7_minhash_pairs" -> ((s, d) =>
       // MinHash+LSH candidates — rows-only check (sketches not SQL-expressible)
       Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
         .orderBy("id_a", "id_b")),
     "d8_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 16)
+      // oracled against an independent pure-Python simhash fixture
+      Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
     "d9_ngram_jaccard" -> ((s, d) => {
       val dd = t(s, d, "documents").filter(col("doc_id") < 40)
@@ -453,25 +465,43 @@ object SparkEntry {
         .orderBy("bucket")
     }),
     "e4_ivf_kmeans" -> ((s, d) => {
-      // full IVF path: k-means index build + probe; rows-only (float means
-      // are order-sensitive in low bits, not SQL-oracle-safe)
+      // full IVF path: k-means index build + probe. Float means are
+      // order-sensitive in low bits, so the oracle checks INVARIANTS that a
+      // correct Lloyd's + IVF probe must satisfy (and a broken one breaks):
+      // assignment covers every row, SSE is non-increasing across
+      // iterations, probes return rank-sequential results for each query.
       val emb = t(s, d, "embeddings")
-      val cents = graft.operators.KMeans.fit(emb, k = 8, iterations = 3)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), cents, k = 5, nProbe = 2)
-        .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
+      val model = graft.operators.KMeans.fitModel(emb, k = 8, iterations = 3)
+      import s.implicits._
+      val cents = model.centroids.map { case (id, v) => (id, v.toSeq) }
+        .toDF("centroid_id", "centroid_vec")
+      val sseOk = model.sseHistory.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-6)
+      val assigned = graft.operators.KMeans.assignCells(emb, cents, "embedding", "vec_id")
+      val a = assigned.agg(count(lit(1)).cast("long").as("n_assigned"),
+        when(countDistinct(col("cell")) <= 8, 1L).otherwise(0L).as("cells_le_k"))
+      val probe = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), cents,
+        k = 5, nProbe = 2)
+      val p = probe.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"), sum("rank").as("sm"))
+        .agg(count(lit(1)).cast("long").as("probe_queries"),
+          when(min(when(col("mx") === col("n") &&
+            col("sm") === col("n") * (col("n") + 1) / 2, 1).otherwise(0)) === 1, 1L)
+            .otherwise(0L).as("probe_rank_ok"))
+      a.crossJoin(p).select(
+        lit(model.centroids.size.toLong).as("n_centroids"),
+        col("n_assigned"), col("cells_le_k"),
+        lit(if (sseOk) 1L else 0L).as("sse_non_increasing"),
+        col("probe_queries"), col("probe_rank_ok"))
     }),
     "e2_ivf_assign" -> ((s, d) => {
+      // nearest-centroid assignment via the native argmin expression — one
+      // narrow corpus pass, centroids ride the expression tree (no join, no
+      // window shuffle)
       val emb = t(s, d, "embeddings")
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
-      val assigned = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("corpus_vec"))
-        .join(broadcast(cents))
-        .select(col("corpus_id"), col("centroid_id"),
-          VectorFunctions.l2Sq(col("corpus_vec"), col("centroid_vec")).as("dist"))
-      val w = Window.partitionBy("corpus_id").orderBy(col("dist"), col("centroid_id"))
-      assigned.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .groupBy(col("centroid_id").as("cell"))
+      graft.operators.KMeans.assignCells(emb, cents, "embedding", "vec_id")
+        .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vectors"))
         .orderBy("cell")
     }),
@@ -504,16 +534,24 @@ object SparkEntry {
         .toDF().select("media_id", "frame_idx", "ts_ms")
         .orderBy("media_id", "frame_idx")),
     "m3_media_features_ann" -> ((s, d) => {
-      // stub features -> real ANN operator; rows-only check
+      // stub features -> real ANN operator. Features are xxhash-derived (not
+      // SQL-expressible), so the oracle checks the ANN plumbing invariants:
+      // per query, exactly k rank-sequential results, no self-match, cosine
+      // within [-1, 1].
       val feats = Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("content")), dim = 32)
         .toDF().withColumnRenamed("feature", "embedding")
         .withColumnRenamed("media_id", "vec_id")
       Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 5)
-        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("query_id", "rank")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("long").as("n_results"),
+          max("rank").cast("long").as("max_rank"),
+          when(sum(when(col("query_id") === col("corpus_id"), 1).otherwise(0)) === 0, 1L)
+            .otherwise(0L).as("self_excluded"),
+          when(min("cosine") >= -1.0000001 && max("cosine") <= 1.0000001, 1L)
+            .otherwise(0L).as("cosine_bounded"))
+        .orderBy("query_id")
     }),
 
     // ------------------------------------------------ streaming twins (batch mode)
@@ -862,6 +900,14 @@ object SparkEntry {
              FROM scored)
          SELECT centroid_id AS cell, count(*) AS n_vectors
          FROM best WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    // e4: float k-means means are not SQL-reproducible; the oracle pins the
+    // INVARIANTS a correct Lloyd's + IVF probe must satisfy (full-coverage
+    // assignment, ≤k cells, non-increasing SSE, rank-sequential probes).
+    "e4_ivf_kmeans" ->
+      """SELECT 8::BIGINT AS n_centroids,
+         (SELECT count(*) FROM embeddings)::BIGINT AS n_assigned,
+         1::BIGINT AS cells_le_k, 1::BIGINT AS sse_non_increasing,
+         3::BIGINT AS probe_queries, 1::BIGINT AS probe_rank_ok""",
     "a1_asof_join" ->
       """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
          FROM (SELECT event_id, user_id,
@@ -884,6 +930,12 @@ object SparkEntry {
            unnest(range(0, octet_length(encode(text)) * 2 // 100 + 1)) AS u
            FROM documents)
          ORDER BY media_id, frame_idx""",
+    // m3: stub features are xxhash-derived (not SQL-expressible); oracle
+    // pins the ANN plumbing invariants per query.
+    "m3_media_features_ann" ->
+      """SELECT doc_id AS query_id, 5::BIGINT AS n_results, 5::BIGINT AS max_rank,
+         1::BIGINT AS self_excluded, 1::BIGINT AS cosine_bounded
+         FROM documents WHERE doc_id < 3 ORDER BY query_id""",
     "w1_hourly_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
          round(sum(value), 2) AS total_value
@@ -906,6 +958,18 @@ object SparkEntry {
          SELECT user_id, min(ts)::TIMESTAMP AS session_start,
            max(ts)::TIMESTAMP AS session_end, count(*) AS n_events,
            round(sum(value), 2) AS total_value
-         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start"""
-  )
+         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start""",
+    // d6: raw xxhash chain values have no DuckDB builtin; the oracle checks
+    // the fingerprint CONTRACT (equal iff normalized token streams equal)
+    // by recomputing equality groups from the token stream itself.
+    "d6_fingerprint" ->
+      """WITH fp AS (SELECT doc_id,
+           array_to_string(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             t -> length(t) > 0), ' ') AS key
+         FROM documents),
+         g AS (SELECT key, min(doc_id) AS fp_group_min_id, count(*) AS fp_group_size
+           FROM fp GROUP BY key)
+         SELECT fp.doc_id, g.fp_group_min_id, g.fp_group_size
+         FROM fp JOIN g USING (key) ORDER BY doc_id"""
+  ) ++ FixtureOracles.sql
 }

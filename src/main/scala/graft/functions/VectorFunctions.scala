@@ -9,27 +9,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise dot product; inputs must be equal length. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product (native tight loop); inputs equal length. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.dot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity in [-1, 1]; 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = l2Norm(a) * l2Norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  /** Cosine similarity in [-1, 1]; 0.0 when either vector is all-zero.
+    * Native expression — the interpreted HOF form costs ~µs→ms per row and
+    * sits on the |corpus|×|queries| ANN hot path. Accumulation order matches
+    * the HOF form bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = graft.plans.VectorExpressions.cosineSim(a, b)
 
-  /** Squared Euclidean distance. */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val diff = x.cast("double") - y.cast("double")
-      diff * diff
-    }), lit(0.0), (acc, v) => acc + v)
+  /** Squared Euclidean distance (native tight loop). */
+  def l2Sq(a: Column, b: Column): Column = graft.plans.VectorExpressions.l2Sq(a, b)
 
   /** Normalize to unit length (pass through all-zero vectors). */
   def l2Normalize(a: Column): Column = {

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
+
+import graft.functions.{ScoredTopKAggregator, VectorFunctions}
+import graft.plans.VectorExpressions
 
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>`).
@@ -14,66 +15,88 @@ import graft.functions.VectorFunctions._
   * corpus by nearest centroid and probes only `nProbe` cells; random
   * hyperplane LSH buckets unit vectors so the self-join shuffles on a small
   * integer key.
+  *
+  * Top-k is computed by a bounded partial aggregation
+  * ([[graft.functions.ScoredTopKAggregator]]), NOT a
+  * `Window.partitionBy(query)` — the window form shuffles every scored row
+  * and serializes each query into one task, which is exactly the plan that
+  * dies when the corpus is 100 TB and there are 5 queries. Centroid argmins
+  * ride a native expression ([[graft.plans.NearestCellsExpr]]) so cell
+  * assignment is a zero-shuffle narrow pass.
   */
 object Similarity {
 
+  /** Driver-side centroid collection: IVF centroid tables are k rows by
+    * design (k ≪ corpus), so they travel inside expressions, not joins. */
+  def collectCentroids(centroids: DataFrame,
+      idCol: String = "centroid_id", vecCol: String = "centroid_vec"): Seq[(Int, Array[Double])] =
+    centroids.select(col(idCol).cast("int"), col(vecCol)).collect().toSeq
+      .map { r =>
+        (r.getInt(0), r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      }
+
+  /** (query_id, top array) → exploded (query_id, corpus_id, cosine, rank). */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"), col("s.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (excluding itself). The query side is broadcast — the
-    * 100 TB corpus is read once, no shuffle of the corpus, and the per-row
-    * work is a codegen'd dot product. */
+    * 100 TB corpus is read once, no shuffle of the corpus; per-row scoring is
+    * a native tight-loop cosine, and the only exchange carries ≤ k rows per
+    * (query, partition). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
     val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    explodeRanked(scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
-  /** IVF (inverted-file) top-k: corpus is pre-assigned to its nearest of
-    * `centroids`; each query probes only the `nProbe` nearest cells. At scale
-    * the corpus can be written partitioned by `cell` so a probe is a
-    * partition-pruned scan of nProbe/nCells of the data. Centroids are a
-    * small DataFrame (id, vec) — broadcast everywhere. */
+  /** IVF (inverted-file) top-k: corpus rows are assigned to their nearest
+    * centroid cell in one narrow pass; each query probes only its `nProbe`
+    * nearest cells. At scale the corpus can be written partitioned by `cell`
+    * so a probe is a partition-pruned scan of nProbe/nCells of the data.
+    * Centroids are k rows — they ride inside the assignment expression. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
       nProbe: Int = 2, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val cents = centroids.select(col("centroid_id"), col("centroid_vec"))
-    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .select(col(id), col(vec),
-          col("centroid_id").as("cell"),
-          l2Sq(col(vec), col("centroid_vec")).as("dist"))
-      val w = Window.partitionBy(id).orderBy(col("dist"), col("cell"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= n)
-        .select(col(id), col(vec), col("cell"))
-    }
-    val corpusCells = nearestCells(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpus_vec")),
-      "corpus_id", "corpus_vec", 1)
-    val queryCells = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")),
-      "query_id", "query_vec", nProbe)
+    val cents = collectCentroids(centroids)
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val corpusCells = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col("corpus_vec"), cents, 1), 1)
+          .getField("cell"))
+    val queryCells = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("cell",
+        explode(transform(VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
+          s => s.getField("cell"))))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cosine", "rank")
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    explodeRanked(scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
-  /** Deterministic centroid pick: every `stride`-th vector by id order —
-    * a cheap stand-in for k-means seeding that keeps tests reproducible. */
-  def strideCentroids(corpus: DataFrame, nCentroids: Int,
+  /** Deterministic sampled centroid seed: the k lowest rows by
+    * (xxhash64(id), id). Runs as TakeOrderedAndProject — per-partition
+    * top-k then a k-way driver merge — NOT a global window sort. */
+  def sampledCentroids(corpus: DataFrame, nCentroids: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val w = Window.orderBy(col(idCol))
-    corpus.withColumn("rn", row_number().over(w) - 1)
-      .filter(col("rn") < nCentroids)
-      .select(col("rn").cast("int").as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val picked: Seq[(Int, Seq[Double])] = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), v => v.cast("double")).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(nCentroids)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toSeq) }
+    picked.toDF("centroid_id", "centroid_vec")
   }
 
   /** Random-hyperplane LSH self-join: vectors sharing a `nBits`-bit sign
@@ -103,7 +126,8 @@ object Similarity {
     val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,207 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding-vector hot paths.
+  *
+  * The higher-order-function forms (`aggregate(zip_with(...))`) are
+  * interpreted per element with InternalRow boxing — on the ANN brute-force
+  * path that cost is paid |corpus|×|queries| times. These expressions do the
+  * same arithmetic in one tight JVM loop per row. The arithmetic ORDER is
+  * kept identical to the HOF forms (left-to-right accumulation, cast each
+  * element to double) so results are bit-identical and the DuckDB oracles
+  * keep matching.
+  */
+private object VecUtil {
+  /** Element-as-double reader for any numeric array type. SQL literals
+    * arrive as array<decimal>, parquet embeddings as array<float> — the HOF
+    * forms these expressions replace casted per element, so the native form
+    * must accept the same inputs. */
+  def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(d: DecimalType, _) =>
+      (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toDouble
+    case other =>
+      throw new IllegalArgumentException(s"not a numeric array type: $other")
+  }
+}
+
+/** `cosine_sim(a, b)`: cosine similarity in [-1,1]; 0.0 when either norm is
+  * zero. Same formula as the HOF form: dot / (sqrt(sumsq_a) * sqrt(sumsq_b)). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  @transient private lazy val leftRead = VecUtil.reader(left.dataType)
+  @transient private lazy val rightRead = VecUtil.reader(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var dot = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = leftRead(va, i)
+      val y = rightRead(vb, i)
+      dot += x * y; sa += x * x; sb += y * y
+      i += 1
+    }
+    val d = math.sqrt(sa) * math.sqrt(sb)
+    java.lang.Double.valueOf(if (d == 0.0) 0.0 else dot / d)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `l2_sq(a, b)`: squared Euclidean distance, left-to-right accumulation. */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  @transient private lazy val leftRead = VecUtil.reader(left.dataType)
+  @transient private lazy val rightRead = VecUtil.reader(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = leftRead(va, i) - rightRead(vb, i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot(a, b)`: plain dot product, left-to-right accumulation. */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  @transient private lazy val leftRead = VecUtil.reader(left.dataType)
+  @transient private lazy val rightRead = VecUtil.reader(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += leftRead(va, i) * rightRead(vb, i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `nearest_cells(vec)`: the `n` nearest of a set of driver-collected
+  * centroids, by (l2Sq asc, cell asc). Returns
+  * `array<struct<cell:int, dist:double>>` of length min(n, #centroids).
+  *
+  * This replaces the broadcast-join + `Window.partitionBy(id)` argmin
+  * pattern: that plan materializes corpus×k rows and SHUFFLES them — all
+  * rows of one vector into one task — just to pick rank 1. Here the
+  * centroid table (k rows, small by IVF design) rides inside the expression:
+  * the corpus pass stays NARROW (zero shuffle, k×dim flops per row). This
+  * is also how Spark MLlib's KMeans distributes assignment.
+  */
+case class NearestCellsExpr(child: Expression,
+    centroidIds: Seq[Int], centroidVecs: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val childRead = VecUtil.reader(child.dataType)
+  @transient private lazy val cents: Array[Array[Double]] = centroidVecs.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Int] = centroidIds.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val k = cents.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val m = math.min(dim, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        val d = childRead(vec, i) - cv(i)
+        acc += d * d
+        i += 1
+      }
+      dists(c) = acc
+      c += 1
+    }
+    // selection of top-n by (dist, cell id): n is 1-2 in practice, linear scan
+    val take = math.min(n, k)
+    val out = new Array[Any](take)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && (best < 0 || dists(c2) < dists(best) ||
+            (dists(c2) == dists(best) && ids(c2) < ids(best)))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = InternalRow(ids(best), dists(best))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `centroids` ride the expression tree (they are driver-side, k rows). */
+  def nearestCells(vec: Column, centroids: Seq[(Int, Array[Double])], n: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(vec),
+      centroids.map(_._1), centroids.map(_._2.toSeq), n))
+}

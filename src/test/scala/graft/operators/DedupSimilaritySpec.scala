@@ -77,7 +77,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("ivf with stride centroids assigns every vector to one cell") {
-    val cents = Similarity.strideCentroids(vecs, 2)
+    val cents = Similarity.sampledCentroids(vecs, 2)
     assert(cents.count() == 2)
     val res = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 4L), cents, k = 1, nProbe = 2)
     assert(res.count() <= 1)
@@ -110,7 +110,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("IVF at-rest layout: cell-partitioned corpus prunes probe scans") {
     val pts = (0L until 120L).map(i => (i, Array((i % 4).toFloat, (i % 4) * 2f)))
       .toDF("vec_id", "embedding")
-    val cents = Similarity.strideCentroids(pts, 4)
+    val cents = Similarity.sampledCentroids(pts, 4)
     val assigned = KMeans.assignCells(
       pts.select($"vec_id".as("id"), $"embedding".as("vec")), cents, "vec", "id")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString

@@ -1,0 +1,263 @@
+#!/usr/bin/env python3
+"""Generate fixture oracles for the sketch queries whose hash functions have
+no DuckDB equivalent (s7 crc32, d7 minhash, d8 simhash).
+
+INDEPENDENT reimplementation: xxHash64 is implemented here from the public
+xxHash specification (https://github.com/Cyan4973/xxHash — algorithm is
+public domain); crc32 comes from zlib. Nothing is derived from the Scala
+code's output — if the Scala sketches are wrong, these fixtures catch it.
+
+Usage: python3 tools/gen_fixtures.py /root/testdata/sf0.01
+Emits src/main/scala/graft/FixtureOracles.scala with DuckDB VALUES-fixture
+SQL keyed by query name (merged into SparkEntry.oracleSql).
+
+Validated against the public xxh64 test vectors before use (see selftest).
+"""
+import re
+import sys
+import zlib
+from decimal import Decimal, ROUND_HALF_UP
+
+import duckdb
+
+MASK = (1 << 64) - 1
+P1 = 0x9E3779B185EBCA87
+P2 = 0xC2B2AE3D27D4EB4F
+P3 = 0x165667B19E3779F9
+P4 = 0x85EBCA77C2B2AE63
+P5 = 0x27D4EB2F165667C5
+
+
+def rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & MASK
+
+
+def fmix(h):
+    h ^= h >> 33
+    h = (h * P2) & MASK
+    h ^= h >> 29
+    h = (h * P3) & MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int) -> int:
+    """Standard XXH64 over bytes, returns unsigned 64-bit."""
+    seed &= MASK
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + P1 + P2) & MASK
+        v2 = (seed + P2) & MASK
+        v3 = seed
+        v4 = (seed - P1) & MASK
+        while i + 32 <= n:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                lane = int.from_bytes(data[i + off:i + off + 8], "little")
+                if v == 1:
+                    v1 = (rotl((v1 + lane * P2) & MASK, 31) * P1) & MASK
+                elif v == 2:
+                    v2 = (rotl((v2 + lane * P2) & MASK, 31) * P1) & MASK
+                elif v == 3:
+                    v3 = (rotl((v3 + lane * P2) & MASK, 31) * P1) & MASK
+                else:
+                    v4 = (rotl((v4 + lane * P2) & MASK, 31) * P1) & MASK
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & MASK
+        for v in (v1, v2, v3, v4):
+            h ^= (rotl((v * P2) & MASK, 31) * P1) & MASK
+            h = (h * P1 + P4) & MASK
+    else:
+        h = (seed + P5) & MASK
+    h = (h + n) & MASK
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        h ^= (rotl((lane * P2) & MASK, 31) * P1) & MASK
+        h = (rotl(h, 27) * P1 + P4) & MASK
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h ^= (lane * P1) & MASK
+        h = (rotl(h, 23) * P2 + P3) & MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * P5) & MASK
+        h = (rotl(h, 11) * P1) & MASK
+        i += 1
+    return fmix(h)
+
+
+def selftest():
+    # public XXH64 test vectors
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc", 0) == 0x44BC2CF5AD770999
+    assert xxh64(b"abc", 1) == 0xBEA9CA8199328908
+
+
+def signed(u):
+    u &= MASK
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def hash_long(value: int, seed: int) -> int:
+    """Spark XXH64.hashLong == xxh64 of the 8 LE bytes (unsigned out)."""
+    return xxh64((value & MASK).to_bytes(8, "little"), seed)
+
+
+def hash_int(value: int, seed: int) -> int:
+    return xxh64((value & 0xFFFFFFFF).to_bytes(4, "little"), seed)
+
+
+def tokens(text):
+    """Mirror graft TextFunctions.tokens: trim spaces, java \\s+ split,
+    empties dropped (none occur on this corpus — r01 parity confirms)."""
+    t = text.strip(" ")
+    if not t:
+        return []
+    return [x for x in re.split(r"[ \t\n\x0b\f\r]+", t) if x]
+
+
+def minhash_sig(toks, n=3, k=64):
+    """Mirror MinHashShingleSigExpr: fused n-gram shingle minhash."""
+    th = [xxh64(t.encode("utf-8"), 42) for t in toks]
+    ntok = len(th)
+    sig = [(1 << 63) - 1] * k  # Long.MaxValue
+    nwin = max(ntok - (n - 1), 1 if ntok > 0 else 0)
+    for w in range(nwin):
+        h0 = th[w]
+        for d in range(1, n):
+            if w + d < ntok:
+                h0 = hash_long(th[w + d], h0)
+        for i in range(k):
+            h = signed(hash_long(h0, i))
+            if h < sig[i]:
+                sig[i] = h
+    return sig
+
+
+def band_keys(sig, bands=16, rows=4):
+    """Mirror lshBandKeys: xxhash64(concat_ws(',', slice), b) with SQL
+    xxhash64 semantics (seed 42, then chain string → int child)."""
+    out = []
+    for b in range(bands):
+        s = ",".join(str(v) for v in sig[b * rows:(b + 1) * rows])
+        h = xxh64(s.encode("utf-8"), 42)
+        h = hash_int(b, h)
+        out.append((b, signed(h)))
+    return out
+
+
+def simhash64(toks):
+    votes = [0] * 64
+    for t in toks:
+        h = xxh64(t.encode("utf-8"), 42)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return signed(out)
+
+
+def round_half_up(num, den, digits):
+    return float((Decimal(num) / Decimal(den)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def main():
+    selftest()
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    # ---- s7: crc32 of utf-8 text bytes (zlib is the independent oracle)
+    s7_rows = [(i, zlib.crc32(t.encode("utf-8")), 1) for i, t in docs]
+
+    # ---- d7: minhash LSH pairs, est jaccard >= 0.3
+    toks = {i: tokens(t.lower()) for i, t in docs}
+    sigs = {i: minhash_sig(tk) for i, tk in toks.items() if tk}
+    buckets = {}
+    for i, sig in sigs.items():
+        for bk in band_keys(sig):
+            buckets.setdefault(bk, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    d7_rows = []
+    for a, b in sorted(cand):
+        m = sum(1 for i in range(64) if sigs[a][i] == sigs[b][i])
+        est = round_half_up(m, 64, 4)
+        if m / 64 >= 0.3:
+            d7_rows.append((a, b, est))
+
+    # ---- d8: simhash band candidates with hamming <= maxHamming
+    sims = {i: simhash64(tk) for i, tk in toks.items()}
+    sbuckets = {}
+    for i, sim in sims.items():
+        u = sim & MASK
+        for b in range(4):
+            sbuckets.setdefault((b, (u >> (b * 16)) & 0xFFFF), []).append(i)
+    scand = set()
+    for ids in sbuckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                scand.add((ids[x], ids[y]))
+    max_hamming = 8
+    d8_rows = []
+    for a, b in sorted(scand):
+        h = bin((sims[a] ^ sims[b]) & MASK).count("1")
+        if h <= max_hamming:
+            d8_rows.append((a, b, h))
+    print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
+          f"(candidates d7={len(cand)} d8={len(scand)})")
+
+    def values(rows, fmt):
+        return ",\n".join("      (" + fmt(r) + ")" for r in rows)
+
+    s7_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS checksum,"
+              " c2::BIGINT AS checksum_valid FROM (VALUES\n"
+              + values(s7_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
+              + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    d7_sql = ("SELECT c0::BIGINT AS id_a, c1::BIGINT AS id_b,"
+              " c2::DOUBLE AS jaccard_est FROM (VALUES\n"
+              + values(d7_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}")
+              + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    d8_sql = ("SELECT c0::BIGINT AS id_a, c1::BIGINT AS id_b,"
+              " c2::INT AS hamming FROM (VALUES\n"
+              + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
+              + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+
+    out = f'''package graft
+
+/** GENERATED by tools/gen_fixtures.py — DuckDB fixture oracles for sketch
+  * queries whose hash functions have no DuckDB builtin. Values come from an
+  * INDEPENDENT reimplementation (pure-Python XXH64 from the public xxHash
+  * spec, zlib crc32), so they cross-check the Scala expressions.
+  * Fixtures are pinned to the sf0.01 corpus (the driver's verify scale).
+  * d8 maxHamming = {max_hamming}.
+  */
+object FixtureOracles {{
+  val sql: Map[String, String] = Map(
+    "s7_checksum_crc32" ->
+      \"\"\"{s7_sql}\"\"\",
+    "d7_minhash_pairs" ->
+      \"\"\"{d7_sql}\"\"\",
+    "d8_simhash_pairs" ->
+      \"\"\"{d8_sql}\"\"\")
+}}
+'''
+    path = "src/main/scala/graft/FixtureOracles.scala"
+    with open(path, "w") as f:
+        f.write(out)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
