@@ -22,6 +22,17 @@ import graft.model.ReaderSpec
   */
 object LogSources {
 
+  /** Full-match file-NAME gate for `logStreamRegex` — only files whose name
+    * matches belong to the stream (reference:
+    * monitor/LogStreamManager.java:384-477 uses Matcher.matches on the file
+    * name). Anchored so `rlike`'s find() behaves like matches(). */
+  private def nameMatch(pathCol: org.apache.spark.sql.Column, re: String) =
+    element_at(split(pathCol, "/"), -1).rlike(s"^(?:$re)$$")
+
+  private def filterName(df: DataFrame, fileRegex: Option[String]): DataFrame =
+    fileRegex.filterNot(_ == ".*").map(re => df.filter(nameMatch(col("path"), re)))
+      .getOrElse(df)
+
   /** Decoded thrift record row — the `LogMessageAndPosition` DTO
     * (reference: singer-commons/src/main/thrift/singer.thrift:29-39). */
   case class ThriftLogRow(
@@ -75,10 +86,12 @@ object LogSources {
     * file in one row — correct for rotation-bounded log files (the reference
     * caps file size the same way via rotation). */
   def textMultiline(spark: SparkSession, dir: String, startRegex: String,
-      maxMessageChars: Int = 1 << 20, glob: String = "*"): DataFrame = {
+      maxMessageChars: Int = 1 << 20, glob: String = "*",
+      fileRegex: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val files = spark.read.option("wholetext", "true").textFile(s"$dir/$glob")
-      .withColumn("path", input_file_name())
+    val files = filterName(
+      spark.read.option("wholetext", "true").textFile(s"$dir/$glob")
+        .withColumn("path", input_file_name()), fileRegex)
       .as[(String, String)]
     files.flatMap { case (content, path) =>
       splitMultiline(content, startRegex, maxMessageChars).map(TextLogRow(path, _))
@@ -91,12 +104,13 @@ object LogSources {
     * records never straddle a trigger boundary. */
   def textMultilineStream(spark: SparkSession, dir: String, startRegex: String,
       maxMessageChars: Int = 1 << 20, glob: String = "*",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      fileRegex: Option[String] = None): DataFrame = {
     import spark.implicits._
     val r = spark.readStream.option("wholetext", "true")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    val files = r.text(s"$dir/$glob")
-      .withColumn("path", input_file_name())
+    val files = filterName(r.text(s"$dir/$glob")
+      .withColumn("path", input_file_name()), fileRegex)
       .as[(String, String)]
     files.flatMap { case (content, path) =>
       splitMultiline(content, startRegex, maxMessageChars).map(TextLogRow(path, _))
@@ -122,15 +136,17 @@ object LogSources {
   /** Batch: framed-thrift LogMessage files
     * (reference: reader/ThriftLogFileReader.java). */
   def thriftFramed(spark: SparkSession, dir: String,
-      maxMessageBytes: Int = 1 << 20, glob: String = "*"): DataFrame =
-    decodeThriftFiles(
-      spark.read.format("binaryFile").load(s"$dir/$glob"), maxMessageBytes)
+      maxMessageBytes: Int = 1 << 20, glob: String = "*",
+      fileRegex: Option[String] = None): DataFrame =
+    decodeThriftFiles(filterName(
+      spark.read.format("binaryFile").load(s"$dir/$glob"), fileRegex), maxMessageBytes)
 
   /** Streaming twin of [[thriftFramed]]. The binaryFile source requires its
     * schema stated explicitly in streaming mode. */
   def thriftFramedStream(spark: SparkSession, dir: String,
       maxMessageBytes: Int = 1 << 20, glob: String = "*",
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      fileRegex: Option[String] = None): DataFrame = {
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("modificationTime",
@@ -139,7 +155,7 @@ object LogSources {
       org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     val r = spark.readStream.format("binaryFile").schema(binaryFileSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    decodeThriftFiles(r.load(s"$dir/$glob"), maxMessageBytes)
+    decodeThriftFiles(filterName(r.load(s"$dir/$glob"), fileRegex), maxMessageBytes)
   }
 
   /** Source per config spec, batch or streaming. `tailMode` streams with
@@ -147,32 +163,38 @@ object LogSources {
     * multiline tail emits a record once its successor starts (the
     * reference's partial-record buffering semantics). */
   def fromSpec(spark: SparkSession, dir: String, spec: ReaderSpec, streaming: Boolean,
-      maxFilesPerTrigger: Option[Int] = None, tailMode: Boolean = false): DataFrame =
+      maxFilesPerTrigger: Option[Int] = None, tailMode: Boolean = false,
+      fileRegex: Option[String] = None): DataFrame = {
+    val fre = fileRegex.filterNot(_ == ".*")
+    def tail(fmt: String) = {
+      val r = spark.readStream.format("graft-tail")
+        .option("path", dir).option("format", fmt)
+      fre.foreach(re => r.option("fileRegex", re))
+      r
+    }
     spec match {
       case ReaderSpec.TextLine(_, _, _, _, _) if streaming && tailMode =>
-        spark.readStream.format("graft-tail")
-          .option("path", dir).option("format", "text").load()
+        tail("text").load()
           .select(col("value").cast("string").as("value"), col("path"))
       case ReaderSpec.TextMultiline(re, _) if streaming && tailMode =>
-        spark.readStream.format("graft-tail")
-          .option("path", dir).option("format", "multiline")
-          .option("messageStartRegex", re).load()
+        tail("multiline").option("messageStartRegex", re).load()
           .select(col("value").cast("string").as("value"), col("path"))
       case ReaderSpec.ThriftFramed(_) if streaming && tailMode =>
-        spark.readStream.format("graft-tail")
-          .option("path", dir).option("format", "thrift").load()
+        tail("thrift").load()
           .select(col("path"), col("key"), col("value"), col("timestampNanos"),
             col("checksum"), col("byteOffset").as("nextByteOffset"))
       case ReaderSpec.TextLine(_, _, _, _, _) =>
-        if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
-        else textLines(spark, dir)
+        filterName(
+          if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
+          else textLines(spark, dir), fre)
       case ReaderSpec.TextMultiline(re, maxChars) =>
         if (streaming) textMultilineStream(spark, dir, re, maxChars,
-          maxFilesPerTrigger = maxFilesPerTrigger)
-        else textMultiline(spark, dir, re, maxChars)
+          maxFilesPerTrigger = maxFilesPerTrigger, fileRegex = fre)
+        else textMultiline(spark, dir, re, maxChars, fileRegex = fre)
       case ReaderSpec.ThriftFramed(maxBytes) =>
         if (streaming) thriftFramedStream(spark, dir, maxBytes,
-          maxFilesPerTrigger = maxFilesPerTrigger)
-        else thriftFramed(spark, dir, maxBytes)
+          maxFilesPerTrigger = maxFilesPerTrigger, fileRegex = fre)
+        else thriftFramed(spark, dir, maxBytes, fileRegex = fre)
     }
+  }
 }

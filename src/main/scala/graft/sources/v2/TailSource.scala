@@ -78,15 +78,16 @@ class TailTable(properties: Map[String, String]) extends Table with SupportsRead
         options.get("path"),
         Option(options.get("format")).getOrElse("text"),
         Option(options.get("maxbytespertrigger")).map(_.toLong),
-        Option(options.get("messagestartregex")))
+        Option(options.get("messagestartregex")),
+        Option(options.get("fileregex")))
     }
 }
 
 class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long],
-    startRegex: Option[String]) extends Scan {
+    startRegex: Option[String], fileRegex: Option[String] = None) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex)
+    new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex, fileRegex)
 }
 
 /** Offset: map of file path → next byte to read. */
@@ -107,11 +108,17 @@ object TailOffset {
 }
 
 class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long],
-    startRegex: Option[String] = None)
+    startRegex: Option[String] = None, fileRegex: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   @transient private lazy val startPattern =
     startRegex.map(r => java.util.regex.Pattern.compile(r, java.util.regex.Pattern.MULTILINE))
+
+  // stream-membership gate: only file NAMES fully matching the configured
+  // regex belong to this stream — non-matching files are never listed, so
+  // never read (reference: monitor/LogStreamManager.java:384-477)
+  @transient private lazy val filePattern =
+    fileRegex.map(java.util.regex.Pattern.compile)
 
   /** Listing entry: (identity, path, length). Identity is the filesystem
     * fileKey (device+inode on POSIX) so RENAME-rotation (`app.log` →
@@ -125,6 +132,7 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
     val s = Files.list(d)
     try s.iterator().asScala
       .filter(p => Files.isRegularFile(p))
+      .filter(p => filePattern.forall(_.matcher(p.getFileName.toString).matches()))
       .map { p =>
         val attrs = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
         val id = Option(attrs.fileKey()).map(_.toString).getOrElse(p.toString)

@@ -61,40 +61,58 @@ object LogPipeline {
 
   def runBatch(spark: SparkSession, cfg: PipelineConfig): DataFrame =
     applyTransforms(
-      LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = false), cfg)
+      LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = false,
+        fileRegex = Some(cfg.logStreamRegex)), cfg)
 
-  /** Write one epoch's records to the configured sink. Kafka rows use the
-    * Spark Kafka sink contract (key/value/partition/headers columns pass
-    * through unchanged). */
+  /** The exact projection handed to the Kafka sink. The Spark Kafka writer
+    * contract takes key/value/topic/partition plus an optional `headers`
+    * column (`array<struct<key:string,value:binary>>`) — the reference
+    * attaches its `_mid`/`_ots` dedup headers to every produced record
+    * (reference: writer/kafka/CommittableKafkaWriter.java:223-236), so the
+    * headers built by [[Transforms.withHeaders]] MUST survive to the sink.
+    * Our headers travel as `map<string,binary>`; Kafka wants the
+    * array-of-struct encoding, converted here. */
+  def kafkaSinkProjection(df: DataFrame): DataFrame = {
+    val base = Seq("key", "value", "partition", "topic").map(col)
+    if (df.columns.contains("headers"))
+      df.select(base :+ transform(map_entries(col("headers")),
+        e => struct(e.getField("key").as("key"), e.getField("value").as("value")))
+        .as("headers"): _*)
+    else df.select(base: _*)
+  }
+
+  /** Write one epoch's records to the configured sink, returning the record
+    * count for the audit side-channel. The count comes from `observe()` —
+    * ONE pass, collected as a side effect of the sink write itself. The
+    * previous cache()+count() shape ran two jobs per epoch and pinned the
+    * whole epoch in block-manager memory — an OOM/spill hazard once an epoch
+    * is tens of GB per executor. */
   private def writeBatch(df: DataFrame, cfg: PipelineConfig, batchId: Long = 0L): Long = {
-    val n = cfg.writer match {
+    cfg.writer match {
       case WriterSpec.RolledObjects(baseDir, keyFormat, maxBytes) =>
         val sink = new RolledObjectSink(baseDir,
           KeyTemplate(keyFormat, cfg.name), maxBytes)
         sink.writeEpoch(df, batchId).map(_.records).sum
       case WriterSpec.Files(path, format) =>
-        val out = df.cache()
-        val count = out.count()
+        val obs = org.apache.spark.sql.Observation()
         // one overwritten directory per epoch: a retried epoch replaces its
         // own output instead of appending duplicates (at-least-once becomes
         // effectively exactly-once for this sink)
-        out.write.mode("overwrite").format(format).save(s"$path/batch_id=$batchId")
-        out.unpersist()
-        count
+        df.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").format(format).save(s"$path/batch_id=$batchId")
+        obs.get("n").asInstanceOf[Long]
       case WriterSpec.Kafka(servers, topic, _) =>
-        val out = df.cache()
-        val count = out.count()
-        out.selectExpr("key", "value", "partition", "topic")
+        val obs = org.apache.spark.sql.Observation()
+        kafkaSinkProjection(df.observe(obs, count(lit(1)).as("n")))
           .write.format("kafka")
           .option("kafka.bootstrap.servers", servers)
           .option("topic", topic)
+          .option("includeHeaders", "true")
           .save()
-        out.unpersist()
-        count
+        obs.get("n").asInstanceOf[Long]
       case WriterSpec.Noop =>
         df.count()
     }
-    n
   }
 
   /** Start the standing streaming pipeline. */
@@ -102,7 +120,7 @@ object LogPipeline {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       audit: Option[AuditWriter] = None): StreamingQuery = {
     val src = LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = true,
-      cfg.maxFilesPerTrigger, cfg.tailMode)
+      cfg.maxFilesPerTrigger, cfg.tailMode, fileRegex = Some(cfg.logStreamRegex))
     val transformed = applyTransforms(src, cfg)
     val checkpoint = cfg.checkpointDir.getOrElse(
       s"/tmp/graft-checkpoints/${cfg.name}")

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 
@@ -40,10 +39,15 @@ class RolledObjectSink(
     val tmpl = template
     val maxBytes = maxObjectBytes
     val sep = recordSeparator
+    // the SESSION's Hadoop conf (S3 credentials, endpoints) must reach the
+    // executor-side FileSystem — a bare `new Configuration()` silently drops
+    // anything set via spark.hadoop.* outside defaults
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     df.select("value").as[Array[Byte]]
       .mapPartitions { rows =>
         val partitionId = org.apache.spark.TaskContext.getPartitionId()
-        val fs = FileSystem.get(new java.net.URI(base), new Configuration())
+        val fs = FileSystem.get(new java.net.URI(base), serConf.value)
         val written = Seq.newBuilder[(String, Long, Long)]
         var seq = 0
         var out: org.apache.hadoop.fs.FSDataOutputStream = null

@@ -172,6 +172,76 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("logStreamRegex gates stream membership in batch, file-stream and tail modes") {
+    // reference: monitor/LogStreamManager.java:384-477 — only file NAMES
+    // fully matching the regex belong to the stream
+    val logDir = tempDir("graft-re-logs")
+    Files.writeString(logDir.resolve("app.log"), "data:in1\n")
+    Files.writeString(logDir.resolve("app.log.1"), "data:in2\n")
+    Files.writeString(logDir.resolve("other.log"), "data:out\n")
+
+    def cfg(name: String, tail: Boolean) = cfgFor(name, logDir,
+      tempDir(s"graft-re-o-$name"), tempDir(s"graft-re-c-$name"))
+      .copy(logStreamRegex = "app\\.log.*", tailMode = tail)
+
+    def values(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+
+    // batch replay
+    assert(values(LogPipeline.runBatch(spark, cfg("re-b", tail = false)).collect()) ==
+      Set("payload=in1", "payload=in2"))
+
+    // streaming file source
+    val c1 = cfg("re-s", tail = false)
+    val q1 = LogPipeline.start(spark, c1, Trigger.ProcessingTime("100 milliseconds"))
+    q1.processAllAvailable(); q1.stop()
+    val outDir1 = c1.writer.asInstanceOf[WriterSpec.Files].path
+    assert(values(spark.read.parquet(outDir1).collect()) == Set("payload=in1", "payload=in2"))
+
+    // tail mode: the non-matching file is never even listed
+    val c2 = cfg("re-t", tail = true)
+    val q2 = LogPipeline.start(spark, c2, Trigger.ProcessingTime("100 milliseconds"))
+    q2.processAllAvailable(); q2.stop()
+    val outDir2 = c2.writer.asInstanceOf[WriterSpec.Files].path
+    assert(values(spark.read.parquet(outDir2).collect()) == Set("payload=in1", "payload=in2"))
+  }
+
+  test("kafka sink projection carries _mid/_ots headers in the Kafka writer encoding") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.operators.Transforms
+    val logDir = tempDir("graft-kh-logs")
+    Files.writeString(logDir.resolve("k.log"), "data:a\ndata:b\n")
+    val cfg = cfgFor("kafka-headers", logDir, tempDir("graft-kh-o"), tempDir("graft-kh-c"))
+    val df = LogPipeline.runBatch(spark, cfg)
+      .withColumn("topic", lit("t"))
+      .withColumn("headers", map_concat(col("headers"),
+        map(lit("_mid"), Transforms.midHeader(lit(7L), lit(42L)),
+            lit("_ots"), Transforms.otsHeader(lit(123456789L)))))
+    val out = LogPipeline.kafkaSinkProjection(df)
+    // exact Kafka writer contract: key/value/partition/topic +
+    // headers array<struct<key:string,value:binary>>
+    assert(out.columns.toSeq == Seq("key", "value", "partition", "topic", "headers"))
+    val hType = out.schema("headers").dataType
+    assert(hType == ArrayType(StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", BinaryType))), containsNull = false), s"got $hType")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val hs = r.getSeq[org.apache.spark.sql.Row](4)
+        .map(h => h.getString(0) -> h.getAs[Array[Byte]](1)).toMap
+      assert(new String(hs("az")) == "test-az")
+      assert(hs("_mid").length == 16 && hs("_ots").length == 8)
+      assert(BigInt(1, hs("_ots")).toLong == 123456789L)
+      assert(BigInt(1, hs("_mid").take(8)).toLong == 7L)
+      assert(BigInt(1, hs("_mid").drop(8)).toLong == 42L)
+    }
+    // a headerless frame degrades to the 4-column contract
+    assert(LogPipeline.kafkaSinkProjection(df.drop("headers")).columns.toSeq ==
+      Seq("key", "value", "partition", "topic"))
+  }
+
   test("PipelineConfig.fromProperties parses singer-style properties") {
     val props =
       """logName=app_log
