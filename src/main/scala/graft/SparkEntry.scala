@@ -341,6 +341,63 @@ object SparkEntry {
         .select(col("doc_id"), col("checksum"),
           col("checksumValid").cast("long").as("checksum_valid"))
         .orderBy("doc_id")),
+    "s12_avro_roundtrip" -> ((s, d) => {
+      // schema-on-read: events encoded to binary avro on executors, then
+      // decoded back by the native avro_decode expression — the oracle is
+      // the original table (bit-exact round-trip, incl. null-union strings)
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"Ev","fields":[
+           {"name":"event_id","type":"long"},
+           {"name":"event_type","type":["null","string"],"default":null},
+           {"name":"value","type":"double"}]}""".stripMargin
+      val payloads = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+        .map { case (id, et, v) =>
+          graft.functions.WireCodecs.avroEncode(schemaJson, Long.box(id), et, Double.box(v))
+        }.toDF("payload")
+      payloads
+        .select(graft.plans.SchemaDecode.avroDecode(col("payload"), schemaJson).as("r"))
+        .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
+        .orderBy("event_id")
+    }),
+    "s13_proto_roundtrip" -> ((s, d) => {
+      // protobuf wire format: hand-encoded on executors, decoded by the
+      // native proto_decode expression (varint + length-delim + fixed64)
+      import s.implicits._
+      import graft.functions.WireCodecs._
+      import graft.plans.SchemaDecode
+      val payloads = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)]
+        .map { case (id, et, v) => protoMessage { o =>
+          writeInt64(o, 1, id); writeString(o, 2, et); writeDouble(o, 3, v)
+          // an UNDECLARED field the decoder must skip (forward compatibility)
+          writeInt64(o, 9, 42L)
+        } }.toDF("payload")
+      payloads
+        .select(SchemaDecode.protoDecode(col("payload"), Seq(
+          SchemaDecode.ProtoField(1, "event_id", "int64"),
+          SchemaDecode.ProtoField(2, "event_type", "string"),
+          SchemaDecode.ProtoField(3, "value", "double"))).as("r"))
+        .select(col("r.event_id").as("event_id"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
+        .orderBy("event_id")
+    }),
+    "s11_pack_messages" -> ((s, d) => {
+      // numMessagesPerLogMessage packing (reference:
+      // reader/TextLogFileReader.java:161-189): 4 consecutive messages per
+      // packed LogMessage, per simulated file; only exchange is the
+      // (file, bucket) hash shuffle carrying each line once
+      import org.apache.spark.sql.expressions.Window
+      val lines = t(s, d, "documents")
+        .select((col("doc_id") % 10).as("file_id"), col("doc_id"), col("text"))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy("file_id").orderBy("doc_id")) - 1).cast("long"))
+      Transforms.packMessages(lines, 4, valueCol = "text",
+          fileCol = "file_id", posCol = "pos")
+        .orderBy("file_id", "bucket")
+    }),
     "s10_sql_surface" -> ((s, d) => {
       // the registered SQL functions, driven through spark.sql itself
       graft.plans.GraftFunctions.register(s)
@@ -771,6 +828,17 @@ object SparkEntry {
          lpad(hex(event_id), 16, '0') || lpad(hex(user_id), 16, '0') AS mid,
          lpad(hex(epoch_ms(ts)), 16, '0') AS ots
          FROM events ORDER BY event_id""",
+    // s12/s13: encode→decode round-trips — the oracle is the source table
+    "s12_avro_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "s13_proto_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "s11_pack_messages" ->
+      """WITH l AS (SELECT doc_id % 10 AS file_id, doc_id, text,
+           row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1 AS pos
+         FROM documents)
+         SELECT file_id, pos // 4 AS bucket, string_agg(text, chr(10) ORDER BY pos) AS text
+         FROM l GROUP BY 1, 2 ORDER BY file_id, bucket""",
     "s10_sql_surface" ->
       """WITH s AS (SELECT doc_id,
            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks

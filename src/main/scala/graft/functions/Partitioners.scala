@@ -104,3 +104,58 @@ object PartitionMetadata {
   def skipLeaderless(partitionLeaders: Map[Int, Option[Int]]): Seq[Int] =
     partitionLeaders.collect { case (p, Some(_)) => p }.toSeq.sorted
 }
+
+/** One partition's live metadata: leader broker (None = leaderless) and the
+  * leader's rack/AZ. */
+case class PartitionInfo(leader: Option[Int], rack: String)
+
+/** Periodically refreshed topic metadata feeding [[PartitionMetadata]] —
+  * the live half the reference gets from AdminClient
+  * (reference: writer/partitioners/LocalityAwarePartitioner.java:60-104
+  * refreshes every 10 s). `fetch` is the AdminClient-shaped seam
+  * (`describeTopics` → partition → (leader, rack)), injectable for tests
+  * and swappable for a real client where one is on the classpath.
+  *
+  * Failure semantics mirror the reference: a failed refresh KEEPS the
+  * last-known-good metadata (stale beats none); with no metadata at all the
+  * resolution returns empty and the caller degrades to the Default
+  * partitioner. Refresh runs at most once per `refreshIntervalMs`, on the
+  * driver, per micro-batch at most — executors never see metadata RPCs. */
+class PartitionMetadataCache(
+    fetch: () => Map[Int, PartitionInfo],
+    refreshIntervalMs: Long = 10000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private var cached: Map[Int, PartitionInfo] = Map.empty
+  private var everFetched = false
+  private var lastFetchMs = 0L
+
+  /** Refresh if due; never throws. Returns whether a refresh succeeded. */
+  def maybeRefresh(): Boolean = synchronized {
+    val now = clock()
+    if (everFetched && now - lastFetchMs < refreshIntervalMs) false
+    else {
+      everFetched = true
+      lastFetchMs = now
+      try { cached = fetch(); true }
+      catch { case _: Exception => false } // keep last-known-good
+    }
+  }
+
+  /** Writable partition set: leaderless dropped (when asked), then
+    * locality-filtered with the reference's fall-back-to-all. Empty iff no
+    * metadata has ever been fetched. */
+  def writablePartitions(localRack: String, skipNoLeader: Boolean = true): Seq[Int] =
+    synchronized {
+      maybeRefresh()
+      if (cached.isEmpty) Seq.empty
+      else {
+        val live =
+          if (skipNoLeader)
+            PartitionMetadata.skipLeaderless(cached.view.mapValues(_.leader).toMap)
+          else cached.keys.toSeq.sorted
+        PartitionMetadata.localPartitions(
+          cached.collect { case (p, i) if live.contains(p) => p -> i.rack }, localRack)
+      }
+    }
+}

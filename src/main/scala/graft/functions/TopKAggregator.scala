@@ -16,6 +16,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * behavior: partial sketches merge by counter-sum then trim, so the
   * shuffle carries `capacity` counters per partition, never the stream.
   *
+  * APPROXIMATION REGIME of the merge: the trim keeps the top `capacity` by
+  * summed count WITHOUT folding the dropped counters' min-count into the
+  * survivors, so after a lossy merge the per-item error bound is the SUM of
+  * the per-partition evicted minima, not the single-sketch Space-Saving
+  * bound (and an item dropped here cannot re-enter). Exactness still holds
+  * whenever global distinct items ≤ capacity — the regime the d11/d12
+  * oracles pin. Size `capacity` ≫ true top-k (the usual 10-100× rule) when
+  * using it as a sketch.
+  *
   * The reference has no aggregate surface at all (SURVEY §2.6); this is
   * the engine's `Aggregator`-shaped extension point, registered for SQL by
   * `functions.udaf`.

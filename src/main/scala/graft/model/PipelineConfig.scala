@@ -14,13 +14,16 @@ import scala.jdk.CollectionConverters._
   */
 sealed trait ReaderSpec
 object ReaderSpec {
-  /** One record per line (reference: reader/TextLogFileReader.java). */
+  /** One record per line (reference: reader/TextLogFileReader.java).
+    * `numMessagesPerLogMessage` > 1 packs that many consecutive lines into
+    * one message (reference: TextLogFileReader.java:161-189). */
   case class TextLine(
       filterRegex: Option[String] = None,
       prependTimestamp: Boolean = false,
       prependHostname: Boolean = false,
       prependDelimiter: String = " ",
-      trimTailingNewline: Boolean = true) extends ReaderSpec
+      trimTailingNewline: Boolean = true,
+      numMessagesPerLogMessage: Int = 1) extends ReaderSpec
   /** Multi-line records delimited by a start-pattern
     * (reference: reader/TextMessageReader.java:88-138). */
   case class TextMultiline(
@@ -64,6 +67,20 @@ object WriterSpec {
     * (reference: writer/s3/S3Writer.java; see graft.streaming.RolledObjectSink). */
   case class RolledObjects(baseDir: String, keyFormat: String,
       maxObjectBytes: Long = 50L * 1024 * 1024) extends WriterSpec
+  /** Pulsar sink family (reference: writer/pulsar/PulsarWriter.java).
+    * Config-validation and message-routing parity are implemented and
+    * spec-pinned; the producer itself needs a pulsar-client jar this build
+    * does not ship, so an executed write fails with a clear error.
+    * Compression values per the reference's CompressionType check
+    * (PulsarWriter.java validateConfig). */
+  case class Pulsar(serviceUrl: String, topic: String,
+      compressionType: String = "LZ4",
+      writeTimeoutSeconds: Int = 60) extends WriterSpec {
+    require(WriterSpec.pulsarCompressionTypes.contains(compressionType.toUpperCase),
+      s"Invalid compression type:$compressionType")
+    require(writeTimeoutSeconds >= 0, "Write timeout can't be a negative number")
+  }
+  private[model] val pulsarCompressionTypes = Set("NONE", "LZ4", "ZLIB", "ZSTD", "SNAPPY")
   case object Noop extends WriterSpec
 }
 
@@ -112,7 +129,9 @@ object PipelineConfig {
             filterRegex = opt("reader.text.filterMessageRegex"),
             prependTimestamp = opt("reader.text.prependTimestamp").exists(_.toBoolean),
             prependHostname = opt("reader.text.prependHostname").exists(_.toBoolean),
-            prependDelimiter = opt("reader.text.prependFieldDelimiter").getOrElse(" "))
+            prependDelimiter = opt("reader.text.prependFieldDelimiter").getOrElse(" "),
+            numMessagesPerLogMessage =
+              opt("reader.text.numMessagesPerLogMessage").map(_.toInt).getOrElse(1))
         }
     }
     val transforms = Seq.newBuilder[TransformSpec]
@@ -120,22 +139,33 @@ object PipelineConfig {
       transforms += TransformSpec.RegexModifier(re, repl)
     for (pct <- opt("processor.samplingPercent")) transforms += TransformSpec.SampleDecider(pct.toInt)
 
-    val numPartitions = opt("writer.kafka.numPartitions").map(_.toInt).getOrElse(32)
-    val partitioner = opt("writer.kafka.partitioner.class").map(_.toLowerCase) match {
+    val writerType = opt("writer.type").map(_.toLowerCase).getOrElse("noop")
+    val numPartitions = opt("writer.kafka.numPartitions")
+      .orElse(opt("writer.pulsar.numPartitions")).map(_.toInt).getOrElse(32)
+    val partitioner = opt("writer.kafka.partitioner.class")
+        .orElse(opt("writer.pulsar.partitionerClass")).map(_.toLowerCase) match {
       case Some(c) if c.contains("crc32") => PartitionerSpec.Crc32Key(numPartitions)
       case Some(c) if c.contains("murmur") => PartitionerSpec.MurmurKey(numPartitions)
       case Some(c) if c.contains("md5") => PartitionerSpec.Md5StringKey(numPartitions)
       case Some(c) if c.contains("roundrobin") => PartitionerSpec.RoundRobin(numPartitions)
       case Some(c) if c.contains("singlepartition") => PartitionerSpec.SinglePartition(numPartitions)
       case Some(_) => PartitionerSpec.Default
+      // the reference's pulsar DefaultPartitioner is RANDOM
+      // (writer/pulsar/DefaultPartitioner.java), kafka's default is crc32
+      case None if writerType == "pulsar" => PartitionerSpec.Default
       case None => PartitionerSpec.Crc32Key(numPartitions)
     }
-    val writer = opt("writer.type").map(_.toLowerCase).getOrElse("noop") match {
+    val writer = writerType match {
       case "kafka" => WriterSpec.Kafka(
         opt("writer.kafka.bootstrap.servers").getOrElse("localhost:9092"),
         opt("writer.kafka.topic").getOrElse(name),
         opt("writer.kafka.auditTopic"))
       case "file" | "s3" => WriterSpec.Files(opt("writer.file.path").getOrElse(s"/tmp/$name"))
+      case "pulsar" => WriterSpec.Pulsar(
+        opt("writer.pulsar.serviceUrl").getOrElse("pulsar://localhost:6650"),
+        opt("writer.pulsar.topic").getOrElse(name),
+        opt("writer.pulsar.compressionType").getOrElse("LZ4"),
+        opt("writer.pulsar.writeTimeoutInSeconds").map(_.toInt).getOrElse(60))
       case _ => WriterSpec.Noop
     }
     PipelineConfig(

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ScoredTopKAggregator, VectorFunctions}
+import graft.plans.VectorExpressions
+
+/** Persisted IVF index — the at-rest form of [[Similarity.ivfTopK]]:
+  *
+  *   `<path>/centroids/`  k rows (centroid_id, centroid_vec)
+  *   `<path>/corpus/`     the corpus partitioned BY CELL on disk
+  *
+  * Searches read only the probed cells' partitions: Spark's partition
+  * pruning turns nProbe/k of the data into the scan (`PartitionFilters` on
+  * `cell`, spec-verified). At 100 TB that is the difference between an
+  * index probe and a full-corpus scan. Build cost is one k-means fit plus
+  * one cell-partitioned shuffle-write of the corpus — both linear, done
+  * once, amortized over every query after.
+  */
+object IvfIndex {
+
+  /** Fit k-means, assign cells, write the index. Returns the SSE history of
+    * the fit (non-increasing; exposed for build-quality monitoring). */
+  def build(corpus: DataFrame, path: String, k: Int, iterations: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Double] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = KMeans.fitModel(corpus, k, iterations, vecCol, idCol)
+    model.centroids.map { case (id, v) => (id, v.toSeq) }
+      .toDF("centroid_id", "centroid_vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = model.centroids.map { case (id, v) => (id, v) }
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+          .getField("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    model.sseHistory
+  }
+
+  case class Loaded(spark: SparkSession, path: String,
+      centroids: Seq[(Int, Array[Double])],
+      vecCol: String, idCol: String) {
+
+    /** Top-k by cosine for each query, probing `nProbe` cells. The corpus
+      * scan is partition-pruned to the probed cells. */
+    def search(queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+      val topk = udaf(new ScoredTopKAggregator(k))
+      val queryCells = queries
+        .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+        .withColumn("cell",
+          explode(transform(
+            VectorExpressions.nearestCells(col("query_vec"), centroids, nProbe),
+            s => s.getField("cell"))))
+      // driver-side probe-cell set → a LITERAL isin filter, so Catalyst
+      // prunes the corpus partitions BEFORE the scan (a join filter on the
+      // partition column would not prune at planning time)
+      val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
+      val corpus = spark.read.parquet(s"$path/corpus")
+        .filter(col("cell").isin(probed.toSeq: _*))
+        .select(col("cell"), col(idCol).cast("long").as("corpus_id"),
+          col(vecCol).as("corpus_vec"))
+      val scored = corpus.join(broadcast(queryCells), Seq("cell"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+      scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("query_id"), col("s.id").as("corpus_id"),
+          col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+    }
+  }
+
+  def load(spark: SparkSession, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Loaded =
+    Loaded(spark, path,
+      Similarity.collectCentroids(spark.read.parquet(s"$path/centroids")),
+      vecCol, idCol)
+}

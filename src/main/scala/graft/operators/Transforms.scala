@@ -39,6 +39,52 @@ object Transforms {
   /** Trim one trailing newline (reference: TextLogFileReader.java:201-203). */
   def trimTrailingNewline(c: Column): Column = regexp_replace(c, "\n$", "")
 
+  /** Pack `n` consecutive messages into one LogMessage — the reference's
+    * `numMessagesPerLogMessage` batching
+    * (reference: reader/TextLogFileReader.java:161-189,
+    * config.thrift numMessagesPerLogMessage). Consecutive = ascending
+    * `posCol` within each `fileCol` group; members join with '\n' and the
+    * result carries no trailing newline (reference trims it,
+    * TextLogFileReader.java:201-203). If ANY member fails `filterRegex`
+    * (full match, as the reference's Matcher.matches), the whole packed
+    * message is dropped — the reference marks it with a skipMessage header
+    * that processors discard, same delivered output.
+    *
+    * Scale: the only exchange is a hash shuffle on (file, bucket) carrying
+    * each line once; per-group state is ≤ n lines. No per-file window sort.
+    * Returns (fileCol, bucket, valueCol). */
+  def packMessages(df: DataFrame, n: Int, valueCol: String = "value",
+      fileCol: String = "path", posCol: String = "pos",
+      filterRegex: Option[String] = None): DataFrame = {
+    require(n >= 1, s"numMessagesPerLogMessage must be >= 1, got $n")
+    val v = col(valueCol)
+    val keep = filterRegex.map(re => v.rlike(s"^(?:$re)$$")).getOrElse(lit(true))
+    df.groupBy(col(fileCol), floor(col(posCol) / n).as("bucket"))
+      .agg(
+        min(keep.cast("int")).as("_all_keep"),
+        array_join(transform(array_sort(collect_list(struct(col(posCol).as("p"), v.as("v")))),
+          s => s.getField("v")), "\n").as(valueCol))
+      .filter(col("_all_keep") === 1)
+      .drop("_all_keep")
+  }
+
+  /** Iterator twin of [[packMessages]] for the streaming reader path (a
+    * narrow flatMap per file — aggregation-free, so legal in a streaming
+    * plan; and zero-shuffle, unlike the DataFrame form). Both forms are
+    * pinned to each other by a property spec. `memberPrefix` is applied per
+    * member BEFORE packing (reference prepends ts/host per sub-message,
+    * TextLogFileReader.java:178-188). */
+  def packLines(lines: Iterator[String], n: Int,
+      filterRegex: Option[String] = None,
+      memberPrefix: String => String = identity): Iterator[String] = {
+    require(n >= 1, s"numMessagesPerLogMessage must be >= 1, got $n")
+    val p = filterRegex.map(java.util.regex.Pattern.compile)
+    lines.grouped(n).flatMap { g =>
+      if (p.exists(re => g.exists(m => !re.matcher(m).matches()))) Iterator.empty
+      else Iterator(g.map(memberPrefix).mkString("\n"))
+    }
+  }
+
   /** Decider-based message sampling: pass iff `deciderValue > uniform(0,100)`
     * (reference: processor/MemoryEfficientLogStreamProcessor.java:114-120).
     * `keyCol=Some(k)` gives the deterministic variant (hash-mod-100 of the

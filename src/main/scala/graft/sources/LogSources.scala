@@ -22,6 +22,10 @@ import graft.model.ReaderSpec
   */
 object LogSources {
 
+  private lazy val hostname: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "unknown" }
+
   /** Full-match file-NAME gate for `logStreamRegex` — only files whose name
     * matches belong to the stream (reference:
     * monitor/LogStreamManager.java:384-477 uses Matcher.matches on the file
@@ -117,6 +121,42 @@ object LogSources {
     }.toDF()
   }
 
+  /** Packed text lines: `n` consecutive lines per message, assembled per
+    * file (wholetext keeps order exact, the flatMap is narrow and
+    * streaming-safe). Reader-level filter/prepend fold INTO the packing
+    * (reference: TextLogFileReader.java:161-189 — filter marks the whole
+    * pack skipped, ts/host prepends per member). */
+  def textLinesPacked(spark: SparkSession, dir: String, spec: graft.model.ReaderSpec.TextLine,
+      hostname: String, glob: String = "*", streaming: Boolean = false,
+      maxFilesPerTrigger: Option[Int] = None,
+      fileRegex: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val files =
+      if (streaming) {
+        val r = spark.readStream.option("wholetext", "true")
+        maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+        filterName(r.text(s"$dir/$glob").withColumn("path", input_file_name()), fileRegex)
+      } else
+        filterName(spark.read.option("wholetext", "true").textFile(s"$dir/$glob").toDF("value")
+          .withColumn("path", input_file_name()), fileRegex)
+    val n = spec.numMessagesPerLogMessage
+    val filter = spec.filterRegex
+    val (prependTs, prependHost, delim) =
+      (spec.prependTimestamp, spec.prependHostname, spec.prependDelimiter)
+    files.as[(String, String)].flatMap { case (content, path) =>
+      val lines = content.split("\n", -1)
+      val trimmed = if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1) else lines
+      val prefix: String => String = m => {
+        val sb = new StringBuilder
+        if (prependTs) { sb.append(System.currentTimeMillis()); sb.append(delim) }
+        if (prependHost) { sb.append(hostname); sb.append(delim) }
+        sb.append(m); sb.toString
+      }
+      graft.operators.Transforms.packLines(trimmed.iterator, n, filter, prefix)
+        .map(TextLogRow(path, _))
+    }.toDF()
+  }
+
   // ------------------------------------------------------------------ thrift
 
   private def decodeThriftFiles(df: DataFrame, maxMessageBytes: Int): DataFrame = {
@@ -173,7 +213,10 @@ object LogSources {
       r
     }
     spec match {
-      case ReaderSpec.TextLine(_, _, _, _, _) if streaming && tailMode =>
+      case tl: ReaderSpec.TextLine if streaming && tailMode =>
+        require(tl.numMessagesPerLogMessage == 1,
+          "numMessagesPerLogMessage > 1 is not supported in tail mode " +
+            "(packing needs whole-file assembly; tail emits partial windows)")
         tail("text").load()
           .select(col("value").cast("string").as("value"), col("path"))
       case ReaderSpec.TextMultiline(re, _) if streaming && tailMode =>
@@ -183,7 +226,10 @@ object LogSources {
         tail("thrift").load()
           .select(col("path"), col("key"), col("value"), col("timestampNanos"),
             col("checksum"), col("byteOffset").as("nextByteOffset"))
-      case ReaderSpec.TextLine(_, _, _, _, _) =>
+      case tl: ReaderSpec.TextLine if tl.numMessagesPerLogMessage > 1 =>
+        textLinesPacked(spark, dir, tl, hostname, streaming = streaming,
+          maxFilesPerTrigger = maxFilesPerTrigger, fileRegex = fre)
+      case _: ReaderSpec.TextLine =>
         filterName(
           if (streaming) textLinesStream(spark, dir, maxFilesPerTrigger = maxFilesPerTrigger)
           else textLines(spark, dir), fre)

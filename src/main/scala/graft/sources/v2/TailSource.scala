@@ -107,6 +107,44 @@ object TailOffset {
   }
 }
 
+/** Driver-side multiline record alignment with BOUNDED IO: find the last
+  * `messageStartRegex` match in `(startOff, cappedEnd)` by scanning backward
+  * in doubling chunks from the window's tail. Byte↔char math uses ISO-8859-1
+  * (1:1) so offsets are exact for arbitrary bytes; patterns are expected to
+  * match ASCII. Pure over an injected `readRange` so specs can meter bytes
+  * read. */
+private[sources] object MultilineAlign {
+
+  /** Returns the largest match start in `(startOff, cappedEnd)`, or
+    * `startOff` when there is none. Candidate matches inside a chunk that
+    * begins mid-stream only count AFTER the chunk's first newline (a
+    * MULTILINE `^` would otherwise false-match at the chunk's cut point);
+    * matches missed that way sit in the next, larger chunk. */
+  def lastStartBoundary(pattern: java.util.regex.Pattern, startOff: Long, cappedEnd: Long,
+      readRange: (Long, Long) => Array[Byte], initialChunkBytes: Int = 256 << 10): Long = {
+    var chunk = math.max(initialChunkBytes.toLong, 16L)
+    while (true) {
+      val lo = math.max(startOff, cappedEnd - chunk)
+      val text = new String(readRange(lo, cappedEnd),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      // a match AT startOff is the old boundary (no progress) — require > 0
+      val minPos =
+        if (lo == startOff) 1
+        else text.indexOf('\n') match {
+          case -1 => text.length // no line boundary in chunk: no valid starts
+          case i => i + 1
+        }
+      val m = pattern.matcher(text)
+      var last = -1
+      while (m.find()) if (m.start() >= minPos) last = m.start()
+      if (last >= 0) return lo + last
+      if (lo == startOff) return startOff
+      chunk *= 2
+    }
+    startOff // unreachable
+  }
+}
+
 class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long],
     startRegex: Option[String] = None, fileRegex: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
@@ -183,24 +221,23 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
   /** Multiline boundary: the last `messageStartRegex` match position in
     * (startOff, cappedEnd] — every record BEFORE a following start is
     * complete; the in-progress final record stays un-committed until its
-    * successor appears. Byte↔char math uses ISO-8859-1 (1:1) so offsets are
-    * exact for arbitrary bytes; patterns are expected to match ASCII. */
+    * successor appears. Delegates to [[MultilineAlign.lastStartBoundary]],
+    * which scans BACKWARD in chunks so the driver reads O(distance to the
+    * last record start), not O(new bytes) — a multi-GB append between
+    * triggers costs one tail chunk, not a multi-GB driver read. */
   private def alignToMultilineBoundary(path: String, startOff: Long, cappedEnd: Long,
       fileLen: Long): Long = {
     val p = startPattern.getOrElse(throw new IllegalArgumentException(
       "format=multiline requires option messageStartRegex"))
     val raf = new RandomAccessFile(path, "r")
-    try {
-      val winLen = (math.min(cappedEnd, fileLen) - startOff).toInt
-      val buf = new Array[Byte](winLen)
-      raf.seek(startOff)
-      raf.readFully(buf)
-      val text = new String(buf, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val m = p.matcher(text)
-      var last = -1
-      while (m.find()) if (m.start() > 0) last = m.start()
-      if (last > 0) startOff + last else startOff
-    } finally raf.close()
+    try MultilineAlign.lastStartBoundary(p, startOff, math.min(cappedEnd, fileLen),
+      (lo, hi) => {
+        val buf = new Array[Byte]((hi - lo).toInt)
+        raf.seek(lo)
+        raf.readFully(buf)
+        buf
+      })
+    finally raf.close()
   }
 
   /** Largest record boundary in (startOff, cappedEnd]; if a single record

@@ -40,7 +40,10 @@ object LogPipeline {
     // reader-level text options
     var out = df
     cfg.reader match {
-      case ReaderSpec.TextLine(filterRegex, prependTs, prependHost, delim, trim) =>
+      // packed readers fold filter/prepend/trim into the packing itself
+      // (reference: TextLogFileReader.java:161-189); nothing to re-apply
+      case tl: ReaderSpec.TextLine if tl.numMessagesPerLogMessage > 1 => ()
+      case ReaderSpec.TextLine(filterRegex, prependTs, prependHost, delim, trim, _) =>
         filterRegex.foreach(re => out = Transforms.filterRegex(out, valueCol, re))
         if (trim) out = out.withColumn(valueCol, Transforms.trimTrailingNewline(col(valueCol)))
         val prefixes =
@@ -81,6 +84,21 @@ object LogPipeline {
     else df.select(base: _*)
   }
 
+  /** The Pulsar message projection (reference:
+    * writer/pulsar/PulsarWriter.java:190-210 builds key+value messages;
+    * PulsarMessageRouter.java:40-51 routes by
+    * `partitioner.partition(keyBytes, numPartitions)`). The `partition`
+    * column IS the router output — [[Transforms.withPartition]] applies the
+    * same partitioner family the router would. Headers travel as Pulsar
+    * message properties (string→string). */
+  def pulsarSinkProjection(df: DataFrame): DataFrame = {
+    val base = Seq("key", "value", "partition", "topic").map(col)
+    if (df.columns.contains("headers"))
+      df.select(base :+ transform_values(col("headers"),
+        (_, v) => v.cast("string")).as("properties"): _*)
+    else df.select(base: _*)
+  }
+
   /** Write one epoch's records to the configured sink, returning the record
     * count for the audit side-channel. The count comes from `observe()` —
     * ONE pass, collected as a side effect of the sink write itself. The
@@ -110,6 +128,13 @@ object LogPipeline {
           .option("includeHeaders", "true")
           .save()
         obs.get("n").asInstanceOf[Long]
+      case WriterSpec.Pulsar(serviceUrl, _, _, _) =>
+        // config validation + routing are implemented and spec-pinned; the
+        // producer itself needs a pulsar-client jar this build does not ship
+        pulsarSinkProjection(df) // validates the projection contract eagerly
+        throw new UnsupportedOperationException(
+          s"Pulsar producer for $serviceUrl requires pulsar-client on the " +
+            "classpath (not shipped in this build); see ROADMAP.md")
       case WriterSpec.Noop =>
         df.count()
     }
@@ -139,27 +164,52 @@ object LogPipeline {
   }
 
 
+  /** Per-cycle observability record of [[runAdaptiveCycles]]: the interval
+    * chosen AFTER each cycle and the batch cap each cycle RAN with. */
+  case class AdaptiveRun(intervals: Seq[Long], batchSizes: Seq[Option[Int]])
+
+  /** Batch cap a failed UNBOUNDED cycle falls to before halving — a failing
+    * cycle must not stay unbounded or the retry just fails the same way. */
+  val FailureFallbackBatchFiles = 1024
+
   /** Adaptive polling loop — the reference's exponential poll backoff
     * (min→max ×2 on an empty cycle, reset on data; reference:
-    * processor/DefaultLogStreamProcessor.java:387-402): each cycle runs the
+    * processor/DefaultLogStreamProcessor.java:387-402) plus its batch-size
+    * adaptation (reference: DefaultLogStreamProcessor.java:356-364): a
+    * FAILED cycle halves the file cap (floor 1) so the retry bites off less;
+    * any successful cycle restores the configured cap. Each cycle runs the
     * pipeline with `Trigger.AvailableNow` (drain everything, then stop —
-    * checkpoint-resumed next cycle) and sleeps the adapted interval.
-    * Returns the interval history (ms) for observability/tests. */
+    * checkpoint-resumed next cycle) and sleeps the adapted interval; a
+    * failed cycle also backs the interval off (the reference treats -1
+    * processed like 0). `startCycle` is injectable so failure paths are
+    * testable without poisoning a real sink. */
   def runAdaptiveCycles(spark: SparkSession, cfg: PipelineConfig,
       minIntervalMs: Long, maxIntervalMs: Long, cycles: Int,
       audit: Option[AuditWriter] = None,
-      sleep: Long => Unit = Thread.sleep): Seq[Long] = {
+      sleep: Long => Unit = Thread.sleep,
+      startCycle: (SparkSession, PipelineConfig, Option[AuditWriter]) => StreamingQuery =
+        (s, c, a) => start(s, c, Trigger.AvailableNow(), a)): AdaptiveRun = {
     var interval = minIntervalMs
-    val history = Seq.newBuilder[Long]
+    val configured = cfg.maxFilesPerTrigger
+    var batch = configured
+    val intervals = Seq.newBuilder[Long]
+    val batches = Seq.newBuilder[Option[Int]]
     for (_ <- 1 to cycles) {
-      val q = start(spark, cfg, Trigger.AvailableNow(), audit)
-      q.awaitTermination()
-      val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
-      interval = if (rows == 0) math.min(interval * 2, maxIntervalMs) else minIntervalMs
-      history += interval
+      batches += batch
+      val rows: Long =
+        try {
+          val q = startCycle(spark, cfg.copy(maxFilesPerTrigger = batch), audit)
+          q.awaitTermination()
+          Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+        } catch { case _: Exception => -1L }
+      batch =
+        if (rows < 0) Some(math.max(1, batch.getOrElse(FailureFallbackBatchFiles) / 2))
+        else configured
+      interval = if (rows <= 0) math.min(interval * 2, maxIntervalMs) else minIntervalMs
+      intervals += interval
       sleep(interval)
     }
-    history.result()
+    AdaptiveRun(intervals.result(), batches.result())
   }
 }
 

@@ -121,6 +121,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(probe.count() == assigned.filter($"cell".isin(0, 1)).count())
   }
 
+  test("IvfIndex: build/load/search round-trip with partition-pruned probes") {
+    val rnd = new scala.util.Random(11)
+    def blob(cx: Float, cy: Float, base: Long) =
+      (0 until 40).map(i => (base + i,
+        Array(cx + rnd.nextFloat() * 0.1f, cy + rnd.nextFloat() * 0.1f)))
+    val pts = (blob(0f, 0f, 0L) ++ blob(10f, 0f, 100L) ++ blob(0f, 10f, 200L))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+    val sse = IvfIndex.build(pts, dir, k = 3, iterations = 4)
+    assert(sse.size == 4 && sse.sliding(2).forall(w => w(1) <= w(0) + 1e-9))
+
+    val idx = IvfIndex.load(spark, dir)
+    assert(idx.centroids.size == 3)
+    val q = pts.filter($"vec_id" === 100L)
+    val res = idx.search(q, k = 5, nProbe = 1).orderBy("rank")
+    // all neighbors of a blob-100 point come from blob 100 at nProbe=1
+    val ids = res.collect().map(_.getLong(1))
+    assert(ids.length == 5 && ids.forall(id => id >= 100L && id < 140L), ids.toSeq.toString)
+
+    // the probe scan is partition-pruned to the probed cell(s) — formatted
+    // explain includes scan details AQE stage toString elides
+    val probedPlan = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(probedPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters:") && l.contains("cell#")), probedPlan.take(800))
+  }
+
   test("KMeans converges on separated blobs; centroids power IVF search") {
     val rnd = new scala.util.Random(7)
     def blob(cx: Float, cy: Float, base: Long) =

@@ -32,6 +32,36 @@ class TransformsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head == "123 host-x payload")
   }
 
+  test("packMessages groups n consecutive lines; a filtered member skips the group") {
+    // reference: reader/TextLogFileReader.java:161-189 — the whole packed
+    // message is dropped if ANY member fails the filter
+    val lines = Seq(
+      ("f1", 0L, "INFO a"), ("f1", 1L, "INFO b"),   // pack 0: kept
+      ("f1", 2L, "DEBUG c"), ("f1", 3L, "INFO d"),  // pack 1: dropped (DEBUG)
+      ("f1", 4L, "INFO e"),                         // pack 2: partial tail, kept
+      ("f2", 0L, "INFO x"), ("f2", 1L, "INFO y")    // other file
+    ).toDF("path", "pos", "value")
+    val out = Transforms.packMessages(lines, 2, filterRegex = Some("INFO.*"))
+      .orderBy("path", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toList == List(
+      ("f1", 0L, "INFO a\nINFO b"),
+      ("f1", 2L, "INFO e"),
+      ("f2", 0L, "INFO x\nINFO y")))
+  }
+
+  test("packMessages (DataFrame) and packLines (iterator) agree") {
+    val raw = (0 until 47).map(i => if (i % 11 == 0) s"SKIP $i" else s"OK $i")
+    for (n <- Seq(1, 3, 5)) {
+      val itr = Transforms.packLines(raw.iterator, n, Some("OK.*")).toList
+      val df = raw.zipWithIndex.map { case (v, i) => ("f", i.toLong, v) }
+        .toDF("path", "pos", "value")
+      val dfr = Transforms.packMessages(df, n, filterRegex = Some("OK.*"))
+        .orderBy("bucket").as[(String, Long, String)].collect().map(_._3).toList
+      assert(dfr == itr, s"n=$n")
+    }
+  }
+
   test("withChecksum computes crc32 and validates") {
     val df = Seq(("a", "hello".getBytes)).toDF("id", "value")
     val row = Transforms.withChecksum(df).select("checksum", "checksumValid").collect().head

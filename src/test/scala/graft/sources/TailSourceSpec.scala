@@ -149,6 +149,41 @@ class TailSourceSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("multiline alignment reads O(tail chunk), not O(new bytes)") {
+    import graft.sources.v2.MultilineAlign
+    val p = java.util.regex.Pattern.compile("^REC", java.util.regex.Pattern.MULTILINE)
+    // an 8 MB appended window of complete records, ~40 bytes each
+    val rec = "REC " + ("x" * 35) + "\n"
+    val n = (8 << 20) / rec.length
+    val window = (rec * n).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var bytesRead = 0L
+    val readRange = (lo: Long, hi: Long) => {
+      bytesRead += hi - lo
+      java.util.Arrays.copyOfRange(window, lo.toInt, hi.toInt)
+    }
+    val boundary = MultilineAlign.lastStartBoundary(p, 0L, window.length.toLong, readRange)
+    // the last record start is the final REC line
+    assert(boundary == (n - 1).toLong * rec.length, s"boundary $boundary")
+    // driver IO is one 256 KB tail chunk, NOT the 8 MB window
+    assert(bytesRead <= (256 << 10), s"read $bytesRead bytes")
+
+    // correctness when the only start is far from the tail: scan extends
+    // backward and still finds it
+    bytesRead = 0L
+    val sparse = ("REC head\n" + ("cont line\n" * 200000)).getBytes("ISO-8859-1")
+    val b2 = MultilineAlign.lastStartBoundary(p, 0L, sparse.length.toLong, readRange2(sparse,
+      add = d => bytesRead += d))
+    assert(b2 == 0L) // match at offset 0 is the old boundary — no progress
+    // a start appended mid-window is found even when outside the first chunk
+    val mid = ("REC head\n" + ("cont\n" * 300000) + "REC mid\n" + ("cont\n" * 300000))
+      .getBytes("ISO-8859-1")
+    val b3 = MultilineAlign.lastStartBoundary(p, 0L, mid.length.toLong, readRange2(mid, _ => ()))
+    assert(b3 == "REC head\n".length + 5L * 300000)
+  }
+
+  private def readRange2(data: Array[Byte], add: Long => Unit): (Long, Long) => Array[Byte] =
+    (lo, hi) => { add(hi - lo); java.util.Arrays.copyOfRange(data, lo.toInt, hi.toInt) }
+
   test("rename-rotation keeps inode offsets: no re-ingest, tail follows the renamed file") {
     val dir = tempDir()
     val f = dir.resolve("app.log")

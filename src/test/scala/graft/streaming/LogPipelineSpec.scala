@@ -172,6 +172,37 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("numMessagesPerLogMessage packs lines in batch and streaming; filter skips whole pack") {
+    val logDir = tempDir("graft-pk-logs")
+    // 5 lines, n=2: pack0 (a,b) kept, pack1 (c, BAD d) dropped, pack2 (e) kept
+    Files.writeString(logDir.resolve("p.log"), "ok a\nok b\nok c\nBAD d\nok e\n")
+    def cfg(name: String) = PipelineConfig(
+      name = name, logDir = logDir.toString,
+      reader = ReaderSpec.TextLine(filterRegex = Some("ok.*"),
+        prependHostname = true, prependDelimiter = "|", numMessagesPerLogMessage = 2),
+      writer = WriterSpec.Files(tempDir(s"graft-pk-o-$name").toString),
+      checkpointDir = Some(tempDir(s"graft-pk-c-$name").toString))
+    val host = LogPipeline.hostname
+    val expected = Set(s"$host|ok a\n$host|ok b", s"$host|ok e")
+
+    val batch = LogPipeline.runBatch(spark, cfg("pk-b")).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(batch == expected)
+
+    val c = cfg("pk-s")
+    val q = LogPipeline.start(spark, c, Trigger.ProcessingTime("100 milliseconds"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(c.writer.asInstanceOf[WriterSpec.Files].path)
+      .collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    assert(streamed == expected)
+  }
+
+  test("numMessagesPerLogMessage round-trips through properties") {
+    val cfg = PipelineConfig.fromProperties(
+      "logName=pk\nreader.type=text\nreader.text.numMessagesPerLogMessage=5\n")
+    assert(cfg.reader.asInstanceOf[ReaderSpec.TextLine].numMessagesPerLogMessage == 5)
+  }
+
   test("logStreamRegex gates stream membership in batch, file-stream and tail modes") {
     // reference: monitor/LogStreamManager.java:384-477 — only file NAMES
     // fully matching the regex belong to the stream
@@ -242,6 +273,44 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
       Seq("key", "value", "partition", "topic"))
   }
 
+  test("pulsar writer: config validation, random default router, properties projection") {
+    // reference: writer/pulsar/PulsarWriter.java validateConfig +
+    // DefaultPartitioner (random) + PulsarMessageRouter key routing
+    intercept[IllegalArgumentException] {
+      WriterSpec.Pulsar("pulsar://x:6650", "t", compressionType = "BROTLI")
+    }
+    intercept[IllegalArgumentException] {
+      WriterSpec.Pulsar("pulsar://x:6650", "t", writeTimeoutSeconds = -1)
+    }
+    val cfg = PipelineConfig.fromProperties(
+      """logName=pl
+        |writer.type=pulsar
+        |writer.pulsar.serviceUrl=pulsar://broker:6650
+        |writer.pulsar.topic=pt
+        |writer.pulsar.compressionType=zstd
+        |writer.pulsar.numPartitions=16
+        |""".stripMargin)
+    assert(cfg.writer == WriterSpec.Pulsar("pulsar://broker:6650", "pt", "zstd", 60))
+    // no partitionerClass → reference's DefaultPartitioner (random)
+    assert(cfg.partitioner == PartitionerSpec.Default)
+    val cfg2 = PipelineConfig.fromProperties(
+      "logName=pl2\nwriter.type=pulsar\nwriter.pulsar.partitionerClass=com.x.Crc32\n" +
+        "writer.pulsar.numPartitions=16\n")
+    assert(cfg2.partitioner == PartitionerSpec.Crc32Key(16))
+
+    // projection: headers become string properties; partition is the route
+    val logDir = tempDir("graft-pl-logs")
+    Files.writeString(logDir.resolve("p.log"), "data:a\n")
+    val base = cfgFor("pl-proj", logDir, tempDir("graft-pl-o"), tempDir("graft-pl-c"))
+    val df = LogPipeline.runBatch(spark, base)
+      .withColumn("topic", org.apache.spark.sql.functions.lit("pt"))
+    val out = LogPipeline.pulsarSinkProjection(df)
+    assert(out.columns.toSeq == Seq("key", "value", "partition", "topic", "properties"))
+    val r = out.collect().head
+    assert(r.getAs[Map[String, String]]("properties")("az") == "test-az")
+    assert(r.getAs[Int]("partition") >= 0 && r.getAs[Int]("partition") < 8)
+  }
+
   test("PipelineConfig.fromProperties parses singer-style properties") {
     val props =
       """logName=app_log
@@ -264,7 +333,7 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(cfg.name == "app_log")
     assert(cfg.logDir == "/var/log/app")
     cfg.reader match {
-      case ReaderSpec.TextLine(filter, ts, host, _, _) =>
+      case ReaderSpec.TextLine(filter, ts, host, _, _, _) =>
         assert(filter.contains("^INFO.*")); assert(ts); assert(host)
       case other => fail(s"wrong reader: $other")
     }

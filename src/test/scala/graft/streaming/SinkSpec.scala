@@ -83,4 +83,42 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     val leaders = Map(0 -> Some(101), 1 -> None, 2 -> Some(103))
     assert(PartitionMetadata.skipLeaderless(leaders) == Seq(0, 2))
   }
+
+  test("PartitionMetadataCache: interval refresh, stale-on-failure, locality+leader compose") {
+    import graft.functions.{PartitionInfo, PartitionMetadataCache}
+    var now = 0L
+    var fetches = 0
+    var fail = false
+    var meta = Map(
+      0 -> PartitionInfo(Some(101), "az-1"),
+      1 -> PartitionInfo(Some(102), "az-2"),
+      2 -> PartitionInfo(None, "az-1"))
+    val cache = new PartitionMetadataCache(
+      () => { fetches += 1; if (fail) throw new RuntimeException("broker down"); meta },
+      refreshIntervalMs = 10000L, clock = () => now)
+
+    // leaderless 2 dropped, locality picks az-1 → {0}; az-3 falls back to all live
+    assert(cache.writablePartitions("az-1") == Seq(0))
+    assert(cache.writablePartitions("az-3") == Seq(0, 1))
+    assert(fetches == 1, "within interval: no second fetch")
+
+    // past the interval: refetch picks up new metadata
+    now = 10000L
+    meta = meta + (2 -> PartitionInfo(Some(103), "az-1")) + (3 -> PartitionInfo(Some(104), "az-1"))
+    assert(cache.writablePartitions("az-1") == Seq(0, 2, 3))
+    assert(fetches == 2)
+
+    // a failing refresh keeps last-known-good (stale beats none)
+    now = 20000L; fail = true
+    assert(cache.writablePartitions("az-1") == Seq(0, 2, 3))
+    assert(fetches == 3)
+    // failure doesn't hot-loop the broker: next call inside interval skips
+    assert(cache.writablePartitions("az-1") == Seq(0, 2, 3))
+    assert(fetches == 3)
+
+    // no metadata at all → empty (caller degrades to Default partitioner)
+    val empty = new PartitionMetadataCache(() => throw new RuntimeException("down"),
+      clock = () => 0L)
+    assert(empty.writablePartitions("az-1").isEmpty)
+  }
 }

@@ -66,7 +66,35 @@ class SupervisionSpec extends AnyFunSuite with SparkTestBase {
       })
     // cycle1 has data → reset to min; cycles 2-4 idle → 20, 40, 80 (capped);
     // cycle5 sees b.log → reset to min
-    assert(history == Seq(10L, 20L, 40L, 80L, 10L), s"got $history")
+    assert(history.intervals == Seq(10L, 20L, 40L, 80L, 10L), s"got $history")
     assert(spark.read.parquet(outDir.toString).count() == 2)
+  }
+
+  test("failed cycles halve the batch cap; success restores it (ref batch adaptation)") {
+    val logDir = Files.createTempDirectory("graft-bs-logs")
+    val outDir = Files.createTempDirectory("graft-bs-out")
+    Files.writeString(logDir.resolve("a.log"), "x1\n")
+    val cfg = PipelineConfig(
+      name = "bs-test", logDir = logDir.toString,
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(Files.createTempDirectory("graft-bs-cp").toString),
+      maxFilesPerTrigger = Some(8))
+    var cycle = 0
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Option[Int]]
+    val run = LogPipeline.runAdaptiveCycles(spark, cfg,
+      minIntervalMs = 10, maxIntervalMs = 80, cycles = 5, sleep = _ => (),
+      startCycle = (s, c, a) => {
+        cycle += 1
+        seen += c.maxFilesPerTrigger
+        // cycles 1-2 fail (injected writer failure); later cycles run real
+        if (cycle <= 2) throw new RuntimeException("injected epoch failure")
+        LogPipeline.start(s, c, Trigger.AvailableNow(), a)
+      })
+    // ran with: 8, then halved 4, halved 2; success restores to 8
+    assert(seen.toList == List(Some(8), Some(4), Some(2), Some(8), Some(8)), s"got $seen")
+    assert(run.batchSizes == seen.toList)
+    // failures back off the interval like empty cycles: 20, 40, then data resets
+    assert(run.intervals.take(2) == Seq(20L, 40L), s"got ${run.intervals}")
+    assert(spark.read.parquet(outDir.toString).count() == 1)
   }
 }
