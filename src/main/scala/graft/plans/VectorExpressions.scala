@@ -186,6 +186,12 @@ case class NearestCellsExpr(child: Expression,
     new GenericArrayData(out)
   }
 
+  // the centroid payload (k×dim doubles) would otherwise be dumped into
+  // every plan string — summarize instead
+  override def toString: String =
+    s"nearest_cells($child, k=${centroidIds.length}, n=$n)"
+  override def simpleString(maxFields: Int): String = toString
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
