@@ -521,6 +521,21 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
         .orderBy("bucket")
     }),
+    "e5_cosine_lsh_dup" -> ((s, d) => {
+      // embedding near-dup detection via random-hyperplane LSH
+      // (hyperplane_sketch native expr): plant scaled copies (x2.0f is
+      // EXACT in float, and sign sketches are scale-invariant, so every
+      // planted pair MUST share a bucket); the corpus itself has no pair
+      // above cosine 0.7, so the result is exactly the planted pairs -
+      // missed buckets or false positives both break the oracle
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val dups = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      Dedup.embeddingDupPairs(emb.unionByName(dups), threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
     "e4_ivf_kmeans" -> ((s, d) => {
       // full IVF path: k-means index build + probe. Float means are
       // order-sensitive in low bits, so the oracle checks INVARIANTS that a
@@ -968,6 +983,12 @@ object SparkEntry {
              FROM scored)
          SELECT centroid_id AS cell, count(*) AS n_vectors
          FROM best WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    // e5: the planted x2-scaled copies are the only pairs above the
+    // threshold (corpus max pairwise cosine < 0.7), and sign sketches are
+    // scale-invariant, so the exact result is derivable without the sketch
+    "e5_cosine_lsh_dup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
+         FROM embeddings WHERE vec_id < 20 ORDER BY id_a, id_b""",
     // e4: float k-means means are not SQL-reproducible; the oracle pins the
     // INVARIANTS a correct Lloyd's + IVF probe must satisfy (full-coverage
     // assignment, ≤k cells, non-increasing SSE, rank-sequential probes).

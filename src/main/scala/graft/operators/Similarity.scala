@@ -106,22 +106,11 @@ object Similarity {
     * randomness. */
   def cosineSelfJoinLsh(vectors: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.9, nBits: Int = 12): DataFrame = {
-    // sign sketch: bit b = sign(sum_d vec[d] * h(d,b)), h in {-1,+1}
-    val vec = col("vec")
-    val sketch = aggregate(
-      sequence(lit(0), lit(nBits - 1)),
-      lit(0L),
-      (acc, b) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (v, d) => v.cast("double") *
-              when(pmod(xxhash64(d, b), lit(2L)) === 0L, 1.0).otherwise(-1.0)),
-          lit(0.0), (s, x) => s + x)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int")))
-          .otherwise(lit(0L)))
-      })
+    // sign sketch: bit b = sign(sum_d vec[d] * h(d,b)), h in {-1,+1} — one
+    // narrow native pass (the HOF form it replaces is parity-pinned in
+    // VectorExpressionsSpec)
     val sk = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", sketch)
+      .withColumn("bucket", VectorExpressions.hyperplaneSketch(col("vec"), nBits))
     val a = sk.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("bucket"))

@@ -26,6 +26,12 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(s, t) if t == org.apache.spark.sql.types.StringType && s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def stringArrayLit(e: Expression, what: String): Seq[String] = e match {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
       items.map {
@@ -72,7 +78,17 @@ object GraftFunctions {
     "quality" -> ("quality(text) - alias of quality_score",
       args => x(TextFunctions.qualityScore(c(args(0))))),
     "word_shingles" -> ("word_shingles(text, n) - distinct word n-grams",
-      args => x(HashFunctions.wordShingles(c(args(0)), intLit(args(1), "n")))))
+      args => x(HashFunctions.wordShingles(c(args(0)), intLit(args(1), "n")))),
+    "hyperplane_sketch" ->
+      ("hyperplane_sketch(vec, nbits) - cosine-LSH sign sketch (i64)",
+      args => HyperplaneSketchExpr(args(0), intLit(args(1), "nbits"))),
+    "vec_dot" -> ("vec_dot(vec_a, vec_b) - dot product",
+      args => DotExpr(args(0), args(1))),
+    "l2_sq" -> ("l2_sq(vec_a, vec_b) - squared euclidean distance",
+      args => L2SqExpr(args(0), args(1))),
+    "avro_decode" ->
+      ("avro_decode(bytes, 'schema-json') - binary avro datum to struct",
+      args => AvroDecodeExpr(args(0), stringLit(args(1), "schema-json"))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -196,6 +196,58 @@ case class NearestCellsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `hyperplane_sketch(vec)`: `nBits`-bit random-hyperplane sign sketch for
+  * cosine LSH — bit b is set iff `sum_d vec[d] * h(d,b) > 0` with
+  * `h(d,b) ∈ {+1,-1}` derived from Spark SQL `xxhash64(d, b)` (seed 42,
+  * left-fold — exact parity with the declarative form, pinned by spec and
+  * by the e5 fixture oracle's independent Python reimplementation). The
+  * HOF form is interpreted per (dim × bit) with boxing; this is one tight
+  * loop per row with the sign table precomputed once per task. */
+case class HyperplaneSketchExpr(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sketch"
+
+  @transient private lazy val childRead = VecUtil.reader(child.dataType)
+  @transient private var signs: Array[Array[Double]] = _ // [bit][dim]
+
+  private def signsFor(dim: Int): Array[Array[Double]] = {
+    if (signs == null || signs(0).length < dim)
+      // parity with SQL xxhash64(d, b) over INT inputs: seed 42, left-fold,
+      // 4-byte hashInt path per child
+      signs = Array.tabulate(nBits)(b => Array.tabulate(dim)(d =>
+        if (java.lang.Math.floorMod(
+          XXH64.hashInt(b, XXH64.hashInt(d, 42L)), 2L) == 0L) 1.0
+        else -1.0))
+    signs
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val s = signsFor(dim)
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      val sb = s(b)
+      var proj = 0.0
+      var d = 0
+      while (d < dim) { proj += childRead(vec, d) * sb(d); d += 1 }
+      if (proj > 0) bucket |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -210,4 +262,7 @@ object VectorExpressions {
   def nearestCells(vec: Column, centroids: Seq[(Int, Array[Double])], n: Int): Column =
     ColumnBridge.column(NearestCellsExpr(ColumnBridge.expression(vec),
       centroids.map(_._1), centroids.map(_._2.toSeq), n))
+
+  def hyperplaneSketch(vec: Column, nBits: Int): Column =
+    ColumnBridge.column(HyperplaneSketchExpr(ColumnBridge.expression(vec), nBits))
 }

@@ -219,8 +219,9 @@ object LogSources {
             "(packing needs whole-file assembly; tail emits partial windows)")
         tail("text").load()
           .select(col("value").cast("string").as("value"), col("path"))
-      case ReaderSpec.TextMultiline(re, _) if streaming && tailMode =>
-        tail("multiline").option("messageStartRegex", re).load()
+      case ReaderSpec.TextMultiline(re, maxChars) if streaming && tailMode =>
+        tail("multiline").option("messageStartRegex", re)
+          .option("maxMessageChars", maxChars.toString).load()
           .select(col("value").cast("string").as("value"), col("path"))
       case ReaderSpec.ThriftFramed(_) if streaming && tailMode =>
         tail("thrift").load()

@@ -79,15 +79,18 @@ class TailTable(properties: Map[String, String]) extends Table with SupportsRead
         Option(options.get("format")).getOrElse("text"),
         Option(options.get("maxbytespertrigger")).map(_.toLong),
         Option(options.get("messagestartregex")),
-        Option(options.get("fileregex")))
+        Option(options.get("fileregex")),
+        Option(options.get("maxmessagechars")).map(_.toInt).getOrElse(1 << 20))
     }
 }
 
 class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long],
-    startRegex: Option[String], fileRegex: Option[String] = None) extends Scan {
+    startRegex: Option[String], fileRegex: Option[String] = None,
+    maxMessageChars: Int = 1 << 20) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex, fileRegex)
+    new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex, fileRegex,
+      maxMessageChars)
 }
 
 /** Offset: map of file path → next byte to read. */
@@ -146,7 +149,8 @@ private[sources] object MultilineAlign {
 }
 
 class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long],
-    startRegex: Option[String] = None, fileRegex: Option[String] = None)
+    startRegex: Option[String] = None, fileRegex: Option[String] = None,
+    maxMessageChars: Int = 1 << 20)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   @transient private lazy val startPattern =
@@ -308,7 +312,8 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
       // identity vanished from the directory (deleted/moved out): skip
       idToPath.get(id).foreach { path =>
         if (endOff > startOff) {
-          parts += TailInputPartition(path, startOff, endOff, format, startRegex)
+          parts += TailInputPartition(path, startOff, endOff, format, startRegex,
+            maxMessageChars)
         }
       }
     }
@@ -323,7 +328,7 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
 }
 
 case class TailInputPartition(path: String, startOff: Long, endOff: Long, format: String,
-    startRegex: Option[String] = None)
+    startRegex: Option[String] = None, maxMessageChars: Int = 1 << 20)
     extends InputPartition
 
 class TailReaderFactory extends PartitionReaderFactory {
@@ -361,7 +366,9 @@ class TailPartitionReader(p: TailInputPartition) extends PartitionReader[Interna
         .takeWhile(_ >= 0).toArray
       starts.iterator.zipWithIndex.map { case (s, i) =>
         val end = if (i + 1 < starts.length) starts(i + 1) else text.length
-        val rec = text.substring(s, end).stripSuffix("\n")
+        // oversize records TRUNCATE (not fail) but still consume to `end` —
+        // reference: TextMessageReader.java:107-115
+        val rec = text.substring(s, math.min(end, s + p.maxMessageChars)).stripSuffix("\n")
         new GenericInternalRow(Array[Any](
           pathUtf8, p.startOff + end, null,
           rec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), null, null))

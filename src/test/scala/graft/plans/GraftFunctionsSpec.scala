@@ -47,6 +47,25 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Int]("h") == 3)
   }
 
+  test("vector + avro SQL functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    val schema = """{"type":"record","name":"P","fields":[{"name":"a","type":"long"}]}"""
+    val payload = graft.functions.WireCodecs.avroEncode(schema, Long.box(9L))
+    import spark.implicits._
+    Seq(payload).toDF("p").createOrReplaceTempView("avro_sql")
+    val r = spark.sql(
+      s"""SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+          l2_sq(array(0.0, 3.0), array(4.0, 0.0)) AS l2,
+          hyperplane_sketch(array(1.0, -2.0, 0.5), 8) AS hs,
+          avro_decode(p, '$schema').a AS a
+          FROM avro_sql""").collect().head
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("l2") == 25.0)
+    val hs = r.getAs[Long]("hs")
+    assert(hs >= 0L && hs < 256L)
+    assert(r.getAs[Long]("a") == 9L)
+  }
+
   test("non-literal k rejected with a clear error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -25,6 +25,32 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     (2L, Array(1e-8f, 2e8f, -3.5f), Array(-1e-8f, 2e8f, 3.5f))
   ).toDF("id", "a", "b")
 
+  test("native hyperplane sketch is bit-identical to the declarative xxhash64 form") {
+    // the declarative form hyperplane_sketch replaced
+    def hofSketch(vec: org.apache.spark.sql.Column, nBits: Int) =
+      aggregate(
+        sequence(lit(0), lit(nBits - 1)),
+        lit(0L),
+        (acc, b) => {
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (v, d) => v.cast("double") *
+                when(pmod(xxhash64(d, b), lit(2L)) === 0L, 1.0).otherwise(-1.0)),
+            lit(0.0), (s, x) => s + x)
+          acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+            .otherwise(lit(0L)))
+        })
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 50).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    for (bits <- Seq(1, 12, 63)) {
+      val rows = data.select(
+        VectorExpressions.hyperplaneSketch($"v", bits).as("native"),
+        hofSketch($"v", bits).as("hof")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits"))
+    }
+  }
+
   test("native cosine/l2sq are bit-identical to the HOF forms") {
     val rows = vecs.select(
       VectorFunctions.cosine($"a", $"b").as("nc"),

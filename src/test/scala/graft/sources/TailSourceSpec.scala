@@ -184,6 +184,27 @@ class TailSourceSpec extends AnyFunSuite with SparkTestBase {
   private def readRange2(data: Array[Byte], add: Long => Unit): (Long, Long) => Array[Byte] =
     (lo, hi) => { add(hi - lo); java.util.Arrays.copyOfRange(data, lo.toInt, hi.toInt) }
 
+  test("multiline tail truncates oversize records at maxMessageChars but still consumes them") {
+    val dir = tempDir()
+    val f = dir.resolve("big.log")
+    // record 1 is oversize (200 chars of body); record 2 closes it; record 3
+    // pending (no successor yet)
+    Files.writeString(f, "REC one " + ("x" * 200) + "\nREC two\nREC three\n")
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "multiline")
+      .option("messageStartRegex", "^REC")
+      .option("maxMessageChars", "20").load()
+      .writeStream.format("memory").queryName("tail_trunc")
+      .option("checkpointLocation", tempDir().toString).start()
+    try {
+      q.processAllAvailable()
+      val vals = values("tail_trunc")
+      // oversize record truncated to 20 chars; its full extent was consumed
+      // (record two follows immediately); record three awaits a successor
+      assert(vals == Set("REC one " + ("x" * 12), "REC two"), vals.toString)
+    } finally q.stop()
+  }
+
   test("rename-rotation keeps inode offsets: no re-ingest, tail follows the renamed file") {
     val dir = tempDir()
     val f = dir.resolve("app.log")
