@@ -23,6 +23,7 @@ class PipelineManager(spark: SparkSession,
 
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val supervisors = TrieMap.empty[String, SupervisedQuery]
+  private val pendingDirs = TrieMap.empty[String, (PipelineConfig, Trigger)]
 
   def start(cfg: PipelineConfig,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
@@ -45,11 +46,34 @@ class PipelineManager(spark: SparkSession,
 
   /** Start every config whose instance decider allows this instance
     * (reference: monitor/DefaultLogMonitor.java:203-224); configs without a
-    * decider always start. */
+    * decider always start. Configs whose `logDir` does not exist yet are
+    * HELD, not failed — the reference's MissingDirChecker semantics
+    * (reference: monitor/MissingDirChecker.java: configs wait until their
+    * directory appears, then start monitoring); release them with
+    * [[checkPendingDirs]]. */
   def startAll(cfgs: Seq[PipelineConfig],
-      deciders: graft.model.Deciders = graft.model.Deciders.allOn): Seq[StreamingQuery] =
+      deciders: graft.model.Deciders = graft.model.Deciders.allOn,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): Seq[StreamingQuery] =
     cfgs.filter(c => c.instanceDecider.forall(d => deciders.instanceAllowed(d, c.name)))
-      .map(start(_))
+      .flatMap { c =>
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(c.logDir)))
+          Some(start(c, trigger))
+        else { pendingDirs.put(c.name, (c, trigger)); None }
+      }
+
+  /** Pipelines held because their logDir was missing. */
+  def pending: Set[String] = pendingDirs.keySet.toSet
+
+  /** Start any held pipeline whose directory has since appeared; call from
+    * a scheduler tick (the reference polls the same way). Returns the
+    * queries started this check. */
+  def checkPendingDirs(): Seq[StreamingQuery] =
+    pendingDirs.toSeq.flatMap { case (name, (cfg, trigger)) =>
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cfg.logDir))) {
+        pendingDirs.remove(name)
+        Some(start(cfg, trigger))
+      } else None
+    }
 
   def get(name: String): Option[StreamingQuery] = queries.get(name)
 

@@ -70,6 +70,30 @@ class SupervisionSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(outDir.toString).count() == 2)
   }
 
+  test("missing logDir holds the pipeline until the directory appears (MissingDirChecker)") {
+    val parent = Files.createTempDirectory("graft-md-parent")
+    val missing = parent.resolve("not-yet")
+    val outDir = Files.createTempDirectory("graft-md-out")
+    val mgr = new PipelineManager(spark)
+    val cfg = PipelineConfig(
+      name = "md-test", logDir = missing.toString,
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(Files.createTempDirectory("graft-md-cp").toString))
+    try {
+      val started = mgr.startAll(Seq(cfg), trigger = Trigger.ProcessingTime("100 milliseconds"))
+      assert(started.isEmpty && mgr.pending == Set("md-test"))
+      // nothing appears yet → still held
+      assert(mgr.checkPendingDirs().isEmpty && mgr.pending == Set("md-test"))
+      // the directory (and a file) appear → released and ingesting
+      Files.createDirectories(missing)
+      Files.writeString(missing.resolve("a.log"), "x1\nx2\n")
+      val released = mgr.checkPendingDirs()
+      assert(released.size == 1 && mgr.pending.isEmpty)
+      released.head.processAllAvailable()
+      assert(spark.read.parquet(outDir.toString).count() == 2)
+    } finally mgr.stopAll()
+  }
+
   test("failed cycles halve the batch cap; success restores it (ref batch adaptation)") {
     val logDir = Files.createTempDirectory("graft-bs-logs")
     val outDir = Files.createTempDirectory("graft-bs-out")
