@@ -28,13 +28,16 @@ object Partitioners {
     when(key.isNull, defaultPartition(numPartitions))
       .otherwise(pmod(crc32(key), lit(numPartitions.toLong)).cast("int"))
 
-  /** `abs(murmur3_32(key) % n)`, random on null key
-    * (reference: writer/partitioners/MurmurByteArrayPartitioner.java:30-52).
-    * Spark's `hash` is murmur3_x86_32 (seed 42); the reference uses seed 0 —
-    * distribution-equivalent, constants differ. */
+  /** `abs(abs(murmur3_32(key)) % n)`, random on null key — EXACT bit
+    * parity with the reference (Guava murmur3_32 seed 0, double-abs;
+    * reference: writer/partitioners/MurmurByteArrayPartitioner.java:30-52),
+    * via the native [[graft.plans.Murmur3PartitionExpr]]. Spark's builtin
+    * `hash` (seed 42) + `pmod` is distribution-equivalent but routes
+    * individual keys differently, which matters when draining a stream the
+    * reference produced. */
   def murmurPartition(key: Column, numPartitions: Int): Column =
     when(key.isNull, defaultPartition(numPartitions))
-      .otherwise(pmod(hash(key), lit(numPartitions)).cast("int"))
+      .otherwise(graft.plans.SketchExpressions.murmur3Partition(key, numPartitions))
 
   /** `abs(md5(utf8(key)) % n)` legacy string-key partitioner
     * (reference: writer/StringKeyMd5Partitioner.java:1-52). Uses the top 15

@@ -167,6 +167,68 @@ case class CountInSetExpr(child: Expression, values: Seq[String])
     copy(child = newChild)
 }
 
+/** `murmur3_partition(key)`: the reference's MurmurByteArrayPartitioner
+  * EXACTLY (reference: writer/partitioners/MurmurByteArrayPartitioner.java:
+  * 30-52): Guava `murmur3_32()` (seed 0) over the key bytes, then the
+  * double-abs `Math.abs(Math.abs(h) % n)`. Spark's builtin `hash` is
+  * murmur3 with seed 42 and `pmod` differs from double-abs on negative
+  * hashes, so bit-parity needs this native form (Guava-pinned by spec).
+  * The murmur3 x86-32 algorithm is public domain (Austin Appleby). */
+case class Murmur3PartitionExpr(child: Expression, numPartitions: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numPartitions > 0, "numPartitions must be positive")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "murmur3_partition"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = Murmur3PartitionExpr.murmur3x86_32(input.asInstanceOf[Array[Byte]], 0)
+    java.lang.Integer.valueOf(math.abs(math.abs(h) % numPartitions))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Murmur3PartitionExpr {
+  def murmur3x86_32(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h1 = seed
+    val blockEnd = data.length & ~3
+    var i = 0
+    while (i < blockEnd) {
+      var k1 = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 4
+    }
+    var k1 = 0
+    (data.length & 3) match {
+      case 3 =>
+        k1 ^= (data(blockEnd + 2) & 0xff) << 16
+        k1 ^= (data(blockEnd + 1) & 0xff) << 8
+        k1 ^= data(blockEnd) & 0xff
+      case 2 =>
+        k1 ^= (data(blockEnd + 1) & 0xff) << 8
+        k1 ^= data(blockEnd) & 0xff
+      case 1 =>
+        k1 ^= data(blockEnd) & 0xff
+      case _ => ()
+    }
+    if ((data.length & 3) != 0) {
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+}
+
 object SketchExpressions {
   def minHashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(shingles), k))
@@ -179,4 +241,7 @@ object SketchExpressions {
 
   def countInSet(tokens: Column, values: Seq[String]): Column =
     ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tokens), values))
+
+  def murmur3Partition(key: Column, numPartitions: Int): Column =
+    ColumnBridge.column(Murmur3PartitionExpr(ColumnBridge.expression(key), numPartitions))
 }

@@ -93,6 +93,27 @@ class TransformsSpec extends AnyFunSuite with SparkTestBase {
     assert(new String(m("b")) == "2")
   }
 
+  test("murmur partitioner is bit-exact against Guava murmur3_32 seed 0 (reference parity)") {
+    // reference: MurmurByteArrayPartitioner.java:44 —
+    // Math.abs(Math.abs(Hashing.murmur3_32().hashBytes(key).asInt()) % n)
+    val rnd = new scala.util.Random(42)
+    val keys = (0 until 200).map { i =>
+      val len = i % 13 // cover every tail-length residue incl. empty
+      val b = new Array[Byte](len); rnd.nextBytes(b); b
+    }
+    val guava = com.google.common.hash.Hashing.murmur3_32()
+    keys.foreach { k =>
+      val expectHash = guava.hashBytes(k).asInt()
+      assert(graft.plans.Murmur3PartitionExpr.murmur3x86_32(k, 0) == expectHash)
+    }
+    val n = 7
+    val df = keys.zipWithIndex.map { case (k, i) => (i, k) }.toDF("i", "key")
+    val got = df.select($"i", Partitioners.murmurPartition($"key", n).as("p"))
+      .orderBy("i").collect().map(_.getInt(1))
+    val expect = keys.map(k => math.abs(math.abs(guava.hashBytes(k).asInt()) % n))
+    assert(got.toSeq == expect)
+  }
+
   test("withPartition crc32 matches reference abs(crc32(key) % n)") {
     val keys = Seq("k1", "k2", "some-longer-key", "")
     val df = keys.map(_.getBytes).toDF("key")
