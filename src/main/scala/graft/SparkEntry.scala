@@ -28,6 +28,17 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Synthetic media corpus for the m-queries: one deterministic PNG (even
+    * ids) / JPEG (odd ids) per document id, encoded on executors — see
+    * [[Multimodal.syntheticImage]] for the closed-form pixel generator the
+    * DuckDB oracles recompute. */
+  private def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticImage(id)))
+      .toDF("media_id", "content")
+  }
+
   // NOTE on small-input parallelism: the test corpora are single-row-group
   // parquet files, so scans are one task. A repartition-based fan-out was
   // measured (sf0.1, local[32]) and REJECTED: the exchange costs more than
@@ -593,12 +604,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // ------------------------------------------------ multimodal (stub decode, real plumbing)
-    "m1_media_decode" -> ((s, d) =>
-      Multimodal.decodeImages(
-        t(s, d, "documents").select(col("doc_id").as("media_id"),
-          col("text").cast("binary").as("content")))
-        .toDF().orderBy("media_id")),
+    // ------------------------------------------------ multimodal (REAL ImageIO decode)
+    "m1_media_decode" -> ((s, d) => {
+      // synthetic PNGs/JPEGs encoded on executors, decoded by the REAL
+      // javax.imageio path; dims/format are closed-form in doc_id so the
+      // oracle predicts them without touching a codec
+      Multimodal.decodeImages(syntheticMedia(s, d)).toDF().orderBy("media_id")
+    }),
+    "m4_pixel_stats" -> ((s, d) => {
+      // channel sums over the real decoded raster; PNG (even ids) only —
+      // lossless, so every pixel equals the closed-form generator the
+      // DuckDB oracle recomputes with generate_series arithmetic
+      Multimodal.imagePixelStats(
+          syntheticMedia(s, d).filter(col("media_id") % 2 === 0))
+        .toDF().select(col("media_id"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         t(s, d, "documents").select(col("doc_id").as("media_id"),
@@ -606,13 +629,11 @@ object SparkEntry {
         .toDF().select("media_id", "frame_idx", "ts_ms")
         .orderBy("media_id", "frame_idx")),
     "m3_media_features_ann" -> ((s, d) => {
-      // stub features -> real ANN operator. Features are xxhash-derived (not
-      // SQL-expressible), so the oracle checks the ANN plumbing invariants:
-      // per query, exactly k rank-sequential results, no self-match, cosine
-      // within [-1, 1].
-      val feats = Multimodal.extractFeatures(
-        t(s, d, "documents").select(col("doc_id").as("media_id"),
-          col("text").cast("binary").as("content")), dim = 32)
+      // REAL decoded pixels -> luminance-histogram features -> real ANN
+      // operator. Raster histograms are not SQL-expressible, so the oracle
+      // checks the ANN plumbing invariants: per query, exactly k
+      // rank-sequential results, no self-match, cosine within [-1, 1].
+      val feats = Multimodal.extractFeatures(syntheticMedia(s, d), dim = 32)
         .toDF().withColumnRenamed("feature", "embedding")
         .withColumnRenamed("media_id", "vec_id")
       Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 5)
@@ -1007,12 +1028,28 @@ object SparkEntry {
            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.edate
            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) ord ON true
          ORDER BY event_id""",
+    // m1/m4: the Spark side decodes REAL PNG/JPEG bytes with javax.imageio;
+    // the oracle recomputes what the deterministic image generator drew
+    // (dims + per-channel sums) from pure arithmetic — fully independent of
+    // any codec. Pixel sums are PNG-only (lossless round-trip).
     "m1_media_decode" ->
       """SELECT doc_id AS media_id,
-         ((octet_length(encode(text)) % 512) + 16)::INT AS width,
-         (((octet_length(encode(text)) // 512) % 512) + 16)::INT AS height,
-         CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         (16 + (doc_id % 48))::INT AS width,
+         (16 + ((doc_id // 7) % 40))::INT AS height,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY media_id""",
+    "m4_pixel_stats" ->
+      """SELECT d.doc_id AS media_id,
+         (16 + (d.doc_id % 48))::BIGINT AS width,
+         (16 + ((d.doc_id // 7) % 40))::BIGINT AS height,
+         sum((x.v*7 + y.v*13 + d.doc_id*31) % 256)::BIGINT AS sum_r,
+         sum((x.v*3 + y.v*5 + d.doc_id*17) % 256)::BIGINT AS sum_g,
+         sum((x.v*11 + y.v*2 + d.doc_id*7) % 256)::BIGINT AS sum_b
+         FROM documents d,
+           LATERAL (SELECT unnest(range(0, (16 + (d.doc_id % 48))::INT)) AS v) x,
+           LATERAL (SELECT unnest(range(0, (16 + ((d.doc_id // 7) % 40))::INT)) AS v) y
+         WHERE d.doc_id % 2 = 0
+         GROUP BY 1 ORDER BY media_id""",
     "m2_frame_sample" ->
       """SELECT media_id, u::INT AS frame_idx, (u * 100)::BIGINT AS ts_ms
          FROM (SELECT doc_id AS media_id,

@@ -8,24 +8,59 @@ import graft.SparkTestBase
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private def media = Seq(
-    (1L, Array.fill[Byte](1000)('a')),
-    (2L, Array.fill[Byte](513)('b')),
-    (3L, Array.fill[Byte](20000)('c'))
-  ).toDF("media_id", "content")
+  // real PNG (even id) / JPEG (odd id) payloads from the deterministic generator
+  private def media = Seq(2L, 3L, 140L, 341L)
+    .map(id => (id, Multimodal.syntheticImage(id)))
+    .toDF("media_id", "content")
 
-  test("decodeImages: stub metadata follows the documented formula, schema is typed") {
+  private def expectedDims(id: Long): (Int, Int) =
+    (16 + (id % 48).toInt, 16 + ((id / 7) % 40).toInt)
+
+  test("decodeImages: REAL ImageIO decode recovers generated dims and format") {
     val out = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
-    assert(out.map(_.media_id).toList == List(1L, 2L, 3L))
-    assert(out(0).width == (1000 % 512) + 16 && out(0).height == (1000 / 512) % 512 + 16)
-    assert(out(0).format == "png") // even length
-    assert(out(1).format == "jpeg") // odd length
+    assert(out.map(_.media_id).toList == List(2L, 3L, 140L, 341L))
+    out.foreach { m =>
+      val (w, h) = expectedDims(m.media_id)
+      assert(m.width == w && m.height == h, s"dims for ${m.media_id}")
+      assert(m.format == (if (m.media_id % 2 == 0) "png" else "jpeg"))
+    }
     val schema = Multimodal.decodeImages(media).toDF().schema
     assert(schema.fieldNames.toList == List("media_id", "width", "height", "format"))
   }
 
+  test("imagePixelStats: PNG channel sums equal the closed-form generator") {
+    val out = Multimodal.imagePixelStats(media.filter(col("media_id") % 2 === 0))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toList == List(2L, 140L))
+    out.foreach { st =>
+      val id = st.media_id
+      val (w, h) = expectedDims(id)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (x * 7 + y * 13 + id * 31) % 256
+        eg += (x * 3 + y * 5 + id * 17) % 256
+        eb += (x * 11 + y * 2 + id * 7) % 256
+      }
+      assert((st.width, st.height) == (w, h))
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((er, eg, eb)), s"sums for $id")
+    }
+  }
+
+  test("decodeImages rejects non-image payloads; isDecodable pre-filters") {
+    val junk = Seq((1L, Array.fill[Byte](100)('x'))).toDF("media_id", "content")
+    assertThrows[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(junk).collect()
+    }
+    assert(!Multimodal.isDecodable(Array.fill[Byte](100)('x')))
+    assert(Multimodal.isDecodable(Multimodal.syntheticImage(7L)))
+  }
+
   test("sampleFrames: one frame per interval of stub duration, executor-side explode") {
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
+    val video = Seq(
+      (1L, Array.fill[Byte](1000)('a')),
+      (3L, Array.fill[Byte](20000)('c'))
+    ).toDF("media_id", "content")
+    val frames = Multimodal.sampleFrames(video, everyMs = 1000L).collect()
     // duration = 2*len; n frames = duration/1000 + 1
     val byId = frames.groupBy(_.media_id).view.mapValues(_.length).toMap
     assert(byId(1L) == 2 * 1000 / 1000 + 1)
@@ -35,25 +70,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.head.frame_bytes.length == 16)
   }
 
-  test("extractFeatures: deterministic vectors of requested dim, consumable by ANN") {
+  test("extractFeatures: normalized luminance histogram from real pixels, ANN-consumable") {
     val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
       .withColumnRenamed("feature", "embedding").withColumnRenamed("media_id", "vec_id")
     val rows = feats.collect()
-    assert(rows.length == 3)
-    assert(rows.head.getSeq[Float](rows.head.fieldIndex("embedding")).length == 16)
+    assert(rows.length == 4)
+    val v = rows.head.getSeq[Float](rows.head.fieldIndex("embedding"))
+    assert(v.length == 16)
+    assert(math.abs(v.sum - 1.0f) < 1e-4, "histogram normalizes to 1")
     // determinism across evaluations
     val again = Multimodal.extractFeatures(media, dim = 16).toDF().collect()
     assert(again.map(r => r.getSeq[Float](r.fieldIndex("feature")).toList).toSet ==
       rows.map(r => r.getSeq[Float](r.fieldIndex("embedding")).toList).toSet)
     // plumbing into the similarity operator
-    val knn = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 1L), k = 2)
+    val knn = Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") === 2L), k = 2)
     assert(knn.count() == 2)
   }
 
-  test("resizeImages keeps contract (id, w, h, resized bytes)") {
-    val out = Multimodal.resizeImages(media, 224, 224).collect()
-    assert(out.length == 3)
-    assert(out.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
-    assert(out.forall(_.getAs[Array[Byte]]("resized").nonEmpty))
+  test("resizeImages: real resample — output decodes to the requested dims") {
+    val out = Multimodal.resizeImages(media, 224, 112).collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 112))
+    out.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("resized")
+      val (img, fmt) = Multimodal.decodeImage(bytes)
+      assert(fmt == "png" && img.getWidth == 224 && img.getHeight == 112)
+    }
   }
 }
