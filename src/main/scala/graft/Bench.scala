@@ -27,6 +27,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.SkewGuard.registerMetricsLogger(spark) // no-silent-cap logging
 
     // JVM/codegen warmup on a scan that touches every table once
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -41,28 +41,29 @@ object Dedup {
     * similarity ≥ `threshold`.
     */
   def minHashLshPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    // Signatures are computed ONCE and cached: the self-join otherwise
-    // re-derives the k-hash MinHash pipeline on both sides (2× the dominant
-    // cost), and candidate verification would re-derive it a third time.
-    // The cached relation is tiny relative to the corpus — (id, k longs).
-    // Shingling is fused into the signature expression: no shingle strings
-    // are materialized (graft.plans.MinHashShingleSigExpr).
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    // Signatures are computed ONCE and persisted (MEMORY_AND_DISK — spills
+    // rather than evicting under pressure at corpus scale): the self-join
+    // otherwise re-derives the k-hash MinHash pipeline on both sides (2× the
+    // dominant cost), and candidate verification would re-derive it a third
+    // time. The persisted relation is tiny relative to the corpus — (id, k
+    // longs). Shingling is fused into the signature expression: no shingle
+    // strings are materialized (graft.plans.MinHashShingleSigExpr).
     val sigs = docs
       .select(col(idCol).as("id"),
         graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"),
         graft.plans.SketchExpressions.minHashShingleSignature(col("toks"), shingleN, k).as("sig"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // distinct candidate id pairs first (small), then re-attach signatures
-    val pairs = banded.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // distinct candidate id pairs first (small), then re-attach signatures;
+    // the guard bounds hot band-key buckets (equal-signature collapse)
+    val pairs = SkewGuard.guardedSelfJoinPairs(banded, Seq("band", "key"),
+      idCol = "id", payloadCol = "sig", maxBucket = maxBucket, label = "minhash_lsh")
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -74,8 +75,9 @@ object Dedup {
   /** MinHash/LSH dedup: drop every doc that collides (est. Jaccard ≥
     * threshold) with a lower-id doc. */
   def minHashDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val drop = minHashLshPairs(docs, textCol, idCol, shingleN, k, bands, threshold)
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    val drop = minHashLshPairs(docs, textCol, idCol, shingleN, k, bands, threshold, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
   }
@@ -84,23 +86,25 @@ object Dedup {
     * least one of `bands` 16-bit bands, verified by Hamming distance ≤
     * `maxHamming`. */
   def simHashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val bands = 4 // 4 × 16-bit bands of the 64-bit hash
-    // cached: both join sides and the verify step reuse the sketches
+    // persisted: both join sides and the verify step reuse the sketches
     // ((id, i64) — tiny) instead of re-hashing the corpus per side
-    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim")).cache()
+    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           call_function("shiftright", col("sim"), (b * 16).cast("int"))
             .bitwiseAND(0xFFFFL).as("key")))).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    // guarded distinct candidate pairs, then one verify pass on re-attached
+    // sketches (equal-SimHash collapse bounds hot 16-bit-band buckets)
+    SkewGuard.guardedSelfJoinPairs(banded, Seq("band", "key"),
+        idCol = "id", payloadCol = "sim", maxBucket = maxBucket, label = "simhash")
+      .join(withSig.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(withSig.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"), hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -105,16 +105,21 @@ object Similarity {
     * xxhash64 of (dim, bit) so executors agree without broadcasting
     * randomness. */
   def cosineSelfJoinLsh(vectors: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", threshold: Double = 0.9, nBits: Int = 12): DataFrame = {
+      idCol: String = "vec_id", threshold: Double = 0.9, nBits: Int = 12,
+      maxBucket: Int = 4096): DataFrame = {
     // sign sketch: bit b = sign(sum_d vec[d] * h(d,b)), h in {-1,+1} — one
     // narrow native pass (the HOF form it replaces is parity-pinned in
-    // VectorExpressionsSpec)
+    // VectorExpressionsSpec). Persisted: the guard's size pass and both
+    // re-attach joins reuse (id, vec, bucket) instead of re-sketching.
     val sk = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", VectorExpressions.hyperplaneSketch(col("vec"), nBits))
-    val a = sk.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = sk.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guarded distinct candidate pairs (equal-vector collapse bounds hot
+    // sign-buckets), then exact-cosine verify on re-attached vectors
+    SkewGuard.guardedSelfJoinPairs(sk, Seq("bucket"),
+        idCol = "id", payloadCol = "vec", maxBucket = maxBucket, label = "cosine_lsh")
+      .join(sk.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(sk.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
