@@ -548,33 +548,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "e4_ivf_kmeans" -> ((s, d) => {
-      // full IVF path: k-means index build + probe. Float means are
-      // order-sensitive in low bits, so the oracle checks INVARIANTS that a
-      // correct Lloyd's + IVF probe must satisfy (and a broken one breaks):
-      // assignment covers every row, SSE is non-increasing across
-      // iterations, probes return rank-sequential results for each query.
+      // k-means index build, pinned by an INDEPENDENT pure-Python Lloyd's
+      // fixture (tools/gen_fixtures.py): same deterministic hash-ordered
+      // farthest-point seeding, 3 assign+mean rounds, then one final
+      // assignment pass. Per-cell counts, centroid norms/sums (r4) and
+      // final SSE (r2) must all match — a wrong seed order, distance,
+      // tie-break, empty-cell rule, or mean breaks it. Float accumulation
+      // order is the only cross-language difference (~1e-12); the generator
+      // asserts assignment margins and rounding-boundary distances so that
+      // noise cannot flip any emitted value. SSE monotonicity is further
+      // spec-pinned in VectorExpressionsSpec.
       val emb = t(s, d, "embeddings")
       val model = graft.operators.KMeans.fitModel(emb, k = 8, iterations = 3)
       import s.implicits._
       val cents = model.centroids.map { case (id, v) => (id, v.toSeq) }
         .toDF("centroid_id", "centroid_vec")
-      val sseOk = model.sseHistory.sliding(2).forall(w => w.size < 2 || w(1) <= w(0) + 1e-6)
-      val assigned = graft.operators.KMeans.assignCells(emb, cents, "embedding", "vec_id")
-      val a = assigned.agg(count(lit(1)).cast("long").as("n_assigned"),
-        when(countDistinct(col("cell")) <= 8, 1L).otherwise(0L).as("cells_le_k"))
-      val probe = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), cents,
-        k = 5, nProbe = 2)
-      val p = probe.groupBy("query_id")
-        .agg(count(lit(1)).as("n"), max("rank").as("mx"), sum("rank").as("sm"))
-        .agg(count(lit(1)).cast("long").as("probe_queries"),
-          when(min(when(col("mx") === col("n") &&
-            col("sm") === col("n") * (col("n") + 1) / 2, 1).otherwise(0)) === 1, 1L)
-            .otherwise(0L).as("probe_rank_ok"))
-      a.crossJoin(p).select(
-        lit(model.centroids.size.toLong).as("n_centroids"),
-        col("n_assigned"), col("cells_le_k"),
-        lit(if (sseOk) 1L else 0L).as("sse_non_increasing"),
-        col("probe_queries"), col("probe_rank_ok"))
+      val stats = model.centroids.map { case (id, v) =>
+        (id.toLong, math.sqrt(v.map(x => x * x).sum), v.sum) }
+        .toDF("centroid_id", "norm_raw", "sum_raw")
+      val counts = graft.operators.KMeans.assignCells(emb, cents, "embedding", "vec_id")
+        .groupBy(col("cell").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n_assigned"))
+      stats.join(counts, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+          round(col("norm_raw"), 4).as("c_norm"), round(col("sum_raw"), 4).as("c_sum"),
+          round(lit(model.sseHistory.last), 2).as("sse_final"))
+        .orderBy("centroid_id")
+    }),
+    "e6_ivf_probe" -> ((s, d) => {
+      // IVF probe path with FIXED centroids (first 8 corpus vectors) so the
+      // whole probe — cell assignment, nProbe cell selection, in-cell cosine
+      // top-k — is exactly reproducible by the DuckDB oracle's window form
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), cents, k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
     }),
     "e2_ivf_assign" -> ((s, d) => {
       // nearest-centroid assignment via the native argmin expression — one
@@ -1010,14 +1021,36 @@ object SparkEntry {
     "e5_cosine_lsh_dup" ->
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY id_a, id_b""",
-    // e4: float k-means means are not SQL-reproducible; the oracle pins the
-    // INVARIANTS a correct Lloyd's + IVF probe must satisfy (full-coverage
-    // assignment, ≤k cells, non-increasing SSE, rank-sequential probes).
-    "e4_ivf_kmeans" ->
-      """SELECT 8::BIGINT AS n_centroids,
-         (SELECT count(*) FROM embeddings)::BIGINT AS n_assigned,
-         1::BIGINT AS cells_le_k, 1::BIGINT AS sse_non_increasing,
-         3::BIGINT AS probe_queries, 1::BIGINT AS probe_rank_ok""",
+    // e4: fixture oracle from an independent Python Lloyd's — see
+    // FixtureOracles (merged below). e6: the probe with fixed centroids is
+    // fully SQL-reproducible.
+    "e6_ivf_probe" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 3) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "a1_asof_join" ->
       """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
          FROM (SELECT event_id, user_id,

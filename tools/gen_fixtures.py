@@ -166,6 +166,124 @@ def round_half_up(num, den, digits):
         Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
 
 
+def rnd(x, digits):
+    """Spark round(double, d) parity: BigDecimal(x).setScale(d, HALF_UP)."""
+    return float(Decimal(x).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def assert_rounding_safe(x, digits, eps, what):
+    """The Spark value differs from ours by float-accumulation-order noise
+    (~1e-12 relative); refuse to emit a fixture value sitting within eps of
+    a HALF_UP rounding boundary, where that noise could flip the digit."""
+    frac = (Decimal(repr(x)).scaleb(digits)) % 1
+    dist = abs(frac - Decimal("0.5"))
+    assert dist > Decimal(repr(eps)), \
+        f"fragile fixture: {what}={x} is {dist} from a .5 boundary at {digits}d"
+
+
+def l2sq(a, b):
+    """Mirror NearestCellsExpr/L2SqExpr: left-to-right double accumulation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def farthest_point_seeds(sample, k):
+    """Mirror KMeans.farthestPointSeeds exactly (strict > keeps lowest index
+    on ties; distances are bit-identical since both sides run IEEE doubles
+    left-to-right over the same float32-exact inputs)."""
+    chosen = [sample[0]]
+    min_dist = [float("inf")] * len(sample)
+    current = sample[0]
+    c = 1
+    while c < k and c < len(sample):
+        best_idx, best_dist = -1, -1.0
+        for i, v in enumerate(sample):
+            acc = l2sq(v, current)
+            if acc < min_dist[i]:
+                min_dist[i] = acc
+            if min_dist[i] > best_dist:
+                best_dist = min_dist[i]
+                best_idx = i
+        current = sample[best_idx]
+        chosen.append(current)
+        c += 1
+    return chosen
+
+
+def kmeans_fixture(sf, k=8, iters=3):
+    """INDEPENDENT Lloyd's mirroring graft.operators.KMeans.fitModel: the
+    deterministic (xxhash64(id), id) sample, farthest-point seeding, `iters`
+    assign+mean rounds (empty cells keep their centroid), then one final
+    assignment pass (KMeans.assignCells). Returns per-centroid fixture rows
+    (cid, n_assigned, norm r4, sum r4, sse r2). The only cross-language
+    divergence is mean-accumulation ORDER (~1e-12 relative); assignment
+    margins and rounding boundaries are asserted so that noise cannot flip
+    any emitted value."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    dim = len(vecs[0])
+    sample_n = max(k * 20, 256)
+    order = sorted(range(len(ids)), key=lambda i: (signed(hash_long(ids[i], 42)), ids[i]))
+    sample = [vecs[i] for i in order[:sample_n]]
+    cents = [list(v) for v in farthest_point_seeds(sample, k)]
+
+    min_margin = float("inf")
+
+    def assign(v):
+        nonlocal min_margin
+        dists = [l2sq(v, c) for c in cents]
+        best = min(range(len(cents)), key=lambda c: (dists[c], c))
+        second = min((dists[c] for c in range(len(cents)) if c != best),
+                     default=float("inf"))
+        min_margin = min(min_margin, second - dists[best])
+        return best, dists[best]
+
+    sse_hist = []
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        sse = 0.0
+        for v in vecs:
+            best, d = assign(v)
+            counts[best] += 1
+            sse += d
+            row = sums[best]
+            for j in range(dim):
+                row[j] += v[j]
+        sse_hist.append(sse)
+        for c in range(k):
+            if counts[c] > 0:
+                cents[c] = [sums[c][j] / counts[c] for j in range(dim)]
+    fcounts = [0] * k
+    for v in vecs:
+        best, _ = assign(v)
+        fcounts[best] += 1
+    # a vector near-equidistant between two cells could be assigned
+    # differently by Spark's (1e-12-noise) centroids — refuse to emit
+    assert min_margin > 1e-6, f"fragile k-means fixture: margin {min_margin}"
+
+    out = []
+    for c in range(k):
+        norm = sum(x * x for x in cents[c]) ** 0.5
+        csum = sum(cents[c])
+        assert_rounding_safe(norm, 4, 1e-7, f"c_norm[{c}]")
+        assert_rounding_safe(csum, 4, 1e-7, f"c_sum[{c}]")
+        out.append((c, fcounts[c], rnd(norm, 4), rnd(csum, 4)))
+    sse_final = sse_hist[-1]
+    assert_rounding_safe(sse_final, 2, 1e-6, "sse_final")
+    assert all(b <= a + 1e-6 for a, b in zip(sse_hist, sse_hist[1:])), \
+        f"SSE not non-increasing: {sse_hist}"
+    print(f"e4 margin={min_margin:.3e} sse={sse_hist}")
+    return out, rnd(sse_final, 2)
+
+
 def main():
     selftest()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -215,8 +333,11 @@ def main():
         h = bin((sims[a] ^ sims[b]) & MASK).count("1")
         if h <= max_hamming:
             d8_rows.append((a, b, h))
+    # ---- e4: independent Lloyd's k-means fixture
+    e4_rows, e4_sse = kmeans_fixture(sf)
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
-          f"(candidates d7={len(cand)} d8={len(scand)})")
+          f"e4={len(e4_rows)} (candidates d7={len(cand)} d8={len(scand)})")
 
     def values(rows, fmt):
         return ",\n".join("      (" + fmt(r) + ")" for r in rows)
@@ -233,6 +354,11 @@ def main():
               " c2::INT AS hamming FROM (VALUES\n"
               + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
+              " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
+              f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
+              + values(e4_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]!r}")
+              + ") AS t(c0, c1, c2, c3) ORDER BY centroid_id")
 
     out = f'''package graft
 
@@ -250,7 +376,9 @@ object FixtureOracles {{
     "d7_minhash_pairs" ->
       \"\"\"{d7_sql}\"\"\",
     "d8_simhash_pairs" ->
-      \"\"\"{d8_sql}\"\"\")
+      \"\"\"{d8_sql}\"\"\",
+    "e4_ivf_kmeans" ->
+      \"\"\"{e4_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
