@@ -284,6 +284,23 @@ object SparkEntry {
           round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90_price"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
+    "q30_approx_percentiles" -> ((s, d) =>
+      // scale twin of q20: a GK quantile sketch (percentile_approx) instead
+      // of the exact sort-based percentile — bounded-memory mergeable
+      // partials, map-side combined, no per-group sort. At accuracy 1e5 the
+      // rank-error budget ε·n < 1 for sf0.01 group sizes, so the sketch
+      // provably returns the exact order statistic at rank ceil(p·n) — which
+      // the oracle computes directly (DuckDB quantile_disc uses a DIFFERENT
+      // convention, floor(p·(n-1)), so the oracle indexes the sorted list
+      // explicitly). At 100 TB the same plan stands with rank error ≤ n/1e5;
+      // see ARCHITECTURE.md on the exact-vs-approx policy.
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(100000)).as("median_price"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(100000)).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
     "q21_pivot" -> ((s, d) =>
       events(s, d)
         .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
@@ -352,6 +369,29 @@ object SparkEntry {
         .select(col("doc_id"), col("checksum"),
           col("checksumValid").cast("long").as("checksum_valid"))
         .orderBy("doc_id")),
+    "s14_audit_events" -> ((s, d) => {
+      // tracked per-message audit events (reference: LoggingAuditClient →
+      // LoggingAuditEvent → AuditEventKafkaSender): every message carries
+      // audit identity headers; a deterministic 5% hash-mod sample is
+      // tracked (the reference draws ThreadLocalRandom < samplingRate per
+      // message — KafkaWriter.java:478-480); each tracked message emits ONE
+      // audit event with its identity and crc32 validity. Payloads of
+      // doc_id%7==3 are corrupted AFTER checksumming, so their events must
+      // carry message_valid=0 (the reference's invalidMessageMap path).
+      // Oracled by an independent Python xxh64+crc32 fixture.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("value"))
+      val tracked = Transforms.withTracked(docs, samplingPct = 5)
+      val hdrs = Transforms.withAuditHeaders(tracked, logName = "documents_log",
+        host = "host-0", sessionId = 1723400000000L, seqCol = Some(col("doc_id")))
+      val corrupted = hdrs
+        .withColumn("checksum", crc32(col("value")))
+        .withColumn("value", when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("value"), lit("X").cast("binary"))).otherwise(col("value")))
+      Transforms.auditEvents(Transforms.withChecksum(corrupted),
+          stage = "SINGER", kafkaCluster = "cluster-1", topic = "documents_topic")
+        .orderBy("log_seq_num")
+    }),
     "s12_avro_roundtrip" -> ((s, d) => {
       // schema-on-read: events encoded to binary avro on executors, then
       // decoded back by the native avro_decode expression — the oracle is
@@ -819,6 +859,15 @@ object SparkEntry {
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
          round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // q30: Spark's GK sketch returns the element at rank ceil(p*n) when the
+    // error budget ε·n < 1; DuckDB's quantile_disc uses floor(p*(n-1)), so
+    // index the sorted list explicitly with Spark's convention.
+    "q30_approx_percentiles" ->
+      """SELECT o_orderstatus,
+         list_sort(list(o_totalprice))[ceil(0.5 * count(*))::INT] AS median_price,
+         list_sort(list(o_totalprice))[ceil(0.9 * count(*))::INT] AS p90_price,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q21_pivot" ->

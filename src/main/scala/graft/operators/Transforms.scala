@@ -176,17 +176,55 @@ object Transforms {
     * partition — the distributed analog of the reference's per-process
     * counter; batch mode only). */
   def withAuditHeaders(df: DataFrame, logName: String, host: String,
-      sessionId: Long): DataFrame = {
-    val seqCol =
+      sessionId: Long, seqCol: Option[Column] = None): DataFrame = {
+    val seq = seqCol.getOrElse(
       if (df.isStreaming) crc32(col("value")) // stable per-record stand-in
-      else monotonically_increasing_id()
+      else monotonically_increasing_id())
     df.withColumn("auditHeaders", struct(
       lit(host).as("host"),
       lit(logName).as("logName"),
       lit(sessionId).as("session"),
-      seqCol.as("logSeqNum"),
+      seq.as("logSeqNum"),
       (unix_millis(current_timestamp())).as("timestampMs")))
   }
+
+  /** Deterministic tracked-message decider — the reference marks a
+    * samplingRate fraction of messages `tracked`, choosing each with
+    * `ThreadLocalRandom < samplingRate`
+    * (reference: writer/KafkaWriter.java:473-489, loggingaudit_config
+    * .thrift:37-44). The engine's analog hashes the payload
+    * (xxhash64 mod 100 < pct): same expected rate, but the choice is
+    * reproducible across retries and executors — a tracked message stays
+    * tracked through every stage, which is the property the reference's
+    * multi-stage audit trail actually needs — and oracle-checkable. */
+  def withTracked(df: DataFrame, samplingPct: Int,
+      valueCol: String = "value"): DataFrame =
+    df.withColumn("tracked",
+      pmod(xxhash64(col(valueCol)), lit(100L)) < samplingPct)
+
+  /** Per-message audit-EVENT side output: one row per TRACKED message,
+    * carrying the audit identity headers, payload validity and the
+    * stage/destination labels — the reference's `LoggingAuditClient.audit`
+    * → `LoggingAuditEvent` → `AuditEventKafkaSender` path (reference:
+    * singer-commons/.../loggingaudit/client/LoggingAuditClient.java:186-236,
+    * AuditEventKafkaSender.java, loggingaudit.thrift LoggingAuditEvent).
+    * Requires `tracked` ([[withTracked]]), `auditHeaders`
+    * ([[withAuditHeaders]]) and `checksumValid` ([[withChecksum]]) — the
+    * validity bit is the reference's invalidMessageMap discriminator
+    * (writer/KafkaWriter.java:393-401). Narrow (filter + project): at scale
+    * the side output costs samplingPct% of a scan, no shuffle. */
+  def auditEvents(df: DataFrame, stage: String, kafkaCluster: String,
+      topic: String): DataFrame =
+    df.filter(col("tracked"))
+      .select(
+        col("auditHeaders.host").as("host"),
+        col("auditHeaders.logName").as("log_name"),
+        col("auditHeaders.session").as("session"),
+        col("auditHeaders.logSeqNum").as("log_seq_num"),
+        col("checksumValid").cast("long").as("message_valid"),
+        lit(stage).as("stage"),
+        lit(kafkaCluster).as("kafka_cluster"),
+        lit(topic).as("topic"))
 
   /** Apply a configured transform chain. */
   def apply(df: DataFrame, specs: Seq[TransformSpec], valueCol: String = "value"): DataFrame =

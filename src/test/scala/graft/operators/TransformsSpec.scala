@@ -147,6 +147,36 @@ class TransformsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("logSeqNum")).distinct.length == 2)
   }
 
+  test("auditEvents emits one event per tracked message with validity") {
+    val df = (0L until 200L).map(i => (i, s"payload-$i".getBytes)).toDF("id", "value")
+    val tracked = Transforms.withTracked(df, samplingPct = 50)
+    val hdrs = Transforms.withAuditHeaders(tracked, "lg", "h1", sessionId = 7L,
+      seqCol = Some(col("id")))
+    // corrupt id%3==0 AFTER checksumming → those events must be invalid
+    val corrupted = hdrs
+      .withColumn("checksum", crc32(col("value")))
+      .withColumn("value", when(pmod(col("id"), lit(3)) === 0,
+        concat(col("value"), lit("X").cast("binary"))).otherwise(col("value")))
+    val events = Transforms.auditEvents(Transforms.withChecksum(corrupted),
+      stage = "SINGER", kafkaCluster = "c1", topic = "t1").collect()
+
+    val trackedIds = tracked.filter(col("tracked")).select("id").as[Long].collect().toSet
+    // one event per tracked message, none for untracked
+    assert(events.map(_.getAs[Long]("log_seq_num")).toSet == trackedIds)
+    assert(events.length == trackedIds.size)
+    // tracked decider is deterministic: re-evaluation picks the same set
+    val again = Transforms.withTracked(df, samplingPct = 50)
+      .filter(col("tracked")).select("id").as[Long].collect().toSet
+    assert(again == trackedIds)
+    // validity discriminates exactly the corrupted payloads
+    events.foreach { e =>
+      val expected = if (e.getAs[Long]("log_seq_num") % 3 == 0) 0L else 1L
+      assert(e.getAs[Long]("message_valid") == expected)
+      assert(e.getAs[String]("stage") == "SINGER")
+      assert(e.getAs[Long]("session") == 7L)
+    }
+  }
+
   test("SparkEntry.entry flagship pipeline returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

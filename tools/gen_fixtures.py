@@ -336,8 +336,18 @@ def main():
     # ---- e4: independent Lloyd's k-means fixture
     e4_rows, e4_sse = kmeans_fixture(sf)
 
+    # ---- s14: tracked audit events — 5% xxh64-mod payload sample is
+    # tracked; payloads of doc_id%7==3 are corrupted AFTER checksumming so
+    # their events carry message_valid=0 (Python % is floorMod, matching
+    # Spark pmod on the signed hash)
+    s14_rows = []
+    for i, t in docs:
+        if signed(xxh64(t.encode("utf-8"), 42)) % 100 < 5:
+            s14_rows.append((i, 0 if i % 7 == 3 else 1))
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
-          f"e4={len(e4_rows)} (candidates d7={len(cand)} d8={len(scand)})")
+          f"e4={len(e4_rows)} s14={len(s14_rows)} "
+          f"(candidates d7={len(cand)} d8={len(scand)})")
 
     def values(rows, fmt):
         return ",\n".join("      (" + fmt(r) + ")" for r in rows)
@@ -354,6 +364,13 @@ def main():
               " c2::INT AS hamming FROM (VALUES\n"
               + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    s14_sql = ("SELECT 'host-0' AS host, 'documents_log' AS log_name,"
+               " 1723400000000::BIGINT AS session, c0::BIGINT AS log_seq_num,"
+               " c1::BIGINT AS message_valid, 'SINGER' AS stage,"
+               " 'cluster-1' AS kafka_cluster, 'documents_topic' AS topic"
+               " FROM (VALUES\n"
+               + values(s14_rows, lambda r: f"{r[0]}, {r[1]}")
+               + ") AS t(c0, c1) ORDER BY log_seq_num")
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -378,7 +395,9 @@ object FixtureOracles {{
     "d8_simhash_pairs" ->
       \"\"\"{d8_sql}\"\"\",
     "e4_ivf_kmeans" ->
-      \"\"\"{e4_sql}\"\"\")
+      \"\"\"{e4_sql}\"\"\",
+    "s14_audit_events" ->
+      \"\"\"{s14_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
