@@ -57,8 +57,13 @@ object PartitionerSpec {
 
 sealed trait WriterSpec
 object WriterSpec {
-  /** Kafka-schema rows to an actual Kafka sink. */
-  case class Kafka(bootstrapServers: String, topic: String, auditTopic: Option[String] = None)
+  /** Kafka-schema rows to an actual Kafka sink. `transactional` selects the
+    * per-task transactional epoch commit protocol (reference:
+    * `enableTransactions` — writer/KafkaWriter.java:512-516,584-608,
+    * writer/kafka/CommittableKafkaWriter.java:147-149,335-356; see
+    * [[graft.streaming.TransactionalEpochWriter]]). */
+  case class Kafka(bootstrapServers: String, topic: String, auditTopic: Option[String] = None,
+      transactional: Boolean = false, writeTimeoutSeconds: Int = 60)
       extends WriterSpec
   /** File sink (parquet) — also the local stand-in for S3
     * (reference: writer/s3/S3Writer.java key-templating collapses to a path). */
@@ -159,7 +164,10 @@ object PipelineConfig {
       case "kafka" => WriterSpec.Kafka(
         opt("writer.kafka.bootstrap.servers").getOrElse("localhost:9092"),
         opt("writer.kafka.topic").getOrElse(name),
-        opt("writer.kafka.auditTopic"))
+        opt("writer.kafka.auditTopic"),
+        // the reference's producerConfig.isTransactionEnabled
+        opt("writer.kafka.enableTransactions").exists(_.toBoolean),
+        opt("writer.kafka.writeTimeoutInSeconds").map(_.toInt).getOrElse(60))
       case "file" | "s3" => WriterSpec.Files(opt("writer.file.path").getOrElse(s"/tmp/$name"))
       case "pulsar" => WriterSpec.Pulsar(
         opt("writer.pulsar.serviceUrl").getOrElse("pulsar://localhost:6650"),

@@ -105,7 +105,7 @@ object LogPipeline {
     * previous cache()+count() shape ran two jobs per epoch and pinned the
     * whole epoch in block-manager memory — an OOM/spill hazard once an epoch
     * is tens of GB per executor. */
-  private def writeBatch(df: DataFrame, cfg: PipelineConfig, batchId: Long = 0L): Long = {
+  private[streaming] def writeBatch(df: DataFrame, cfg: PipelineConfig, batchId: Long = 0L): Long = {
     cfg.writer match {
       case WriterSpec.RolledObjects(baseDir, keyFormat, maxBytes) =>
         val sink = new RolledObjectSink(baseDir,
@@ -119,7 +119,7 @@ object LogPipeline {
         df.observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").format(format).save(s"$path/batch_id=$batchId")
         obs.get("n").asInstanceOf[Long]
-      case WriterSpec.Kafka(servers, topic, _) =>
+      case WriterSpec.Kafka(servers, topic, _, false, _) =>
         val obs = org.apache.spark.sql.Observation()
         kafkaSinkProjection(df.observe(obs, count(lit(1)).as("n")))
           .write.format("kafka")
@@ -127,6 +127,36 @@ object LogPipeline {
           .option("topic", topic)
           .option("includeHeaders", "true")
           .save()
+        obs.get("n").asInstanceOf[Long]
+      case WriterSpec.Kafka(servers, topic, _, true, timeoutS) =>
+        // transactional epoch path: each sink TASK runs the reference's
+        // committable protocol against its own producer (a Kafka transaction
+        // is per-producer, so per-task atomicity is the distributed analog —
+        // aborted attempts are invisible to read-committed consumers, and a
+        // retried task re-sends under a fresh transaction; `_mid` headers
+        // keep downstream dedup exact). Producers come from the injectable
+        // EpochProducers seam — no kafka-clients jar ships in this build.
+        val obs = org.apache.spark.sql.Observation()
+        val projected = kafkaSinkProjection(df.observe(obs, count(lit(1)).as("n")))
+          .withColumn("partition", col("partition").cast("int"))
+        val hasHeaders = projected.columns.contains("headers")
+        projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val producer = EpochProducers.factory(servers)
+          try {
+            new TransactionalEpochWriter(producer, topic,
+                transactional = true, writeTimeoutSeconds = timeoutS)
+              .writeEpoch(rows.map { r =>
+                val hs: Seq[(String, Array[Byte])] =
+                  if (hasHeaders && !r.isNullAt(r.fieldIndex("headers")))
+                    r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("headers"))
+                      .map(h => (h.getString(0), h.getAs[Array[Byte]](1)))
+                  else Nil
+                EpochRecord(r.getInt(r.fieldIndex("partition")),
+                  r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), hs)
+              })
+            ()
+          } finally producer.close()
+        }
         obs.get("n").asInstanceOf[Long]
       case WriterSpec.Pulsar(serviceUrl, _, _, _) =>
         // config validation + routing are implemented and spec-pinned; the

@@ -342,8 +342,9 @@ class LogPipelineSpec extends AnyFunSuite with SparkTestBase {
       case _ => false
     })
     cfg.writer match {
-      case WriterSpec.Kafka(servers, topic, _) =>
+      case WriterSpec.Kafka(servers, topic, _, transactional, _) =>
         assert(servers == "broker:9092"); assert(topic == "app-topic")
+        assert(!transactional)
       case other => fail(s"wrong writer: $other")
     }
     assert(cfg.partitioner == PartitionerSpec.Crc32Key(64))

@@ -121,4 +121,109 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
       clock = () => 0L)
     assert(empty.writablePartitions("az-1").isEmpty)
   }
+
+  // ---------------------------------------------------------------- epoch
+  // transactions: fake producer records the protocol calls
+
+  import java.util.concurrent.CompletableFuture
+
+  /** Scripted producer: `failPartitions` fail their sends async;
+    * `hangPartitions` never complete (exercises the endCommit timeout). */
+  class FakeProducer(partitions: Seq[(Int, Option[Int])],
+      failPartitions: Set[Int] = Set.empty,
+      hangPartitions: Set[Int] = Set.empty) extends EpochProducer {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    override def partitionsFor(topic: String): Seq[(Int, Option[Int])] = {
+      calls += "partitionsFor"; partitions
+    }
+    override def beginTransaction(): Unit = calls += "begin"
+    override def send(topic: String, partition: Int, key: Array[Byte],
+        value: Array[Byte], headers: Seq[(String, Array[Byte])]): CompletableFuture[Void] = {
+      sent += ((partition, new String(value)))
+      val f = new CompletableFuture[Void]()
+      if (hangPartitions.contains(partition)) () // never completes
+      else if (failPartitions.contains(partition))
+        f.completeExceptionally(new RuntimeException(s"broker $partition down"))
+      else f.complete(null)
+      f
+    }
+    override def commitTransaction(): Unit = calls += "commit"
+    override def abortTransaction(): Unit = calls += "abort"
+  }
+
+  private def records(n: Int): Iterator[EpochRecord] =
+    (0 until n).iterator.map(i =>
+      EpochRecord(i, Array.emptyByteArray, s"m$i".getBytes))
+
+  test("TransactionalEpochWriter commits when every bucket acks") {
+    val p = new FakeProducer(Seq(0 -> Some(100), 1 -> Some(101), 2 -> Some(102)))
+    val w = new TransactionalEpochWriter(p, "t", transactional = true)
+    val commit = w.writeEpoch(records(9))
+    assert(commit.total == 9)
+    assert(commit.counts == Map(0 -> 3, 1 -> 3, 2 -> 3)) // round-robin routing
+    assert(p.calls == Seq("partitionsFor", "begin", "commit"))
+  }
+
+  test("TransactionalEpochWriter aborts when ANY bucket fails; commit never called") {
+    val p = new FakeProducer(Seq(0 -> Some(100), 1 -> Some(101)), failPartitions = Set(1))
+    val w = new TransactionalEpochWriter(p, "t", transactional = true)
+    val e = intercept[EpochWriteException] { w.writeEpoch(records(6)) }
+    assert(e.getMessage.contains("failed"))
+    assert(p.calls == Seq("partitionsFor", "begin", "abort"))
+    // the healthy bucket's sends DID go out — the abort is what voids them
+    assert(p.sent.count(_._1 == 0) == 3)
+  }
+
+  test("TransactionalEpochWriter endCommit barrier times out and aborts") {
+    val p = new FakeProducer(Seq(0 -> Some(100), 1 -> Some(101)), hangPartitions = Set(1))
+    val w = new TransactionalEpochWriter(p, "t", transactional = true,
+      writeTimeoutSeconds = 1)
+    val e = intercept[EpochWriteException] { w.writeEpoch(records(4)) }
+    assert(e.getMessage.contains("timed out"))
+    assert(p.calls == Seq("partitionsFor", "begin", "abort"))
+  }
+
+  test("TransactionalEpochWriter skips leaderless partitions when routing") {
+    val p = new FakeProducer(Seq(0 -> Some(100), 1 -> None, 2 -> Some(102)))
+    val w = new TransactionalEpochWriter(p, "t", transactional = true)
+    val commit = w.writeEpoch(records(8))
+    assert(commit.total == 8)
+    assert(commit.counts.keySet == Set(0, 2), "leaderless partition 1 must get nothing")
+  }
+
+  test("TransactionalEpochWriter non-transactional mode never begins/commits/aborts") {
+    val ok = new FakeProducer(Seq(0 -> Some(100)))
+    new TransactionalEpochWriter(ok, "t", transactional = false).writeEpoch(records(3))
+    assert(ok.calls == Seq("partitionsFor"))
+    val bad = new FakeProducer(Seq(0 -> Some(100)), failPartitions = Set(0))
+    intercept[EpochWriteException] {
+      new TransactionalEpochWriter(bad, "t", transactional = false).writeEpoch(records(3))
+    }
+    assert(bad.calls == Seq("partitionsFor"), "no abort without a transaction")
+  }
+
+  test("WriterSpec.Kafka(transactional) drives the per-task protocol through writeBatch") {
+    import graft.model._
+    val made = new java.util.concurrent.CopyOnWriteArrayList[FakeProducer]()
+    val saved = EpochProducers.factory
+    EpochProducers.factory = _ => {
+      val p = new FakeProducer(Seq(0 -> Some(100), 1 -> Some(101)))
+      made.add(p); p
+    }
+    try {
+      val df = (0 until 20).map(i => (s"k$i".getBytes, s"v$i".getBytes, i, "t"))
+        .toDF("key", "value", "partition", "topic").repartition(4)
+      val cfg = PipelineConfig(name = "tx", logDir = "/tmp",
+        writer = WriterSpec.Kafka("fake:9092", "t", transactional = true))
+      val n = LogPipeline.writeBatch(df, cfg)
+      assert(n == 20)
+      val all = made.toArray(Array.empty[FakeProducer])
+      assert(all.nonEmpty)
+      // every task's producer ran the full begin→commit protocol
+      all.filter(_.sent.nonEmpty).foreach(p =>
+        assert(p.calls == Seq("partitionsFor", "begin", "commit")))
+      assert(all.map(_.sent.size).sum == 20)
+    } finally EpochProducers.factory = saved
+  }
 }
