@@ -19,7 +19,8 @@ import graft.model.PipelineConfig
   */
 class PipelineManager(spark: SparkSession,
     stuckThresholdMs: Long = 10 * 60 * 1000L,
-    audit: Option[AuditWriter] = None) {
+    audit: Option[AuditWriter] = None,
+    restartSchedule: Option[RestartSchedule] = None) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
   private val supervisors = TrieMap.empty[String, SupervisedQuery]
@@ -103,6 +104,55 @@ class PipelineManager(spark: SparkSession,
     supervisors.values.foreach(_.stop())
     queries.values.foreach(q => if (q.isActive) q.stop())
   }
+
+  /** Daily-restart tick: when the (per-host jittered) restart time passes,
+    * every SUPERVISED pipeline is drained and relaunched from its checkpoint
+    * — the reference's `restartDaily` hygiene restart
+    * (reference: monitor/DefaultLogMonitor.java:158-188 picks a random time
+    * inside a configured window so a fleet never restarts in lockstep).
+    * Call from the same scheduler tick as [[checkPendingDirs]]/[[stuck]].
+    * Unsupervised queries have no restart factory and are left alone (use
+    * `maxRestarts > 0` to opt a pipeline into supervision). Returns the
+    * restarted pipeline names. */
+  def checkScheduledRestart(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    restartSchedule match {
+      case Some(sched) if sched.due(nowMs) =>
+        sched.advance()
+        supervisors.toSeq.map { case (name, sup) => sup.scheduledRestart(); name }
+      case _ => Nil
+    }
+}
+
+/** Per-host randomized daily restart time — the reference's
+  * `SingerRestartConfig.restartDaily` window (reference:
+  * monitor/DefaultLogMonitor.java:158-188): a time is drawn inside
+  * `[beginOffsetMs, endOffsetMs]` of the UTC day, seeded by the hostname so
+  * each host restarts at a stable-but-different minute (fleet-wide jitter);
+  * if today's slot already passed it rolls to tomorrow. `clock` injectable
+  * for specs. */
+class RestartSchedule(beginOffsetMs: Long, endOffsetMs: Long,
+    hostname: String = LogPipeline.hostname,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  require(beginOffsetMs >= 0 && endOffsetMs < 86400000L && endOffsetMs >= beginOffsetMs,
+    s"restart window must satisfy 0 <= begin <= end < 1d, got [$beginOffsetMs, $endOffsetMs]")
+
+  private val jitterMs: Long = {
+    val span = endOffsetMs - beginOffsetMs + 1
+    beginOffsetMs + math.floorMod(new scala.util.Random(hostname.hashCode).nextLong(), span)
+  }
+
+  @volatile private var nextMs: Long = {
+    val now = clock()
+    val midnight = now - math.floorMod(now, 86400000L)
+    val t = midnight + jitterMs
+    if (t <= now) t + 86400000L else t
+  }
+
+  /** The chosen restart instant (epoch ms). */
+  def nextRestartMs: Long = nextMs
+  def due(nowMs: Long = clock()): Boolean = nowMs >= nextMs
+  /** Roll to the same jittered slot tomorrow. */
+  def advance(): Unit = nextMs += 86400000L
 }
 
 /** Restart-on-failure supervision — the reference restarts a writer after N
@@ -118,6 +168,7 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
   private val currentRef = new java.util.concurrent.atomic.AtomicReference[StreamingQuery](factory())
   @volatile private var restartCount = 0
   @volatile private var stopped = false
+  @volatile private var restarting = false
 
   private val monitor = new Thread(() => {
     var done = false
@@ -125,7 +176,13 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
       val q = currentRef.get()
       try q.awaitTermination()
       catch { case _: Throwable => () } // exception recorded on the query
-      if (stopped || q.exception.isEmpty || restartCount >= maxRestarts) done = true
+      if (stopped) done = true
+      else if (q.exception.isEmpty) {
+        // clean termination: either a scheduledRestart is swapping in a new
+        // query (keep supervising it) or a real stop (end supervision)
+        Thread.sleep(100)
+        if (!restarting && (currentRef.get() eq q)) done = true
+      } else if (restartCount >= maxRestarts) done = true
       else {
         restartCount += 1
         Thread.sleep(backoffMs)
@@ -142,6 +199,24 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
     stopped = true
     val q = currentRef.get()
     if (q.isActive) q.stop()
+  }
+
+  /** Clean scheduled restart (daily hygiene, reference:
+    * monitor/DefaultLogMonitor.java:158-188): drain the current query, stop
+    * it, relaunch from the same checkpoint. Does NOT consume the failure
+    * restart budget, and supervision continues on the new instance. */
+  def scheduledRestart(): StreamingQuery = synchronized {
+    restarting = true
+    try {
+      val old = currentRef.get()
+      if (old.isActive) {
+        old.processAllAvailable()
+        old.stop()
+      }
+      val q = factory()
+      currentRef.set(q)
+      q
+    } finally restarting = false
   }
   /** Wait until the query is alive again after a crash (test helper). */
   def awaitActive(timeoutMs: Long): Boolean = {

@@ -121,4 +121,67 @@ class SupervisionSpec extends AnyFunSuite with SparkTestBase {
     assert(run.intervals.take(2) == Seq(20L, 40L), s"got ${run.intervals}")
     assert(spark.read.parquet(outDir.toString).count() == 1)
   }
+
+  test("RestartSchedule draws a stable per-host slot inside the window") {
+    val day = 86400000L
+    val begin = 3600000L; val end = 7200000L // 01:00-02:00 UTC
+    val t0 = 1700000000000L // mid-day, after any possible slot? compute below
+    val s1 = new RestartSchedule(begin, end, hostname = "host-a", clock = () => t0)
+    val s2 = new RestartSchedule(begin, end, hostname = "host-a", clock = () => t0)
+    val s3 = new RestartSchedule(begin, end, hostname = "host-b", clock = () => t0)
+    // deterministic per host, jittered across hosts
+    assert(s1.nextRestartMs == s2.nextRestartMs)
+    assert(s1.nextRestartMs != s3.nextRestartMs)
+    // the slot sits inside [begin, end] of a UTC day, in the FUTURE
+    val offset = math.floorMod(s1.nextRestartMs, day)
+    assert(offset >= begin && offset <= end, s"offset $offset outside window")
+    assert(s1.nextRestartMs > t0)
+    assert(s1.nextRestartMs - t0 <= day)
+    // not due before the slot; due at/after; advance rolls +24h
+    assert(!s1.due(s1.nextRestartMs - 1))
+    assert(s1.due(s1.nextRestartMs))
+    val first = s1.nextRestartMs
+    s1.advance()
+    assert(s1.nextRestartMs == first + day)
+  }
+
+  test("scheduled daily restart relaunches supervised pipelines from checkpoint") {
+    val logDir = Files.createTempDirectory("graft-dr-logs")
+    val outDir = Files.createTempDirectory("graft-dr-out")
+    Files.writeString(logDir.resolve("a.log"), "m1\nm2\n")
+    val t0 = 1700000000000L
+    val sched = new RestartSchedule(0L, 86399999L, hostname = "h", clock = () => t0)
+    val mgr = new PipelineManager(spark, restartSchedule = Some(sched))
+    val cfg = PipelineConfig(
+      name = "dr-test", logDir = logDir.toString,
+      writer = WriterSpec.Files(outDir.toString),
+      checkpointDir = Some(Files.createTempDirectory("graft-dr-cp").toString),
+      maxRestarts = 2) // opt into supervision
+    try {
+      val q0 = mgr.start(cfg, Trigger.ProcessingTime("100 milliseconds"))
+      q0.processAllAvailable()
+      assert(spark.read.parquet(outDir.toString).count() == 2)
+
+      // before the slot: tick is a no-op
+      assert(mgr.checkScheduledRestart(sched.nextRestartMs - 1).isEmpty)
+      // at the slot: the supervised pipeline is drained and relaunched
+      val slot = sched.nextRestartMs
+      assert(mgr.checkScheduledRestart(slot) == Seq("dr-test"))
+      // schedule advanced a full day — the next tick does not re-fire
+      assert(sched.nextRestartMs == slot + 86400000L)
+      assert(mgr.checkScheduledRestart(slot + 1).isEmpty)
+
+      // the relaunched query resumes the SAME checkpoint: new data flows,
+      // old data is not re-delivered
+      val q1 = mgr.get("dr-test").get
+      assert(q1 ne q0)
+      Files.writeString(logDir.resolve("b.log"), "m3\n")
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        spark.read.parquet(outDir.toString).count() < 3) Thread.sleep(100)
+      assert(spark.read.parquet(outDir.toString).count() == 3, "exactly m1,m2,m3 delivered")
+      // clean scheduled restart consumed none of the failure budget
+      assert(mgr.get("dr-test").get.isActive)
+    } finally mgr.stopAll()
+  }
 }
