@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured FASTER than 16/30/32g for the ingestion slices on this
+  // container (bigger heaps = slower young-gen cycles for the allocation-
+  // heavy decode paths; 32g additionally loses compressed oops) — and it
+  // keeps bench numbers comparable across rounds.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~140 distinct codegen'd queries per bench run overflow the default
+  // 240m code cache, silently degrading late queries to interpreter speed
+  "-XX:ReservedCodeCacheSize=512m",
 )
