@@ -338,10 +338,21 @@ class TailReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Reads one (file, byte-range) slice and decodes records. */
+/** Reads one (file, byte-range) slice and decodes records.
+  *
+  * Memory contract: `text` and `thrift` STREAM the range through a bounded
+  * buffer — an uncapped tail of a 50 GB file holds one buffer + one record,
+  * never the range. `multiline` materializes its range: its boundaries are
+  * start-regex positions the driver aligned (bounded-backward-scan), and the
+  * multiline scan needs the regex over the assembled text; its ranges are
+  * therefore sized by `maxBytesPerTrigger`, which the multiline tail treats
+  * as required (it defaults on). */
 class TailPartitionReader(p: TailInputPartition) extends PartitionReader[InternalRow] {
 
-  private val bytes: Array[Byte] = {
+  private val pathUtf8 = UTF8String.fromString(p.path)
+
+  // --- multiline path: whole-range buffer (see memory contract above)
+  private def readWholeRange(): Array[Byte] = {
     val raf = new RandomAccessFile(p.path, "r")
     try {
       val len = (math.min(p.endOff, raf.length()) - p.startOff).max(0L).toInt
@@ -352,13 +363,25 @@ class TailPartitionReader(p: TailInputPartition) extends PartitionReader[Interna
     } finally raf.close()
   }
 
-  private val pathUtf8 = UTF8String.fromString(p.path)
+  // --- streaming paths: bounded buffer over the byte range
+  private var in: java.io.DataInputStream = _
+  private var consumed: Long = 0L // bytes of the range consumed so far
+  private var rangeLen: Long = 0L
+
+  private def openStream(): Unit = {
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(p.path), java.nio.file.StandardOpenOption.READ)
+    rangeLen = (math.min(p.endOff, ch.size()) - p.startOff).max(0L)
+    ch.position(p.startOff)
+    in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.channels.Channels.newInputStream(ch), TailPartitionReader.BufferBytes))
+  }
 
   private val iter: Iterator[InternalRow] = p.format match {
     case "multiline" =>
       // range boundaries are start-regex positions (driver-aligned), so
       // every record in the range is complete; ISO-8859-1 keeps byte math 1:1
-      val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val text = new String(readWholeRange(), java.nio.charset.StandardCharsets.ISO_8859_1)
       val m = java.util.regex.Pattern
         .compile(p.startRegex.getOrElse("^"), java.util.regex.Pattern.MULTILINE)
         .matcher(text)
@@ -374,27 +397,73 @@ class TailPartitionReader(p: TailInputPartition) extends PartitionReader[Interna
           rec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), null, null))
       }
     case "thrift" =>
-      ThriftLogCodec.decodeFrames(bytes).map { d =>
-        new GenericInternalRow(Array[Any](
-          pathUtf8, p.startOff + d.nextByteOffset, d.key, d.message,
-          if (d.timestampNanos == null) null else d.timestampNanos.longValue(),
-          if (d.checksum == null) null else d.checksum.longValue()))
+      // frame-at-a-time: only the current frame is ever materialized; a
+      // partial tail (in-progress append) simply ends the iterator without
+      // advancing the offset past the last complete frame
+      openStream()
+      new Iterator[InternalRow] {
+        private var nextRow: InternalRow = _
+        advance()
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && rangeLen - consumed >= 4) {
+            val len = in.readInt()
+            if (len < 0 || len > rangeLen - consumed - 4) return // corrupt/partial tail — stop
+            // reconstruct one framed record for the shared codec (4-byte
+            // header + body): bounded by the frame, not the range
+            val frame = new Array[Byte](4 + len)
+            frame(0) = (len >> 24).toByte; frame(1) = (len >> 16).toByte
+            frame(2) = (len >> 8).toByte; frame(3) = len.toByte
+            in.readFully(frame, 4, len)
+            consumed += 4L + len
+            val it = ThriftLogCodec.decodeFrames(frame)
+            if (it.hasNext) { // malformed struct (no required message) → skip frame
+              val d = it.next()
+              nextRow = new GenericInternalRow(Array[Any](
+                pathUtf8, p.startOff + consumed, d.key, d.message,
+                if (d.timestampNanos == null) null else d.timestampNanos.longValue(),
+                if (d.checksum == null) null else d.checksum.longValue()))
+            }
+          }
+        }
+        override def hasNext: Boolean = nextRow != null
+        override def next(): InternalRow = { val r = nextRow; advance(); r }
       }
     case _ =>
       // text: records end at '\n'; a trailing partial line is still emitted
       // (record-atomic-append assumption ⇒ only happens at a flush boundary
-      // the producer itself wrote without a newline)
+      // the producer itself wrote without a newline). Chunk-scanned: lines
+      // assemble across chunk boundaries, memory = one chunk + one record.
+      openStream()
       new Iterator[InternalRow] {
-        private var pos = 0
-        override def hasNext: Boolean = pos < bytes.length
+        private val chunk = new Array[Byte](64 << 10)
+        private var chunkLen = 0
+        private var chunkPos = 0
+        private var pulled = 0L // bytes taken from the stream into chunks
+        private def ensure(): Unit =
+          if (chunkPos >= chunkLen && pulled < rangeLen) {
+            val n = in.read(chunk, 0, math.min(chunk.length.toLong, rangeLen - pulled).toInt)
+            if (n <= 0) pulled = rangeLen
+            else { chunkLen = n; chunkPos = 0; pulled += n }
+          }
+        override def hasNext: Boolean = { ensure(); chunkPos < chunkLen }
         override def next(): InternalRow = {
-          var nl = pos
-          while (nl < bytes.length && bytes(nl) != '\n') nl += 1
-          val line = java.util.Arrays.copyOfRange(bytes, pos, nl)
-          val consumedTo = if (nl < bytes.length) nl + 1 else nl
-          pos = consumedTo
+          val line = new java.io.ByteArrayOutputStream(256)
+          var done = false
+          while (!done) {
+            ensure()
+            if (chunkPos >= chunkLen) done = true // end of range: partial line
+            else {
+              var i = chunkPos
+              while (i < chunkLen && chunk(i) != '\n') i += 1
+              line.write(chunk, chunkPos, i - chunkPos)
+              consumed += i - chunkPos
+              if (i < chunkLen) { consumed += 1; chunkPos = i + 1; done = true }
+              else chunkPos = i
+            }
+          }
           new GenericInternalRow(Array[Any](
-            pathUtf8, p.startOff + consumedTo, null, line, null, null))
+            pathUtf8, p.startOff + consumed, null, line.toByteArray, null, null))
         }
       }
   }
@@ -404,5 +473,11 @@ class TailPartitionReader(p: TailInputPartition) extends PartitionReader[Interna
     if (iter.hasNext) { current = iter.next(); true } else false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (in != null) in.close()
+}
+
+object TailPartitionReader {
+  /** Streaming read buffer — the only per-task memory the text/thrift tail
+    * formats hold besides the current record. */
+  val BufferBytes: Int = 1 << 20
 }
