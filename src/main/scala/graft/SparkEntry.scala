@@ -531,6 +531,60 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.01)
         .orderBy("id_a", "id_b")
     }),
+    "d14_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing any 5-gram with a
+      // probe ("benchmark") set are flagged with their overlap count. Scale
+      // shape: both sides explode to (xxhash64(shingle), id) — the shuffle
+      // carries 12-byte hashes, never shingle text — and the probe side is
+      // distinct-small, so Catalyst broadcasts it; corpus text is read once.
+      // (The DuckDB oracle joins the shingle STRINGS — identical result
+      // absent a 64-bit collision, P≈1e-10 here.)
+      val docs = t(s, d, "documents")
+      val probe = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(HashFunctions.wordShingles(col("text"), 5)).as("sh"))
+        .select(xxhash64(col("sh")).as("h")).distinct()
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), explode(HashFunctions.wordShingles(col("text"), 5)).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      corpus.join(broadcast(probe), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+    "d13_repetition" -> ((s, d) =>
+      // duplicate-n-gram fraction (the C4/Gopher repetition quality filter)
+      // at 2- and 3-gram granularity — narrow, codegen'd, scan-speed
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(HashFunctions.repetitionRatio(col("text"), 3), 4).as("rep3"),
+          round(HashFunctions.repetitionRatio(col("text"), 2), 4).as("rep2"))
+        .orderBy("doc_id")),
+    "d15_tfidf" -> ((s, d) => {
+      // corpus TF-IDF, top-3 terms per document. Shuffles carry (doc, token)
+      // counts, never text; document-frequency joins back on token (a
+      // hash join both sides — at 100 TB broadcast the df table if the
+      // vocabulary fits, else it behaves like any hash join). The per-doc
+      // window ranks within tiny (vocab-of-one-doc) groups, so the
+      // partitionBy(doc_id) exchange is the same shuffle the tf groupBy
+      // already did.
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count() // scalar, driver-side by design
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dlen, "doc_id").join(idf, "token")
+        .select(col("doc_id"), col("token"),
+          ((col("tf").cast("double") / col("dlen")) *
+            log(lit(nDocs.toDouble) / col("df"))).as("score"))
+      scored.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("token"))))
+        .filter(col("r") <= 3)
+        .select(col("doc_id"), col("token"), round(col("score"), 5).as("score"))
+        .orderBy("doc_id", "token")
+    }),
     "d11_subword_count" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"),
@@ -640,6 +694,25 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    "j1_range_join" -> ((s, d) => {
+      // events falling in each order's 30-day window (same customer) via
+      // the binned range join: both sides shuffle ONCE on (custkey, bin)
+      // and the range predicate re-applies exactly — no cartesian, no
+      // broadcast requirement. binWidth 32 ≈ interval width → right rows
+      // replicate ≤ 2×.
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("value"),
+        (unix_date(lit("1995-01-01").cast("date")) +
+          pmod(col("event_id"), lit(2400))).as("eday"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        unix_date(col("o_orderdate").cast("date")).as("sday"))
+        .withColumn("endday", col("sday") + 30)
+      graft.operators.Joins.rangeJoin(e, o, pointCol = "eday",
+          startCol = "sday", endCol = "endday", binWidth = 32,
+          leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("o_orderkey")
+    }),
     "a1_asof_join" -> ((s, d) => {
       // events mapped into the order-date range, then backward as-of joined
       // to each user's latest order at-or-before the event date
@@ -681,24 +754,35 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")),
     "m3_media_features_ann" -> ((s, d) => {
       // REAL decoded pixels -> luminance-histogram features -> real ANN
-      // operator. Raster histograms are not SQL-expressible, so the oracle
-      // checks the ANN plumbing invariants: per query, exactly k
-      // rank-sequential results, no self-match, cosine within [-1, 1].
-      val feats = Multimodal.extractFeatures(syntheticMedia(s, d), dim = 32)
+      // operator, on the lossless (PNG, even-id) half of the corpus so the
+      // decoded raster equals the closed-form generator output. Oracle: an
+      // INDEPENDENT codec-free Python mirror (gen_fixtures.py) of
+      // generator -> histogram (f32 normalize) -> double cosine top-k; a
+      // wrong decode, binning, normalization, or ranking breaks it.
+      val media = syntheticMedia(s, d).filter(pmod(col("media_id"), lit(2)) === 0)
+      val feats = Multimodal.extractFeatures(media, dim = 32)
         .toDF().withColumnRenamed("feature", "embedding")
         .withColumnRenamed("media_id", "vec_id")
-      Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 3), k = 5)
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).cast("long").as("n_results"),
-          max("rank").cast("long").as("max_rank"),
-          when(sum(when(col("query_id") === col("corpus_id"), 1).otherwise(0)) === 0, 1L)
-            .otherwise(0L).as("self_excluded"),
-          when(min("cosine") >= -1.0000001 && max("cosine") <= 1.0000001, 1L)
-            .otherwise(0L).as("cosine_bounded"))
-        .orderBy("query_id")
+      Similarity.bruteForceTopK(feats, feats.filter(col("vec_id") < 6), k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // ------------------------------------------------ streaming twins (batch mode)
+    "w4_interval_join" -> ((s, d) => {
+      // purchases within 30 minutes after each click by the same user —
+      // batch twin of the watermarked stream-stream interval join (state
+      // bounded by the delay window, not the stream)
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.streaming.EventAnalytics.intervalJoin(clicks, purchases, key = "user_id")
+        .select(col("l.event_id").as("click_id"), col("r.event_id").as("purchase_id"))
+        .orderBy("click_id", "purchase_id")
+    }),
     "w1_hourly_counts" -> ((s, d) =>
       events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -1020,6 +1104,55 @@ object SparkEntry {
              t -> length(t) > 0)) AS token
            FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
+    "d14_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) - 4 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 4),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                   || toks[i+3] || ' ' || toks[i+4]) END)) AS sh
+             FROM t),
+           probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+           corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, count(*) AS n_shared
+         FROM corpus c JOIN probe p USING (sh)
+         GROUP BY 1 ORDER BY doc_id""",
+    "d13_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           g AS (SELECT doc_id,
+             CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3,
+             CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1]) END AS g2
+             FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END, 4) AS rep3,
+           round(CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END, 4) AS rep2
+         FROM g ORDER BY doc_id""",
+    "d15_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)) AS token FROM documents),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+           dlen AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+           idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           n AS (SELECT count(*) AS n FROM documents),
+           scored AS (SELECT tf.doc_id, tf.token,
+               (tf.tf::DOUBLE / dlen.dlen) * ln(n.n::DOUBLE / idf.df) AS score
+             FROM tf JOIN dlen USING (doc_id) JOIN idf USING (token) CROSS JOIN n),
+           ranked AS (SELECT doc_id, token, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS r
+             FROM scored)
+         SELECT doc_id, token, round(score, 5) AS score
+         FROM ranked WHERE r <= 3 ORDER BY doc_id, token""",
     "d9_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(
@@ -1100,6 +1233,14 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "j1_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+         FROM (SELECT event_id, user_id, value,
+             (DATE '1995-01-01' + (event_id % 2400)::INT) AS edate FROM events) e
+         JOIN orders o ON o.o_custkey = e.user_id
+           AND e.edate >= o.o_orderdate::DATE
+           AND e.edate <= o.o_orderdate::DATE + 30
+         GROUP BY 1 ORDER BY o_orderkey""",
     "a1_asof_join" ->
       """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
          FROM (SELECT event_id, user_id,
@@ -1138,12 +1279,14 @@ object SparkEntry {
            unnest(range(0, octet_length(encode(text)) * 2 // 100 + 1)) AS u
            FROM documents)
          ORDER BY media_id, frame_idx""",
-    // m3: stub features are xxhash-derived (not SQL-expressible); oracle
-    // pins the ANN plumbing invariants per query.
-    "m3_media_features_ann" ->
-      """SELECT doc_id AS query_id, 5::BIGINT AS n_results, 5::BIGINT AS max_rank,
-         1::BIGINT AS self_excluded, 1::BIGINT AS cosine_bounded
-         FROM documents WHERE doc_id < 3 ORDER BY query_id""",
+    // m3: fixture oracle from the codec-free Python mirror — see
+    // FixtureOracles (merged below).
+    "w4_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+         FROM events c JOIN events p ON p.user_id = c.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, purchase_id""",
     "w1_hourly_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
          round(sum(value), 2) AS total_value

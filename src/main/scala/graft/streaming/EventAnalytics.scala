@@ -38,6 +38,29 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("window_start"), col("n"))
 
+  /** Stream-stream interval join: right rows matched to left rows with the
+    * same key where `rightTs ∈ [leftTs, leftTs + maxDelay]` — e.g. "the
+    * purchases within 30 minutes after each click". In streaming mode this
+    * is Spark's watermarked stream-stream inner join: the time-bound
+    * condition lets the engine evict left state past
+    * `watermark + maxDelay` and right state past `watermark`, so state is
+    * bounded by the delay window, not the stream. In batch mode the same
+    * plan runs over static frames (the w4 batch twin) — there the binned
+    * form ([[graft.operators.Joins.rangeJoin]]) is the scale path; here the
+    * key equality already hash-partitions the join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "ts",
+      maxDelay: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
+      .alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"))
+  }
+
   /** Streaming exact dedup: first occurrence per key set wins; duplicate
     * arrivals inside the watermark horizon are dropped, state evicted past
     * it. Batch mode falls back to plain dropDuplicates. */

@@ -111,4 +111,43 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(twin(0).getAs[Long]("n_events") == 2)
     assert(twin(1).getAs[Long]("n_events") == 1)
   }
+
+  test("intervalJoin stream-stream matches its batch twin (bounded join window)") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventAnalytics.intervalJoin(
+      clicks.toDF().withColumnRenamed("event_type", "cv"),
+      buys.toDF().withColumnRenamed("event_type", "pv"),
+      key = "user_id", maxDelay = "5 minutes", watermark = "1 minute")
+      .select(col("l.cv").as("click"), col("r.pv").as("purchase"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("ij")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      clicks.addData(Ev(1, ts(0), "c1", 0), Ev(1, ts(10), "c2", 0), Ev(2, ts(0), "c3", 0))
+      buys.addData(
+        Ev(1, ts(3), "p-in", 0),     // 3 min after c1 → joins c1 only
+        Ev(1, ts(9), "p-late", 0),   // 9 min after c1 (out), 1 min before c2 (out: before)
+        Ev(1, ts(12), "p-in2", 0),   // joins c2
+        Ev(3, ts(1), "p-nouser", 0)) // no matching click user
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData(Ev(8, ts(59), "wm", 0)); buys.addData(Ev(9, ts(59), "wm", 0))
+      q.processAllAvailable()
+      val got = spark.table("ij").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("c1", "p-in"), ("c2", "p-in2")))
+    } finally q.stop()
+
+    // batch twin: identical pairs from the same rows
+    val cb = Seq(Ev(1, ts(0), "c1", 0), Ev(1, ts(10), "c2", 0), Ev(2, ts(0), "c3", 0))
+      .toDF().withColumnRenamed("event_type", "cv")
+    val pb = Seq(Ev(1, ts(3), "p-in", 0), Ev(1, ts(9), "p-late", 0),
+      Ev(1, ts(12), "p-in2", 0), Ev(3, ts(1), "p-nouser", 0))
+      .toDF().withColumnRenamed("event_type", "pv")
+    val twin2 = EventAnalytics.intervalJoin(cb, pb, key = "user_id", maxDelay = "5 minutes")
+      .select(col("l.cv"), col("r.pv")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twin2 == Set(("c1", "p-in"), ("c2", "p-in2")))
+  }
 }

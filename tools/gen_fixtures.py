@@ -284,6 +284,52 @@ def kmeans_fixture(sf, k=8, iters=3):
     return out, rnd(sse_final, 2)
 
 
+def media_ann_fixture(sf, dim=32, k=5, queries_below=6):
+    """INDEPENDENT mirror of the m3 path: synthetic-image generator →
+    luminance-histogram features → brute-force cosine top-k — touching no
+    codec at all. Pixels come straight from the closed-form generator
+    (PNG/even ids are lossless, so the decoded raster IS the formula);
+    histogram normalization replays the engine's float32 division exactly
+    (numpy f32), after which the double cosine loop is bit-identical to
+    CosineSimExpr, so rounded values cannot drift."""
+    import numpy as np
+    ids = [i for (i,) in duckdb.sql(
+        f"SELECT doc_id FROM '{sf}/documents.parquet' WHERE doc_id % 2 = 0"
+        " ORDER BY doc_id").fetchall()]
+    feats = {}
+    for i in ids:
+        w = 16 + (i % 48)
+        h = 16 + ((i // 7) % 40)
+        x = np.arange(w, dtype=np.int64).reshape(1, w)
+        y = np.arange(h, dtype=np.int64).reshape(h, 1)
+        r = (x * 7 + y * 13 + i * 31) % 256
+        g = (x * 3 + y * 5 + i * 17) % 256
+        b = (x * 11 + y * 2 + i * 7) % 256
+        lum = (r + g + b) // 3          # Scala Int division (floor on >=0)
+        bins = (lum * dim) // 256
+        counts = np.bincount(bins.ravel(), minlength=dim).astype(np.float32)
+        v = counts / np.float32(w * h)  # engine's f32 normalization, exact
+        feats[i] = v.astype(np.float64)
+    rows = []
+    for q in [i for i in ids if i < queries_below]:
+        scored = []
+        for c in ids:
+            if c == q:
+                continue
+            a, b2 = feats[q], feats[c]
+            dot = sa = sb = 0.0
+            for j in range(dim):        # left-to-right parity w/ CosineSimExpr
+                dot += a[j] * b2[j]
+                sa += a[j] * a[j]
+                sb += b2[j] * b2[j]
+            d = (sa ** 0.5) * (sb ** 0.5)
+            scored.append((0.0 if d == 0.0 else dot / d, c))
+        scored.sort(key=lambda t: (-t[0], t[1]))  # ScoredTopKAggregator order
+        for rank, (cos, c) in enumerate(scored[:k], start=1):
+            rows.append((q, c, rnd(cos, 4), rank))
+    return rows
+
+
 def main():
     selftest()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -345,8 +391,11 @@ def main():
         if signed(xxh64(t.encode("utf-8"), 42)) % 100 < 5:
             s14_rows.append((i, 0 if i % 7 == 3 else 1))
 
+    # ---- m3: media features ANN (codec-free mirror of the image pipeline)
+    m3_rows = media_ann_fixture(sf)
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
-          f"e4={len(e4_rows)} s14={len(s14_rows)} "
+          f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
 
     def values(rows, fmt):
@@ -364,6 +413,10 @@ def main():
               " c2::INT AS hamming FROM (VALUES\n"
               + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    m3_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
+              " c2::DOUBLE AS cosine, c3::INT AS rank FROM (VALUES\n"
+              + values(m3_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
+              + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
     s14_sql = ("SELECT 'host-0' AS host, 'documents_log' AS log_name,"
                " 1723400000000::BIGINT AS session, c0::BIGINT AS log_seq_num,"
                " c1::BIGINT AS message_valid, 'SINGER' AS stage,"
@@ -397,7 +450,9 @@ object FixtureOracles {{
     "e4_ivf_kmeans" ->
       \"\"\"{e4_sql}\"\"\",
     "s14_audit_events" ->
-      \"\"\"{s14_sql}\"\"\")
+      \"\"\"{s14_sql}\"\"\",
+    "m3_media_features_ann" ->
+      \"\"\"{m3_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
