@@ -532,20 +532,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "d14_decontaminate" -> ((s, d) => {
-      // benchmark decontamination: corpus docs sharing any 5-gram with a
+      // benchmark decontamination: corpus docs sharing any 4-gram with a
       // probe ("benchmark") set are flagged with their overlap count. Scale
       // shape: both sides explode to (xxhash64(shingle), id) — the shuffle
       // carries 12-byte hashes, never shingle text — and the probe side is
       // distinct-small, so Catalyst broadcasts it; corpus text is read once.
       // (The DuckDB oracle joins the shingle STRINGS — identical result
-      // absent a 64-bit collision, P≈1e-10 here.)
+      // absent a 64-bit collision, P≈1e-10 here; the chained-hash shingle
+      // is bijective with the string form, see ShingleHashesExpr.)
       val docs = t(s, d, "documents")
-      val probe = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(HashFunctions.wordShingles(col("text"), 5)).as("sh"))
-        .select(xxhash64(col("sh")).as("h")).distinct()
-      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), explode(HashFunctions.wordShingles(col("text"), 5)).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      val probe = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+        .select(explode(HashFunctions.shingleHashes(col("text"), 4)).as("h"))
+        .distinct()
+      val corpus = docs.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+        .select(col("doc_id"), explode(HashFunctions.shingleHashes(col("text"), 4)).as("h"))
       corpus.join(broadcast(probe), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
@@ -1109,13 +1109,13 @@ object SparkEntry {
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> length(x) > 0) AS toks FROM documents),
            sh AS (SELECT doc_id, unnest(list_distinct(
-             CASE WHEN len(toks) - 4 <= 0 THEN [array_to_string(toks, ' ')]
-               ELSE list_transform(generate_series(1, len(toks) - 4),
+             CASE WHEN len(toks) - 3 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 3),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
-                   || toks[i+3] || ' ' || toks[i+4]) END)) AS sh
+                   || toks[i+3]) END)) AS sh
              FROM t),
-           probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-           corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+           probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0),
+           corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 31 <> 0)
          SELECT c.doc_id, count(*) AS n_shared
          FROM corpus c JOIN probe p USING (sh)
          GROUP BY 1 ORDER BY doc_id""",

@@ -18,24 +18,26 @@ object HashFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** Word n-gram shingles INCLUDING repeats — the denominator of the
-    * repetition signal ([[repetitionRatio]]). */
-  def wordShinglesAll(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array(concat_ws(" ", toks)).cast("array<string>")).otherwise(
-      transform(sequence(lit(0), count - 1), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Distinct word-n-gram hashes — the native stand-in for the distinct
+    * shingle STRING set (see [[graft.plans.ShingleHashesExpr]]): tokens are
+    * whitespace-free so join-with-space is injective, making chained token
+    * hashes bijective with shingle strings. One tight loop per row, no
+    * shingle strings materialized. */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.SketchExpressions.shingleHashes(TextFunctions.tokens(lower(text)), n)
 
   /** Duplicate word-n-gram fraction, the standard corpus-quality repetition
     * filter (boilerplate/spam detector in C4/Gopher-style pipelines):
     * `1 - distinct/total` over word n-grams; 0 for docs shorter than n
-    * tokens. Narrow and codegen'd — runs at scan speed over 100 TB. */
+    * tokens (they count as one whole-doc shingle, mirroring
+    * [[wordShingles]]). The total is pure arithmetic on the token count;
+    * the distinct count is the native hash-set size — no per-element
+    * lambdas, scan speed at 100 TB. */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val all = wordShinglesAll(text, n)
-    val total = size(all).cast("double")
-    when(total <= 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(all)) / total)
+    val toks = TextFunctions.tokens(lower(text))
+    val total = greatest(size(toks) - (n - 1), lit(1)).cast("double")
+    lit(1.0) -
+      size(graft.plans.SketchExpressions.shingleHashes(toks, n)) / total
   }
 
   /** Character n-gram shingles (distinct). */

@@ -45,11 +45,28 @@ object SkewGuard {
     val base = rows.select(
       keyCols :+ col(idCol).as("__id") :+ xxhash64(col(payloadCol)).as("__pk"): _*)
     val sizes = base.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-    val tagged = base.join(sizes, keys)
-    val small = tagged.filter(col("__n") <= maxBucket)
+    // The guard must not tax the healthy case: first find the OVERSIZED
+    // bucket keys (one map-side-combined count job, carrying only keys).
+    // Zero hot buckets — the overwhelmingly common case — takes the plain
+    // self-join, the exact unguarded plan: no tag join, no union, no extra
+    // shuffle of the banded rows. A small hot set is broadcast so tagging
+    // is a broadcast (anti/semi) join; only an adversarial flood of hot
+    // buckets (> MaxBroadcastBuckets) pays the full shuffle tag join.
+    val oversized = sizes.filter(col("__n") > maxBucket)
+    val nOver = oversized.limit(MaxBroadcastBuckets + 1).count()
+    if (nOver == 0) {
+      return base.select(keyCols :+ col("__id").as("id_a"): _*)
+        .join(base.select(keyCols :+ col("__id").as("id_b"): _*), keys)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+    val overKeys =
+      if (nOver <= MaxBroadcastBuckets) broadcast(oversized.select(keyCols: _*))
+      else oversized.select(keyCols: _*)
+    val small = base.join(overKeys, keys, "left_anti")
       .select(keyCols :+ col("__id"): _*)
 
-    val big = tagged.filter(col("__n") > maxBucket)
+    val big = base.join(overKeys, keys) // oversized keys are unique: no fan-out
     val groups = big.groupBy(keyCols :+ col("__pk"): _*)
       .agg(min(col("__id")).as("__rep"), count(lit(1)).as("__gn"))
     val star = big.join(groups.select((keyCols :+ col("__pk") :+ col("__rep")): _*),
@@ -144,4 +161,9 @@ object SkewGuard {
   }
 
   private val registered = scala.collection.mutable.Set.empty[SparkSession]
+
+  /** Hot-bucket key sets up to this size are broadcast for the tag join;
+    * beyond it (an adversarial all-duplicates corpus) the guard falls back
+    * to the shuffle tag join rather than blowing the driver. */
+  val MaxBroadcastBuckets: Int = 100000
 }

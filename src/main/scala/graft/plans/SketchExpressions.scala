@@ -98,6 +98,64 @@ case class MinHashShingleSigExpr(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `shingle_hashes(tokens, n)`: array<string> → array<long> of DISTINCT
+  * chained word-n-gram hashes. Tokens are whitespace-split, so the
+  * join-with-space string form is injective over token windows — making the
+  * chained hash a bijective stand-in for the distinct shingle STRING set
+  * (2⁻⁶⁴ collision risk aside) with none of the string materialization.
+  * Fewer than n tokens hash the whole token chain (the [whole-doc] shingle
+  * of the string form); an empty token array emits the empty-string hash so
+  * empty docs keep the string form's [""] semantics. Consumers: set
+  * overlap/decontamination joins, repetition ratios. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    if (nTok == 0)
+      return new GenericArrayData(Array[Any](
+        XXH64.hashUTF8String(org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8, 42L)))
+    val tokHashes = new Array[Long](nTok)
+    var j = 0
+    while (j < nTok) {
+      tokHashes(j) = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      j += 1
+    }
+    val nWin = math.max(nTok - (n - 1), 1)
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var h0 = tokHashes(w)
+      var d = 1
+      while (d < n && w + d < nTok) {
+        h0 = XXH64.hashLong(tokHashes(w + d), h0)
+        d += 1
+      }
+      out(w) = h0
+      w += 1
+    }
+    // distinct via sort + in-place dedupe (allocation-light)
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    var i = 1
+    while (i < nWin) {
+      if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    val res = new Array[Any](uniq)
+    var r = 0
+    while (r < uniq) { res(r) = out(r); r += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: array<string> → long Charikar sketch — per-bit vote
   * of +1/-1 across token hashes, bit set where the vote is positive. */
 case class SimHash64Expr(child: Expression)
@@ -238,6 +296,9 @@ object SketchExpressions {
 
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), n))
 
   def countInSet(tokens: Column, values: Seq[String]): Column =
     ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tokens), values))

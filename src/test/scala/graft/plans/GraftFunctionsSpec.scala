@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -72,5 +73,27 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("SELECT minhash_signature(array('a'), 1 + 1)").collect()
     }
     assert(e.getMessage.contains("integer literal") || e.getMessage.contains("k must be"))
+  }
+
+  test("shingleHashes is bijective with the distinct shingle-string set") {
+    import graft.functions.HashFunctions
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), (2L, "a"), (3L, ""), (4L, "x y"),
+      (5L, "a b c d e f g"), (6L, "c a b c a b")).toDF("id", "text")
+    // per-doc distinct counts agree with the string form
+    val both = docs.select(col("id"),
+      size(HashFunctions.shingleHashes(col("text"), 3)).as("nh"),
+      size(HashFunctions.wordShingles(col("text"), 3)).as("ns")).collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), s"doc ${r.getLong(0)}"))
+    // cross-doc matching: docs share a hash iff they share a shingle string
+    def pairs(c: org.apache.spark.sql.Column) = {
+      val sh = docs.select(col("id"), explode(c).as("s"))
+      sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(pairs(HashFunctions.shingleHashes(col("text"), 3)) ==
+      pairs(HashFunctions.wordShingles(col("text"), 3)))
   }
 }
