@@ -72,8 +72,10 @@ object Bench {
     * minimum slice (text: filter+regex-modify+checksum+partition; thrift:
     * framed decode+checksum+partition). Reference targets: 20 MB/s text,
     * 100 MB/s thrift. Synthetic corpus ≈ 64/128 MB over 32 files (one per
-    * core) so the scan parallelizes; best of 3 runs (first pays codegen,
-    * and sub-second runs have ±30% scheduler/GC variance). */
+    * core) so the scan parallelizes; best of 3 runs (first pays codegen).
+    * Corpus sized so a run is multi-second: sub-second runs carry ±30%
+    * scheduler/GC variance and this container shows transient minutes-long
+    * host-contention windows — longer runs amortize both. */
   private def ingestionBench(spark: SparkSession): (Double, Double) = {
     import graft.sources.ThriftLogCodec
     val textDir = Files.createTempDirectory("graft-bench-text")
@@ -84,8 +86,8 @@ object Bench {
     // one file per local core: the scan parallelism a many-file production
     // directory would have
     for (f <- 0 until 32) {
-      val sb = new StringBuilder(2 << 20)
-      for (i <- 0 until 12500) {
+      val sb = new StringBuilder(4 << 20)
+      for (i <- 0 until 25000) {
         sb.append(s"2024-01-01T00:00:00 host-$f level=INFO msg=event-$i payload=")
         for (_ <- 0 until 12) sb.append(('a' + rnd.nextInt(26)).toChar)
         sb.append('\n')
@@ -94,8 +96,8 @@ object Bench {
       textBytes += bytes.length
       Files.write(textDir.resolve(s"t$f.log"), bytes)
 
-      val out = new java.io.ByteArrayOutputStream(4 << 20)
-      for (i <- 0 until 4000) {
+      val out = new java.io.ByteArrayOutputStream(8 << 20)
+      for (i <- 0 until 8000) {
         val payload = new Array[Byte](1000)
         rnd.nextBytes(payload)
         out.write(ThriftLogCodec.encodeFrame(s"key-$f-$i".getBytes, payload,
