@@ -531,6 +531,24 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.01)
         .orderBy("id_a", "id_b")
     }),
+    "d16_stratified_sample" -> ((s, d) => {
+      // per-language stratified sampling at deterministic rates — the
+      // corpus-rebalancing op of a training-data pipeline (upweight
+      // low-resource languages). Hash-mod deciding (same stance as
+      // s5/s14): reproducible across cluster/order, a narrow codegen'd
+      // filter at scan speed, no shuffle. Oracle: independent Python
+      // xxh64 fixture lists the exact selected rows.
+      val rates = Seq("en" -> 20, "de" -> 50, "es" -> 80, "fr" -> 100)
+      // try_element_at: ANSI mode makes plain element_at throw on a
+      // missing map key; absent languages take the default rate
+      val rateExpr = coalesce(try_element_at(
+        map(rates.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("lang")),
+        lit(10))
+      t(s, d, "documents")
+        .filter(pmod(xxhash64(col("doc_id")), lit(100)) < rateExpr)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     "d14_decontaminate" -> ((s, d) => {
       // benchmark decontamination: corpus docs sharing any 4-gram with a
       // probe ("benchmark") set are flagged with their overlap count. Scale
@@ -680,6 +698,29 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e7_quantize" -> ((s, d) => {
+      // symmetric int8 quantization of embeddings — the at-rest scale path
+      // (4× smaller vectors for a 100 TB embedding store): scale =
+      // max|x|/127, q = floor(x/scale + 0.5). floor(+0.5) instead of
+      // round() keeps Spark and DuckDB on the same rounding rule, and the
+      // MSE uses plain multiplication (not pow) so both engines do
+      // bit-identical IEEE arithmetic.
+      val emb = t(s, d, "embeddings")
+      emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127.0)
+        .withColumn("ssafe", greatest(col("scale"), lit(1e-30)))
+        .withColumn("q", transform(col("v"),
+          x => floor(x / col("ssafe") + 0.5).cast("long")))
+        .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          round(aggregate(zip_with(col("v"), col("q"),
+              (x, qq) => (x - qq * col("ssafe")) * (x - qq * col("ssafe"))),
+            lit(0.0), (a, x) => a + x), 6).as("sq_err"))
+        .orderBy("vec_id")
     }),
     "e2_ivf_assign" -> ((s, d) => {
       // nearest-centroid assignment via the native argmin expression — one
@@ -1184,6 +1225,20 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "e7_quantize" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+           s AS (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM b),
+           s2 AS (SELECT vec_id, v, scale, greatest(scale, 1e-30) AS ssafe FROM s),
+           q AS (SELECT vec_id, scale, ssafe, v,
+               list_transform(v, x -> floor(x / ssafe + 0.5)::BIGINT) AS q FROM s2)
+         SELECT vec_id, round(scale, 8) AS scale,
+           list_sum(q)::BIGINT AS q_sum,
+           list_min(q)::BIGINT AS q_min, list_max(q)::BIGINT AS q_max,
+           round(list_sum(list_transform(generate_series(1, len(v)),
+             i -> (v[i] - q[i] * ssafe) * (v[i] - q[i] * ssafe))), 6) AS sq_err
+         FROM q ORDER BY vec_id""",
     "e2_ivf_assign" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),

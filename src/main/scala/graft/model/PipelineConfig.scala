@@ -110,7 +110,12 @@ case class PipelineConfig(
     instanceDecider: Option[String] = None,
     /** Restart a crashed query from its checkpoint up to this many times
       * (reference: restart-on-failures policy). 0 = no supervision. */
-    maxRestarts: Int = 0)
+    maxRestarts: Int = 0,
+    /** Tail mode only: delete fully-ingested rotation files this many
+      * seconds after their last modification (reference:
+      * logRetentionInSeconds, DefaultLogStreamProcessor.java:252-254).
+      * None = never delete. */
+    logRetentionSeconds: Option[Long] = None)
 
 object PipelineConfig {
   /** Parse a singer-style `.properties` pipeline definition
@@ -188,6 +193,7 @@ object PipelineConfig {
       maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt),
       tailMode = opt("reader.tailMode").exists(_.toBoolean),
       instanceDecider = opt("logDecider"),
-      maxRestarts = opt("processor.maxRestarts").map(_.toInt).getOrElse(0))
+      maxRestarts = opt("processor.maxRestarts").map(_.toInt).getOrElse(0),
+      logRetentionSeconds = opt("processor.logRetentionInSeconds").map(_.toLong))
   }
 }

@@ -204,12 +204,14 @@ object LogSources {
     * reference's partial-record buffering semantics). */
   def fromSpec(spark: SparkSession, dir: String, spec: ReaderSpec, streaming: Boolean,
       maxFilesPerTrigger: Option[Int] = None, tailMode: Boolean = false,
-      fileRegex: Option[String] = None): DataFrame = {
+      fileRegex: Option[String] = None,
+      retentionSeconds: Option[Long] = None): DataFrame = {
     val fre = fileRegex.filterNot(_ == ".*")
     def tail(fmt: String) = {
       val r = spark.readStream.format("graft-tail")
         .option("path", dir).option("format", fmt)
       fre.foreach(re => r.option("fileRegex", re))
+      retentionSeconds.foreach(s => r.option("retentionSeconds", s.toString))
       r
     }
     spec match {

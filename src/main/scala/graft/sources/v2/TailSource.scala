@@ -80,17 +80,44 @@ class TailTable(properties: Map[String, String]) extends Table with SupportsRead
         Option(options.get("maxbytespertrigger")).map(_.toLong),
         Option(options.get("messagestartregex")),
         Option(options.get("fileregex")),
-        Option(options.get("maxmessagechars")).map(_.toInt).getOrElse(1 << 20))
+        Option(options.get("maxmessagechars")).map(_.toInt).getOrElse(1 << 20),
+        Option(options.get("retentionseconds")).map(_.toLong))
     }
 }
 
 class TailScan(dir: String, format: String, maxBytesPerTrigger: Option[Long],
     startRegex: Option[String], fileRegex: Option[String] = None,
-    maxMessageChars: Int = 1 << 20) extends Scan {
+    maxMessageChars: Int = 1 << 20,
+    retentionSeconds: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = TailSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TailMicroBatchStream(dir, format, maxBytesPerTrigger, startRegex, fileRegex,
-      maxMessageChars)
+      maxMessageChars, retentionSeconds)
+}
+
+/** Rotation retention — the reference's `logRetentionInSeconds` cleanup
+  * (reference: processor/DefaultLogStreamProcessor.java:252-254,
+  * common/LogStream.java:585-618: files BEFORE the committed position whose
+  * mtime is past retention are deleted). The decision is pure for specs;
+  * the sweep runs from the source's `commit()` hook, so only durably
+  * committed data can be reclaimed (the same safety the reference gets by
+  * cleaning after the watermark write). */
+object TailRetention {
+  /** Paths eligible for deletion: fully ingested at the committed offset,
+    * older than retention, and never the active head (the most recently
+    * modified file survives even when idle — the reference only deletes
+    * files strictly before the one holding the committed position). */
+  def sweep(files: Seq[(String, String, Long, Long)], // (id, path, len, mtimeMs)
+      committed: Map[String, Long], retentionMs: Long, nowMs: Long): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val newestMtime = files.map(_._4).max
+    files.collect {
+      case (id, path, len, mtime)
+        if mtime != newestMtime &&
+          nowMs - mtime > retentionMs &&
+          committed.get(id).exists(_ >= len) => path
+    }
+  }
 }
 
 /** Offset: map of file path → next byte to read. */
@@ -150,7 +177,8 @@ private[sources] object MultilineAlign {
 
 class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Option[Long],
     startRegex: Option[String] = None, fileRegex: Option[String] = None,
-    maxMessageChars: Int = 1 << 20)
+    maxMessageChars: Int = 1 << 20,
+    retentionSeconds: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   @transient private lazy val startPattern =
@@ -322,7 +350,28 @@ class TailMicroBatchStream(dir: String, format: String, maxBytesPerTrigger: Opti
 
   override def createReaderFactory(): PartitionReaderFactory = new TailReaderFactory
 
-  override def commit(end: Offset): Unit = () // engine WAL is the watermark
+  /** Engine WAL is the watermark; `commit` is also the rotation-retention
+    * hook — the offsets in `end` are durable once this is called, so fully
+    * ingested rotation files past retention can be reclaimed (reference:
+    * DefaultLogStreamProcessor.java:252-254 cleans after the watermark
+    * write). Deletions are logged, never silent. */
+  override def commit(end: Offset): Unit = retentionSeconds.foreach { ret =>
+    val committed = end.asInstanceOf[TailOffset].files
+    val withMtime = listFiles().map { case (id, path, len) =>
+      (id, path, len,
+        try Files.getLastModifiedTime(Paths.get(path)).toMillis
+        catch { case _: Exception => Long.MaxValue }) // vanished: never delete
+    }
+    TailRetention.sweep(withMtime, committed, ret * 1000L,
+        System.currentTimeMillis()).foreach { path =>
+      try {
+        Files.deleteIfExists(Paths.get(path))
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"retention: deleted fully-ingested rotation file $path " +
+            s"(older than ${ret}s)")
+      } catch { case _: Exception => () } // next commit retries
+    }
+  }
   override def deserializeOffset(json: String): Offset = TailOffset.fromJson(json)
   override def stop(): Unit = ()
 }

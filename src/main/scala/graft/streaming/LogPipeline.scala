@@ -175,7 +175,8 @@ object LogPipeline {
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       audit: Option[AuditWriter] = None): StreamingQuery = {
     val src = LogSources.fromSpec(spark, cfg.logDir, cfg.reader, streaming = true,
-      cfg.maxFilesPerTrigger, cfg.tailMode, fileRegex = Some(cfg.logStreamRegex))
+      cfg.maxFilesPerTrigger, cfg.tailMode, fileRegex = Some(cfg.logStreamRegex),
+      retentionSeconds = cfg.logRetentionSeconds)
     val transformed = applyTransforms(src, cfg)
     val checkpoint = cfg.checkpointDir.getOrElse(
       s"/tmp/graft-checkpoints/${cfg.name}")

@@ -248,4 +248,57 @@ class TailSourceSpec extends AnyFunSuite with SparkTestBase {
       assert(values("tail_rot").contains("new1"))
     } finally q.stop()
   }
+
+  test("TailRetention.sweep deletes only fully-ingested old files, never the head") {
+    import graft.sources.v2.TailRetention
+    val now = 1000000000L
+    val hour = 3600000L
+    val files = Seq(
+      ("id-a", "/logs/a.log", 100L, now - 3 * hour), // old, fully ingested → delete
+      ("id-b", "/logs/b.log", 200L, now - 3 * hour), // old, PARTIAL → keep
+      ("id-c", "/logs/c.log", 50L, now - 30 * 60000L), // fully ingested, too young → keep
+      ("id-d", "/logs/d.log", 10L, now - 1000L))    // active head (newest) → keep
+    val committed = Map("id-a" -> 100L, "id-b" -> 150L, "id-c" -> 50L, "id-d" -> 10L)
+    assert(TailRetention.sweep(files, committed, hour, now) == Seq("/logs/a.log"))
+    // an old fully-ingested file that IS the newest still survives
+    val only = Seq(("id-a", "/logs/a.log", 100L, now - 3 * hour))
+    assert(TailRetention.sweep(only, Map("id-a" -> 100L), hour, now).isEmpty)
+    // a file with no committed offset (never ingested) is never deleted
+    assert(TailRetention.sweep(files, committed - "id-a", hour, now).isEmpty)
+  }
+
+  test("retention deletes drained rotation files through the live source (ref logRetentionInSeconds)") {
+    val dir = tempDir()
+    val old = dir.resolve("app.log.1")
+    val head = dir.resolve("app.log")
+    Files.writeString(old, "r1\nr2\n")
+    Files.writeString(head, "r3\n")
+    // make the rotated file an hour old; the head stays fresh
+    Files.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val q = spark.readStream.format("graft-tail")
+      .option("path", dir.toString).option("format", "text")
+      .option("retentionSeconds", "60")
+      .load()
+      .writeStream.format("memory").queryName("tail_ret")
+      .option("checkpointLocation", tempDir().toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      assert(values("tail_ret") == Set("r1", "r2", "r3"), "all data delivered first")
+      // the engine commits batch N when batch N+1 starts — append fresh data
+      // so the drained batch's commit fires and sweeps the old file
+      Files.writeString(head, "r4\n", StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      assert(values("tail_ret") == Set("r1", "r2", "r3", "r4"))
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline && Files.exists(old)) {
+        Files.writeString(head, "tick\n", StandardOpenOption.APPEND)
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      assert(!Files.exists(old), "drained rotation file past retention is deleted")
+      assert(Files.exists(head), "active head never deleted")
+    } finally q.stop()
+  }
 }

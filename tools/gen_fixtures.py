@@ -394,6 +394,15 @@ def main():
     # ---- m3: media features ANN (codec-free mirror of the image pipeline)
     m3_rows = media_ann_fixture(sf)
 
+    # ---- d16: stratified sample — per-language hash-mod rates (xxh64 of
+    # the doc_id LONG, floorMod 100, mirroring Spark pmod(xxhash64(col),100))
+    d16_rates = {"en": 20, "de": 50, "es": 80, "fr": 100}
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    d16_rows = [(int(i), lg) for i, lg in langs
+                if signed(hash_long(int(i), 42)) % 100 < d16_rates.get(lg, 10)]
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
@@ -413,6 +422,9 @@ def main():
               " c2::INT AS hamming FROM (VALUES\n"
               + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    d16_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS lang FROM (VALUES\n"
+               + values(d16_rows, lambda r: f"{r[0]}, {r[1]!r}")
+               + ") AS t(c0, c1) ORDER BY doc_id")
     m3_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
               " c2::DOUBLE AS cosine, c3::INT AS rank FROM (VALUES\n"
               + values(m3_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
@@ -452,7 +464,9 @@ object FixtureOracles {{
     "s14_audit_events" ->
       \"\"\"{s14_sql}\"\"\",
     "m3_media_features_ann" ->
-      \"\"\"{m3_sql}\"\"\")
+      \"\"\"{m3_sql}\"\"\",
+    "d16_stratified_sample" ->
+      \"\"\"{d16_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
