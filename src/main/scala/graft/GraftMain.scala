@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.PipelineConfig
-import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager}
+import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager, RestartSchedule}
 
 /** Agent entry point — the reference's `SingerMain` re-expressed: load every
   * `*.properties` pipeline definition from a conf directory, start one
@@ -21,17 +21,39 @@ import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager}
 object GraftMain {
 
   /** Parse + start everything; returned manager owns the queries (separated
-    * from main for tests). */
+    * from main for tests). `startAll` applies instance deciders and HOLDS
+    * configs whose logDir does not exist yet; the monitor thread is the
+    * reference's periodic LogMonitor scan (release held dirs, fire the
+    * daily jittered restart, surface stuck streams —
+    * reference: monitor/DefaultLogMonitor.java:233-273,543-601,164-188). */
   def run(spark: SparkSession, confDir: String,
       auditDir: Option[String] = None,
       heartbeat: Option[String => Unit] = None,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): PipelineManager = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      restartSchedule: Option[RestartSchedule] = None,
+      monitorIntervalMs: Long = 10000L): PipelineManager = {
     val confs = loadConfigs(Paths.get(confDir))
     require(confs.nonEmpty, s"no *.properties pipeline configs under $confDir")
     heartbeat.foreach(emit => spark.streams.addListener(new HeartbeatListener(emit)))
     val audit = auditDir.map(new AuditWriter(spark, _))
-    val mgr = new PipelineManager(spark, audit = audit)
-    confs.foreach(mgr.start(_, trigger))
+    val mgr = new PipelineManager(spark, audit = audit, restartSchedule = restartSchedule)
+    mgr.startAll(confs, trigger = trigger)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val monitor = new Thread(() => {
+      try while (true) {
+        Thread.sleep(monitorIntervalMs)
+        try {
+          val released = mgr.checkPendingDirs()
+          if (released.nonEmpty) log.info(s"released ${released.size} held pipeline(s)")
+          val restarted = mgr.checkScheduledRestart()
+          if (restarted.nonEmpty) log.info(s"daily restart relaunched: $restarted")
+          val st = mgr.stuck()
+          if (st.nonEmpty) log.warn(s"stuck streams (no recent progress): $st")
+        } catch { case e: Exception => log.warn(s"monitor tick failed: ${e.getMessage}") }
+      } catch { case _: InterruptedException => () }
+    }, "graft-log-monitor")
+    monitor.setDaemon(true)
+    monitor.start()
     mgr
   }
 
@@ -63,7 +85,16 @@ object GraftMain {
       Files.writeString(Paths.get(f), line + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
-    val mgr = run(spark, confDir, auditDir, emit)
+    // optional daily hygiene restart, e.g. GRAFT_DAILY_RESTART_WINDOW=01:00-03:00
+    // (UTC window; the actual slot is per-host jittered inside it)
+    val sched = sys.env.get("GRAFT_DAILY_RESTART_WINDOW").map { w =>
+      val Array(b, e) = w.split("-")
+      def ms(hm: String) = {
+        val Array(h, m) = hm.split(":"); (h.toLong * 60 + m.toLong) * 60000L
+      }
+      new RestartSchedule(ms(b), ms(e))
+    }
+    val mgr = run(spark, confDir, auditDir, emit, restartSchedule = sched)
     sys.addShutdownHook(mgr.stopAll())
     spark.streams.awaitAnyTermination()
   }

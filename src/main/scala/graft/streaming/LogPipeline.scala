@@ -158,13 +158,32 @@ object LogPipeline {
           } finally producer.close()
         }
         obs.get("n").asInstanceOf[Long]
-      case WriterSpec.Pulsar(serviceUrl, _, _, _) =>
-        // config validation + routing are implemented and spec-pinned; the
-        // producer itself needs a pulsar-client jar this build does not ship
-        pulsarSinkProjection(df) // validates the projection contract eagerly
-        throw new UnsupportedOperationException(
-          s"Pulsar producer for $serviceUrl requires pulsar-client on the " +
-            "classpath (not shipped in this build); see ROADMAP.md")
+      case WriterSpec.Pulsar(serviceUrl, topic, _, timeoutS) =>
+        // per-task Pulsar batch protocol (sendAsync → flush → await-all;
+        // reference: PulsarWriter.java:190-210) against the injectable
+        // PulsarProducers seam — the default factory throws the
+        // no-client-jar error, so an un-injected run fails with the same
+        // clear message as before
+        val obs = org.apache.spark.sql.Observation()
+        val projected = pulsarSinkProjection(df.observe(obs, count(lit(1)).as("n")))
+          .withColumn("partition", col("partition").cast("int"))
+        val hasProps = projected.columns.contains("properties")
+        projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val producer = PulsarProducers.factory(serviceUrl)
+          try {
+            new PulsarEpochWriter(producer, topic, writeTimeoutSeconds = timeoutS)
+              .writeEpoch(rows.map { r =>
+                val props: Map[String, String] =
+                  if (hasProps && !r.isNullAt(r.fieldIndex("properties")))
+                    r.getMap[String, String](r.fieldIndex("properties")).toMap
+                  else Map.empty
+                PulsarRecord(r.getInt(r.fieldIndex("partition")),
+                  r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), props)
+              })
+            ()
+          } finally producer.close()
+        }
+        obs.get("n").asInstanceOf[Long]
       case WriterSpec.Noop =>
         df.count()
     }

@@ -203,6 +203,56 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.calls == Seq("partitionsFor"), "no abort without a transaction")
   }
 
+  /** Scripted Pulsar producer: records call order; `failAll` completes
+    * sends exceptionally. */
+  class FakePulsarProducer(failAll: Boolean = false) extends PulsarEpochProducer {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    override def sendAsync(topic: String, partition: Int, key: Array[Byte],
+        value: Array[Byte], properties: Map[String, String]): CompletableFuture[Void] = {
+      calls += "send"; sent += ((partition, new String(value)))
+      val f = new CompletableFuture[Void]()
+      if (failAll) f.completeExceptionally(new RuntimeException("broker down"))
+      else f.complete(null)
+      f
+    }
+    override def flush(): Unit = calls += "flush"
+  }
+
+  test("PulsarEpochWriter sends all, flushes, then awaits the batch barrier") {
+    val p = new FakePulsarProducer()
+    val n = new PulsarEpochWriter(p, "t").writeEpoch(
+      (0 until 5).iterator.map(i => PulsarRecord(i, Array.emptyByteArray, s"m$i".getBytes)))
+    assert(n == 5)
+    // reference ordering: every sendAsync precedes the flush
+    assert(p.calls == Seq.fill(5)("send") :+ "flush")
+  }
+
+  test("PulsarEpochWriter fails the whole epoch when any send fails") {
+    val p = new FakePulsarProducer(failAll = true)
+    intercept[EpochWriteException] {
+      new PulsarEpochWriter(p, "t").writeEpoch(
+        Iterator(PulsarRecord(0, Array.emptyByteArray, "m".getBytes)))
+    }
+  }
+
+  test("WriterSpec.Pulsar drives the per-task protocol through writeBatch") {
+    import graft.model._
+    val made = new java.util.concurrent.CopyOnWriteArrayList[FakePulsarProducer]()
+    val saved = PulsarProducers.factory
+    PulsarProducers.factory = _ => { val p = new FakePulsarProducer(); made.add(p); p }
+    try {
+      val df = (0 until 12).map(i => (s"k$i".getBytes, s"v$i".getBytes, i, "t"))
+        .toDF("key", "value", "partition", "topic").repartition(3)
+      val cfg = PipelineConfig(name = "pl", logDir = "/tmp",
+        writer = WriterSpec.Pulsar("pulsar://fake:6650", "t"))
+      assert(LogPipeline.writeBatch(df, cfg) == 12)
+      val all = made.toArray(Array.empty[FakePulsarProducer])
+      assert(all.map(_.sent.size).sum == 12)
+      all.filter(_.sent.nonEmpty).foreach(p => assert(p.calls.last == "flush"))
+    } finally PulsarProducers.factory = saved
+  }
+
   test("WriterSpec.Kafka(transactional) drives the per-task protocol through writeBatch") {
     import graft.model._
     val made = new java.util.concurrent.CopyOnWriteArrayList[FakeProducer]()
