@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Dedup, Multimodal, Similarity, Transforms}
+import graft.operators.{Chunking, Dedup, Multimodal, Packing, Redaction, Similarity, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -547,6 +547,49 @@ object SparkEntry {
       t(s, d, "documents")
         .filter(pmod(xxhash64(col("doc_id")), lit(100)) < rateExpr)
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    "d17_dup_clusters" -> ((s, d) =>
+      // connected components over the MinHash-LSH pair graph — the merge
+      // step of fuzzy dedup (A~B, B~C collapse even when A~C never
+      // collided). Min-label propagation + pointer jumping: O(log diameter)
+      // iterations, shuffles carry (id,label) longs only. Oracle:
+      // independent Python union-find over independently-computed pairs
+      // (FixtureOracles).
+      Dedup.duplicateClusters(
+          Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.3))
+        .orderBy("doc_id")),
+    "d20_chunk_tokens" -> ((s, d) =>
+      // overlapping token-window chunking (RAG / context-window prep):
+      // declarative sequence/slice/posexplode, scan speed, no shuffle
+      Chunking.chunkTokens(t(s, d, "documents"), chunkSize = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")),
+    "d18_pack_sequences" -> ((s, d) =>
+      // concat-and-chunk sequence packing via distributed prefix sum
+      // (range partition → per-partition totals → broadcast offsets →
+      // mapPartitions running sum) — no global single-partition window
+      Packing.packSequences(t(s, d, "documents"),
+          TextFunctions.tokenCount(col("text")), blockSize = 512L)
+        .orderBy("doc_id")),
+    "d19_pii_redact" -> ((s, d) => {
+      // PII redaction with deterministic planted PII (the raw corpus holds
+      // none): emails/IPs/phones synthesized from doc_id identically on
+      // both engines, then redacted + counted by the shared-dialect
+      // regexes. Narrow codegen'd expressions, scan speed, no shuffle.
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" from 10.2."),
+              pmod(col("doc_id"), lit(250)).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" call 555-123-4567")).otherwise(lit(""))).as("text"))
+      Redaction.redact(aug)
+        .select(col("doc_id"), col("text").as("redacted"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
         .orderBy("doc_id")
     }),
     "d14_decontaminate" -> ((s, d) => {
@@ -1160,6 +1203,69 @@ object SparkEntry {
          SELECT c.doc_id, count(*) AS n_shared
          FROM corpus c JOIN probe p USING (sh)
          GROUP BY 1 ORDER BY doc_id""",
+    "d20_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+             unnest(range(0, len(toks), 12)) AS cs FROM t),
+         c AS (SELECT doc_id, cs, toks[cs+1:cs+16] AS ctoks FROM s)
+         SELECT doc_id, (cs // 12)::BIGINT AS chunk_id, cs::BIGINT AS chunk_start,
+           len(ctoks)::BIGINT AS n_chunk_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
+    "d18_pack_sequences" ->
+      """WITH c AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> length(t) > 0))::BIGINT AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+           FROM c)
+         SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 512)::BIGINT AS block_first,
+           (GREATEST(start_offset + n_tokens - 1, start_offset) // 512)::BIGINT
+             AS block_last
+         FROM o ORDER BY doc_id""",
+    "d19_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+               THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' from 10.2.' || (doc_id % 250)::VARCHAR || '.7'
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+               AS t0
+           FROM documents),
+         st AS (
+           SELECT doc_id, t0,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g') AS t1
+           FROM aug),
+         st2 AS (
+           SELECT doc_id, t0, t1,
+             regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+               AS t2
+           FROM st)
+         SELECT doc_id,
+           regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+             AS redacted,
+           len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t1,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+           len(regexp_extract_all(t2,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones
+         FROM st2 ORDER BY doc_id""",
     "d13_repetition" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

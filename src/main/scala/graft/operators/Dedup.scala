@@ -128,4 +128,91 @@ object Dedup {
   def embeddingDupPairs(embeddings: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95): DataFrame =
     Similarity.cosineSelfJoinLsh(embeddings, vecCol, idCol, threshold)
+
+  /** Connected-components clustering of near-duplicate pairs: every doc that
+    * appears in a pair is labeled with the minimum doc id reachable through
+    * the pair graph. Returns (doc_id, cluster_id, cluster_size) — the final
+    * step of a fuzzy-dedup pipeline (pairs alone under-merge: A~B and B~C
+    * must collapse to one surviving doc even when A~C never collided).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each iteration
+    *  1. pulls the min label across graph neighbors (one equi-join + groupBy
+    *     on vertex id), then
+    *  2. jumps one hop through the label table (label := label-of-label),
+    * so labels spread along edges AND through already-merged chains —
+    * convergence in O(log diameter) iterations instead of O(diameter).
+    * Near-dup clusters are near-cliques (identical docs share every band),
+    * so real corpora converge in 2–4 iterations; `maxIters` = 25 still
+    * covers a pathological 2^25-hop chain.
+    *
+    * Scale: shuffles carry only (id, label) longs — never documents. The
+    * driver sees one scalar per iteration (the changed-label count used as
+    * the convergence test). Labels decrease monotonically, so "changed" is
+    * the cheap filter `new < old` over two label maps. Each iteration's
+    * labels are eagerly `localCheckpoint`ed: iterative plans otherwise nest
+    * one level per round and re-analysis dominates (or overflows the
+    * stack) long before the data does. The previous round is unpersisted,
+    * keeping at most two (id, label) maps live. (localCheckpoint trades
+    * executor-loss resilience for speed; a cluster deployment that needs
+    * mid-job fault recovery should set a checkpoint dir and swap in
+    * reliable `checkpoint` — same algorithm.) Singletons (docs in no pair)
+    * are intentionally absent — callers keep them unconditionally.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
+      val pulled = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: follow the current label one hop (its own label is
+      // ≤ itself by monotonicity, so least() keeps correctness trivially)
+      val next = pulled
+        .join(labels.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters iterations")
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Cluster-level dedup: from `docs`, drop every doc that belongs to a
+    * near-dup cluster but is not its minimum-id representative. Docs in no
+    * cluster survive unconditionally. */
+  def clusterDedup(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -188,4 +188,40 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fps(0) == fps(2))
     assert(fps(0) != fps(1))
   }
+
+  test("duplicateClusters merges a deep chain within the iteration budget") {
+    // a 100-hop path graph: plain min-propagation needs 100 rounds; the
+    // pointer-jumping variant must converge inside maxIters = 25
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 101)
+    assert(out.forall { case (_, c, n) => c == 0L && n == 101L })
+  }
+
+  test("duplicateClusters matches union-find on a multi-component graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // component {1,2,3} via chain
+      (10L, 11L), (11L, 10L),      // duplicate + reversed edges
+      (20L, 21L), (22L, 21L),      // min id arrives through a higher id
+      (30L, 31L), (32L, 33L), (31L, 32L) // two merged sub-chains
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L),
+      (30L, 30L, 4L), (31L, 30L, 4L), (32L, 30L, 4L), (33L, 30L, 4L))
+    assert(got == expected)
+  }
+
+  test("clusterDedup keeps representatives and singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val survivors = Dedup.clusterDedup(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 untouched
+  }
 }

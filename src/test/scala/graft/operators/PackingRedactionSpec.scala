@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("packSequences matches a sequential prefix sum across partitions") {
+    // irregular counts incl. zeros; force several range partitions so the
+    // broadcast-offset seam between partitions is actually exercised
+    val counts = Seq(3L, 0L, 7L, 12L, 1L, 0L, 25L, 4L, 9L, 2L, 30L, 5L)
+    val docs = counts.zipWithIndex
+      .map { case (n, i) => (i.toLong, ("tok " * n.toInt).trim) }
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(docs,
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        blockSize = 10L, numPartitions = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "block_first", "block_last")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    var off = 0L
+    counts.zipWithIndex.foreach { case (n, i) =>
+      val (id, nt, so, bf, bl) = out(i)
+      assert(id == i.toLong && nt == n && so == off)
+      assert(bf == off / 10)
+      assert(bl == math.max(off + n - 1, off) / 10)
+      off += n
+    }
+  }
+
+  test("packSequences block spans tile the token stream exactly") {
+    val docs = (0L until 200L).map(i => (i, i % 17 + 1)).toDF("doc_id", "n")
+    val out = Packing.packSequences(docs, col("n"), blockSize = 64L)
+      .orderBy("doc_id")
+      .select("start_offset", "n_tokens")
+      .as[(Long, Long)].collect()
+    // contiguous: every doc starts where the previous ended
+    out.sliding(2).foreach {
+      case Array((s0, n0), (s1, _)) => assert(s1 == s0 + n0)
+      case _ =>
+    }
+    assert(out.head._1 == 0L)
+  }
+
+  test("chunkTokens windows overlap correctly and cover every token") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 toks: chunks at 0,12,24
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "")                                        // empty: no chunks
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkTokens(docs, chunkSize = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 16L), (1L, 12L, 16L), (2L, 24L, 6L)))
+    assert(d1(1)._5.startsWith("t13 ") && d1(1)._5.endsWith(" t28"))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._5.split(" ").takeRight(4).toSeq == d1(1)._5.split(" ").take(4).toSeq)
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
+      Seq((0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("redact replaces and counts each PII type") {
+    val df = Seq(
+      (1L, "mail a.b-c_9@foo-bar.org then 10.0.255.3 then 555-123-4567 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io and z@w.co plus 1.2.3.4 and 9.9.9.9")
+    ).toDF("doc_id", "text")
+    val out = Redaction.redact(df).orderBy("doc_id")
+      .select("text", "n_emails", "n_ips", "n_phones")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out(0)._1 == "mail <EMAIL> then <IP> then <PHONE> end")
+    assert((out(0)._2, out(0)._3, out(0)._4) == ((1L, 1L, 1L)))
+    assert(out(1)._1 == "no pii here at all")
+    assert((out(1)._2, out(1)._3, out(1)._4) == ((0L, 0L, 0L)))
+    assert(out(2)._1 == "two mails <EMAIL> and <EMAIL> plus <IP> and <IP>")
+    assert((out(2)._2, out(2)._3, out(2)._4) == ((2L, 2L, 0L)))
+  }
+
+  test("redact counts staged input — PII swallowed by an earlier stage is not double-counted") {
+    // the phone-shaped local part and the IP-shaped domain both disappear
+    // into the email match; later stages must see the placeholder, not the raw
+    val df = Seq((1L, "ping 555-123-4567@10.2.3.4.com ok")).toDF("doc_id", "text")
+    val out = Redaction.redact(df)
+      .select("text", "n_emails", "n_ips", "n_phones")
+      .as[(String, Long, Long, Long)].head()
+    assert(out._1 == "ping <EMAIL> ok")
+    assert((out._2, out._3, out._4) == ((1L, 0L, 0L)))
+  }
+}

@@ -360,6 +360,32 @@ def main():
         if m / 64 >= 0.3:
             d7_rows.append((a, b, est))
 
+    # ---- d17: connected components over the d7 pair graph (independent
+    # union-find — if the Scala label propagation under-merges chains or
+    # over-merges across components, the fixture catches it)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ((r[0], r[1]) for r in d7_rows):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    d17_rows = []
+    for root, members in comp.items():
+        for v in members:
+            d17_rows.append((v, root, len(members)))
+    d17_rows.sort()
+
     # ---- d8: simhash band candidates with hamming <= maxHamming
     sims = {i: simhash64(tk) for i, tk in toks.items()}
     sbuckets = {}
@@ -405,6 +431,7 @@ def main():
 
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
+          f"d17={len(d17_rows)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
 
     def values(rows, fmt):
@@ -422,6 +449,10 @@ def main():
               " c2::INT AS hamming FROM (VALUES\n"
               + values(d8_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY id_a, id_b")
+    d17_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS cluster_id,"
+               " c2::BIGINT AS cluster_size FROM (VALUES\n"
+               + values(d17_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
+               + ") AS t(c0, c1, c2) ORDER BY doc_id")
     d16_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS lang FROM (VALUES\n"
                + values(d16_rows, lambda r: f"{r[0]}, {r[1]!r}")
                + ") AS t(c0, c1) ORDER BY doc_id")
@@ -466,7 +497,9 @@ object FixtureOracles {{
     "m3_media_features_ann" ->
       \"\"\"{m3_sql}\"\"\",
     "d16_stratified_sample" ->
-      \"\"\"{d16_sql}\"\"\")
+      \"\"\"{d16_sql}\"\"\",
+    "d17_dup_clusters" ->
+      \"\"\"{d17_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
