@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Chunking, Dedup, Multimodal, Packing, Redaction, Similarity, Transforms}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Similarity, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -590,6 +590,17 @@ object SparkEntry {
       Redaction.redact(aug)
         .select(col("doc_id"), col("text").as("redacted"),
           col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy("doc_id")
+    }),
+    "d21_decontaminate_bloom" -> ((s, d) => {
+      // scale-path twin of d14: bloom filter over probe shingle hashes
+      // prunes the corpus side BEFORE the join shuffle; exact join then
+      // removes bloom false positives — output bit-identical to d14
+      // (same oracle), shuffle volume proportional to true overlap only.
+      val docs = t(s, d, "documents")
+      Decontaminate.bloomPruned(
+          docs.filter(pmod(col("doc_id"), lit(31)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(31)) === 0))
         .orderBy("doc_id")
     }),
     "d14_decontaminate" -> ((s, d) => {
@@ -1188,6 +1199,23 @@ object SparkEntry {
              t -> length(t) > 0)) AS token
            FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
+    // d21 is d14's scale-path twin: SAME oracle semantics (bloom prune is
+    // invisible in the result — no false negatives, FPs removed exactly)
+    "d21_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) - 3 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                   || toks[i+3]) END)) AS sh
+             FROM t),
+           probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0),
+           corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 31 <> 0)
+         SELECT c.doc_id, count(*) AS n_shared
+         FROM corpus c JOIN probe p USING (sh)
+         GROUP BY 1 ORDER BY doc_id""",
     "d14_decontaminate" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

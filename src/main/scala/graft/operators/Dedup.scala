@@ -147,8 +147,9 @@ object Dedup {
     *
     * Scale: shuffles carry only (id, label) longs — never documents. The
     * driver sees one scalar per iteration (the changed-label count used as
-    * the convergence test). Labels decrease monotonically, so "changed" is
-    * the cheap filter `new < old` over two label maps. Each iteration's
+    * the convergence test). Labels decrease monotonically and each round
+    * carries its pre-pull label as `old`, so "changed" is a filter over the
+    * round's checkpointed output — no join. Each iteration's
     * labels are eagerly `localCheckpoint`ed: iterative plans otherwise nest
     * one level per round and re-analysis dominates (or overflows the
     * stack) long before the data does. The previous round is unpersisted,
@@ -165,32 +166,35 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var store = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var labels = store
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
-      val pulled = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val pulled = labels.select(col("id"), col("label").as("old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
       // pointer jump: follow the current label one hop (its own label is
-      // ≤ itself by monotonicity, so least() keeps correctness trivially)
-      val next = pulled
+      // ≤ itself by monotonicity, so least() keeps correctness trivially).
+      // The pre-pull label rides along as `old` so the convergence test is
+      // a filter over the checkpointed result — no extra join/shuffle.
+      val nextStore = pulled
         .join(labels.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"),
+          col("old"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
+      val changed = nextStore.filter(col("label") < col("old")).limit(1).count()
+      store.unpersist()
+      store = nextStore
+      labels = nextStore.select("id", "label")
       done = changed == 0L
       iter += 1
     }

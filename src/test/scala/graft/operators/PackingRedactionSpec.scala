@@ -66,6 +66,32 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("bloom-pruned decontamination equals the exact explode-join") {
+    import graft.functions.HashFunctions
+    val mk = (i: Long, s: String) => (i, s)
+    val corpus = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta"),   // shares 4-grams with probe 1
+      mk(2L, "one two three four five six seven eight nine"),    // shares with probe 2
+      mk(3L, "totally disjoint text with unique words only here"),
+      mk(4L, "alpha beta gamma delta something else entirely now")// shares 1 shingle with probe 1
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      mk(100L, "alpha beta gamma delta epsilon zeta"),
+      mk(200L, "zero one two three four five six")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.bloomPruned(corpus, probe)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // exact reference: explode-join without the bloom stage
+    val probeH = probe.select(explode(HashFunctions.shingleHashes(col("text"), 4)).as("h")).distinct()
+    val exact = corpus
+      .select(col("doc_id"), explode(HashFunctions.shingleHashes(col("text"), 4)).as("h"))
+      .join(probeH, "h").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == exact)
+    assert(got.map(_._1).contains(1L) && got.map(_._1).contains(4L))
+    assert(!got.map(_._1).contains(3L))
+  }
+
   test("redact replaces and counts each PII type") {
     val df = Seq(
       (1L, "mail a.b-c_9@foo-bar.org then 10.0.255.3 then 555-123-4567 end"),
