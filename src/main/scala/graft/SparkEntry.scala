@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Similarity, Transforms}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -549,6 +549,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    "d22_group_sample" -> ((s, d) =>
+      // fixed-size deterministic per-language sample: bottom-25 by
+      // xxhash64(doc_id) via a bounded aggregator (≤ k ids per partition
+      // per group on the shuffle — the window-free row_number form).
+      // Oracle: independent Python xxh64 fixture (FixtureOracles).
+      Sampling.groupSample(t(s, d, "documents"), Seq("lang"), k = 25)
+        .orderBy("lang", "doc_id")),
     "d17_dup_clusters" -> ((s, d) =>
       // connected components over the MinHash-LSH pair graph — the merge
       // step of fuzzy dedup (A~B, B~C collapse even when A~C never

@@ -66,6 +66,23 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("groupSample takes the k hash-smallest ids per group, whole small groups") {
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b")) ++
+      Seq((1000L, "c"), (1001L, "c")) // group smaller than k
+    val df = rows.toDF("doc_id", "lang")
+    val got = Sampling.groupSample(df, Seq("lang"), k = 10)
+      .orderBy("lang", "doc_id")
+      .as[(String, Long)].collect()
+    // reference: sort each group by (xxhash64(id), id), take 10
+    val hashed = df.select($"lang", $"doc_id", xxhash64($"doc_id").as("h"))
+      .as[(String, Long, Long)].collect()
+    val expected = hashed.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+      xs.sortBy(x => (x._3, x._2)).take(10).map(x => (g, x._2))
+    }.sorted
+    assert(got.toSeq == expected)
+    assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "c") == 2)
+  }
+
   test("bloom-pruned decontamination equals the exact explode-join") {
     import graft.functions.HashFunctions
     val mk = (i: Long, s: String) => (i, s)

@@ -429,6 +429,18 @@ def main():
     d16_rows = [(int(i), lg) for i, lg in langs
                 if signed(hash_long(int(i), 42)) % 100 < d16_rates.get(lg, 10)]
 
+    # ---- d22: deterministic per-language bottom-25 sample — the k rows
+    # with the smallest signed xxh64(doc_id, 42) per lang (ties by id)
+    by_lang = {}
+    for i, lg in langs:
+        by_lang.setdefault(lg, []).append(int(i))
+    d22_rows = []
+    for lg, ids in by_lang.items():
+        ids.sort(key=lambda i: (signed(hash_long(i, 42)), i))
+        for i in ids[:25]:
+            d22_rows.append((lg, i))
+    d22_rows.sort()
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} "
@@ -453,6 +465,9 @@ def main():
                " c2::BIGINT AS cluster_size FROM (VALUES\n"
                + values(d17_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
                + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    d22_sql = ("SELECT c0 AS lang, c1::BIGINT AS doc_id FROM (VALUES\n"
+               + values(d22_rows, lambda r: f"{r[0]!r}, {r[1]}")
+               + ") AS t(c0, c1) ORDER BY lang, doc_id")
     d16_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS lang FROM (VALUES\n"
                + values(d16_rows, lambda r: f"{r[0]}, {r[1]!r}")
                + ") AS t(c0, c1) ORDER BY doc_id")
@@ -499,7 +514,9 @@ object FixtureOracles {{
     "d16_stratified_sample" ->
       \"\"\"{d16_sql}\"\"\",
     "d17_dup_clusters" ->
-      \"\"\"{d17_sql}\"\"\")
+      \"\"\"{d17_sql}\"\"\",
+    "d22_group_sample" ->
+      \"\"\"{d22_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
