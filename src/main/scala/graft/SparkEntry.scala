@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms, Vocab}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -549,6 +549,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    "d23_vocab_encode" -> ((s, d) => {
+      // top-256 vocab (one (token,count) hash agg; ranked relation is
+      // vocab-sized) broadcast into the encode join; per-doc id arrays
+      // reassembled order-deterministically via array_sort(struct(pos,id))
+      val docs = t(s, d, "documents")
+      Vocab.encode(docs, Vocab.build(docs, size = 256))
+        .orderBy("doc_id")
+    }),
     "d22_group_sample" -> ((s, d) =>
       // fixed-size deterministic per-language sample: bottom-25 by
       // xxhash64(doc_id) via a bounded aggregator (≤ k ids per partition
@@ -782,6 +790,23 @@ object SparkEntry {
               (x, qq) => (x - qq * col("ssafe")) * (x - qq * col("ssafe"))),
             lit(0.0), (a, x) => a + x), 6).as("sq_err"))
         .orderBy("vec_id")
+    }),
+    "e8_centroid_outliers" -> ((s, d) => {
+      // embedding-cleaning op: flag vectors far from their nearest centroid
+      // (fixed radius — corpus-independent policy knob). Same zero-shuffle
+      // argmin pass as e2; only per-cell counts cross the oracle, and the
+      // radius sits ≥7e-4 from every distance (float-parity safe; the
+      // native expression compares squared L2, the oracle compares L2 —
+      // monotonic, so the flags agree).
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val r = 1.36
+      graft.operators.KMeans.assignDistances(emb, cents, "embedding", "vec_id")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("dist_sq") > r * r, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("cell")
     }),
     "e2_ivf_assign" -> ((s, d) => {
       // nearest-centroid assignment via the native argmin expression — one
@@ -1206,6 +1231,21 @@ object SparkEntry {
              t -> length(t) > 0)) AS token
            FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
+    "d23_vocab_encode" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+         exp AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks)+1)) AS pos FROM t WHERE len(toks) > 0),
+         cnts AS (SELECT token, count(*) AS cnt FROM exp GROUP BY 1),
+         vocab AS (SELECT token, vid FROM (
+             SELECT token, (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT AS vid
+             FROM cnts) WHERE vid < 256),
+         enc AS (SELECT e.doc_id, e.pos, COALESCE(v.vid, -1)::BIGINT AS vid
+             FROM exp e LEFT JOIN vocab v USING (token))
+         SELECT doc_id, list(vid ORDER BY pos) AS token_ids,
+           sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_unk
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     // d21 is d14's scale-path twin: SAME oracle semantics (bloom prune is
     // invisible in the result — no false negatives, FPs removed exactly)
     "d21_decontaminate_bloom" ->
@@ -1380,6 +1420,18 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1, len(v)),
              i -> (v[i] - q[i] * ssafe) * (v[i] - q[i] * ssafe))), 6) AS sq_err
          FROM q ORDER BY vec_id""",
+    "e8_centroid_outliers" ->
+      """WITH c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           s AS (SELECT e.vec_id, c.cid,
+               list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+             FROM embeddings e, c),
+           b AS (SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+             FROM s)
+         SELECT cid AS cell, count(*) AS n_vectors,
+           sum(CASE WHEN dist > 1.36 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+         FROM b WHERE r = 1 GROUP BY 1 ORDER BY cell""",
     "e2_ivf_assign" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),

@@ -125,4 +125,17 @@ object KMeans {
       .withColumn("cell",
         element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1).getField("cell"))
   }
+
+  /** Like [[assignCells]] but also exposes the squared L2 distance to the
+    * assigned centroid (`dist_sq`) — the input to centroid-distance outlier
+    * pruning. Same single narrow pass, centroids in the expression tree. */
+  def assignDistances(vectors: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    val cents = Similarity.collectCentroids(centroids)
+    vectors.select(col(idCol), col(vecCol))
+      .withColumn("nc",
+        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1))
+      .select(col(idCol), col(vecCol), col("nc").getField("cell").as("cell"),
+        col("nc").getField("dist").as("dist_sq"))
+  }
 }

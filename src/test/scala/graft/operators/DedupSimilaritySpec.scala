@@ -189,6 +189,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fps(0) != fps(1))
   }
 
+  test("assignDistances flags a planted far vector past a fixed radius") {
+    val base = (0L until 20L).map { i =>
+      (i, Array.fill(4)(if (i % 2 == 0) 0.1f else 0.9f))
+    }
+    val planted = Seq((99L, Array(10f, 10f, 10f, 10f))) // far from both centroids
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(0.1, 0.1, 0.1, 0.1)), (1, Array(0.9, 0.9, 0.9, 0.9)))
+      .toDF("centroid_id", "centroid_vec")
+    val out = KMeans.assignDistances(df, cents, "embedding", "vec_id")
+      .select($"vec_id", $"cell", $"dist_sq")
+      .as[(Long, Int, Double)].collect()
+    assert(out.filter(_._1 != 99L).forall(_._3 < 1e-10)) // exact centroid hits
+    val far = out.find(_._1 == 99L).get
+    assert(far._3 > 100.0) // squared L2 to nearest centroid
+    assert(out.count(r => r._3 > 2.0) == 1) // only the planted vector flags
+  }
+
   test("duplicateClusters merges a deep chain within the iteration budget") {
     // a 100-hop path graph: plain min-propagation needs 100 rounds; the
     // pointer-jumping variant must converge inside maxIters = 25

@@ -66,6 +66,24 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("vocab build ranks by frequency then token; encode preserves positions and flags unknowns") {
+    val docs = Seq(
+      (1L, "b a a c b a"),   // a:3 b:2 c:1
+      (2L, "a b zz c")       // zz falls outside vocab size 3
+    ).toDF("doc_id", "text")
+    val vocab = Vocab.build(docs, size = 3).orderBy("vid")
+      .as[(String, Long, Long)].collect()
+    assert(vocab.map(v => (v._1, v._2)).toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+    assert(vocab.map(_._3).toSeq == Seq(4L, 3L, 2L))
+    val enc = Vocab.encode(docs, Vocab.build(docs, size = 3))
+      .orderBy("doc_id")
+      .select("doc_id", "token_ids", "n_unk").collect()
+    assert(enc(0).getSeq[Long](1) == Seq(1L, 0L, 0L, 2L, 1L, 0L))
+    assert(enc(0).getLong(2) == 0L)
+    assert(enc(1).getSeq[Long](1) == Seq(0L, 1L, -1L, 2L))
+    assert(enc(1).getLong(2) == 1L)
+  }
+
   test("groupSample takes the k hash-smallest ids per group, whole small groups") {
     val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b")) ++
       Seq((1000L, "c"), (1001L, "c")) // group smaller than k
