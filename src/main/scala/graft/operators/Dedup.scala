@@ -166,8 +166,12 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var store = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // round 0 fused into init: label = min(self, direct neighbors) is one
+    // groupBy over the (bidirectional) edge list — no join against an
+    // identity label map. Near-cliques then finish in a single verify round.
+    var store = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var labels = store
     var iter = 0
