@@ -86,6 +86,71 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packSequences: arbitrary counts and partitioning match the sequential fold") {
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.zip(Gen.chooseNum(1, 6),
+      Gen.listOfN(40, Gen.chooseNum(0, 50))), trials = 10) {
+      case (parts: Int, counts: List[Int]) =>
+        val docs = counts.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+          .toDF("doc_id", "n")
+        val got = graft.operators.Packing
+          .packSequences(docs, col("n"), blockSize = 17L, numPartitions = parts)
+          .orderBy("doc_id")
+          .select("n_tokens", "start_offset", "block_first", "block_last")
+          .as[(Long, Long, Long, Long)].collect()
+        var off = 0L
+        counts.zipWithIndex.foreach { case (n, i) =>
+          val (nt, so, bf, bl) = got(i)
+          assert(nt == n.toLong && so == off)
+          assert(bf == off / 17 && bl == math.max(off + n - 1, off) / 17)
+          off += n
+        }
+    }
+  }
+
+  test("chunkTokens: chunks tile the token stream with exact overlap") {
+    forAll(Gen.zip(Gen.chooseNum(0, 60), Gen.chooseNum(2, 12)), trials = 15) {
+      case (nToks: Int, chunkSize: Int) =>
+        val overlap = chunkSize / 3
+        val step = chunkSize - overlap
+        val text = (0 until nToks).map(i => s"w$i").mkString(" ")
+        val df = Seq((1L, text)).toDF("doc_id", "text")
+        val chunks = graft.operators.Chunking
+          .chunkTokens(df, chunkSize = chunkSize, overlap = overlap)
+          .orderBy("chunk_id")
+          .select("chunk_id", "chunk_start", "n_chunk_tokens", "chunk_text")
+          .as[(Long, Long, Long, String)].collect()
+        if (nToks == 0) assert(chunks.isEmpty)
+        else {
+          // starts advance by step; sizes fill to chunkSize except the tail;
+          // concatenating de-overlapped chunks reproduces the token stream
+          chunks.zipWithIndex.foreach { case ((cid, cs, n, _), i) =>
+            assert(cid == i.toLong && cs == i.toLong * step)
+            assert(n == math.min(chunkSize.toLong, nToks - cs))
+          }
+          val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, _, t), i) =>
+            val toks = t.split(" ").toSeq
+            if (i == 0) toks else toks.drop(overlap)
+          }
+          assert(rebuilt.toSeq == (0 until nToks).map(i => s"w$i"))
+        }
+    }
+  }
+
+  test("redact is idempotent on arbitrary text") {
+    import org.apache.spark.sql.functions.col
+    val piiGen = Gen.oneOf("x@y.io", "1.2.3.4", "555-123-4567", "plain", "a.b", "@", "127.0.0.1:80")
+    forAll(Gen.listOfN(8, piiGen), trials = 15) { words =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val once = graft.operators.Redaction.redact(df).select("text").as[String].head()
+      val twice = graft.operators.Redaction
+        .redact(Seq((1L, once)).toDF("doc_id", "text"))
+        .select("text").as[String].head()
+      assert(twice == once)
+    }
+  }
+
   test("multiline splitter: concatenation of records covers all start-anchored content") {
     val startLine = Gen.chooseNum(0, 99999).map(n => f"I$n%05d payload")
     val contLine = Gen.alphaNumStr.map("  " + _)
