@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
 import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms, Vocab}
+import graft.streaming.StreamingDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -897,6 +898,16 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------ streaming twins (batch mode)
+    "w5_stream_neardup_flags" -> ((s, d) => {
+      // batch twin of StreamingDedup.nearDupFlags (spec-pinned equal): each
+      // flagged doc with its minimum earlier near-dup partner. Oracle:
+      // independent Python fixture derived from the d7 pair fixture.
+      import s.implicits._
+      StreamingDedup.nearDupFlags(
+          StreamingDedup.bandedSigs(t(s, d, "documents")), threshold = 0.3)
+        .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
+        .orderBy("doc_id")
+    }),
     "w4_interval_join" -> ((s, d) => {
       // purchases within 30 minutes after each click by the same user —
       // batch twin of the watermarked stream-stream interval join (state

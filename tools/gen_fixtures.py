@@ -386,6 +386,13 @@ def main():
             d17_rows.append((v, root, len(members)))
     d17_rows.sort()
 
+    # ---- w5: streaming near-dup flags batch twin — min earlier qualifying
+    # partner per flagged doc, derived from the same independent d7 pairs
+    w5 = {}
+    for a, b, _ in d7_rows:
+        w5[b] = min(w5.get(b, a), a)
+    w5_rows = sorted(w5.items())
+
     # ---- d8: simhash band candidates with hamming <= maxHamming
     sims = {i: simhash64(tk) for i, tk in toks.items()}
     sbuckets = {}
@@ -465,6 +472,9 @@ def main():
                " c2::BIGINT AS cluster_size FROM (VALUES\n"
                + values(d17_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
                + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    w5_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of FROM (VALUES\n"
+              + values(w5_rows, lambda r: f"{r[0]}, {r[1]}")
+              + ") AS t(c0, c1) ORDER BY doc_id")
     d22_sql = ("SELECT c0 AS lang, c1::BIGINT AS doc_id FROM (VALUES\n"
                + values(d22_rows, lambda r: f"{r[0]!r}, {r[1]}")
                + ") AS t(c0, c1) ORDER BY lang, doc_id")
@@ -516,7 +526,9 @@ object FixtureOracles {{
     "d17_dup_clusters" ->
       \"\"\"{d17_sql}\"\"\",
     "d22_group_sample" ->
-      \"\"\"{d22_sql}\"\"\")
+      \"\"\"{d22_sql}\"\"\",
+    "w5_stream_neardup_flags" ->
+      \"\"\"{w5_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
