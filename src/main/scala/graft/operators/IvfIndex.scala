@@ -78,4 +78,23 @@ object IvfIndex {
     Loaded(spark, path,
       Similarity.collectCentroids(spark.read.parquet(s"$path/centroids")),
       vecCol, idCol)
+
+  /** Incremental maintenance: assign `newVectors` to the EXISTING centroids
+    * and append them into the cell-partitioned corpus — no refit, no
+    * rewrite of resident data (dynamic partition append writes only the
+    * touched cell directories). The index after append answers searches
+    * exactly as if built over the union (same centroids ⇒ same cell
+    * routing; spec-verified). Re-run `build` when drift makes the frozen
+    * centroids a poor quantizer — the SSE of appended batches
+    * (`KMeans.assignDistances` sum) is the monitoring signal. */
+  def append(newVectors: DataFrame, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+    newVectors.select(col(idCol), col(vecCol))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+          .getField("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
 }

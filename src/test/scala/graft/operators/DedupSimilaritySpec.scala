@@ -189,6 +189,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fps(0) != fps(1))
   }
 
+  test("IvfIndex.append routes into frozen cells; search equals a union build") {
+    val rnd = new scala.util.Random(13)
+    def blob(cx: Float, cy: Float, base: Long, n: Int = 40) =
+      (0 until n).map(i => (base + i,
+        Array(cx + rnd.nextFloat() * 0.1f, cy + rnd.nextFloat() * 0.1f)))
+    val first = blob(0f, 0f, 0L) ++ blob(10f, 0f, 100L) ++ blob(0f, 10f, 200L)
+    val extra = blob(0f, 0f, 300L, 10) ++ blob(10f, 0f, 400L, 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp-").toString
+    IvfIndex.build(first.toDF("vec_id", "embedding"), dir, k = 3, iterations = 4)
+    IvfIndex.append(extra.toDF("vec_id", "embedding"), dir)
+    val idx = IvfIndex.load(spark, dir)
+    val q = first.toDF("vec_id", "embedding").filter($"vec_id" === 100L)
+    val got = idx.search(q, k = 8, nProbe = 1).orderBy("rank")
+      .select("corpus_id").as[Long].collect().toSeq
+    // appended blob-400 points live in blob-100's cell and are searchable
+    assert(got.exists(id => id >= 400L && id < 410L))
+    // equivalence: same centroids + union corpus ⇒ identical results
+    val unionDf = (first ++ extra).toDF("vec_id", "embedding")
+    val centsDf = idx.centroids.map { case (i, v) => (i, v.toSeq) }
+      .toDF("centroid_id", "centroid_vec")
+    val full = Similarity.ivfTopK(unionDf, q, centsDf, k = 8, nProbe = 1)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(got == full)
+  }
+
   test("assignDistances flags a planted far vector past a fixed radius") {
     val base = (0L until 20L).map { i =>
       (i, Array.fill(4)(if (i % 2 == 0) 0.1f else 0.9f))
