@@ -558,6 +558,14 @@ object SparkEntry {
       Vocab.encode(docs, Vocab.build(docs, size = 256))
         .orderBy("doc_id")
     }),
+    "d24_hash_split" -> ((s, d) =>
+      // deterministic train/val/test split — membership is a pure function
+      // of the id (md5-mod, recomputable by any engine), so the split never
+      // drifts across re-runs/partitionings. Narrow codegen'd projection.
+      Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
     "d22_group_sample" -> ((s, d) =>
       // fixed-size deterministic per-language sample: bottom-25 by
       // xxhash64(doc_id) via a bounded aggregator (≤ k ids per partition
@@ -809,6 +817,38 @@ object SparkEntry {
           sum(when(col("dist_sq") > r * r, 1L).otherwise(0L)).as("n_outliers"))
         .orderBy("cell")
     }),
+    "e9_pq_adc" -> ((s, d) => {
+      // product-quantization ANN: encode 64-d vectors to 8 sub-codes
+      // (nearest of 16 FIXED sub-centroids per slice — first-16 corpus
+      // vectors, e6's stance, so the whole path is SQL-reproducible), then
+      // ADC top-k: per-query LUT of slice→sub-centroid distances, corpus
+      // scored by 8 lookups/row from codes alone. The 100 TB path: the
+      // search scan reads 8 small ints per vector instead of 256 bytes.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val cbs = Similarity.pqCodebooks(cents, m = 8)
+      Similarity.pqTopK(Similarity.pqEncode(emb, cbs),
+          emb.filter(col("vec_id") < 3), cbs, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e10_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: drop vectors with a same-cell smaller-id neighbor at
+      // cosine ≥ 0.95. Planted exact copies (id+20000) are the only pairs
+      // above the threshold (corpus max pairwise cosine < 0.7) and land in
+      // their original's cell (identical vector → identical argmin), so
+      // cells, dup links and survivors are all SQL-reproducible.
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 15)
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity.semanticDedup(emb.unionByName(planted), cents, threshold = 0.95)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("dup_of"), col("kept"))
+        .orderBy("vec_id")
+    }),
     "e2_ivf_assign" -> ((s, d) => {
       // nearest-centroid assignment via the native argmin expression — one
       // narrow corpus pass, centroids ride the expression tree (no join, no
@@ -933,7 +973,15 @@ object SparkEntry {
         .orderBy("user_id", "event_type")),
     "w3_sessionize" -> ((s, d) =>
       graft.streaming.EventAnalytics.sessionizeBatch(events(s, d), gapMs = 30 * 60 * 1000)
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    "w6_enriched_revenue" -> ((s, d) =>
+      // batch twin of the stream-static broadcast enrichment join: hourly
+      // revenue per customer market segment (streaming path spec-pinned
+      // equal in StreamingSpec)
+      graft.streaming.EventAnalytics.enrichedWindowedRevenue(
+          events(s, d), t(s, d, "customer"),
+          eventKey = "user_id", dimKey = "c_custkey", attr = "c_mktsegment")
+        .orderBy("window_start", "c_mktsegment"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1443,6 +1491,61 @@ object SparkEntry {
          SELECT cid AS cell, count(*) AS n_vectors,
            sum(CASE WHEN dist > 1.36 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
          FROM b WHERE r = 1 GROUP BY 1 ORDER BY cell""",
+    // e9: fixed sub-codebooks (slices of the first-16 corpus vectors) make
+    // the whole PQ path — per-subspace argmin codes, per-query LUT, ADC
+    // scores — exactly reproducible in SQL. Per-slice sums are sequential
+    // 8-term double adds on both engines (NearestCellsExpr accumulation ≡
+    // list_sum/list_transform, the e7-pinned pattern), and the ADC total
+    // sums the per-subspace terms in j order on both sides.
+    "e9_pq_adc" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+           cb AS (SELECT c.vec_id::INT AS cid, s.j,
+               list_transform(range(1, 9), i -> c.embedding[s.j*8 + i]::DOUBLE) AS cv
+             FROM embeddings c, sub s WHERE c.vec_id < 16),
+           dists AS (SELECT e.vec_id, cb.j, cb.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (e.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i])
+                    * (e.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i]))) AS dist
+             FROM embeddings e, cb),
+           codes AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS r
+               FROM dists) WHERE r = 1),
+           qlut AS (SELECT q.vec_id AS query_id, cb.j, cb.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (q.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i])
+                    * (q.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i]))) AS d
+             FROM embeddings q, cb WHERE q.vec_id < 3),
+           adc AS (SELECT l.query_id, c.vec_id AS corpus_id,
+               list_sum(list(l.d ORDER BY l.j)) AS adc_raw
+             FROM codes c JOIN qlut l ON l.j = c.j AND l.cid = c.cid
+             WHERE c.vec_id <> l.query_id
+             GROUP BY 1, 2),
+           ranked AS (SELECT query_id, corpus_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
+             FROM adc)
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e10: planted exact copies are the only pairs at cosine ≥ 0.95 and
+    // inherit their original's cell bit-exactly, so cells, dup links and
+    // survivors are all SQL-derivable (e6's fixed-centroid stance).
+    "e10_semantic_dedup" ->
+      """WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             UNION ALL
+             SELECT vec_id + 20000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 15),
+           c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           cells AS (SELECT vec_id, v, cid AS cell FROM (
+               SELECT u.vec_id, u.v, c.cid,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_distance(u.v, c.cv), c.cid) AS r
+               FROM u, c) WHERE r = 1),
+           pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+             FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+           dups AS (SELECT ib AS vec_id, min(ia) AS dup_of FROM pairs GROUP BY 1)
+         SELECT cl.vec_id, cl.cell::BIGINT AS cell, d.dup_of, d.dup_of IS NULL AS kept
+         FROM cells cl LEFT JOIN dups d USING (vec_id) ORDER BY vec_id""",
     "e2_ivf_assign" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),
@@ -1546,6 +1649,19 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          ORDER BY click_id, purchase_id""",
+    "d24_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
+         FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "w6_enriched_revenue" ->
+      """SELECT date_trunc('hour', e.ts)::TIMESTAMP AS window_start, c.c_mktsegment,
+         count(*) AS n, round(sum(e.value), 2) AS total_value
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         GROUP BY 1, 2 ORDER BY window_start, c_mktsegment""",
     "w1_hourly_counts" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
          round(sum(value), 2) AS total_value

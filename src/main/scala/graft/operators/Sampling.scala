@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic per-group sampling: the `k` rows with the smallest
@@ -31,5 +31,34 @@ object Sampling {
       .agg(bottomK(col(idCol).cast("long"), xxhash64(col(idCol))).as("sample"))
       .select(groupCols.map(col) :+ explode(col("sample")).as("s"): _*)
       .select(groupCols.map(col) :+ col("s.id").as(idCol): _*)
+  }
+
+  /** Deterministic train/val/test assignment: every row gets a stable
+    * `bucket` in [0, 100) from its id and the first split whose cumulative
+    * weight exceeds the bucket. The contract of a dataset split is that it
+    * never changes — across engines, re-runs, partitionings, or row order —
+    * so membership is a pure function of the id: bucket = the first 8 md5
+    * hex digits of the id's decimal string as an integer, mod 100. md5
+    * (not xxhash) because the split must be recomputable by ANY engine a
+    * downstream consumer uses (md5 is universal; reference intent mirrors
+    * the decider hash-mod stance of d16/s5). A narrow codegen'd projection:
+    * no shuffle, no RNG, no state.
+    *
+    * `splits` are (label, percent) with percents summing to 100; label
+    * boundaries follow `splits` order (e.g. train [0,80), val [80,90),
+    * test [90,100)). */
+  def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    val bucket = pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100))
+    val cum = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val labeled = splits.zip(cum)
+    val first = when(bucket < labeled.head._2, lit(labeled.head._1._1))
+    val split = labeled.tail.foldLeft(first) { case (w, ((name, _), hi)) =>
+      w.when(bucket < hi, lit(name))
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
   }
 }

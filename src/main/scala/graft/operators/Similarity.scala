@@ -99,6 +99,117 @@ object Similarity {
     picked.toDF("centroid_id", "centroid_vec")
   }
 
+  /** Product-quantization codebooks from a centroid relation: the `dim`-d
+    * vectors are cut into `m` equal subspaces; codebook `j` holds every
+    * centroid's j-th slice. Centroid tables are k rows by design, so the
+    * codebooks are driver-side values that ride inside expressions (same
+    * stance as [[collectCentroids]]). Sub-codebook training quality is the
+    * k-means operator's concern ([[KMeans.fitModel]] per slice); fixed
+    * codebooks keep encode/search exactly reproducible. */
+  def pqCodebooks(centroids: DataFrame, m: Int,
+      idCol: String = "centroid_id", vecCol: String = "centroid_vec"): Seq[Seq[(Int, Array[Double])]] = {
+    val full = collectCentroids(centroids, idCol, vecCol)
+    require(full.nonEmpty, "empty centroid relation")
+    val dim = full.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(j => full.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) })
+  }
+
+  /** PQ encode: each vector becomes `m` small codes — the nearest
+    * sub-centroid per subspace. This is the at-rest scale path for a 100 TB
+    * embedding store: m bytes replace dim×4 (64-d float → 8 codes = 32×
+    * smaller), and ADC search never touches the original vectors. One
+    * narrow pass; every argmin is a native expression over a vector slice
+    * (codebooks ride the expression tree — no join, no shuffle). */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(VectorExpressions.nearestCells(
+        slice(col(vecCol), j * sub + 1, sub), cb, 1), 1).getField("cell")
+    }: _*)
+    corpus.select(col(idCol).cast("long").as("corpus_id"), codes.as("codes"))
+  }
+
+  /** PQ/ADC top-k (asymmetric distance computation): per query a lookup
+    * table of squared L2 distances query-slice→sub-centroid is computed
+    * driver-side (m×k doubles — queries are a handful by ANN contract) and
+    * broadcast; each corpus row's approximate distance is m table lookups
+    * summed. The 100 TB shape: the scan reads CODES only (m small ints per
+    * vector), scoring is m lookups/row with zero shuffle, and top-k is the
+    * bounded partial aggregation — identical plan shape to [[bruteForceTopK]]
+    * but over 32× less data. Returns (query_id, corpus_id, adc_dist, rank),
+    * rank by (adc_dist asc, corpus_id asc). */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+      k: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // LUT rows: per query, luts[j][c] = ||q_j - codebook_j[c]||², summed
+    // left-to-right per slice (parity with NearestCellsExpr accumulation)
+    val luts: Seq[(Long, Seq[Seq[Double]])] = queries
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect().toSeq.map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val sub = codebooks.head.head._2.length
+        val lut = codebooks.zipWithIndex.map { case (cb, j) =>
+          cb.map { case (_, cv) =>
+            var acc = 0.0
+            var i = 0
+            while (i < sub) { val d = qv(j * sub + i) - cv(i); acc += d * d; i += 1 }
+            acc
+          }
+        }
+        (qid, lut)
+      }
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val q = broadcast(luts.toDF("query_id", "lut"))
+    // codebook ids are positions 0..k-1 in LUT order (pqCodebooks preserves
+    // centroid order), so code c indexes slot c+1
+    val scored = codes.join(q, col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (a, x) => a + x).as("adc"))
+    scored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), -col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"), (-col("s.score")).as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus by nearest
+    * centroid (one zero-shuffle native argmin pass), then drop any vector
+    * that has a same-cell neighbor with cosine ≥ `threshold` and a smaller
+    * id (deterministic "keep first" — the published heuristic keeps a
+    * random member per dup set). Candidate pairs only form WITHIN a cell,
+    * so the self-join shuffles on the small cell key and never goes
+    * quadratic in the corpus; hot cells are bounded by the same skew guard
+    * as the LSH dedups. Returns one row per vector:
+    * (id, cell, dup_of nullable, kept). */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Int = 4096): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val cells = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col("vec"), cents, 1), 1)
+          .getField("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = SkewGuard.guardedSelfJoinPairs(cells, Seq("cell"),
+        idCol = "id", payloadCol = "vec", maxBucket = maxBucket, label = "semantic_dedup")
+      .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(VectorFunctions.cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    val dupOf = pairs.groupBy("id_b").agg(min("id_a").as("dup_of"))
+      .withColumnRenamed("id_b", "id")
+    cells.join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Random-hyperplane LSH self-join: vectors sharing a `nBits`-bit sign
     * sketch land in one bucket; pairs within a bucket are verified by exact
     * cosine ≥ threshold. Hyperplanes are derived deterministically from

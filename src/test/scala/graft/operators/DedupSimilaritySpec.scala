@@ -90,6 +90,60 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("PQ: encode picks nearest sub-centroid per slice; ADC is exact on codebook vectors") {
+    // 4-d vectors, m=2 subspaces of 2 dims; codebook = 3 centroids whose
+    // slices tile a small grid, so some corpus vectors are exactly
+    // representable (their ADC distance must equal the true squared L2)
+    val cents = Seq(
+      (0, Array(0f, 0f, 0f, 0f)),
+      (1, Array(1f, 0f, 1f, 0f)),
+      (2, Array(0f, 1f, 0f, 1f))
+    ).toDF("centroid_id", "centroid_vec")
+    val cbs = Similarity.pqCodebooks(cents, m = 2)
+    assert(cbs.length == 2 && cbs.head.length == 3)
+    assert(cbs(1)(2)._2.toSeq == Seq(0.0, 1.0))
+
+    val corpus = Seq(
+      (10L, Array(0f, 0f, 1f, 0f)),   // slices = (cb0 of c0, cb1 of c1) → codes [0,1]
+      (11L, Array(1f, 0f, 0f, 1f)),   // codes [1,2]
+      (12L, Array(0.9f, 0.1f, 0.1f, 0.9f)) // nearest: [1,2]
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, cbs)
+      .orderBy("corpus_id").as[(Long, Seq[Int])].collect()
+    assert(codes(0)._2 == Seq(0, 1))
+    assert(codes(1)._2 == Seq(1, 2))
+    assert(codes(2)._2 == Seq(1, 2))
+
+    val query = Seq((99L, Array(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(Similarity.pqEncode(corpus, cbs), query, cbs, k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    // vec 10 is exactly representable: ADC = true ||q - v||² = 1.0
+    assert(top.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(top(0)._3 - 1.0) < 1e-12)
+    // 11 and 12 share codes [1,2] ⇒ identical ADC (2.0), tie broken by id
+    assert(math.abs(top(1)._3 - 2.0) < 1e-12 && math.abs(top(2)._3 - 2.0) < 1e-12)
+  }
+
+  test("semanticDedup drops the same-cell near-duplicate, keeps originals") {
+    val data = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.14f, 0f)), // cluster A, cos≈0.99
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.97f, 0.24f)), // cluster B, cos≈0.97
+      (4L, Array(1f, 0f, 0f))                                 // exact dup of 0
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+      .toDF("centroid_id", "centroid_vec")
+    val out = Similarity.semanticDedup(data, cents, threshold = 0.95)
+      .orderBy("vec_id")
+      .select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Int, Option[Long], Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out(0)._4 && out(2)._4)                  // first of each cluster kept
+    assert(!out(1)._4 && out(1)._3.contains(0L))    // 1 ~ 0 at cos 0.99
+    assert(!out(3)._4 && out(3)._3.contains(2L))
+    assert(!out(4)._4 && out(4)._3.contains(0L))    // exact dup dropped
+    assert(out(0)._2 == 0 && out(2)._2 == 1)        // cells follow the clusters
+  }
+
   test("text functions: tokens, quality, lang id") {
     val df = Seq(
       "The cat sat on the mat and it was a good day for everyone involved.",

@@ -101,6 +101,31 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "c") == 2)
   }
 
+  test("hashSplit: total deterministic partition with md5-mod buckets") {
+    val df = (0L until 500L).toDF("doc_id")
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val got = Sampling.hashSplit(df, $"doc_id", splits)
+      .select("doc_id", "bucket", "split").as[(Long, Long, String)].collect()
+    assert(got.length == 500)
+    // reference: java MD5 of the decimal string, first 8 hex digits mod 100
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (id, bucket, split) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val expB = java.lang.Long.parseLong(hex, 16) % 100
+      assert(bucket == expB, s"id=$id")
+      val expS = if (expB < 80) "train" else if (expB < 90) "val" else "test"
+      assert(split == expS, s"id=$id bucket=$bucket")
+    }
+    // roughly proportional (md5 is uniform; 500 ids ⇒ loose bounds)
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 350 && bySplit("val") > 20 && bySplit("test") > 20)
+    // re-running yields the identical assignment (pure function of id)
+    val again = Sampling.hashSplit(df.orderBy(rand(7)), $"doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.forall { case (id, _, s) => again(id) == s })
+  }
+
   test("bloom-pruned decontamination equals the exact explode-join") {
     import graft.functions.HashFunctions
     val mk = (i: Long, s: String) => (i, s)

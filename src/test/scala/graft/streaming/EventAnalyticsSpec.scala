@@ -36,6 +36,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichedWindowedRevenue: stream-static broadcast join matches batch twin") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (9L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val evs = Seq(
+      Ev(1, ts(1), "click", 10.0), Ev(2, ts(2), "click", 5.0),
+      Ev(1, ts(4), "view", 2.5), Ev(9, ts(59), "click", 1.0))
+    val input = MemoryStream[Ev]
+    val q = EventAnalytics.enrichedWindowedRevenue(input.toDF(), dim,
+        eventKey = "user_id", dimKey = "c_custkey", attr = "c_mktsegment",
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("er")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      input.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(evs.last) // advances watermark, closes the first window
+      q.processAllAvailable()
+      val got = spark.table("er")
+        .select("window_start", "c_mktsegment", "n", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = EventAnalytics.enrichedWindowedRevenue(
+          evs.take(3).toDF(), dim, "user_id", "c_custkey", "c_mktsegment",
+          windowDur = "10 minutes")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == expected)
+      assert(got.contains((ts(0), "BUILDING", 2L, 12.5)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops replays in-stream; batch twin dedups") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
