@@ -464,6 +464,27 @@ object SparkEntry {
         .groupBy(pmod(col("decoded.k"), lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min("decoded.k").as("min_k"), max("decoded.k").as("max_k"))
         .orderBy("k_bucket")),
+    "s15_jsonl_corrupt" -> ((s, d) => {
+      // corrupt-tolerant JSONL ingestion — the schema-on-read mirror of the
+      // reference's oversize tolerate-and-skip stance: one record in 37 is
+      // deterministically truncated mid-object; PERMISSIVE from_json yields
+      // null fields + the raw line in the corrupt column instead of failing
+      // the batch. Narrow, codegen'd, no shuffle.
+      val docs = t(s, d, "documents")
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      val jsonl = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(37)) === 0, substring(line, 1, 12))
+          .otherwise(line).as("line"))
+      jsonl
+        .withColumn("rec", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .select(col("doc_id"), col("rec.lang").as("parsed_lang"),
+          col("rec.n_chars").as("parsed_n_chars"),
+          col("rec._corrupt_record").isNotNull.as("is_corrupt"))
+        .orderBy("doc_id")
+    }),
     "s8_mid_headers" -> ((s, d) =>
       events(s, d)
         .select(col("event_id"),
@@ -647,6 +668,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
     }),
+    "d25_char_entropy" -> ((s, d) =>
+      // Shannon character entropy + distinct-char count — the codec-free
+      // low-entropy quality filter (degenerate/filler content detection).
+      // Narrow native single-pass expression, scan speed, no shuffle.
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.charEntropy(col("text")).as("ce"))
+        .select(col("doc_id"), round(col("ce.entropy"), 4).as("entropy"),
+          col("ce.n_distinct").cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
     "d13_repetition" -> ((s, d) =>
       // duplicate-n-gram fraction (the C4/Gopher repetition quality filter)
       // at 2- and 3-gram granularity — narrow, codegen'd, scan-speed
@@ -830,6 +860,25 @@ object SparkEntry {
       val cbs = Similarity.pqCodebooks(cents, m = 8)
       Similarity.pqTopK(Similarity.pqEncode(emb, cbs),
           emb.filter(col("vec_id") < 3), cbs, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e11_ivfpq" -> ((s, d) => {
+      // IVF-PQ: coarse cells (first-8 fixed centroids, e6's stance) +
+      // 8 sub-codes (first-16 sub-codebooks, e9's stance); each query
+      // ADC-scores only its 2 probed cells from codes alone. The
+      // billion-vector layout: probe cost = (nProbe/nCells) of the corpus
+      // × (m bytes / dim×4) of the vector payload.
+      val emb = t(s, d, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val cbs = Similarity.pqCodebooks(
+        emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec")),
+        m = 8)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3), coarse, cbs,
+          k = 5, nProbe = 2)
         .select(col("query_id"), col("corpus_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
@@ -1526,6 +1575,51 @@ object SparkEntry {
              FROM adc)
          SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e11: e9's code/LUT CTEs + e6's fixed-cell CTEs; ADC restricted to
+    // each query's 2 probed cells.
+    "e11_ivfpq" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+           cb AS (SELECT c.vec_id::INT AS cid, s.j,
+               list_transform(range(1, 9), i -> c.embedding[s.j*8 + i]::DOUBLE) AS cv
+             FROM embeddings c, sub s WHERE c.vec_id < 16),
+           dists AS (SELECT e.vec_id, cb.j, cb.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (e.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i])
+                    * (e.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i]))) AS dist
+             FROM embeddings e, cb),
+           codes AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS r
+               FROM dists) WHERE r = 1),
+           qlut AS (SELECT q.vec_id AS query_id, cb.j, cb.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (q.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i])
+                    * (q.embedding[cb.j*8 + i]::DOUBLE - cb.cv[i]))) AS d
+             FROM embeddings q, cb WHERE q.vec_id < 3),
+           cc AS (SELECT vec_id::INT AS ccid, embedding::DOUBLE[] AS ccv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (SELECT vec_id, ccid AS cell FROM (
+               SELECT e.vec_id, cc.ccid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings e, cc) WHERE r = 1),
+           query_cells AS (SELECT query_id, ccid AS cell FROM (
+               SELECT q.vec_id AS query_id, cc.ccid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings q, cc WHERE q.vec_id < 3) WHERE r <= 2),
+           adc AS (SELECT l.query_id, c.vec_id AS corpus_id,
+               list_sum(list(l.d ORDER BY l.j)) AS adc_raw
+             FROM codes c JOIN qlut l ON l.j = c.j AND l.cid = c.cid
+             JOIN corpus_cell cl ON cl.vec_id = c.vec_id
+             JOIN query_cells qc ON qc.query_id = l.query_id AND qc.cell = cl.cell
+             WHERE c.vec_id <> l.query_id
+             GROUP BY 1, 2),
+           ranked AS (SELECT query_id, corpus_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
+             FROM adc)
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // e10: planted exact copies are the only pairs at cosine ≥ 0.95 and
     // inherit their original's cell bit-exactly, so cells, dup links and
     // survivors are all SQL-derivable (e6's fixed-centroid stance).
@@ -1657,6 +1751,27 @@ object SparkEntry {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    // d25: terms summed in ascending char order on both engines (the
+    // expression's determinism contract); boundary margins on the frozen
+    // corpus are checked by tools/check_entropy_margin.py.
+    "d25_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+           counts AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
+           tot AS (SELECT doc_id, sum(n) AS nn FROM counts GROUP BY 1),
+           ent AS (SELECT counts.doc_id,
+               list_sum(list(-(n/nn)*log2(n/nn) ORDER BY c)) AS entropy,
+               count(*) AS n_distinct
+             FROM counts JOIN tot ON counts.doc_id = tot.doc_id GROUP BY 1)
+         SELECT d.doc_id, round(coalesce(e.entropy, 0.0), 4) AS entropy,
+           coalesce(e.n_distinct, 0) AS n_distinct
+         FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+         ORDER BY d.doc_id""",
+    "s15_jsonl_corrupt" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END AS parsed_lang,
+           CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS parsed_n_chars,
+           (doc_id % 37 = 0) AS is_corrupt
+         FROM documents ORDER BY doc_id""",
     "w6_enriched_revenue" ->
       """SELECT date_trunc('hour', e.ts)::TIMESTAMP AS window_start, c.c_mktsegment,
          count(*) AS n, round(sum(e.value), 2) AS total_value

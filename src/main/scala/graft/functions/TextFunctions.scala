@@ -32,6 +32,12 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     textProfile(text).getField("n_tokens").cast("long")
 
+  /** struct(entropy, n_distinct): Shannon character entropy (bits/char) —
+    * the codec-free low-entropy/degenerate-content quality signal. See
+    * [[graft.plans.CharEntropyExpr]] for the determinism contract. */
+  def charEntropy(text: Column): Column =
+    graft.plans.CharEntropyExpr.charEntropy(text)
+
   /** BPE-ish subword count: letter runs + digit runs + individual symbol
     * chars, each one "token" (a cheap deterministic stand-in for a real
     * tokenizer's count, for per-doc budget accounting). Lookaround-free so

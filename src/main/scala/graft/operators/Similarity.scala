@@ -145,6 +145,21 @@ object Similarity {
       k: Int, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
+    val qids = queries.select(col(idCol).cast("long").as("query_id"))
+      .as[Long].collect().toSeq.toDF("query_id")
+    val candidates = codes.crossJoin(broadcast(qids))
+      .select("query_id", "corpus_id", "codes")
+    pqTopKScored(candidates, queries, codebooks, k, vecCol, idCol)
+  }
+
+  /** ADC scoring + bounded top-k over a candidate relation
+    * (query_id, corpus_id, codes) — the shared tail of [[pqTopK]] (all
+    * corpus rows are candidates) and [[ivfPqTopK]] (only probed cells). */
+  private def pqTopKScored(candidates: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[(Int, Array[Double])]], k: Int,
+      vecCol: String, idCol: String): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     // LUT rows: per query, luts[j][c] = ||q_j - codebook_j[c]||², summed
     // left-to-right per slice (parity with NearestCellsExpr accumulation)
     val luts: Seq[(Long, Seq[Seq[Double]])] = queries
@@ -167,7 +182,8 @@ object Similarity {
     val q = broadcast(luts.toDF("query_id", "lut"))
     // codebook ids are positions 0..k-1 in LUT order (pqCodebooks preserves
     // centroid order), so code c indexes slot c+1
-    val scored = codes.join(q, col("corpus_id") =!= col("query_id"))
+    val scored = candidates.filter(col("corpus_id") =!= col("query_id"))
+      .join(q, "query_id")
       .select(col("query_id"), col("corpus_id"),
         aggregate(zip_with(col("codes"), col("lut"),
             (c, t) => element_at(t, c + 1)),
@@ -177,6 +193,35 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.id").as("corpus_id"), (-col("s.score")).as("adc_dist"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** IVF-PQ top-k: the two scale paths composed — corpus rows carry a
+    * coarse cell (IVF partition pruning at rest) AND m sub-codes (32×
+    * smaller scan payload); a query probes its `nProbe` nearest cells and
+    * ADC-scores only those rows from codes alone. This is the standard
+    * billion-vector layout (FAISS IVFPQ): at 100 TB the probe reads
+    * nProbe/nCells of the data and only code columns, so the scan cost is
+    * (nProbe/nCells) × (m bytes / dim×4 bytes) of the brute-force scan.
+    * Exactness: with `nProbe` = all cells the result equals [[pqTopK]]
+    * (spec-pinned). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[(Int, Array[Double])]], k: Int, nProbe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val coded = pqEncode(corpus, codebooks, vecCol, idCol)
+      .join(corpus.select(col(idCol).cast("long").as("corpus_id"),
+        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+          .getField("cell").as("cell")), "corpus_id")
+    val probed = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("cell",
+        explode(transform(VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
+          s => s.getField("cell"))))
+      .select("query_id", "cell")
+    // restrict codes to probed cells (broadcast semi side), then ADC-score
+    val candidates = coded.join(broadcast(probed), Seq("cell"))
+      .select("query_id", "corpus_id", "codes")
+    pqTopKScored(candidates, queries, codebooks, k, vecCol, idCol)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus by nearest

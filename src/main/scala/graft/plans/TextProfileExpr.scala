@@ -85,3 +85,79 @@ object TextProfileExpr {
   def textProfile(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TextProfileExpr(ColumnBridge.expression(text), stopwords))
 }
+
+/** `char_entropy(text)`: struct(entropy, n_distinct) — Shannon entropy in
+  * bits per character of the text's character distribution, and the
+  * distinct-character count. Low entropy flags degenerate content
+  * (repeated filler, padding); it is the cheap stand-in for the
+  * compression-ratio quality filter of C4-style corpus cleaning, without
+  * depending on any codec implementation.
+  *
+  * One char pass + one pass over the (≤ alphabet-size) count table.
+  * Determinism contract: terms are accumulated in ASCENDING char-code
+  * order, so any engine that sums `-(n_i/N)·log2(n_i/N)` over the sorted
+  * alphabet reproduces the identical double (the d25 DuckDB oracle does
+  * exactly that; margins off the round-4 boundary are checked offline on
+  * the frozen corpus). */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = CharEntropyExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  private val Ln2 = math.log(2.0)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n == 0) return new GenericInternalRow(Array[Any](0.0, 0))
+    // ASCII fast table + sorted map spill for anything above
+    val ascii = new Array[Int](128)
+    var high: java.util.TreeMap[Int, Int] = null
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i).toInt
+      if (c < 128) ascii(c) += 1
+      else {
+        if (high == null) high = new java.util.TreeMap[Int, Int]()
+        high.merge(c, 1, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val total = n.toDouble
+    var entropy = 0.0
+    var distinct = 0
+    var c = 0
+    while (c < 128) {
+      val cnt = ascii(c)
+      if (cnt > 0) {
+        distinct += 1
+        val p = cnt / total
+        entropy -= p * (math.log(p) / Ln2)
+      }
+      c += 1
+    }
+    if (high != null) {
+      val it = high.values().iterator()
+      while (it.hasNext) {
+        distinct += 1
+        val p = it.next() / total
+        entropy -= p * (math.log(p) / Ln2)
+      }
+    }
+    new GenericInternalRow(Array[Any](entropy, distinct))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
+}

@@ -124,6 +124,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(top(1)._3 - 2.0) < 1e-12 && math.abs(top(2)._3 - 2.0) < 1e-12)
   }
 
+  test("ivfPqTopK equals pqTopK when every cell is probed; probes restrict candidates") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 60L).map { i =>
+      val base = if (i % 2 == 0) 0f else 4f // two well-separated clusters
+      (i, Array.fill(4)(base + rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val coarse = Seq((0, Array(0.5f, 0.5f, 0.5f, 0.5f)), (1, Array(4.5f, 4.5f, 4.5f, 4.5f)))
+      .toDF("centroid_id", "centroid_vec")
+    val cbCents = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    val cbs = Similarity.pqCodebooks(cbCents, m = 2)
+    val queries = corpus.filter($"vec_id" < 2)
+
+    val flat = Similarity.pqTopK(Similarity.pqEncode(corpus, cbs), queries, cbs, k = 5)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val probedAll = Similarity.ivfPqTopK(corpus, queries, coarse, cbs, k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(flat == probedAll) // nProbe = all cells ⇒ identical result
+
+    // nProbe=1: query 0 (cluster A) only sees cluster-A (even-id) candidates
+    val one = Similarity.ivfPqTopK(corpus, queries.filter($"vec_id" === 0L),
+        coarse, cbs, k = 50, nProbe = 1)
+      .select("corpus_id").as[Long].collect()
+    assert(one.nonEmpty && one.forall(_ % 2 == 0))
+  }
+
   test("semanticDedup drops the same-cell near-duplicate, keeps originals") {
     val data = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.14f, 0f)), // cluster A, cos≈0.99
@@ -159,6 +185,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1).getAs[String]("lang") == "de")
     assert(rows(2).getAs[Long]("n") == 0L)
     assert(rows(2).getAs[String]("lang") == "und")
+  }
+
+  test("charEntropy: uniform, skewed, empty, and non-ASCII inputs") {
+    val rows = Seq("abca", "", "aaaa", "abcdefgh", "aβaβ")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.charEntropy($"text").as("ce"))
+      .select($"ce.entropy", $"ce.n_distinct").as[(Double, Int)].collect()
+    assert(math.abs(rows(0)._1 - 1.5) < 1e-12 && rows(0)._2 == 3)
+    assert(rows(1) == ((0.0, 0)))
+    assert(math.abs(rows(2)._1 - 0.0) < 1e-12 && rows(2)._2 == 1)
+    assert(math.abs(rows(3)._1 - 3.0) < 1e-12 && rows(3)._2 == 8) // uniform: log2(8)
+    assert(math.abs(rows(4)._1 - 1.0) < 1e-12 && rows(4)._2 == 2) // TreeMap spill path
   }
 
   test("IVF at-rest layout: cell-partitioned corpus prunes probe scans") {
