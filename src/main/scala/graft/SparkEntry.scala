@@ -265,6 +265,36 @@ object SparkEntry {
         .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_year").asc_nulls_first)),
+    "q31_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS (the rollup/cube generalization): per
+      // (flag, status), per flag, and grand total in ONE pass — Spark
+      // expands sets into a single Expand + hash agg, not three scans
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    "d26_approx_distinct" -> ((s, d) => {
+      // HLL++ approx distinct vocabulary per language, gated by an
+      // exactness-window oracle (q30's stance): the oracle pins the EXACT
+      // distinct count and `approx_within_5pct = true` — a drifting sketch
+      // flips the flag and fails the gate. The 100 TB path drops the exact
+      // twin: HLL partials are O(1) mergeable state per group vs the
+      // exact count's shuffle of every distinct token.
+      val toks = t(s, d, "documents")
+        .select(col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      toks.groupBy("lang")
+        .agg(countDistinct(col("token")).as("exact_distinct"),
+          approx_count_distinct(col("token"), 0.01).as("approx"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("approx_within_5pct"))
+        .orderBy("lang")
+    }),
     "q27_above_cust_avg" -> ((s, d) => {
       val o = t(s, d, "orders")
       val avgs = o.groupBy(col("o_custkey").as("ak"))
@@ -1754,6 +1784,20 @@ object SparkEntry {
     // d25: terms summed in ascending char order on both engines (the
     // expression's determinism contract); boundary margins on the frozen
     // corpus are checked by tools/check_entropy_margin.py.
+    "q31_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "d26_approx_distinct" ->
+      """WITH toks AS (SELECT lang,
+           unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> length(t) > 0)) AS token
+         FROM documents)
+         SELECT lang, count(DISTINCT token) AS exact_distinct,
+           true AS approx_within_5pct
+         FROM toks GROUP BY lang ORDER BY lang""",
     "d25_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
            counts AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch GROUP BY 1, 2),
