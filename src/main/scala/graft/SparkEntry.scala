@@ -609,6 +609,19 @@ object SparkEntry {
       Vocab.encode(docs, Vocab.build(docs, size = 256))
         .orderBy("doc_id")
     }),
+    "d27_dedup_incremental" -> ((s, d) => {
+      // incremental dedup: an arriving batch (doc_id ≡ 0 mod 31) joins the
+      // AT-REST signature index of the resident corpus — band keys shuffle,
+      // resident docs are never re-signed. Oracle: independent Python
+      // fixture from the same xxh64 sig/bucket mirror as d7.
+      val docs = t(s, d, "documents")
+      val probe = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+      val index = Dedup.signatureIndex(docs.filter(pmod(col("doc_id"), lit(31)) =!= 0))
+      Dedup.dedupAgainstIndex(probe, index, threshold = 0.3)
+        .select(col("doc_id"), col("dup_of"),
+          round(col("jaccard_est"), 4).as("jaccard_est"))
+        .orderBy("doc_id")
+    }),
     "d24_hash_split" -> ((s, d) =>
       // deterministic train/val/test split — membership is a pure function
       // of the id (md5-mod, recomputable by any engine), so the split never

@@ -72,6 +72,60 @@ object Dedup {
       .filter(col("jaccard_est") >= threshold)
   }
 
+  /** Banded MinHash signature relation (id, sig, band, key) — the at-rest
+    * dedup INDEX. At 100 TB this is written once, partitioned by (band,
+    * key); arriving batches join against it without ever re-reading or
+    * re-signing the resident corpus (see [[dedupAgainstIndex]]). */
+  def signatureIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"),
+        graft.plans.SketchExpressions.minHashShingleSignature(col("toks"), shingleN, k).as("sig"))
+      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Incremental dedup: flag each NEW document that near-duplicates a
+    * document already in the at-rest [[signatureIndex]] — the arriving-batch
+    * mirror of [[minHashLshPairs]] (which re-deduplicates a whole corpus).
+    * Returns one row per new doc: (idCol, dup_of, jaccard_est), nulls when
+    * clean; dup_of is the minimum qualifying index id.
+    *
+    * Scale shape: the join shuffles the NEW batch's 12-byte band keys
+    * against the index (at rest, bucketed by (band, key) — a co-located
+    * join); resident signatures are read, never recomputed. Hot band keys
+    * on the index side (> maxBucket entries) are excluded from the join —
+    * same stance as the SkewGuard collapse: exact-dedup the corpus first so
+    * identical docs never flood a bucket; audit via [[SkewGuard.bucketStats]]. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      maxBucket: Int = 4096): DataFrame = {
+    val newBanded = signatureIndex(newDocs, textCol, idCol, shingleN, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotKeys = index.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("band", "key")
+    val idxOk = index.join(broadcast(hotKeys), Seq("band", "key"), "left_anti")
+    val candIds = newBanded.select(col("id").as("new_id"), col("band"), col("key"))
+      .join(idxOk.select(col("id").as("idx_id"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("new_id") =!= col("idx_id"))
+      .select("new_id", "idx_id").distinct()
+    val idxSigs = index.select(col("id"), col("sig")).dropDuplicates("id")
+    val newSigs = newBanded.select(col("id"), col("sig")).dropDuplicates("id")
+    val flagged = candIds
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(idxSigs.select(col("id").as("idx_id"), col("sig").as("sig_i")), "idx_id")
+      .select(col("new_id"), col("idx_id"),
+        minHashJaccard(col("sig_n"), col("sig_i")).as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("idx_id"), col("est"))).as("m"))
+      .select(col("new_id"), col("m.idx_id").as("dup_of"), col("m.est").as("jaccard_est"))
+    newDocs.select(col(idCol))
+      .join(flagged.withColumnRenamed("new_id", idCol), Seq(idCol), "left")
+  }
+
   /** MinHash/LSH dedup: drop every doc that collides (est. Jaccard ≥
     * threshold) with a lower-id doc. */
   def minHashDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",

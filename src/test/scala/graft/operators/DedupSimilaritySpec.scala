@@ -38,6 +38,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(dedup.contains(4L) && dedup.contains(5L))
   }
 
+  test("dedupAgainstIndex flags new docs against the at-rest index, nulls when clean") {
+    val index = Dedup.signatureIndex(docs.filter($"doc_id".isin(1L, 3L, 4L)))
+    val probe = docs.filter($"doc_id".isin(2L, 5L))
+    val got = Dedup.dedupAgainstIndex(probe, index, threshold = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((2L, Some(1L)), (5L, None))) // 2 ≡ 1 exactly; 5 clean
+    // hot-key cap: maxBucket=1 with a flooded index bucket drops the key —
+    // the documented exact-dedup-first contract, never a quadratic join
+    val flooded = Dedup.signatureIndex(
+      (1L to 20L).map(i => (i + 100L, docs.filter($"doc_id" === 1L)
+        .select("text").as[String].head())).toDF("doc_id", "text"))
+    val capped = Dedup.dedupAgainstIndex(probe, flooded, threshold = 0.5, maxBucket = 1)
+      .filter($"dup_of".isNotNull).count()
+    assert(capped == 0)
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, unrelated far") {
     val sigs = docs.select($"doc_id",
       HashFunctions.simHash64($"text").as("sim")).as[(Long, Long)].collect().toMap

@@ -393,6 +393,31 @@ def main():
         w5[b] = min(w5.get(b, a), a)
     w5_rows = sorted(w5.items())
 
+    # ---- d27: incremental dedup — probe docs (doc_id%31==0) flagged
+    # against the resident index (doc_id%31!=0): minimum index partner
+    # sharing >= 1 LSH band bucket with sig-match est >= 0.3; NULLs when
+    # clean. Derived from the same independent sigs/buckets as d7.
+    probe_ids = [i for i, _ in docs if i % 31 == 0]
+    idx_buckets = {}
+    for i, sig in sigs.items():
+        if i % 31 != 0:
+            for bk in band_keys(sig):
+                idx_buckets.setdefault(bk, []).append(i)
+    d27_rows = []
+    for p in probe_ids:
+        best = None
+        if p in sigs:
+            cands = set()
+            for bk in band_keys(sigs[p]):
+                cands.update(idx_buckets.get(bk, ()))
+            for c in sorted(cands):
+                m = sum(1 for t in range(64) if sigs[p][t] == sigs[c][t])
+                if m / 64 >= 0.3:
+                    best = (c, round_half_up(m, 64, 4))
+                    break  # sorted -> minimum qualifying index id
+        d27_rows.append((p, best[0] if best else None,
+                         best[1] if best else None))
+
     # ---- d8: simhash band candidates with hamming <= maxHamming
     sims = {i: simhash64(tk) for i, tk in toks.items()}
     sbuckets = {}
@@ -450,7 +475,8 @@ def main():
 
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
-          f"d17={len(d17_rows)} "
+          f"d17={len(d17_rows)} d27={len(d27_rows)} "
+          f"d27_flagged={sum(1 for r in d27_rows if r[1] is not None)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
 
     def values(rows, fmt):
@@ -475,6 +501,12 @@ def main():
     w5_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of FROM (VALUES\n"
               + values(w5_rows, lambda r: f"{r[0]}, {r[1]}")
               + ") AS t(c0, c1) ORDER BY doc_id")
+    d27_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of,"
+               " c2::DOUBLE AS jaccard_est FROM (VALUES\n"
+               + values(d27_rows, lambda r: f"{r[0]}, "
+                        f"{'NULL' if r[1] is None else r[1]}, "
+                        f"{'NULL' if r[2] is None else repr(r[2])}")
+               + ") AS t(c0, c1, c2) ORDER BY doc_id")
     d22_sql = ("SELECT c0 AS lang, c1::BIGINT AS doc_id FROM (VALUES\n"
                + values(d22_rows, lambda r: f"{r[0]!r}, {r[1]}")
                + ") AS t(c0, c1) ORDER BY lang, doc_id")
@@ -528,7 +560,9 @@ object FixtureOracles {{
     "d22_group_sample" ->
       \"\"\"{d22_sql}\"\"\",
     "w5_stream_neardup_flags" ->
-      \"\"\"{w5_sql}\"\"\")
+      \"\"\"{w5_sql}\"\"\",
+    "d27_dedup_incremental" ->
+      \"\"\"{d27_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
