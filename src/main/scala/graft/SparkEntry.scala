@@ -295,6 +295,40 @@ object SparkEntry {
             col("exact_distinct") * 0.05).as("approx_within_5pct"))
         .orderBy("lang")
     }),
+    "q32_window_suite" -> ((s, d) => {
+      // window-function breadth: ranking (ntile), distribution
+      // (percent_rank/cume_dist), offsets (lag/lead), running frame
+      // (first_value) — ONE shuffle per partitionBy key set, all functions
+      // share the sorted partition pass
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 2).over(w).as("next2_price"),
+          first("o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q33_datetime_funcs" -> ((s, d) =>
+      // datetime scalar-function breadth; dayofweek normalized to the
+      // Spark convention (Sunday=1) on the oracle side
+      t(s, d, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          date_add(col("o_orderdate").cast("date"), 90).as("due_date"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"),
+          datediff(lit("1998-12-31").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_end"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")),
     "q27_above_cust_avg" -> ((s, d) => {
       val o = t(s, d, "orders")
       val avgs = o.groupBy(col("o_custkey").as("ak"))
@@ -1797,6 +1831,29 @@ object SparkEntry {
     // d25: terms summed in ascending char order on both engines (the
     // expression's determinism contract); boundary margins on the frozen
     // corpus are checked by tools/check_entropy_margin.py.
+    "q32_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 2) OVER w AS next2_price,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q33_datetime_funcs" ->
+      """SELECT o_orderkey,
+           year(o_orderdate)::BIGINT AS y, quarter(o_orderdate)::BIGINT AS q,
+           month(o_orderdate)::BIGINT AS m, day(o_orderdate)::BIGINT AS dom,
+           (dayofweek(o_orderdate::DATE) + 1)::BIGINT AS dow,
+           (o_orderdate::DATE + 90)::DATE AS due_date,
+           last_day(o_orderdate::DATE) AS month_end,
+           date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::BIGINT AS days_to_end,
+           strftime(o_orderdate::DATE, '%Y-%m') AS ym
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
     "q31_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            round(sum(l_quantity), 2) AS sum_qty
