@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms, Vocab}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms, Vocab}
 import graft.streaming.StreamingDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -329,6 +329,40 @@ object SparkEntry {
             col("o_orderdate").cast("date")).cast("long").as("days_to_end"),
           date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .orderBy("o_orderkey")),
+    "q35_subqueries" -> ((s, d) => {
+      // correlated-subquery surface through spark.sql: scalar subquery and
+      // EXISTS. Catalyst decorrelates both to joins (aggregate+join / left
+      // semi) — .explain shows no per-row re-execution, so the shape
+      // survives 100×. The scalar agg is rounded on both engines.
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT o.o_orderkey,
+               (SELECT round(max(l.l_extendedprice), 2) FROM g_lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+               FROM g_orders o
+               WHERE o.o_orderkey < 2000
+                 AND EXISTS (SELECT 1 FROM g_lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+               ORDER BY o_orderkey""")
+    }),
+    "q34_null_semantics" -> ((s, d) => {
+      // ANSI NULL-handling coverage: NULLIF-derived nullable values through
+      // count/sum/avg/min/max (all skip NULLs), COALESCE defaults, explicit
+      // null counting, and null-safe equality (<=> ≡ IS NOT DISTINCT FROM).
+      // One hash aggregation, no extra shuffle vs a plain groupBy.
+      val c = t(s, d, "customer")
+        .select(col("c_mktsegment"),
+          when(pmod(col("c_custkey"), lit(7)) === 3, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("nb"))
+      c.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          count(col("nb")).as("n_nonnull"),
+          sum(when(col("nb") <=> lit(null), 1L).otherwise(0L)).as("n_null"),
+          round(sum(coalesce(col("nb"), lit(0.0))), 2).as("sum_coalesced"),
+          round(avg(col("nb")), 2).as("avg_nonnull"),
+          min(col("nb")).as("min_nn"), max(col("nb")).as("max_nn"))
+        .orderBy("c_mktsegment")
+    }),
     "q27_above_cust_avg" -> ((s, d) => {
       val o = t(s, d, "orders")
       val avgs = o.groupBy(col("o_custkey").as("ak"))
@@ -528,6 +562,23 @@ object SparkEntry {
         .groupBy(pmod(col("decoded.k"), lit(10)).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min("decoded.k").as("min_k"), max("decoded.k").as("max_k"))
         .orderBy("k_bucket")),
+    "s16_csv_roundtrip" -> ((s, d) => {
+      // CSV sink → source round-trip: header, RFC-4180 quoting (fields with
+      // embedded commas/quotes), explicit read schema — NO inference pass,
+      // which at 100 TB would be a second full scan before the real one.
+      // Doubles survive textually (Java Double.toString round-trips).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s16_csv"
+      t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          concat(col("o_orderpriority"), lit(",\"q\"")).as("tricky"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("odate"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, tricky STRING, " +
+          "o_totalprice DOUBLE, odate DATE")
+        .option("header", "true").csv(out)
+        .orderBy("o_orderkey")
+    }),
     "s15_jsonl_corrupt" -> ((s, d) => {
       // corrupt-tolerant JSONL ingestion — the schema-on-read mirror of the
       // reference's oversize tolerate-and-skip stance: one record in 37 is
@@ -664,6 +715,33 @@ object SparkEntry {
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
+    "d30_bpe_merges" -> ((s, d) => {
+      // BPE tokenizer training (Sennrich '16): the corpus reduces to a
+      // vocab-sized (word, count) relation in ONE hash aggregation; the
+      // merge loop runs on that table, never the corpus. Oracle:
+      // independent Python BPE over independently-counted words
+      // (tools/gen_fixtures.py).
+      val model = Bpe.learnMerges(t(s, d, "documents"), numMerges = 40)
+      Bpe.mergesDF(s, model).orderBy("merge_rank")
+    }),
+    "d31_bpe_encode" -> ((s, d) => {
+      // subword encoding under the learned merges: narrow scan-speed pass,
+      // per-executor word→pieces memo (zipfian hit rate ≈ 1), no shuffle.
+      val docs = t(s, d, "documents")
+      val model = Bpe.learnMerges(docs, numMerges = 40)
+      Bpe.encode(docs, model)
+        .select(col("doc_id"), col("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 8)).as("pieces_prefix"))
+        .orderBy("doc_id")
+    }),
+    "d29_mixture_sample" -> ((s, d) =>
+      // source-mixing before training: per-source deterministic keep-rates
+      // in integer basis points (no float thresholds). Narrow projection +
+      // filter — scan speed at any corpus size.
+      Sampling.mixtureSample(t(s, d, "documents"), col("doc_id"), "source",
+          Map("src0" -> 8000, "src1" -> 5000, "src2" -> 2500), defaultBp = 1000)
+        .select(col("doc_id"), col("source"), col("bucket"), col("rate_bp"))
+        .orderBy("doc_id")),
     "d22_group_sample" -> ((s, d) =>
       // fixed-size deterministic per-language sample: bottom-25 by
       // xxhash64(doc_id) via a bounded aggregator (≤ k ids per partition
@@ -753,6 +831,12 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.charEntropy(col("text")).as("ce"))
         .select(col("doc_id"), round(col("ce.entropy"), 4).as("entropy"),
           col("ce.n_distinct").cast("long").as("n_distinct"))
+        .orderBy("doc_id")),
+    "d28_dup_spans" -> ((s, d) =>
+      // cross-doc duplicated 5-gram spans — the exact-substring-dedup signal
+      // (Lee et al. 2022): one explode to (hash, id), one count agg on the
+      // 8-byte hash, one per-doc rollup; no text in any shuffle.
+      Dedup.dupSpanStats(t(s, d, "documents"), n = 5, minDocs = 2)
         .orderBy("doc_id")),
     "d13_repetition" -> ((s, d) =>
       // duplicate-n-gram fraction (the C4/Gopher repetition quality filter)
@@ -883,6 +967,17 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e12_ann_recall" -> ((s, d) => {
+      // ANN recall@k: IVF probe (fixed first-8 centroids, nProbe=2) scored
+      // against the exact brute-force top-10 — the index-quality metric a
+      // user runs before freezing nProbe/nCells at scale. Set-membership
+      // recall: engine rank tie-breaks cannot move it.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity.ivfRecallAtK(emb, emb.filter(col("vec_id") < 5), cents, k = 10, nProbe = 2)
+        .orderBy("query_id")
     }),
     "e7_quantize" -> ((s, d) => {
       // symmetric int8 quantization of embeddings — the at-rest scale path
@@ -1448,6 +1543,22 @@ object SparkEntry {
          SELECT c.doc_id, count(*) AS n_shared
          FROM corpus c JOIN probe p USING (sh)
          GROUP BY 1 ORDER BY doc_id""",
+    "d28_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(toks) - 4 <= 0 THEN [array_to_string(toks, ' ')]
+               ELSE list_transform(generate_series(1, len(toks) - 4),
+                 i -> array_to_string(toks[i:i+4], ' ')) END)) AS sh
+             FROM t),
+           cnt AS (SELECT sh, count(*) AS nd FROM sh GROUP BY 1),
+           agg AS (SELECT s.doc_id, count(*) AS n_spans,
+               sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+             FROM sh s JOIN cnt c USING (sh) GROUP BY 1)
+         SELECT doc_id, n_spans, n_dup_spans,
+           round(n_dup_spans::DOUBLE / n_spans, 4) AS dup_frac
+         FROM agg ORDER BY doc_id""",
     "d14_decontaminate" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -1766,6 +1877,48 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e12_ann_recall" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           exact AS (
+             SELECT query_id, corpus_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                     q.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+               FROM embeddings e, embeddings q
+               WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rank <= 10),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           approx AS (
+             SELECT query_id, corpus_id FROM (
+               SELECT qc.query_id, cc.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY qc.query_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                     q.embedding::DOUBLE[]) DESC, cc.vec_id) AS rank
+               FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+               JOIN embeddings e ON e.vec_id = cc.vec_id
+               JOIN embeddings q ON q.vec_id = qc.query_id
+               WHERE cc.vec_id <> qc.query_id) WHERE rank <= 10),
+           f AS (SELECT x.query_id, count(*) AS n_found
+             FROM exact x JOIN approx a
+               ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+             GROUP BY 1)
+         SELECT x.query_id AS query_id, count(*) AS n_exact,
+           coalesce(any_value(f.n_found), 0) AS n_found,
+           round(coalesce(any_value(f.n_found), 0)::DOUBLE / count(*), 4) AS recall
+         FROM exact x LEFT JOIN f ON f.query_id = x.query_id
+         GROUP BY x.query_id ORDER BY x.query_id""",
     "j1_range_join" ->
       """SELECT o.o_orderkey, count(*) AS n_events, round(sum(e.value), 2) AS total_value
          FROM (SELECT event_id, user_id, value,
@@ -1820,6 +1973,14 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          ORDER BY click_id, purchase_id""",
+    "d29_mixture_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::BIGINT AS bucket,
+           (CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 2500 ELSE 1000 END)::BIGINT AS rate_bp
+         FROM documents)
+         SELECT doc_id, source, bucket, rate_bp FROM b
+         WHERE bucket < rate_bp ORDER BY doc_id""",
     "d24_hash_split" ->
       """WITH b AS (SELECT doc_id,
            (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
@@ -1854,6 +2015,26 @@ object SparkEntry {
            date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::BIGINT AS days_to_end,
            strftime(o_orderdate::DATE, '%Y-%m') AS ym
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "q35_subqueries" ->
+      """SELECT o.o_orderkey,
+           (SELECT round(max(l.l_extendedprice), 2) FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+         FROM orders o
+         WHERE o.o_orderkey < 2000
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         ORDER BY o_orderkey""",
+    "q34_null_semantics" ->
+      """WITH c AS (SELECT c_mktsegment,
+           CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END AS nb
+         FROM customer)
+         SELECT c_mktsegment, count(*) AS n,
+           count(nb) AS n_nonnull,
+           sum(CASE WHEN nb IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           round(sum(coalesce(nb, 0.0)), 2) AS sum_coalesced,
+           round(avg(nb), 2) AS avg_nonnull,
+           min(nb) AS min_nn, max(nb) AS max_nn
+         FROM c GROUP BY 1 ORDER BY c_mktsegment""",
     "q31_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
            round(sum(l_quantity), 2) AS sum_qty
@@ -1880,6 +2061,11 @@ object SparkEntry {
            coalesce(e.n_distinct, 0) AS n_distinct
          FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
          ORDER BY d.doc_id""",
+    "s16_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus,
+           o_orderpriority || ',"q"' AS tricky,
+           o_totalprice, o_orderdate::DATE AS odate
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
     "s15_jsonl_corrupt" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END AS parsed_lang,

@@ -177,6 +177,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document duplicated n-gram span statistics — the detection signal
+    * of exact SUBSTRING-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": duplicated spans, not whole near-dup
+    * documents, dominate web corpora). For each doc: how many of its distinct
+    * word n-grams occur in ≥ `minDocs` documents corpus-wide — the content a
+    * substring-dedup pass would cut. Returns
+    * (idCol, n_spans, n_dup_spans, dup_frac).
+    *
+    * Scale shape: one explode to (8-byte shingle hash, id) distinct pairs —
+    * the shuffle carries hashes and ids, never text (the chained-token hash
+    * is bijective with the shingle string, see ShingleHashesExpr). The
+    * span-frequency table is a single count aggregation on the hash; the
+    * per-doc rollup re-aggregates on id. Span relations are persisted
+    * (MEMORY_AND_DISK) so the frequency pass and the per-doc join read the
+    * exploded pairs once. No all-pairs joins anywhere — cost is linear in
+    * corpus token count. */
+  def dupSpanStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-span document frequency; shingleHashes is per-doc distinct, so
+    // count(*) counts documents
+    val hot = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val perDoc = spans
+      .join(hot, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"), 4)
+          .as("dup_frac"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, via the ANN operator
     * (see [[Similarity]]); returns (id_a, id_b, cosine). */
   def embeddingDupPairs(embeddings: DataFrame, vecCol: String = "embedding",

@@ -47,6 +47,33 @@ object Sampling {
     * `splits` are (label, percent) with percents summing to 100; label
     * boundaries follow `splits` order (e.g. train [0,80), val [80,90),
     * test [90,100)). */
+  /** Mixture sampling: per-group deterministic keep-rates — the data-mixing
+    * step that reweights corpus sources before training (downsample crawl,
+    * upsample curated sources). Rates are BASIS POINTS (kept per 10 000) so
+    * the keep test is integer-vs-integer — no float threshold can disagree
+    * across engines. Membership is the same pure md5 function of the id as
+    * [[hashSplit]]: stable across re-runs, partitionings, and engines, and
+    * INDEPENDENT of the split buckets only if callers use a different salt —
+    * by default both derive from the same digest, so mixture-kept rows are
+    * uniformly spread over train/val/test. A narrow codegen'd projection +
+    * filter: no shuffle, no RNG, no state at any corpus size.
+    *
+    * Returns the kept rows with their `bucket` and applied `rate_bp`. */
+  def mixtureSample(df: DataFrame, id: Column, groupCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int = 10000): DataFrame = {
+    require((ratesBp.values ++ Seq(defaultBp)).forall(r => r >= 0 && r <= 10000),
+      s"rates are basis points in [0, 10000]: $ratesBp default=$defaultBp")
+    val bucket = pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000))
+    val rate = ratesBp.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0))) { case (w, (k, r)) =>
+        w.when(col(groupCol) === k, lit(r))
+      }.otherwise(lit(defaultBp)).cast("long")
+    df.withColumn("bucket", bucket)
+      .withColumn("rate_bp", rate)
+      .filter(col("bucket") < col("rate_bp"))
+  }
+
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")

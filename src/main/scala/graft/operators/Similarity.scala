@@ -224,6 +224,32 @@ object Similarity {
     pqTopKScored(candidates, queries, codebooks, k, vecCol, idCol)
   }
 
+  /** ANN index-quality diagnostic: recall@k of the IVF probe against the
+    * exact brute-force cosine top-k, per query — the standard metric for
+    * tuning nProbe/nCells before committing a 100 TB index layout. Returns
+    * (query_id, n_exact, n_found, recall).
+    *
+    * Cost shape: two corpus passes (one per arm — both already scale-safe:
+    * broadcast queries, bounded top-k partials); the metric join itself
+    * touches only queries×k rows, metadata scale. Set-membership recall, so
+    * rank tie-breaks between the engines cannot move it. */
+  def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, vecCol, idCol)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = ivfTopK(corpus, queries, centroids, k, nProbe, vecCol, idCol)
+      .select(col("query_id"), col("corpus_id"))
+    val found = exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_found"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        round(coalesce(col("n_found"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus by nearest
     * centroid (one zero-shuffle native argmin pass), then drop any vector
     * that has a same-cell neighbor with cosine ≥ `threshold` and a smaller

@@ -375,4 +375,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 untouched
   }
+
+  test("dupSpanStats counts cross-doc duplicated n-gram spans") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),      // shares the 5-gram window b..f with 2
+      (2L, "z b c d e f y x"),
+      (3L, "p q r s t u v w")       // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(d, n = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().toSeq
+    // docs 1 and 2 share exactly one 5-gram: "b c d e f"
+    assert(got == Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)))
+    // whole-doc fallback for docs shorter than n: identical short docs dup
+    val short = Seq((1L, "one two"), (2L, "one two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val s = Dedup.dupSpanStats(short, n = 5, minDocs = 2)
+      .orderBy("doc_id").select("n_spans", "n_dup_spans")
+      .as[(Long, Long)].collect().toSeq
+    assert(s == Seq((1L, 1L), (1L, 1L), (1L, 0L)))
+  }
+
+  test("ivfRecallAtK: probing every cell recovers the exact top-k") {
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    val queries = vecs.filter($"vec_id" < 3)
+    val full = Similarity.ivfRecallAtK(vecs, queries, cents, k = 5, nProbe = 4)
+      .select("query_id", "n_exact", "n_found", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(full.length == 3)
+    assert(full.forall { case (_, ne, nf, r) => ne == 5L && nf == 5L && r == 1.0 })
+    // nProbe=1 can only lose candidates, never invent them
+    val partial = Similarity.ivfRecallAtK(vecs, queries, cents, k = 5, nProbe = 1)
+      .select("n_found").as[Long].collect()
+    assert(partial.forall(_ <= 5L))
+  }
 }

@@ -126,6 +126,28 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (id, _, s) => again(id) == s })
   }
 
+  test("mixtureSample: per-group integer keep-rates, deterministic, bounded") {
+    val df = (0L until 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 10000, "src1" -> 5000, "src2" -> 0)
+    val got = Sampling.mixtureSample(df, $"doc_id", "source", rates, defaultBp = 1000)
+      .select("doc_id", "source", "bucket", "rate_bp")
+      .as[(Long, String, Long, Long)].collect()
+    // rate 10000 keeps everything, 0 keeps nothing, every kept row obeys the gate
+    assert(got.count(_._2 == "src0") == 200)
+    assert(!got.exists(_._2 == "src2"))
+    assert(got.forall { case (_, _, b, r) => b < r })
+    val src1 = got.count(_._2 == "src1")
+    assert(src1 > 60 && src1 < 140, s"src1=$src1") // ~50% of 200, md5-uniform
+    // pure function of id: identical membership after reshuffle
+    val again = Sampling.mixtureSample(df.orderBy(rand(3)), $"doc_id", "source",
+      rates, defaultBp = 1000).select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+    // unmapped group falls to defaultBp
+    val other = Seq((1L, "srcX"), (2L, "srcX")).toDF("doc_id", "source")
+    assert(Sampling.mixtureSample(other, $"doc_id", "source", rates, defaultBp = 10000)
+      .count() == 2)
+  }
+
   test("bloom-pruned decontamination equals the exact explode-join") {
     import graft.functions.HashFunctions
     val mk = (i: Long, s: String) => (i, s)

@@ -330,6 +330,55 @@ def media_ann_fixture(sf, dim=32, k=5, queries_below=6):
     return rows
 
 
+def bpe_learn(word_counts, num_merges):
+    """INDEPENDENT BPE merge learning (Sennrich et al. 2016): symbols are
+    codepoints, merge choice is (weighted pair count desc, left asc, right
+    asc), merges apply within words only. Mirrors graft.operators.Bpe by
+    contract, not by code."""
+    words = [([c for c in w], cnt) for w, cnt in word_counts]
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, cnt in words:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + cnt
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, c))
+        joined = l + r
+        new = []
+        for syms, cnt in words:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new.append((out, cnt))
+        words = new
+    return merges
+
+
+def bpe_encode(word, ranks):
+    """Greedy lowest-rank-first BPE encode of one word."""
+    syms = [c for c in word]
+    while len(syms) > 1:
+        best, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best < 0:
+            break
+        syms = syms[:best] + [syms[best] + syms[best + 1]] + syms[best + 2:]
+    return syms
+
+
 def main():
     selftest()
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -473,6 +522,27 @@ def main():
             d22_rows.append((lg, i))
     d22_rows.sort()
 
+    # ---- d30/d31: BPE merges + encoding — word counts from the corpus,
+    # merges learned with the (count desc, pair asc) tie-break, greedy
+    # lowest-rank-first encode; per-doc n_pieces + first-8-pieces prefix
+    wc = {}
+    for i, _t in docs:
+        for w in toks[i]:
+            wc[w] = wc.get(w, 0) + 1
+    word_counts = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:1000000]
+    bpe_merges = bpe_learn(word_counts, 40)
+    d30_rows = [(rank, l, r, c) for rank, (l, r, c) in enumerate(bpe_merges)]
+    bpe_ranks = {(l, r): rank for rank, (l, r, _c) in enumerate(bpe_merges)}
+    enc_memo = {}
+    d31_rows = []
+    for i, _t in docs:
+        pieces = []
+        for w in toks[i]:
+            if w not in enc_memo:
+                enc_memo[w] = bpe_encode(w, bpe_ranks)
+            pieces.extend(enc_memo[w])
+        d31_rows.append((i, len(pieces), " ".join(pieces[:8])))
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -524,6 +594,14 @@ def main():
                " FROM (VALUES\n"
                + values(s14_rows, lambda r: f"{r[0]}, {r[1]}")
                + ") AS t(c0, c1) ORDER BY log_seq_num")
+    d30_sql = ("SELECT c0::BIGINT AS merge_rank, c1 AS lhs, c2 AS rhs,"
+               " c3::BIGINT AS pair_count FROM (VALUES\n"
+               + values(d30_rows, lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, {r[3]}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY merge_rank")
+    d31_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_pieces,"
+               " c2 AS pieces_prefix FROM (VALUES\n"
+               + values(d31_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}")
+               + ") AS t(c0, c1, c2) ORDER BY doc_id")
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -562,7 +640,11 @@ object FixtureOracles {{
     "w5_stream_neardup_flags" ->
       \"\"\"{w5_sql}\"\"\",
     "d27_dedup_incremental" ->
-      \"\"\"{d27_sql}\"\"\")
+      \"\"\"{d27_sql}\"\"\",
+    "d30_bpe_merges" ->
+      \"\"\"{d30_sql}\"\"\",
+    "d31_bpe_encode" ->
+      \"\"\"{d31_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
