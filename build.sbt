@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heavy decode paths; 32g additionally loses compressed oops) — and it
   // keeps bench numbers comparable across rounds.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // ~140 distinct codegen'd queries per bench run overflow the default
-  // 240m code cache, silently degrading late queries to interpreter speed
-  "-XX:ReservedCodeCacheSize=512m",
-)
+  // Distinct codegen'd queries overflow the default 240m code cache,
+  // silently degrading late queries to interpreter speed (the JIT disables
+  // itself when full). 512m was enough for r2's ~65 queries; the ~105-query
+  // surface ×2 bench iterations needs more — measured: with 512m the full
+  // bench run degrades every query after the ~90th to 5-50× (q16 36s vs
+  // 0.4s), with 1g the whole run stays at isolated-run speed.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Similarity, Transforms, Vocab}
+import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Sharding, Similarity, Transforms, Vocab}
 import graft.streaming.StreamingDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +37,13 @@ object SparkEntry {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long]
       .map(id => (id, Multimodal.syntheticImage(id)))
+      .toDF("media_id", "content")
+  }
+
+  private def syntheticAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.syntheticWav(id)))
       .toDF("media_id", "content")
   }
 
@@ -345,6 +352,21 @@ object SparkEntry {
                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
                ORDER BY o_orderkey""")
     }),
+    "q36_full_outer" -> ((s, d) => {
+      // FULL OUTER join coverage with unmatched rows on BOTH sides (left:
+      // customers under 700; right: order rollups for custkeys 400-1100).
+      // The small aggregated side still broadcasts; nulls flow through
+      // un-coalesced except the join key.
+      val l = t(s, d, "customer").filter(col("c_custkey") < 700)
+        .select(col("c_custkey"), col("c_name"))
+      val r = t(s, d, "orders").filter(col("o_custkey").between(400, 1100))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spent"))
+      l.join(r, l("c_custkey") === r("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"), col("total_spent"))
+        .orderBy("custkey")
+    }),
     "q34_null_semantics" -> ((s, d) => {
       // ANSI NULL-handling coverage: NULLIF-derived nullable values through
       // count/sum/avg/min/max (all skip NULLs), COALESCE defaults, explicit
@@ -579,6 +601,40 @@ object SparkEntry {
         .option("header", "true").csv(out)
         .orderBy("o_orderkey")
     }),
+    "s17_orc_roundtrip" -> ((s, d) => {
+      // ORC sink → source round-trip: the other mainstream columnar at-rest
+      // format (Spark ships the ORC reader/writer natively). Predicate
+      // pushdown and column pruning work the same as parquet — the oracle
+      // recomputes the expected rows from the parquet original.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s17_orc"
+      t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("l_returnflag") =!= "X") // exercises ORC predicate pushdown
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "s18_gzip_text" -> ((s, d) => {
+      // gzip-compressed log ingestion: rotated production logs arrive .gz;
+      // Spark decodes by extension transparently (gzip is non-splittable —
+      // parallelism = file count, the rotation layout's natural grain; at
+      // 100 TB prefer zstd/bzip2 or many rotated files, never one giant gz).
+      // Round-trip: serialize orders to log lines, write gz, re-ingest,
+      // parse back with the TextLine transform surface.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s18_gz"
+      t(s, d, "orders").filter(col("o_orderkey") < 3000)
+        .select(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).as("value"))
+        .repartition(8) // 8 gz files -> 8-way read parallelism
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      val parts = split(col("value"), "\\|")
+      s.read.text(out)
+        .select(parts.getItem(0).cast("long").as("o_orderkey"),
+          parts.getItem(1).as("o_orderstatus"),
+          parts.getItem(2).cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
     "s15_jsonl_corrupt" -> ((s, d) => {
       // corrupt-tolerant JSONL ingestion — the schema-on-read mirror of the
       // reference's oversize tolerate-and-skip stance: one record in 37 is
@@ -741,6 +797,13 @@ object SparkEntry {
       Sampling.mixtureSample(t(s, d, "documents"), col("doc_id"), "source",
           Map("src0" -> 8000, "src1" -> 5000, "src2" -> 2500), defaultBp = 1000)
         .select(col("doc_id"), col("source"), col("bucket"), col("rate_bp"))
+        .orderBy("doc_id")),
+    "d32_shuffle_shard" -> ((s, d) =>
+      // reproducible corpus shuffle + fixed-size shards for training
+      // loaders: order by md5(id) (pure function — no RNG), positions via
+      // the distributed prefix sum (no single-partition window), shard =
+      // pos / shardSize. The oracle recomputes the same order with SQL md5.
+      Sharding.shuffleShard(t(s, d, "documents"), shardSize = 64L)
         .orderBy("doc_id")),
     "d22_group_sample" -> ((s, d) =>
       // fixed-size deterministic per-language sample: bottom-25 by
@@ -1135,6 +1198,21 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
     }),
+    "m5_audio_decode" -> ((s, d) => {
+      // synthetic PCM16 WAVs encoded on executors, decoded by the REAL
+      // javax.sound path; PCM is lossless and every sample is closed-form in
+      // (doc_id, i), so the oracle predicts exact integer stats from range
+      // arithmetic without touching a codec — the audio twin of m1/m4
+      Multimodal.decodeAudio(syntheticAudio(s, d)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("peak"), col("sum_abs"))
+        .orderBy("media_id")
+    }),
+    "m6_audio_energy" -> ((s, d) =>
+      // executor-side window explode over the real decoded sample stream;
+      // exact integer sum-of-squares per 128-sample window
+      Multimodal.audioWindowEnergy(syntheticAudio(s, d), windowSamples = 128)
+        .toDF().orderBy("media_id", "win_idx")),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         t(s, d, "documents").select(col("doc_id").as("media_id"),
@@ -1947,6 +2025,26 @@ object SparkEntry {
          (16 + ((doc_id // 7) % 40))::INT AS height,
          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY media_id""",
+    "m5_audio_decode" ->
+      """WITH s AS (SELECT d.doc_id, ((d.doc_id*31 + i.v*17) % 65536) - 32768 AS smp
+           FROM documents d,
+             LATERAL (SELECT unnest(range(0, (256 + (d.doc_id % 512))::INT)) AS v) i)
+         SELECT doc_id AS media_id,
+           (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+              WHEN 2 THEN 16000 ELSE 22050 END)::INT AS sample_rate,
+           1::INT AS channels,
+           count(*)::BIGINT AS n_samples,
+           max(abs(smp))::BIGINT AS peak,
+           sum(abs(smp))::BIGINT AS sum_abs
+         FROM s GROUP BY 1 ORDER BY media_id""",
+    "m6_audio_energy" ->
+      """WITH s AS (SELECT d.doc_id, i.v AS i,
+             ((d.doc_id*31 + i.v*17) % 65536) - 32768 AS smp
+           FROM documents d,
+             LATERAL (SELECT unnest(range(0, (256 + (d.doc_id % 512))::INT)) AS v) i)
+         SELECT doc_id AS media_id, (i // 128)::INT AS win_idx,
+           count(*)::BIGINT AS n_samples, sum(smp*smp)::BIGINT AS sum_sq
+         FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""",
     "m4_pixel_stats" ->
       """SELECT d.doc_id AS media_id,
          (16 + (d.doc_id % 48))::BIGINT AS width,
@@ -1981,6 +2079,13 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, source, bucket, rate_bp FROM b
          WHERE bucket < rate_bp ORDER BY doc_id""",
+    "d32_shuffle_shard" ->
+      """WITH p AS (SELECT doc_id,
+           row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos
+         FROM documents)
+         SELECT doc_id, pos::BIGINT AS pos, (pos // 64)::BIGINT AS shard,
+           (pos % 64)::BIGINT AS pos_in_shard
+         FROM p ORDER BY doc_id""",
     "d24_hash_split" ->
       """WITH b AS (SELECT doc_id,
            (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket
@@ -2024,6 +2129,15 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem l
              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
          ORDER BY o_orderkey""",
+    "q36_full_outer" ->
+      """WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 700),
+           r AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+             FROM orders WHERE o_custkey BETWEEN 400 AND 1100 GROUP BY 1)
+         SELECT coalesce(l.c_custkey, r.o_custkey)::BIGINT AS custkey,
+           l.c_name, r.n_orders, r.total_spent
+         FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+         ORDER BY custkey""",
     "q34_null_semantics" ->
       """WITH c AS (SELECT c_mktsegment,
            CASE WHEN c_custkey % 7 = 3 THEN NULL ELSE c_acctbal END AS nb
@@ -2061,6 +2175,13 @@ object SparkEntry {
            coalesce(e.n_distinct, 0) AS n_distinct
          FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
          ORDER BY d.doc_id""",
+    "s17_orc_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'X'
+         ORDER BY l_orderkey, l_linenumber""",
+    "s18_gzip_text" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""",
     "s16_csv_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus,
            o_orderpriority || ',"q"' AS tricky,

@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -35,6 +36,9 @@ object Multimodal {
   val batchSize = 64
 
   case class DecodedMeta(media_id: Long, width: Int, height: Int, format: String)
+  case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, peak: Long, sum_abs: Long)
+  case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Long, sum_sq: Long)
   case class PixelStats(media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
@@ -65,6 +69,55 @@ object Multimodal {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, px, 0, w)
     encodeImage(img, if (id % 2 == 0) "png" else "jpg")
+  }
+
+  /** Deterministic synthetic PCM16 mono WAV for id: sample rate, length and
+    * every 16-bit sample are closed-form integer functions of (id, i), so an
+    * independent oracle (DuckDB arithmetic over ranges) predicts the decoded
+    * stream without touching an audio codec — the audio twin of
+    * [[syntheticImage]]. PCM is lossless: decode returns the exact ints. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = Array(8000, 11025, 16000, 22050)((id % 4).toInt)
+    val n = 256 + (id % 512).toInt
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decode a WAV payload with the JDK's `javax.sound.sampled` (REAL codec,
+    * ships in the JRE): returns (sampleRate, channels, interleaved PCM16
+    * samples). Throws on payloads the sound stack cannot parse or on
+    * non-16-bit encodings — tolerate-and-skip callers pre-filter. */
+  private[operators] def decodeWav(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected PCM16, got $fmt")
+      val raw = ais.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+      (fmt.getSampleRate.toInt, fmt.getChannels, out)
+    } finally ais.close()
   }
 
   // ------------------------------------------------------------ real codec
@@ -146,6 +199,58 @@ object Multimodal {
               i += 1
             }
             PixelStats(id, w, h, sr, sg, sb)
+          }
+        }
+      }
+  }
+
+  /** Decode audio metadata + exact integer sample statistics per media row
+    * (REAL `javax.sound` decode — PCM is lossless, so stats are exact and
+    * engine-independent). peak = max |sample| as a long (|Short.MinValue|
+    * overflows Short); sum_abs is the exact L1 mass. Batched like
+    * [[decodeImages]]. */
+  def decodeAudio(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "content"): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (rate, ch, samples) = decodeWav(bytes)
+            var peak = 0L; var sumAbs = 0L
+            var i = 0
+            while (i < samples.length) {
+              val a = math.abs(samples(i).toLong)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            AudioMeta(id, rate, ch, samples.length.toLong / ch, peak, sumAbs)
+          }
+        }
+      }
+  }
+
+  /** Windowed audio energy: chunk the REAL decoded sample stream into
+    * `windowSamples`-sample windows and emit exact per-window sum of squares
+    * — the framing step under any spectral/VAD feature extractor. The
+    * explode happens executor-side ([[sampleFrames]] contract): a long
+    * recording fans out to rows without driver involvement. Mono input. */
+  def audioWindowEnergy(media: DataFrame, windowSamples: Int,
+      idCol: String = "media_id", bytesCol: String = "content"): Dataset[AudioWindow] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (_, _, samples) = decodeWav(bytes)
+          samples.grouped(windowSamples).zipWithIndex.map { case (win, w) =>
+            var sq = 0L
+            var i = 0
+            while (i < win.length) { val v = win(i).toLong; sq += v * v; i += 1 }
+            AudioWindow(id, w, win.length.toLong, sq)
           }
         }
       }

@@ -97,4 +97,55 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(fmt == "png" && img.getWidth == 224 && img.getHeight == 112)
     }
   }
+
+  // deterministic PCM16 WAV payloads (ids chosen to hit all four sample rates)
+  private def audio = Seq(0L, 1L, 2L, 511L)
+    .map(id => (id, Multimodal.syntheticWav(id)))
+    .toDF("media_id", "content")
+
+  private def expectedSamples(id: Long): IndexedSeq[Long] =
+    (0 until (256 + (id % 512)).toInt).map(i => ((id * 31 + i * 17) % 65536) - 32768)
+
+  test("decodeAudio: REAL javax.sound decode recovers exact generated PCM stats") {
+    val out = Multimodal.decodeAudio(audio).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toList == List(0L, 1L, 2L, 511L))
+    out.foreach { a =>
+      val id = a.media_id
+      val smp = expectedSamples(id)
+      assert(a.sample_rate == Array(8000, 11025, 16000, 22050)((id % 4).toInt))
+      assert(a.channels == 1)
+      assert(a.n_samples == smp.length.toLong, s"n for $id")
+      assert(a.peak == smp.map(math.abs).max, s"peak for $id")
+      assert(a.sum_abs == smp.map(math.abs).sum, s"sum_abs for $id")
+    }
+  }
+
+  test("audioWindowEnergy: per-window sum of squares matches the generator") {
+    val out = Multimodal.audioWindowEnergy(audio, windowSamples = 100)
+      .collect().groupBy(_.media_id)
+    Seq(0L, 1L, 2L, 511L).foreach { id =>
+      val smp = expectedSamples(id)
+      val expect = smp.grouped(100).zipWithIndex
+        .map { case (w, i) => (i, w.length.toLong, w.map(v => v * v).sum) }.toList
+      val got = out(id).sortBy(_.win_idx)
+        .map(w => (w.win_idx, w.n_samples, w.sum_sq)).toList
+      assert(got == expect, s"windows for $id")
+    }
+    // last window is the ragged remainder, not padded
+    assert(out(1L).map(_.n_samples).sum == 257L)
+  }
+
+  test("decodeWav rejects junk; WAV payloads survive an opaque-binary round trip") {
+    assertThrows[Exception] {
+      Multimodal.decodeWav(Array.fill[Byte](64)('x'))
+    }
+    // through a DataFrame binary column (the storage contract for media)
+    val back = audio.select(col("media_id"), col("content")).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    back.foreach { case (id, bytes) =>
+      val (rate, ch, smp) = Multimodal.decodeWav(bytes)
+      assert(ch == 1 && rate == Array(8000, 11025, 16000, 22050)((id % 4).toInt))
+      assert(smp.map(_.toLong).toIndexedSeq == expectedSamples(id))
+    }
+  }
 }
