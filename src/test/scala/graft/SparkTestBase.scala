@@ -16,6 +16,9 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs saveAsTable(); keep the warehouse out of the repo
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
