@@ -601,6 +601,18 @@ object SparkEntry {
         .option("header", "true").csv(out)
         .orderBy("o_orderkey")
     }),
+    "s19_xml_roundtrip" -> ((s, d) => {
+      // XML sink → source round-trip (Spark 4 ships the XML source in
+      // core): rowTag framing, explicit read schema — same no-inference
+      // stance as s16/CSV (schema inference is a second full scan).
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s19_xml"
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation").format("xml").load(out)
+        .orderBy("n_nationkey")
+    }),
     "s17_orc_roundtrip" -> ((s, d) => {
       // ORC sink → source round-trip: the other mainstream columnar at-rest
       // format (Spark ships the ORC reader/writer natively). Predicate
@@ -1213,6 +1225,31 @@ object SparkEntry {
       // exact integer sum-of-squares per 128-sample window
       Multimodal.audioWindowEnergy(syntheticAudio(s, d), windowSamples = 128)
         .toDF().orderBy("media_id", "win_idx")),
+    "m7_binary_files" -> ((s, d) => {
+      // the real at-rest media ingest path: individual image FILES read via
+      // the binaryFile source (path/length/content rows, pathGlobFilter
+      // prunes at listing), then the same real ImageIO decode. At 100 TB
+      // this is the layout media arrives in — object-store files, not rows.
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_m7_media_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      dir.mkdirs()
+      // files are the INPUT contract here: materialize once, idempotently
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long].collect()
+        .foreach { id =>
+          val f = new java.io.File(dir, f"img$id%05d.png")
+          if (!f.exists()) {
+            val img = Multimodal.syntheticImage(id * 2) // even ids: PNG
+            java.nio.file.Files.write(f.toPath, img)
+          }
+        }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(dir.getAbsolutePath)
+        .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content"))
+      Multimodal.decodeImages(files).toDF().orderBy("media_id")
+    }),
     "m2_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         t(s, d, "documents").select(col("doc_id").as("media_id"),
@@ -2025,6 +2062,12 @@ object SparkEntry {
          (16 + ((doc_id // 7) % 40))::INT AS height,
          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY media_id""",
+    "m7_binary_files" ->
+      """SELECT doc_id AS media_id,
+         (16 + ((doc_id*2) % 48))::INT AS width,
+         (16 + (((doc_id*2) // 7) % 40))::INT AS height,
+         'png' AS format
+         FROM documents WHERE doc_id < 200 ORDER BY media_id""",
     "m5_audio_decode" ->
       """WITH s AS (SELECT d.doc_id, ((d.doc_id*31 + i.v*17) % 65536) - 32768 AS smp
            FROM documents d,
@@ -2175,6 +2218,8 @@ object SparkEntry {
            coalesce(e.n_distinct, 0) AS n_distinct
          FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
          ORDER BY d.doc_id""",
+    "s19_xml_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "s17_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'X'
