@@ -817,6 +817,24 @@ object SparkEntry {
       // pos / shardSize. The oracle recomputes the same order with SQL md5.
       Sharding.shuffleShard(t(s, d, "documents"), shardSize = 64L)
         .orderBy("doc_id")),
+    "d33_cluster_survivors" -> ((s, d) => {
+      // quality-aware dedup survivors: keep the BEST-scoring member of each
+      // near-dup cluster (ties -> min id), not the min-id one. Pairs here
+      // are bucket cliques so the oracle can reproduce the clustering in
+      // SQL (components of a clique = the bucket); the score is an integer
+      // pseudo-quality so argmax is exact cross-engine. The operator runs
+      // the full connected-components + max_by-struct path.
+      val docs = t(s, d, "documents")
+      val bucketed = docs.select(col("doc_id"), pmod(col("n_chars"), lit(50)).as("bk"))
+      val pairs = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.clusterDedupBy(docs, pairs,
+          pmod(col("n_chars") * 31 + col("doc_id") * 7, lit(97)))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "d22_group_sample" -> ((s, d) =>
       // fixed-size deterministic per-language sample: bottom-25 by
       // xxhash64(doc_id) via a bounded aggregator (≤ k ids per partition
@@ -2122,6 +2140,19 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, source, bucket, rate_bp FROM b
          WHERE bucket < rate_bp ORDER BY doc_id""",
+    "d33_cluster_survivors" ->
+      """WITH b AS (SELECT doc_id, n_chars % 50 AS bk,
+             (n_chars*31 + doc_id*7) % 97 AS q, lang, n_chars FROM documents),
+           sz AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+           keep AS (
+             SELECT b.doc_id FROM b JOIN sz USING (bk) WHERE sz.n = 1
+             UNION ALL
+             SELECT doc_id FROM (
+               SELECT b.doc_id,
+                 row_number() OVER (PARTITION BY b.bk ORDER BY b.q DESC, b.doc_id) AS r
+               FROM b JOIN sz USING (bk) WHERE sz.n > 1) WHERE r = 1)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""",
     "d32_shuffle_shard" ->
       """WITH p AS (SELECT doc_id,
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos

@@ -19,7 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.SkewGuard.registerMetricsLogger(spark) // no-silent-cap logging
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for iteration (same contract as Bench); the driver
+    // leaves this unset and dumps everything
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

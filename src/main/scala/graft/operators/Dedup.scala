@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions._
 
@@ -312,5 +312,27 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware cluster dedup: per near-dup cluster keep the member with
+    * the BEST `score` (ties → smallest id) — what production pipelines
+    * actually want (keep the cleanest duplicate, not the one that happened
+    * to carry the minimum id). Returns the surviving rows of `docs`.
+    *
+    * Scale shape: clustering is [[duplicateClusters]] ((id,label)-only
+    * shuffles); survivor choice is one max_by-struct aggregation over the
+    * cluster relation — (cluster, score, id) triples, never documents; the
+    * final filter is a broadcast-friendly semi/anti join on ids. */
+  def clusterDedupBy(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = duplicateClusters(pairs) // labels are checkpointed inside
+    val clustered = clusters.join(docs.select(col(idCol), score.as("q")), Seq(idCol))
+    // survivor = max by (q asc is worst) with id tiebreak: max over a
+    // struct orders lexicographically — negate the id so ties keep MIN id
+    val survivors = clustered
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col(idCol)).as("negid"))).as("best"))
+      .select((-col("best.negid")).as(idCol))
+    docs.join(clusters.select(col(idCol)).except(survivors), Seq(idCol), "left_anti")
   }
 }

@@ -376,6 +376,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == Set(1L, 4L, 5L)) // 2,3 fold into 1; 4,5 untouched
   }
 
+  test("clusterDedupBy keeps the best-scoring member, min id on ties") {
+    // chain 1-2-3 is one cluster; 4,5 are unpaired singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 10), (2L, 40), (3L, 20), (4L, 0), (5L, 0))
+      .toDF("doc_id", "score")
+    val survivors = Dedup.clusterDedupBy(scored, pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L, 4L, 5L)) // 2 beats 1 and 3 on score
+    // all-tied scores degrade to the min-id representative
+    val tied = Seq((1L, 7), (2L, 7), (3L, 7), (4L, 0), (5L, 0))
+      .toDF("doc_id", "score")
+    val tiedSurvivors = Dedup.clusterDedupBy(tied, pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(tiedSurvivors == Set(1L, 4L, 5L))
+  }
+
   test("dupSpanStats counts cross-doc duplicated n-gram spans") {
     val d = Seq(
       (1L, "a b c d e f g h"),      // shares the 5-gram window b..f with 2
