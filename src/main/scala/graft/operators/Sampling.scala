@@ -74,6 +74,23 @@ object Sampling {
       .filter(col("bucket") < col("rate_bp"))
   }
 
+  /** Temperature reweighting (mT5/UniMax-style): turn per-source corpus
+    * counts into [[mixtureSample]] keep-rates whose OUTPUT distribution is
+    * ∝ count^(1/T). Since a keep-rate cannot exceed 1, rates are scaled so
+    * the most-upweighted (smallest) source keeps everything and larger
+    * sources are downsampled: rate_i ∝ count_i^(1/T − 1), max → 10000 bp.
+    * T = 1 reproduces the natural distribution (all 10000); T → ∞ flattens
+    * toward uniform output. Driver-side pure arithmetic over the
+    * (source, count) relation — vocabulary-sized, like centroid tables. */
+  def temperatureRates(counts: Map[String, Long], temperature: Double): Map[String, Int] = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    require(counts.values.forall(_ > 0), s"counts must be positive: $counts")
+    val exp = 1.0 / temperature - 1.0
+    val raw = counts.view.mapValues(c => math.pow(c.toDouble, exp)).toMap
+    val mx = raw.values.max
+    raw.view.mapValues(w => math.max(1, math.round(10000.0 * w / mx).toInt)).toMap
+  }
+
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")

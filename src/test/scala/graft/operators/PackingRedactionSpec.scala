@@ -148,6 +148,28 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
       .count() == 2)
   }
 
+  test("temperatureRates: T=1 natural, T>1 downsamples the head, feeds mixtureSample") {
+    val counts = Map("big" -> 1000000L, "mid" -> 10000L, "small" -> 100L)
+    // T=1: natural distribution — keep everything
+    assert(Sampling.temperatureRates(counts, 1.0).values.toSet == Set(10000))
+    // T>1: smallest source keeps all; rates decrease with count
+    val t2 = Sampling.temperatureRates(counts, 2.0)
+    assert(t2("small") == 10000)
+    assert(t2("small") > t2("mid") && t2("mid") > t2("big"))
+    // expected kept mass ∝ count^(1/T): kept_i = count_i * rate_i/1e4
+    val kept = counts.map { case (k, c) => k -> c * t2(k) / 10000.0 }
+    val ratio = kept("big") / kept("small")
+    val want = math.pow(counts("big").toDouble / counts("small"), 0.5)
+    assert(math.abs(ratio / want - 1.0) < 0.02, s"got $ratio want $want")
+    // plugs into mixtureSample as-is
+    val df = (0L until 300L).map(i => (i, if (i < 200) "big" else "small"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(Map("big" -> 200L, "small" -> 100L), 4.0)
+    val out = Sampling.mixtureSample(df, $"doc_id", "source", rates)
+    assert(out.filter($"source" === "small").count() == 100) // upweighted side intact
+    assert(out.filter($"source" === "big").count() < 200)    // head downsampled
+  }
+
   test("bloom-pruned decontamination equals the exact explode-join") {
     import graft.functions.HashFunctions
     val mk = (i: Long, s: String) => (i, s)
