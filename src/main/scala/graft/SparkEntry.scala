@@ -817,6 +817,16 @@ object SparkEntry {
       // pos / shardSize. The oracle recomputes the same order with SQL md5.
       Sharding.shuffleShard(t(s, d, "documents"), shardSize = 64L)
         .orderBy("doc_id")),
+    "d34_curriculum_shard" -> ((s, d) =>
+      // curriculum ordering: shard the corpus easy→hard by an explicit
+      // difficulty key (here a deterministic integer proxy), zero-padded so
+      // string order == numeric order — the contract that also makes the
+      // oracle engine-independent. Same prefix-sum core as d32.
+      Sharding.orderShard(t(s, d, "documents"),
+          format_string("%05d",
+            pmod(col("n_chars") * 13 + col("doc_id") * 5, lit(101)).cast("int")),
+          shardSize = 50L)
+        .orderBy("doc_id")),
     "d33_cluster_survivors" -> ((s, d) => {
       // quality-aware dedup survivors: keep the BEST-scoring member of each
       // near-dup cluster (ties -> min id), not the min-id one. Pairs here
@@ -2140,6 +2150,13 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, source, bucket, rate_bp FROM b
          WHERE bucket < rate_bp ORDER BY doc_id""",
+    "d34_curriculum_shard" ->
+      """WITH p AS (SELECT doc_id,
+           row_number() OVER (ORDER BY (n_chars*13 + doc_id*5) % 101, doc_id) - 1 AS pos
+         FROM documents)
+         SELECT doc_id, pos::BIGINT AS pos, (pos // 50)::BIGINT AS shard,
+           (pos % 50)::BIGINT AS pos_in_shard
+         FROM p ORDER BY doc_id""",
     "d33_cluster_survivors" ->
       """WITH b AS (SELECT doc_id, n_chars % 50 AS bk,
              (n_chars*31 + doc_id*7) % 97 AS q, lang, n_chars FROM documents),

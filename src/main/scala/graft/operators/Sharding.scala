@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -29,7 +29,24 @@ object Sharding {
     * (idCol, pos, shard, pos_in_shard), where `pos` orders by
     * (md5(id), id) and `shard = pos / shardSize`. */
   def shuffleShard(df: DataFrame, idCol: String = "doc_id",
-      shardSize: Long = 64L, numPartitions: Int = 0): DataFrame = {
+      shardSize: Long = 64L, numPartitions: Int = 0): DataFrame =
+    shardByKey(df, md5(col(idCol).cast("string")), idCol, shardSize, numPartitions)
+
+  /** Curriculum ordering: shard by an explicit ORDER (e.g. a difficulty or
+    * quality score, easy→hard), not a pseudo-random one — same machinery,
+    * the key is just meaningful. Ties break on id so the order is total
+    * and reproducible. */
+  def orderShard(df: DataFrame, key: Column, idCol: String = "doc_id",
+      shardSize: Long = 64L, numPartitions: Int = 0): DataFrame =
+    shardByKey(df, key.cast("string"), idCol, shardSize, numPartitions)
+
+  /** Shared core: global positions in (key, id) order via the two-pass
+    * prefix sum. The key is compared AS A STRING (md5 hex is naturally
+    * string-ordered; numeric curriculum keys must be encoded
+    * order-preservingly by the caller — e.g. zero-padded via format_string —
+    * exactly the contract an engine-independent oracle needs too). */
+  private def shardByKey(df: DataFrame, key: Column, idCol: String,
+      shardSize: Long, numPartitions: Int): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -37,7 +54,7 @@ object Sharding {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val keyed = df
-      .select(col(idCol).cast("long"), md5(col(idCol).cast("string")).as("k"))
+      .select(col(idCol).cast("long"), key.cast("string").as("k"))
       .as[(Long, String)]
       .repartitionByRange(parts, col("k"), col(idCol))
       .sortWithinPartitions(col("k"), col(idCol))

@@ -39,6 +39,18 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("orderShard: curriculum key orders positions ascending with id tiebreak") {
+    import org.apache.spark.sql.functions._
+    val scored = ids.map(id => (id, (id * 37) % 11)).toDF("doc_id", "difficulty")
+    val out = Sharding.orderShard(scored,
+        format_string("%03d", col("difficulty").cast("int")), shardSize = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = ids.sortBy(id => ((id * 37) % 11, id)).zipWithIndex
+    expect.foreach { case (id, pos) =>
+      assert(out(id) == pos.toLong, s"pos for $id")
+    }
+  }
+
   test("shuffleShard: all shards but the last are exactly shardSize") {
     val sizes = Sharding.shuffleShard(docs, shardSize = 64L)
       .groupBy("shard").count().collect()
