@@ -68,4 +68,46 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("AQE splits skewed shuffle partitions in sort-merge joins") {
+    // the automatic complement to saltedJoin: at run time AQE detects a
+    // shuffle partition dominated by one hot key and splits it across
+    // tasks (OptimizeSkewedJoin), so un-salted plans survive moderate skew
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // AQE has its own runtime broadcast threshold; pin it off too or the
+      // tiny dim side turns the SMJ into a broadcast join mid-flight
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8192")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~6 MB, everything else tiny
+      val left = (0L until 60000L)
+        .map(i => (if (i % 10 < 9) 0L else i % 50, s"payload-$i-" + "x" * 80))
+        .toDF("k", "v")
+      val small = (0L until 50L).map(i => (i, s"dim-$i")).toDF("k", "name")
+      val j = left.join(small, "k")
+      assert(j.count() == 60000L)
+      j.collect()
+      // the final adaptive plan nests inside QueryStageExec leaves that
+      // TreeNode.collect does not descend into — assert on its rendering
+      val finalPlan = j.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      }.mkString("\n")
+      assert(finalPlan.contains("(skew=true)"),
+        s"expected OptimizeSkewedJoin to mark the join skewed:\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        s"expected the hot partition split across skewed reads:\n$finalPlan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
