@@ -736,6 +736,22 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.01)
         .orderBy("id_a", "id_b")
     }),
+    "d35_containment" -> ((s, d) => {
+      // asymmetric Broder containment (|A∩B|/|A|): the boilerplate/quote
+      // subset-duplication signal symmetric Jaccard dilutes. Capped
+      // all-pairs demo form (d9's stance) — the scale path is
+      // Dedup.containmentPairs over LSH candidates.
+      val dd = t(s, d, "documents").filter(col("doc_id") < 40)
+      val sh = dd.select(col("doc_id"), HashFunctions.wordShingles(col("text"), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(HashFunctions.containment(col("sh_a"), col("sh_b")), 4).as("cont_a_in_b"),
+          round(HashFunctions.containment(col("sh_b"), col("sh_a")), 4).as("cont_b_in_a"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.02)
+        .orderBy("id_a", "id_b")
+    }),
     "d16_stratified_sample" -> ((s, d) => {
       // per-language stratified sampling at deterministic rates — the
       // corpus-rebalancing op of a training-data pipeline (upweight
@@ -1814,6 +1830,24 @@ object SparkEntry {
              FROM scored)
          SELECT doc_id, token, round(score, 5) AS score
          FROM ranked WHERE r <= 3 ORDER BY doc_id, token""",
+    "d35_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+             FROM documents WHERE doc_id < 40)),
+           p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CASE WHEN len(a.sh) = 0 THEN 0.0
+               ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) END, 4) AS cont_a_in_b,
+             round(CASE WHEN len(b.sh) = 0 THEN 0.0
+               ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) END, 4) AS cont_b_in_a
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM p
+         WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.02
+         ORDER BY id_a, id_b""",
     "d9_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

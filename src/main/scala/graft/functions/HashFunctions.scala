@@ -84,6 +84,17 @@ object HashFunctions {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Broder containment |A∩B| / |A| — the ASYMMETRIC near-dup signal:
+    * a short document wholly quoted inside a long one scores ~1 from the
+    * short side while symmetric Jaccard stays small (|A∩B|/|A∪B| is
+    * diluted by the long side). The signal behind boilerplate/quotation
+    * dedup. Arrays are assumed distinct (shingle sets are). */
+  def containment(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val da = size(a).cast("double")
+    when(da === 0, lit(0.0)).otherwise(inter / da)
+  }
+
   /** 64-bit SimHash over tokens (Charikar '02): for each bit b, sum +1/-1
     * across token hashes, emit bit b if the sum is positive. Near-duplicate
     * docs land within small Hamming distance. Backed by a native Catalyst

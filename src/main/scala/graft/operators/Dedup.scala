@@ -177,6 +177,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: max-side Broder containment
+    * (|A∩B|/|A|, |A∩B|/|B|) — catches a short document wholly embedded in
+    * a long one (boilerplate, quotation), which symmetric Jaccard dilutes
+    * below threshold. MinHash-LSH is the WRONG candidate generator here
+    * (band collision probability tracks Jaccard, so containment-high /
+    * Jaccard-low pairs never collide); candidates instead come from the
+    * shared-shingle INVERTED INDEX — any pair with a nonempty intersection
+    * shares a hash, so recall is exact — with hot shingles (document
+    * frequency > `maxDf`) excluded from pair GENERATION only, the standard
+    * all-pairs prefilter bound: candidate count ≤ Σ df² over kept
+    * shingles. Exclusion costs recall only for pairs whose ENTIRE overlap
+    * is hot boilerplate shingles; the containment values themselves are
+    * computed on the full shingle arrays, joined in only for candidates.
+    * Shuffles carry 8-byte hashes + ids until that final verify join. */
+  def containmentPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val inv = docs
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("h"))
+      .persist(MEMORY_AND_DISK)
+    val kept = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2).select("h")
+    val pruned = inv.join(kept, Seq("h"), "left_semi")
+    val candidates = pruned.select(col("h"), col(idCol).as("id_a"))
+      .join(pruned.select(col("h"), col(idCol).as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        containment(col("sh_a"), col("sh_b")).as("cont_a_in_b"),
+        containment(col("sh_b"), col("sh_a")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Cross-document duplicated n-gram span statistics — the detection signal
     * of exact SUBSTRING-level dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": duplicated spans, not whole near-dup

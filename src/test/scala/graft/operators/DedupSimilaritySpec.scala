@@ -392,6 +392,39 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(tiedSurvivors == Set(1L, 4L, 5L))
   }
 
+  test("containmentPairs finds short-in-long subset duplication Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val chunk = (10 to 18).map(i => s"w$i").mkString(" ") // verbatim slice of doc 1
+    val d = Seq((1L, long), (2L, chunk), (3L, "x y z q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.9).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getAs[Double]("cont_b_in_a") == 1.0) // every shingle of 2 is in 1
+    assert(r.getAs[Double]("cont_a_in_b") < 0.2)  // 1 is barely inside 2
+    // the same pair's symmetric Jaccard is far below any dedup threshold
+    val sh = d.select($"doc_id", HashFunctions.wordShingles($"text", 3).as("sh"))
+    val jac = sh.as("a").join(sh.as("b"),
+        $"a.doc_id" === 1L && $"b.doc_id" === 2L)
+      .select(HashFunctions.jaccard($"a.sh", $"b.sh")).as[Double].head()
+    assert(jac < 0.15, s"jaccard was $jac")
+  }
+
+  test("containmentPairs: hot boilerplate shingles do not generate candidates") {
+    // 30 docs share only a boilerplate prefix; unique tails otherwise
+    val boiler = (0L until 30L)
+      .map(i => (100L + i, s"common header line plus unique$i tail$i bits$i"))
+      .toDF("doc_id", "text")
+    // boilerplate shingles have df=30: with the cap above that, pairs form
+    val open = Dedup.containmentPairs(boiler, threshold = 0.3, maxDf = 1000)
+    assert(open.count() > 0)
+    // with the cap below, the only shared shingles are excluded from pair
+    // generation — no candidates, no quadratic blowup
+    val capped = Dedup.containmentPairs(boiler, threshold = 0.3, maxDf = 10)
+    assert(capped.count() == 0)
+  }
+
   test("dupSpanStats counts cross-doc duplicated n-gram spans") {
     val d = Seq(
       (1L, "a b c d e f g h"),      // shares the 5-gram window b..f with 2
