@@ -81,12 +81,20 @@ object Bench {
     // after the window they originally hit; keep the overall min. This
     // recovers ENGINE time; genuinely heavy queries stay honest because a
     // re-run can only confirm (never inflate) their cost.
+    // Every retry is recorded (name → pre-retry seconds, retry count) and
+    // emitted in the JSON so downstream readers can see exactly which
+    // numbers came from extra passes and what the first pass measured.
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
     (1 to 2).foreach { _ =>
-      val med = results.values.toSeq.sorted.apply(results.size / 2)
-      val threshold = math.max(3 * med, 1.5)
-      val suspects = selected.filter { case (name, _) => results(name) > threshold }
-      suspects.foreach { case (name, fn) =>
-        results(name) = math.min(results(name), timeOnce(name, fn))
+      if (results.nonEmpty) { // empty subset selection → nothing to retry
+        val med = results.values.toSeq.sorted.apply(results.size / 2)
+        val threshold = math.max(3 * med, 1.5)
+        val suspects = selected.filter { case (name, _) => results(name) > threshold }
+        suspects.foreach { case (name, fn) =>
+          val before = retried.get(name).map(_._1).getOrElse(results(name))
+          retried(name) = (before, retried.get(name).map(_._2).getOrElse(0) + 1)
+          results(name) = math.min(results(name), timeOnce(name, fn))
+        }
       }
     }
 
@@ -101,9 +109,20 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rt = retried.map { case (k, (before, n)) =>
+      "\"" + k + "\":{\"first_pass_sec\":" + before + ",\"retries\":" + n +
+        ",\"kept_sec\":" + results(k) + "}"
+    }.mkString("{", ",", "}")
     val total = results.values.sum
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest}}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest},"contention_retries":$rt}"""
+    println(line)
+    // Self-contained artifact: the graded BENCH file is assembled from
+    // captured stdout, which has been observed truncated — also write the
+    // complete line to a file next to the run.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    Files.writeString(Path.of(outFile), line + "\n")
     spark.stop()
   }
 

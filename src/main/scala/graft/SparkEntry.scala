@@ -771,11 +771,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "d23_vocab_encode" -> ((s, d) => {
-      // top-256 vocab (one (token,count) hash agg; ranked relation is
-      // vocab-sized) broadcast into the encode join; per-doc id arrays
-      // reassembled order-deterministically via array_sort(struct(pos,id))
+      // top-256 vocab (bounded TakeOrderedAndProject top-V, driver-numbered)
+      // broadcast into the encode join; per-doc id arrays reassembled
+      // order-deterministically via array_sort(struct(pos,id)). The id
+      // array is emitted space-joined as a string so the gate harness can
+      // sort/hash the column (raw array columns are unsortable there).
       val docs = t(s, d, "documents")
       Vocab.encode(docs, Vocab.build(docs, size = 256))
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), _.cast("string")), " ")
+            .as("token_ids"),
+          col("n_unk"))
         .orderBy("doc_id")
     }),
     "d27_dedup_incremental" -> ((s, d) => {
@@ -1279,15 +1285,21 @@ object SparkEntry {
       dir.mkdirs()
       // files are the INPUT contract here: materialize once, idempotently
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id"))
+      val ids = t(s, d, "documents").select(col("doc_id"))
         .filter(col("doc_id") < 200).as[Long].collect()
-        .foreach { id =>
-          val f = new java.io.File(dir, f"img$id%05d.png")
-          if (!f.exists()) {
-            val img = Multimodal.syntheticImage(id * 2) // even ids: PNG
-            java.nio.file.Files.write(f.toPath, img)
-          }
+      ids.foreach { id =>
+        val f = new java.io.File(dir, f"img$id%05d.png")
+        if (!f.exists()) {
+          val img = Multimodal.syntheticImage(id * 2) // even ids: PNG
+          java.nio.file.Files.write(f.toPath, img)
         }
+      }
+      // drop strays from an earlier corpus at the same path — a stale
+      // img*.png would pass pathGlobFilter and diverge from the oracle
+      val expected = ids.map(id => f"img$id%05d.png").toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".png") && !expected.contains(f.getName))
+        .foreach(_.delete())
       val files = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.png").load(dir.getAbsolutePath)
         .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
@@ -1682,7 +1694,8 @@ object SparkEntry {
              FROM cnts) WHERE vid < 256),
          enc AS (SELECT e.doc_id, e.pos, COALESCE(v.vid, -1)::BIGINT AS vid
              FROM exp e LEFT JOIN vocab v USING (token))
-         SELECT doc_id, list(vid ORDER BY pos) AS token_ids,
+         SELECT doc_id,
+           array_to_string(list(vid ORDER BY pos), ' ') AS token_ids,
            sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END)::BIGINT AS n_unk
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
     // d21 is d14's scale-path twin: SAME oracle semantics (bloom prune is
@@ -2178,7 +2191,7 @@ object SparkEntry {
          ORDER BY click_id, purchase_id""",
     "d29_mixture_sample" ->
       """WITH b AS (SELECT doc_id, source,
-           (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::BIGINT AS bucket,
+           (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8))::UBIGINT % 10000)::BIGINT AS bucket,
            (CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
               WHEN 'src2' THEN 2500 ELSE 1000 END)::BIGINT AS rate_bp
          FROM documents)

@@ -127,17 +127,38 @@ object Bpe {
     syms
   }
 
+  /** Executor-singleton encode memos, keyed by model identity. A memo
+    * captured in the UDF closure would be deserialized PER TASK (every task
+    * gets its own copy of the closure), so the amortization would restart
+    * each task; this JVM-static registry is shared by all tasks of an
+    * executor. Bounded: at most `MaxModels` models (full reset beyond — a
+    * JVM juggling 64 live tokenizers is a leak, not a workload), at most
+    * 262144 words per model. */
+  private object EncodeMemos {
+    private val MaxModels = 64
+    private val memos =
+      new ConcurrentHashMap[String, ConcurrentHashMap[String, Vector[String]]]()
+    def forModel(modelId: String): ConcurrentHashMap[String, Vector[String]] = {
+      if (memos.size > MaxModels) memos.clear()
+      memos.computeIfAbsent(modelId, _ => new ConcurrentHashMap())
+    }
+  }
+
   /** Subword-encode each document: (idCol, n_pieces, pieces). The merge
     * table is broadcast inside the UDF closure (rank maps are merge-count
-    * sized); a bounded per-executor memo makes repeated words free. A UDF
-    * (not a native expression) by necessity: the merge loop is
-    * data-dependent iteration — but it runs once per DISTINCT word per
-    * executor, so the hot path is one hash-map probe per token. */
+    * sized); a bounded executor-singleton memo (shared across tasks, keyed
+    * by model identity) makes repeated words free. A UDF (not a native
+    * expression) by necessity: the merge loop is data-dependent iteration —
+    * but it runs once per DISTINCT word per executor JVM, so the hot path
+    * is one hash-map probe per token. */
   def encode(docs: DataFrame, model: Model, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val ranks = model.ranks
-    val memo = new ConcurrentHashMap[String, Vector[String]]()
+    // stable identity for the memo registry: the merge list determines the
+    // encoding, so equal models share a memo and different models never do
+    val modelId = model.merges.hashCode.toString + ":" + model.merges.length
     val enc = udf { toks: Seq[String] =>
+      val memo = EncodeMemos.forModel(modelId)
       toks.flatMap { w =>
         var p = memo.get(w)
         if (p == null) {

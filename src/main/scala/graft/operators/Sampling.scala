@@ -51,20 +51,28 @@ object Sampling {
     * step that reweights corpus sources before training (downsample crawl,
     * upsample curated sources). Rates are BASIS POINTS (kept per 10 000) so
     * the keep test is integer-vs-integer — no float threshold can disagree
-    * across engines. Membership is the same pure md5 function of the id as
-    * [[hashSplit]]: stable across re-runs, partitionings, and engines, and
-    * INDEPENDENT of the split buckets only if callers use a different salt —
-    * by default both derive from the same digest, so mixture-kept rows are
-    * uniformly spread over train/val/test. A narrow codegen'd projection +
-    * filter: no shuffle, no RNG, no state at any corpus size.
+    * across engines. Membership is a pure md5 function of the id like
+    * [[hashSplit]] (stable across re-runs, partitionings, and engines) but
+    * over a SALTED digest (`md5(id || ":" || salt)`): an unsalted digest
+    * would be the very value hashSplit buckets on, and then any keep-rate
+    * that is not a multiple of 100 bp confines the kept set to the low
+    * split buckets (e.g. rate 37 bp ⇒ digest mod 10000 < 37 ⇒ digest
+    * mod 100 < 37 ⇒ every kept row lands in 'train' under an 80/10/10
+    * split — and [[temperatureRates]] routinely emits such rates). The
+    * default salt decorrelates the two; callers composing several
+    * independent sampling stages give each its own salt. A narrow
+    * codegen'd projection + filter: no shuffle, no RNG, no state at any
+    * corpus size.
     *
     * Returns the kept rows with their `bucket` and applied `rate_bp`. */
   def mixtureSample(df: DataFrame, id: Column, groupCol: String,
-      ratesBp: Map[String, Int], defaultBp: Int = 10000): DataFrame = {
+      ratesBp: Map[String, Int], defaultBp: Int = 10000,
+      salt: String = "mix"): DataFrame = {
     require((ratesBp.values ++ Seq(defaultBp)).forall(r => r >= 0 && r <= 10000),
       s"rates are basis points in [0, 10000]: $ratesBp default=$defaultBp")
-    val bucket = pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(10000))
+    val bucket = pmod(
+      conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long"), lit(10000))
     val rate = ratesBp.toSeq.sortBy(_._1)
       .foldLeft(when(lit(false), lit(0))) { case (w, (k, r)) =>
         w.when(col(groupCol) === k, lit(r))

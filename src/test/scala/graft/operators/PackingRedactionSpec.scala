@@ -148,6 +148,19 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
       .count() == 2)
   }
 
+  test("mixtureSample kept set is decorrelated from hashSplit buckets (salted digest)") {
+    // rate 37 bp (not a multiple of 100): with an UNSALTED digest every kept
+    // row would satisfy digest%10000 < 37 ⇒ digest%100 < 37 ⇒ all 'train'
+    // under 80/10/10 — the salt breaks the correlation
+    val df = (0L until 20000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val kept = Sampling.mixtureSample(df, $"doc_id", "source", Map("s" -> 37))
+      .select("doc_id")
+    val bySplit = Sampling.hashSplit(kept, $"doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.size > 1, s"kept rows all in one split: $bySplit")
+  }
+
   test("temperatureRates: T=1 natural, T>1 downsamples the head, feeds mixtureSample") {
     val counts = Map("big" -> 1000000L, "mid" -> 10000L, "small" -> 100L)
     // T=1: natural distribution — keep everything

@@ -65,6 +65,53 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("foldBucket: one hot key in one trigger stays bounded past sortCap, flags still emitted") {
+    // one band bucket, 100 identical-signature docs in a single trigger,
+    // sortCap 8: only 8 rows are ever buffered; the other 92 process in
+    // arrival order and are counted as overflow — never silently dropped
+    val sig = Seq(1L, 2L, 3L, 4L)
+    val rows = (0L until 100L).map(i => BandedSig(0, 7L, i, sig))
+    val (st, flags, over) = StreamingDedup.foldBucket(
+      BucketEntries(Nil, Nil), rows.iterator, threshold = 0.5, maxBucket = 4, sortCap = 8)
+    assert(over == 92L)
+    assert(st.ids.length == 4) // state capped
+    assert(st.ids == st.ids.sorted) // ascending invariant
+    // ascending arrival ⇒ identical to the unbounded fold: every doc > 0 flags 0
+    assert(flags.map(f => (f.doc_id, f.dup_of)).toSet ==
+      (1L until 100L).map(i => (i, 0L)).toSet)
+  }
+
+  test("foldBucket: within sortCap the fold is arrival-order independent (id-order replay)") {
+    val sig = Seq(1L, 2L, 3L, 4L)
+    val other = Seq(9L, 9L, 9L, 9L)
+    val rows = Seq(BandedSig(0, 7L, 5L, sig), BandedSig(0, 7L, 1L, sig),
+      BandedSig(0, 7L, 3L, other), BandedSig(0, 7L, 2L, sig))
+    for (perm <- rows.permutations) {
+      val (st, flags, over) = StreamingDedup.foldBucket(
+        BucketEntries(Nil, Nil), perm.iterator, threshold = 0.5, maxBucket = 16, sortCap = 64)
+      assert(over == 0L)
+      assert(st.ids == Seq(1L, 2L, 3L, 5L))
+      assert(flags.map(f => (f.doc_id, f.dup_of)).toSet == Set((2L, 1L), (5L, 1L)))
+    }
+  }
+
+  test("foldBucket: late trigger with smaller ids keeps state ascending and matches earlier-id only") {
+    val sig = Seq(1L, 2L, 3L, 4L)
+    val t1 = StreamingDedup.foldBucket(BucketEntries(Nil, Nil),
+      Iterator(BandedSig(0, 7L, 10L, sig), BandedSig(0, 7L, 20L, sig)),
+      threshold = 0.5, maxBucket = 16, sortCap = 64)
+    // a late doc 5 (smaller than every resident id) must not flag — there
+    // is no earlier qualifying id — and must insert in sorted position
+    val (st2, flags2, _) = StreamingDedup.foldBucket(t1._1,
+      Iterator(BandedSig(0, 7L, 5L, sig)), threshold = 0.5, maxBucket = 16, sortCap = 64)
+    assert(flags2.isEmpty)
+    assert(st2.ids == Seq(5L, 10L, 20L))
+    // and a still-later doc 12 flags the true minimum (5), not arrival order
+    val (_, flags3, _) = StreamingDedup.foldBucket(st2,
+      Iterator(BandedSig(0, 7L, 12L, sig)), threshold = 0.5, maxBucket = 16, sortCap = 64)
+    assert(flags3.map(f => (f.doc_id, f.dup_of)) == Seq((12L, 5L)))
+  }
+
   test("bucket cap bounds state but earlier entries still flag later docs") {
     implicit val sq = spark.sqlContext
     // 30 identical docs, cap 4: every doc after the first must still flag 0
