@@ -752,6 +752,29 @@ object SparkEntry {
         .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.02)
         .orderBy("id_a", "id_b")
     }),
+    "d36_containment_pairs" -> ((s, d) => {
+      // the SCALE-path containment operator d35's capped demo stands in
+      // for: candidates from the shared-shingle inverted index with the
+      // hot-shingle df cap (maxDf=5 EXERCISES the cap at sf0.01 — 29
+      // shingles with df 6-7 are excluded from pair generation), then
+      // asymmetric Broder containment verified on full shingle sets.
+      // Plan: equi-join on 8-byte shingle hashes, never a BNLJ.
+      Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.2, maxDf = 5)
+        .select(col("id_a"), col("id_b"),
+          round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+        .orderBy("id_a", "id_b")
+    }),
+    "d37_jaccard_verified" -> ((s, d) => {
+      // the SCALE-path exact-Jaccard operator d9's capped demo stands in
+      // for: MinHash-LSH candidate generation (banded equi-join) feeding
+      // the exact shingle-set Jaccard verify — shingle arrays materialize
+      // only for colliding pairs. Oracle-exact because every true pair at
+      // sf0.01 has j ≥ 0.9 (LSH miss probability (1-0.9^4)^16 ≈ 4e-8).
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "d16_stratified_sample" -> ((s, d) => {
       // per-language stratified sampling at deterministic rates — the
       // corpus-rebalancing op of a training-data pipeline (upweight
@@ -1860,6 +1883,52 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM p
          WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.02
+         ORDER BY id_a, id_b""",
+    // d36/d37 gate the SCALE operators (inverted-index / LSH candidate
+    // generation), unlike d35/d9 whose oracles gate capped all-pairs demos.
+    // Both filter on the UNROUNDED score (matching the Spark operators) and
+    // round only in the final projection.
+    "d36_containment_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+             FROM documents)),
+           inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           kept AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 5),
+           pi AS (SELECT doc_id, g FROM inv JOIN kept USING (g)),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pi a JOIN pi b ON a.g = b.g AND a.doc_id < b.doc_id),
+           p AS (SELECT id_a, id_b,
+               CASE WHEN len(a.sh) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) END AS ca,
+               CASE WHEN len(b.sh) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh) END AS cb
+             FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         SELECT id_a, id_b, round(ca, 4) AS cont_a_in_b, round(cb, 4) AS cont_b_in_a
+         FROM p WHERE greatest(ca, cb) >= 0.2
+         ORDER BY id_a, id_b""",
+    "d37_jaccard_verified" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+             FROM documents)),
+           inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+           p AS (SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
+             FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
          ORDER BY id_a, id_b""",
     "d9_ngram_jaccard" ->
       """WITH sh AS (
