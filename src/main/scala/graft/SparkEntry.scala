@@ -986,6 +986,23 @@ object SparkEntry {
       // 8-byte hash, one per-doc rollup; no text in any shuffle.
       Dedup.dupSpanStats(t(s, d, "documents"), n = 5, minDocs = 2)
         .orderBy("doc_id")),
+    "d39_edit_distance" -> ((s, d) =>
+      // edit-distance-verified near-dups: O(len²) Levenshtein runs only on
+      // LSH-colliding pairs. Oracle enumerates candidates via the shared-
+      // shingle inverted index, a PROVABLE superset of LSH collisions
+      // (minhash slot agreement implies a shared shingle), so both sides
+      // agree exactly whenever LSH recall holds at the verify threshold.
+      Dedup.editDistancePairs(t(s, d, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("edit_dist"),
+          round(col("edit_sim"), 4).as("edit_sim"))
+        .orderBy("id_a", "id_b")),
+    "d38_span_removal" -> ((s, d) =>
+      // the ACTING half of d28's detection signal: cut every cross-doc
+      // duplicated span of ≥ 5 tokens (Lee et al. 2022 ExactSubstr) —
+      // positional window hashes, count-distinct df, covered-position
+      // anti-join, per-doc reassembly. Linear; no all-pairs joins.
+      Dedup.removeDupSpans(t(s, d, "documents"), n = 5, minDocs = 2)
+        .orderBy("doc_id")),
     "d13_repetition" -> ((s, d) =>
       // duplicate-n-gram fraction (the C4/Gopher repetition quality filter)
       // at 2- and 3-gram granularity — narrow, codegen'd, scan-speed
@@ -1754,6 +1771,56 @@ object SparkEntry {
          SELECT doc_id, n_spans, n_dup_spans,
            round(n_dup_spans::DOUBLE / n_spans, 4) AS dup_frac
          FROM agg ORDER BY doc_id""",
+    // d39: edit-distance verify over inverted-index candidates (superset of
+    // the engine's LSH candidates); filter on the unrounded similarity.
+    "d39_edit_distance" ->
+      """WITH toks AS (SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS toks FROM documents),
+           sh AS (SELECT doc_id, text, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM toks),
+           inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+           p AS (SELECT id_a, id_b, levenshtein(a.text, b.text)::BIGINT AS edit_dist,
+               1.0 - levenshtein(a.text, b.text)::DOUBLE
+                 / greatest(length(a.text), length(b.text)) AS sim
+             FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+         SELECT id_a, id_b, edit_dist, round(sim, 4) AS edit_sim
+         FROM p WHERE sim >= 0.8 ORDER BY id_a, id_b""",
+    // d38: span REMOVAL twin of d28 — positional (non-distinct) 5-gram
+    // windows, duplicated = present in ≥ 2 DISTINCT docs, covered token
+    // indices are the union of duplicated windows, kept tokens reassemble
+    // in index order. Docs shorter than 5 tokens have no windows (no
+    // whole-doc fallback — a short doc cannot contain a ≥5-token span).
+    "d38_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           g0 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 0)),
+               i -> {'pos': i, 'g': array_to_string(toks[i:i+4], ' ')})) AS u
+             FROM t),
+           grams AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+           hot AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+           cov0 AS (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS idx
+             FROM grams JOIN hot USING (g)),
+           covered AS (SELECT DISTINCT doc_id, idx FROM cov0),
+           tk0 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks)), i -> {'idx': i, 'tok': toks[i]})) AS u
+             FROM t),
+           tk AS (SELECT doc_id, u.idx AS idx, u.tok AS tok FROM tk0),
+           kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk
+             ANTI JOIN covered USING (doc_id, idx)),
+           reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+           len(t.toks)::BIGINT AS n_tokens,
+           (len(t.toks) - COALESCE(reb.n_kept, 0))::BIGINT AS n_removed
+         FROM t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""",
     "d14_decontaminate" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -250,6 +250,92 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Edit-distance-verified near-duplicate pairs: MinHash-LSH candidate
+    * generation, then exact character-level Levenshtein on the colliding
+    * pairs — the strictest of the near-dup verify metrics (shingle Jaccard
+    * is order-insensitive inside the window and blind to char-level edits;
+    * edit similarity is not). Returns (id_a, id_b, edit_dist, edit_sim)
+    * with edit_sim = 1 − lev/max(|a|,|b|) ≥ `threshold`.
+    *
+    * Scale shape: the O(|a|·|b|) Levenshtein runs ONLY on LSH-colliding
+    * pairs (document text is joined in just for those), never all-pairs;
+    * `lshThreshold` tunes candidate recall — any pair with edit_sim ≥ 0.8
+    * on documents of this size shares most of its shingles, so the default
+    * 0.4 estimated-Jaccard gate keeps them all with ~2⁻⁴⁰ miss odds. */
+  def editDistancePairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.8,
+      lshThreshold: Double = 0.4): DataFrame = {
+    val candidates = minHashLshPairs(docs, textCol, idCol, threshold = lshThreshold)
+    val tx = docs.select(col(idCol), col(textCol))
+    val lev = levenshtein(col("ta"), col("tb")).cast("long")
+    candidates
+      .join(tx.select(col(idCol).as("id_a"), col(textCol).as("ta")), "id_a")
+      .join(tx.select(col(idCol).as("id_b"), col(textCol).as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"), lev.as("edit_dist"),
+        (lit(1.0) - lev.cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double")).as("edit_sim"))
+      .filter(col("edit_sim") >= threshold)
+  }
+
+  /** Substring-level duplicated-span REMOVAL — the acting half of
+    * [[dupSpanStats]]'s detection signal (Lee et al. 2022 ExactSubstr:
+    * duplicated spans, not whole near-dup documents, dominate web corpora;
+    * cutting them beats dropping whole docs). A token is removed when any
+    * n-token window containing it occurs verbatim in ≥ `minDocs` distinct
+    * documents; overlapping duplicated windows merge into one cut span, so
+    * every duplicated span of length ≥ n is removed in full. Returns
+    * (idCol, clean_text, n_tokens, n_removed) for EVERY input doc (clean
+    * docs pass through, docs shorter than n tokens cannot contain a
+    * qualifying span and are never cut).
+    *
+    * Scale shape — linear, no all-pairs anywhere:
+    *  1. one explode to positional (8-byte window hash, id, pos) triples
+    *     (native chained-hash expression, no gram strings materialized);
+    *  2. window document-frequency = one count-distinct aggregation on the
+    *     hash; duplicated windows are a semi-join back (hash-only shuffle);
+    *  3. covered token positions = an explode of each duplicated window to
+    *     its n indices, distinct per (id, idx) — bounded by n × corpus
+    *     token count;
+    *  4. kept tokens = anti-join of the positional token relation against
+    *     covered; per-doc reassembly is one aggregation with
+    *     `array_sort(collect_list(struct(idx, tok)))` — deterministic
+    *     regardless of arrival order, same stance as [[Vocab.encode]].
+    * The gram relation is persisted (MEMORY_AND_DISK) because the df pass
+    * and the semi-join both read it; it carries (id, pos, i64) — a
+    * fraction of corpus text size. */
+  def removeDupSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 5, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs
+      .select(col(idCol), graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .persist(MEMORY_AND_DISK)
+    val grams = toks
+      .select(col(idCol), posexplode(
+        graft.plans.SketchExpressions.positionalShingleHashes(col("toks"), n))
+        .as(Seq("pos", "h")))
+      .persist(MEMORY_AND_DISK)
+    // duplicated across documents: distinct-doc frequency ≥ minDocs
+    // (within-doc repeats alone never mark a span)
+    val hot = grams.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val covered = grams.join(hot, Seq("h"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+    val kept = toks.select(col(idCol), posexplode(col("toks")).as(Seq("idx", "tok")))
+      .join(covered, Seq(idCol, "idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, via the ANN operator
     * (see [[Similarity]]); returns (id_a, id_b, cosine). */
   def embeddingDupPairs(embeddings: DataFrame, vecCol: String = "embedding",

@@ -156,6 +156,51 @@ case class ShingleHashesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `positional_shingle_hashes(tokens, n)`: array<string> → array<long>
+  * where element w is the chained hash of the FULL n-token window starting
+  * at w — POSITIONAL, non-distinct, aligned for `posexplode` (element index
+  * = window start). Unlike [[ShingleHashesExpr]] there is no short-doc
+  * whole-chain fallback: fewer than n tokens yield an EMPTY array, because
+  * the consumer is span-level dedup ([[graft.operators.Dedup.removeDupSpans]])
+  * where a doc shorter than the span length cannot contain a qualifying
+  * span. Same chained-token XXH64 as ShingleHashesExpr, so equal windows
+  * hash equal across both expressions. */
+case class PositionalShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val nWin = nTok - (n - 1)
+    if (nWin <= 0) return new GenericArrayData(Array.empty[Any])
+    val tokHashes = new Array[Long](nTok)
+    var j = 0
+    while (j < nTok) {
+      tokHashes(j) = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      j += 1
+    }
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      var h0 = tokHashes(w)
+      var d = 1
+      while (d < n) {
+        h0 = XXH64.hashLong(tokHashes(w + d), h0)
+        d += 1
+      }
+      out(w) = h0
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(tokens)`: array<string> → long Charikar sketch — per-bit vote
   * of +1/-1 across token hashes, bit set where the vote is positive. */
 case class SimHash64Expr(child: Expression)
@@ -299,6 +344,9 @@ object SketchExpressions {
 
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens), n))
+
+  def positionalShingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(PositionalShingleHashesExpr(ColumnBridge.expression(tokens), n))
 
   def countInSet(tokens: Column, values: Seq[String]): Column =
     ColumnBridge.column(CountInSetExpr(ColumnBridge.expression(tokens), values))

@@ -446,6 +446,75 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(s == Seq((1L, 1L), (1L, 1L), (1L, 0L)))
   }
 
+  test("editDistancePairs verifies LSH candidates by character-level similarity") {
+    // docs 1/2 identical (sim 1.0), 3 one word off (high sim), 4/5 unrelated
+    val out = Dedup.editDistancePairs(docs, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "edit_dist", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)).contains((1L, 2L)))
+    val exact = out.find(p => (p._1, p._2) == ((1L, 2L))).get
+    assert(exact._3 == 0L && exact._4 == 1.0)
+    // 1 vs 3: "today" -> "yesterday" = insert 4 chars + substitutions
+    val near = out.find(p => (p._1, p._2) == ((1L, 3L))).get
+    assert(near._3 > 0L && near._4 >= 0.8)
+    assert(out.forall { case (a, b, _, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("removeDupSpans cuts cross-doc duplicated spans, merges overlaps, spares clean docs") {
+    // docs 1 and 2 share the 7-token span "alpha beta gamma delta epsilon
+    // zeta eta" (three overlapping 5-gram windows → one merged cut); their
+    // remaining tokens are unique. doc 3 is clean; doc 4 repeats a 5-gram
+    // WITHIN itself only (must not cut: df counts distinct docs).
+    val span = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"one two $span three four"),
+      (2L, s"five six $span seven eight"),
+      (3L, "totally clean document with nothing repeated anywhere at all"),
+      (4L, "x1 x2 x3 x4 x5 filler x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, n = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "one two three four", 11L, 7L)))
+    assert(out(1) == ((2L, "five six seven eight", 11L, 7L)))
+    assert(out(2)._4 == 0L)
+    assert(out(2)._2 == "totally clean document with nothing repeated anywhere at all")
+    assert(out(3)._4 == 0L) // within-doc repeat alone never marks a span
+  }
+
+  test("removeDupSpans: short docs pass through; full-dup docs empty out") {
+    val d = Seq(
+      (1L, "tiny doc"),           // < 5 tokens: no windows, untouched
+      (2L, "a b c d e f"),        // exact dup of 3 → every window dup → all cut
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(d, n = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "tiny doc", 2L, 0L)))
+    assert(out(1) == ((2L, "", 6L, 6L)))
+    assert(out(2) == ((3L, "", 6L, 6L)))
+  }
+
+  test("positionalShingleHashes aligns with shingleHashes and drops the short-doc fallback") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b")).toDF("doc_id", "text")
+    val both = d.select($"doc_id",
+        graft.plans.SketchExpressions.positionalShingleHashes(
+          TextFunctions.tokens(lower($"text")), 5).as("p"),
+        HashFunctions.shingleHashes($"text", 5).as("s"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    // 7 tokens → 3 positional windows; distinct set equals shingleHashes'
+    assert(both(0)._2.length == 3)
+    assert(both(0)._2.toSet == both(0)._3.toSet)
+    // 2 tokens: positional is EMPTY (no ≥5-token span possible) while
+    // shingleHashes keeps its whole-doc fallback hash
+    assert(both(1)._2.isEmpty && both(1)._3.length == 1)
+  }
+
   test("ivfRecallAtK: probing every cell recovers the exact top-k") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>
