@@ -1220,6 +1220,21 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "e13_ivfpq_residual" -> ((s, d) => {
+      // residual IVF-PQ (the production FAISS IVFPQ): PQ codes quantize
+      // v − c(cell(v)); query LUTs are per probed CELL. Fixed, SQL-
+      // reproducible training inputs (e6/e9's stance): coarse = first-8
+      // vectors, residual codebooks = residuals of the first-16 vectors.
+      val emb = t(s, d, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val cbs = Similarity.residualCodebooks(emb.filter(col("vec_id") < 16), coarse, m = 8)
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 3), coarse, cbs,
+          k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e10_semantic_dedup" -> ((s, d) => {
       // SemDeDup: drop vectors with a same-cell smaller-id neighbor at
       // cosine ≥ 0.95. Planted exact copies (id+20000) are the only pairs
@@ -2127,6 +2142,58 @@ object SparkEntry {
              FROM codes c JOIN qlut l ON l.j = c.j AND l.cid = c.cid
              JOIN corpus_cell cl ON cl.vec_id = c.vec_id
              JOIN query_cells qc ON qc.query_id = l.query_id AND qc.cell = cl.cell
+             WHERE c.vec_id <> l.query_id
+             GROUP BY 1, 2),
+           ranked AS (SELECT query_id, corpus_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
+             FROM adc)
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e13: residual IVF-PQ — e11's oracle with PQ argmins over residuals
+    // v − c(cell(v)) and the query LUT keyed by probed cell. Same fixed
+    // training inputs (coarse = first 8, codebooks = first-16 residuals),
+    // same accumulation order as the engine (slice sums i-ascending,
+    // slices summed j-ascending).
+    "e13_ivfpq_residual" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+           cc AS (SELECT vec_id::INT AS ccid, embedding::DOUBLE[] AS ccv
+             FROM embeddings WHERE vec_id < 8),
+           vcell AS (SELECT vec_id, ccid AS cell, ccv FROM (
+               SELECT e.vec_id, cc.ccid, cc.ccv,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings e, cc) WHERE r = 1),
+           res AS (SELECT e.vec_id, v.cell,
+               list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - v.ccv[i]) AS res
+             FROM embeddings e JOIN vcell v USING (vec_id)),
+           cbr AS (SELECT r16.vec_id::INT AS cid, s.j,
+               list_transform(range(1, 9), i -> r16.res[s.j*8 + i]) AS cv
+             FROM res r16, sub s WHERE r16.vec_id < 16),
+           dists AS (SELECT r.vec_id, cbr.j, cbr.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (r.res[cbr.j*8 + i] - cbr.cv[i])
+                    * (r.res[cbr.j*8 + i] - cbr.cv[i]))) AS dist
+             FROM res r, cbr),
+           codes AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS r
+               FROM dists) WHERE r = 1),
+           query_cells AS (SELECT query_id, ccid AS cell, ccv FROM (
+               SELECT q.vec_id AS query_id, cc.ccid, cc.ccv,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings q, cc WHERE q.vec_id < 3) WHERE r <= 2),
+           qlut AS (SELECT qc.query_id, qc.cell, cbr.j, cbr.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> ((q.embedding[cbr.j*8 + i]::DOUBLE - qc.ccv[cbr.j*8 + i]) - cbr.cv[i])
+                    * ((q.embedding[cbr.j*8 + i]::DOUBLE - qc.ccv[cbr.j*8 + i]) - cbr.cv[i]))) AS d
+             FROM query_cells qc JOIN embeddings q ON q.vec_id = qc.query_id
+             CROSS JOIN cbr),
+           adc AS (SELECT l.query_id, c.vec_id AS corpus_id,
+               list_sum(list(l.d ORDER BY l.j)) AS adc_raw
+             FROM codes c
+             JOIN vcell cl ON cl.vec_id = c.vec_id
+             JOIN qlut l ON l.j = c.j AND l.cid = c.cid AND l.cell = cl.cell
              WHERE c.vec_id <> l.query_id
              GROUP BY 1, 2),
            ranked AS (SELECT query_id, corpus_id, adc_raw,

@@ -224,6 +224,123 @@ object Similarity {
     pqTopKScored(candidates, queries, codebooks, k, vecCol, idCol)
   }
 
+  /** Residual IVF-PQ top-k — the production FAISS IVFPQ layout: PQ codes
+    * quantize each vector's RESIDUAL v − c(cell(v)) instead of v itself.
+    * Residuals concentrate near the origin once the coarse quantizer has
+    * soaked up the between-cell variance, so the same m×k code budget spends
+    * its resolution on within-cell detail — materially better ADC fidelity
+    * than [[ivfPqTopK]] at identical storage.
+    *
+    * Layout/cost shape is ivfPqTopK's exactly: at rest each row carries
+    * (cell, m codes); a query probes nProbe cells and ADC-scores candidate
+    * rows from codes alone. The one residual-specific twist: the query's
+    * lookup table depends on the PROBED CELL (qres = q − c(cell) differs per
+    * cell), so the broadcast LUT relation is keyed (query, cell) — nProbe
+    * tables per query instead of one, still driver-metadata-sized
+    * (queries × nProbe × m × k doubles).
+    *
+    * `codebooks` must be trained on residuals (same shape as
+    * [[pqCodebooks]] output); `centroids` ids must be contiguous 0..n-1 so
+    * cells index the broadcast centroid array positionally. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[(Int, Array[Double])]], k: Int, nProbe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids).sortBy(_._1)
+    require(cents.map(_._1) == cents.indices.map(identity),
+      s"residual IVF-PQ needs contiguous centroid ids 0..${cents.length - 1}")
+    val centArr = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
+    val sub = codebooks.head.head._2.length
+
+    // corpus: cell assignment (native argmin), residual, per-slice codes —
+    // one narrow zero-shuffle pass; at rest this writes (corpus_id, cell,
+    // codes) partitioned by cell
+    val res = zip_with(
+      transform(col("v"), x => x.cast("double")),
+      element_at(centArr, col("cell") + 1),
+      (a, b) => a - b)
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(VectorExpressions.nearestCells(
+        slice(col("res"), j * sub + 1, sub), cb, 1), 1).getField("cell")
+    }: _*)
+    val coded = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col("v"), cents, 1), 1).getField("cell"))
+      .withColumn("res", res)
+      .select(col("corpus_id"), col("cell"), codes.as("codes"))
+
+    // queries: probe cells via the SAME native argmin (bit-identical cell
+    // choice), then a per-(query, probed cell) LUT of squared L2 distances
+    // residual-slice → codeword, built driver-side
+    val qrows = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"),
+        transform(VectorExpressions.nearestCells(col(vecCol), cents, nProbe),
+          s => s.getField("cell")).as("cells"))
+      .collect().toSeq
+    val luts: Seq[(Long, Int, Seq[Seq[Double]])] = qrows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      r.getSeq[Int](2).map { cell =>
+        val cv = cents(cell)._2
+        val lut = codebooks.zipWithIndex.map { case (cb, j) =>
+          cb.map { case (_, cw) =>
+            var acc = 0.0
+            var i = 0
+            while (i < sub) {
+              val d = (qv(j * sub + i) - cv(j * sub + i)) - cw(i)
+              acc += d * d
+              i += 1
+            }
+            acc
+          }
+        }
+        (qid, cell, lut)
+      }
+    }
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val q = broadcast(luts.toDF("query_id", "cell", "lut"))
+    val scored = coded.join(q, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, t) => element_at(t, c + 1)),
+          lit(0.0), (a, x) => a + x).as("adc"))
+    scored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), -col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"),
+        (-col("s.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Residual-PQ codebooks from a sample relation: each sample vector's
+    * residual against its nearest centroid, sliced into m subspaces — the
+    * fixed-sample training stance of [[pqCodebooks]] (codebook quality is a
+    * training concern; FIXED codebooks keep encode/search reproducible).
+    * Returns codebooks shaped exactly like [[pqCodebooks]]'s. */
+  def residualCodebooks(sample: DataFrame, centroids: DataFrame, m: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Seq[(Int, Array[Double])]] = {
+    val cents = collectCentroids(centroids).sortBy(_._1)
+    val centArr = array(cents.map { case (_, v) => array(v.map(lit): _*) }: _*)
+    val residuals = sample
+      .select(col(idCol).cast("int").as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col("v"), cents, 1), 1).getField("cell"))
+      .select(col("id"), zip_with(
+        transform(col("v"), x => x.cast("double")),
+        element_at(centArr, col("cell") + 1),
+        (a, b) => a - b).as("res"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(residuals.nonEmpty, "empty codebook sample")
+    val dim = residuals.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map(j => residuals.map { case (id, v) => (id, v.slice(j * sub, (j + 1) * sub)) })
+  }
+
   /** ANN index-quality diagnostic: recall@k of the IVF probe against the
     * exact brute-force cosine top-k, per query — the standard metric for
     * tuning nProbe/nCells before committing a 100 TB index layout. Returns

@@ -515,6 +515,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(both(1)._2.isEmpty && both(1)._3.length == 1)
   }
 
+  test("ivfPqResidualTopK: an exact copy ranks first; residual ADC beats plain PQ fidelity") {
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    // query 100 = exact copy of corpus vector 10: identical residual ⇒
+    // identical codes ⇒ its ADC distance to 10 is the global minimum
+    val q = vecs.filter($"vec_id" === 10L)
+      .select(lit(100L).as("vec_id"), $"embedding")
+    val cbs = Similarity.residualCodebooks(vecs.filter($"vec_id" < 16), cents, m = 4)
+    val out = Similarity.ivfPqResidualTopK(vecs, q, cents, cbs, k = 5, nProbe = 1)
+      .orderBy("rank")
+      .select("corpus_id", "adc_dist", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(out.size == 5)
+    assert(out.head._1 == 10L && out.head._3 == 1)
+    // residual fidelity: the copy's ADC self-distance under residual
+    // codebooks is tighter than plain-PQ's on the same budget (residuals
+    // concentrate near the origin once the coarse quantizer absorbs
+    // between-cell variance)
+    val plainCbs = Similarity.pqCodebooks(
+      vecs.filter($"vec_id" < 16)
+        .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec")), m = 4)
+    val plain = Similarity.pqTopK(Similarity.pqEncode(vecs, plainCbs), q, plainCbs, k = 5)
+      .filter($"corpus_id" === 10L).select("adc_dist").as[Double].head()
+    assert(out.head._2 <= plain)
+  }
+
   test("ivfRecallAtK: probing every cell recovers the exact top-k") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>
