@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Bpe, Chunking, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Sharding, Similarity, Transforms, Vocab}
+import graft.operators.{Bpe, Chunking, CurationPipeline, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Sharding, Similarity, Transforms, Vocab}
 import graft.streaming.StreamingDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -986,6 +986,19 @@ object SparkEntry {
       // 8-byte hash, one per-doc rollup; no text in any shuffle.
       Dedup.dupSpanStats(t(s, d, "documents"), n = 5, minDocs = 2)
         .orderBy("doc_id")),
+    "d40_curation_pipeline" -> ((s, d) => {
+      // the composed end-to-end curation flagship: quality floor 0.9 →
+      // exact dedup → near-dup cluster dedup (LSH pairs + connected
+      // components) → decontamination vs the mod-31 probe holdout →
+      // md5 shard assignment. One row per corpus doc with its drop stage
+      // or kept shard — corpus accounting is one groupBy(stage).
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+      CurationPipeline.curate(corpus, probes, minQuality = 0.9,
+          jaccardThreshold = 0.5, probeNgram = 4, nShards = 16)
+        .orderBy("doc_id")
+    }),
     "d39_edit_distance" -> ((s, d) =>
       // edit-distance-verified near-dups: O(len²) Levenshtein runs only on
       // LSH-colliding pairs. Oracle enumerates candidates via the shared-
@@ -1786,6 +1799,84 @@ object SparkEntry {
          SELECT doc_id, n_spans, n_dup_spans,
            round(n_dup_spans::DOUBLE / n_spans, 4) AS dup_frac
          FROM agg ORDER BY doc_id""",
+    // d40: the composed curation pipeline — each stage's oracle fragment is
+    // the proven one (d5 quality, content-group exact dedup, d37-style
+    // inverted-index Jaccard pairs + RECURSIVE min-label components, d14
+    // probe overlap, d29-style md5 shard), chained over survivors.
+    "d40_curation_pipeline" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS ltoks,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> length(x) > 0) AS rtoks
+             FROM documents WHERE doc_id % 31 <> 0),
+           sc AS (SELECT doc_id,
+               (CASE WHEN length(text) < 10 THEN length(text) / 10.0
+                  WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+               + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                    / length(text) > 0.3 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN len(ltoks) > 0 AND len(list_filter(ltoks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','that','for',
+                    'on','with','as','was','at','by','be','this','are','from','but'], x)))::DOUBLE
+                   / len(ltoks) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.25
+               + (CASE WHEN len(rtoks) > 0
+                   AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) >= 2.5
+                   AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) <= 12.0
+                   THEN 1.0 ELSE 0.4 END) * 0.25 AS quality
+             FROM t),
+           qd AS (SELECT doc_id FROM sc WHERE quality < 0.9),
+           s1 AS (SELECT t.doc_id, t.text, t.ltoks FROM t
+             JOIN sc USING (doc_id) WHERE sc.quality >= 0.9),
+           ek AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM s1),
+           ed AS (SELECT doc_id FROM ek WHERE doc_id <> keep),
+           s2 AS (SELECT s1.doc_id, s1.text, s1.ltoks FROM s1
+             JOIN ek ON s1.doc_id = ek.doc_id AND ek.doc_id = ek.keep),
+           sh3 AS (SELECT doc_id, list_distinct(
+               CASE WHEN len(ltoks) - 2 <= 0 THEN [array_to_string(ltoks, ' ')]
+                 ELSE list_transform(generate_series(1, len(ltoks) - 2),
+                   i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2]) END) AS sh
+             FROM s2),
+           inv3 AS (SELECT doc_id, unnest(sh) AS g FROM sh3),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv3 a JOIN inv3 b ON a.g = b.g AND a.doc_id < b.doc_id),
+           pr AS (SELECT id_a, id_b FROM cand
+             JOIN sh3 a ON a.doc_id = id_a JOIN sh3 b ON b.doc_id = id_b
+             WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+               ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.5),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+             UNION SELECT id_b, id_a FROM pr),
+           reach(id, r) AS (SELECT src, dst FROM edges
+             UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           lab AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+           nd AS (SELECT id AS doc_id FROM lab WHERE id <> label),
+           s3 AS (SELECT s2.doc_id, s2.text, s2.ltoks FROM s2 ANTI JOIN nd USING (doc_id)),
+           pt AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS ltoks FROM documents WHERE doc_id % 31 = 0),
+           psh AS (SELECT DISTINCT unnest(list_distinct(
+               CASE WHEN len(ltoks) - 3 <= 0 THEN [array_to_string(ltoks, ' ')]
+                 ELSE list_transform(generate_series(1, len(ltoks) - 3),
+                   i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' '
+                     || ltoks[i+3]) END)) AS g
+             FROM pt),
+           csh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ltoks) - 3 <= 0 THEN [array_to_string(ltoks, ' ')]
+                 ELSE list_transform(generate_series(1, len(ltoks) - 3),
+                   i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' '
+                     || ltoks[i+3]) END)) AS g
+             FROM s3),
+           ctm AS (SELECT DISTINCT c.doc_id FROM csh c JOIN psh p USING (g)),
+           kept AS (SELECT s3.doc_id FROM s3 ANTI JOIN ctm USING (doc_id)),
+           outp AS (
+             SELECT doc_id, 'quality' AS stage, NULL::BIGINT AS shard FROM qd
+             UNION ALL SELECT doc_id, 'exact_dup', NULL::BIGINT FROM ed
+             UNION ALL SELECT doc_id, 'near_dup', NULL::BIGINT FROM nd
+             UNION ALL SELECT doc_id, 'contaminated', NULL::BIGINT FROM ctm
+             UNION ALL SELECT doc_id, 'kept',
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 16)::BIGINT
+               FROM kept)
+         SELECT doc_id, stage, shard FROM outp ORDER BY doc_id""",
     // d39: edit-distance verify over inverted-index candidates (superset of
     // the engine's LSH candidates); filter on the unrounded similarity.
     "d39_edit_distance" ->
