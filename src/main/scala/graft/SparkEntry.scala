@@ -1328,6 +1328,14 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
     }),
+    "m8_image_dhash" -> ((s, d) =>
+      // perceptual dHash over the real decoded raster — integer luma,
+      // 9×8 floor block means, gradient-sign bits in two 32-bit halves.
+      // PNG (even ids) only: lossless, so the arithmetic oracle predicts
+      // every bit. Near-dup banding over the hash reuses d8's machinery.
+      Multimodal.imageDHash(
+          syntheticMedia(s, d).filter(col("media_id") % 2 === 0))
+        .toDF().orderBy("media_id")),
     "m5_audio_decode" -> ((s, d) => {
       // synthetic PCM16 WAVs encoded on executors, decoded by the REAL
       // javax.sound path; PCM is lossless and every sample is closed-form in
@@ -2469,6 +2477,32 @@ object SparkEntry {
            LATERAL (SELECT unnest(range(0, (16 + ((d.doc_id // 7) % 40))::INT)) AS v) y
          WHERE d.doc_id % 2 = 0
          GROUP BY 1 ORDER BY media_id""",
+    // m8: dHash recomputed from the closed-form raster — gray/means/bits
+    // are all integer floor arithmetic, so the oracle is exact on PNG.
+    "m8_image_dhash" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+             (16 + (doc_id % 48))::BIGINT AS w,
+             (16 + ((doc_id // 7) % 40))::BIGINT AS h
+           FROM documents WHERE doc_id % 2 = 0),
+           px AS (SELECT media_id, w, h, x.v AS x, y.v AS y,
+               (((x.v*7 + y.v*13 + media_id*31) % 256) * 299
+                + ((x.v*3 + y.v*5 + media_id*17) % 256) * 587
+                + ((x.v*11 + y.v*2 + media_id*7) % 256) * 114) // 1000 AS gray
+             FROM img,
+               LATERAL (SELECT unnest(range(0, w::INT)) AS v) x,
+               LATERAL (SELECT unnest(range(0, h::INT)) AS v) y),
+           cells AS (SELECT media_id, (y*8)//h AS cy, (x*9)//w AS cx,
+               sum(gray)//count(*) AS cell
+             FROM px GROUP BY 1, 2, 3),
+           bits AS (SELECT a.media_id, a.cy*8 + a.cx AS k,
+               CASE WHEN b.cell > a.cell THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             FROM cells a JOIN cells b
+               ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+             WHERE a.cx < 8)
+         SELECT media_id,
+           sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END)::BIGINT AS dhash_hi,
+           sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END)::BIGINT AS dhash_lo
+         FROM bits GROUP BY 1 ORDER BY media_id""",
     "m2_frame_sample" ->
       """SELECT media_id, u::INT AS frame_idx, (u * 100)::BIGINT AS ts_ms
          FROM (SELECT doc_id AS media_id,

@@ -43,6 +43,7 @@ object Multimodal {
       sum_r: Long, sum_g: Long, sum_b: Long)
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
   case class Feature(media_id: Long, feature: Array[Float])
+  case class DHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
 
   // ----------------------------------------------------- synthetic corpus
   /** Deterministic synthetic image for id: dimensions and every RGB pixel
@@ -271,6 +272,68 @@ object Multimodal {
           (0L to duration / everyMs).iterator.zipWithIndex.map { case (k, idx) =>
             val ts = k * everyMs
             Frame(id, idx, ts, extractFrameStub(bytes, ts))
+          }
+        }
+      }
+  }
+
+  /** Perceptual difference-hash (dHash) over the REAL decoded raster — the
+    * standard near-duplicate signature for images (a resized/re-encoded/
+    * slightly-edited copy keeps the same gradient signs): integer-luma
+    * grayscale, block-mean downsample to a 9×8 grid, one bit per adjacent
+    * horizontal cell pair (right > left). 64 bits, emitted as two 32-bit
+    * halves (hi = bits 32–63) so no engine has to build a value with bit
+    * 63 set. Every step is EXACT integer arithmetic — luma
+    * (299r+587g+114b)/1000 and floor block means — so on lossless inputs
+    * an arithmetic oracle reproduces the hash bit-for-bit, and equal
+    * rasters hash equal across machines (no float resize in the loop).
+    * Near-dup pairs then come from banding the i64 exactly like
+    * [[Dedup.simHashPairs]] — one narrow decode pass, 16 bytes/image to
+    * any downstream join. */
+  def imageDHash(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "content"): Dataset[DHash] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (img, _) = decodeImage(bytes)
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val sums = new Array[Long](8 * 9)
+            val cnts = new Array[Long](8 * 9)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cx = x * 9 / w
+                val p = px(y * w + x)
+                val gray = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                  (p & 0xff) * 114) / 1000
+                sums(cy * 9 + cx) += gray
+                cnts(cy * 9 + cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L; var lo = 0L
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val left = sums(cy * 9 + cx) / cnts(cy * 9 + cx)
+                val right = sums(cy * 9 + cx + 1) / cnts(cy * 9 + cx + 1)
+                if (right > left) {
+                  val k = cy * 8 + cx
+                  if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                }
+                cx += 1
+              }
+              cy += 1
+            }
+            DHash(id, hi, lo)
           }
         }
       }

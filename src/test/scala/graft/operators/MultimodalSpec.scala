@@ -135,6 +135,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L).map(_.n_samples).sum == 257L)
   }
 
+  test("imageDHash: brightness-shifted copy hashes identical, inverted gradient flips bits") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      Multimodal.encodeImage(img, "png")
+    }
+    val d = Seq(
+      (1L, png((x, _) => x * 6)),        // left-to-right ramp
+      (2L, png((x, _) => x * 6 + 10)),   // same ramp, brighter — same gradient SIGNS
+      (3L, png((x, _) => 255 - x * 6))   // inverted ramp — opposite signs
+    ).toDF("media_id", "content")
+    val out = Multimodal.imageDHash(d).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).dhash_hi == out(2L).dhash_hi && out(1L).dhash_lo == out(2L).dhash_lo)
+    val hamming = java.lang.Long.bitCount(out(1L).dhash_hi ^ out(3L).dhash_hi) +
+      java.lang.Long.bitCount(out(1L).dhash_lo ^ out(3L).dhash_lo)
+    assert(hamming >= 48, s"inverted gradient should flip most bits, hamming=$hamming")
+    // the ramp rises monotonically: every adjacent-cell bit is set (8 rows ×
+    // 8 comparisons, all right > left) — pins the exact bit layout
+    assert(out(1L).dhash_hi == 0xFFFFFFFFL && out(1L).dhash_lo == 0xFFFFFFFFL)
+  }
+
   test("decodeWav rejects junk; WAV payloads survive an opaque-binary round trip") {
     assertThrows[Exception] {
       Multimodal.decodeWav(Array.fill[Byte](64)('x'))
