@@ -57,9 +57,12 @@ object CurationPipeline {
       .persist(MEMORY_AND_DISK)
 
     // stage 3: near-dup cluster dedup — LSH-pruned exact-Jaccard pairs,
-    // connected components, keep each cluster's min id
+    // connected components, keep each cluster's min id. Pairs are persisted
+    // FIRST: the empty-check and the clustering's bidirectional edge union
+    // otherwise re-run the whole LSH + verify plan per consumer.
     val pairs = Dedup.ngramJaccardPairs(s2, textCol, idCol,
       shingleN = 3, threshold = jaccardThreshold)
+      .persist(MEMORY_AND_DISK)
     val nearDropIds =
       if (pairs.isEmpty) pairs.select(col("id_a").as(idCol)) // CC needs ≥1 edge
       else Dedup.duplicateClusters(pairs)

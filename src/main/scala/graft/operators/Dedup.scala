@@ -164,12 +164,23 @@ object Dedup {
 
   /** Exact n-gram Jaccard over LSH-pruned candidates — the expensive verify
     * step, run only on MinHash candidates so the shingle arrays of both sides
-    * are materialized solely for colliding pairs. */
+    * are materialized solely for colliding pairs: the docs relation is
+    * semi-joined to the candidate id set BEFORE shingling (without the
+    * semi-join Spark evaluates the shingle projection for every corpus row
+    * on both join build sides — at 100 TB that is two full shingle passes
+    * to verify a handful of pairs). Candidates are persisted because the
+    * id-set derivation and the verify join both read them; the relation is
+    * pair-count-sized. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val candidates = minHashLshPairs(docs, textCol, idCol, shingleN,
       k = 64, bands = 16, threshold = threshold * 0.5)
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(MEMORY_AND_DISK)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -204,6 +215,14 @@ object Dedup {
       .join(pruned.select(col("h"), col(idCol).as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // verify side deliberately shingles the full docs relation: containment
+    // candidates are Σ df²-sized, so harvesting participant ids would need
+    // either a materialization barrier on the pair relation (measured
+    // slower than the shingle pass it saves) or an index-side distinct that
+    // prunes almost nothing on real corpora (most docs own ≥1 mid-df
+    // shingle). The df cap is the guard that matters here; contrast
+    // [[ngramJaccardPairs]], whose LSH candidates ARE small enough to prune
+    // the shingle pass by id.
     val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
