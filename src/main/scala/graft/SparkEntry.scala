@@ -352,6 +352,22 @@ object SparkEntry {
                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
                ORDER BY o_orderkey""")
     }),
+    "q37_lateral_topn" -> ((s, d) => {
+      // LATERAL correlated-subquery join (per-customer top-2 orders by
+      // price) — the modern SQL-surface twin of q8's window form. Catalyst
+      // plans the lateral as a decorrelated join + per-group limit; the
+      // capped customer side keeps the demo small while the shape
+      // (correlated LIMIT under LATERAL) is what's gated.
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      t(s, d, "orders").createOrReplaceTempView("g_orders2")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+               FROM g_customer c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM g_orders2
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+               WHERE c.c_custkey < 200
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
     "q36_full_outer" -> ((s, d) => {
       // FULL OUTER join coverage with unmatched rows on BOTH sides (left:
       // customers under 700; right: order rollups for custkeys 400-1100).
@@ -1233,6 +1249,15 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "e14_sq8_ann" -> ((s, d) =>
+      // SQ8 asymmetric search: int8 codes + per-vector scale at rest (4×
+      // smaller scan), exact queries, cosine over the dequantized corpus.
+      // e7 pins the quantization rule cross-engine; this gates the SEARCH.
+      Similarity.sq8TopK(t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")),
     "e13_ivfpq_residual" -> ((s, d) => {
       // residual IVF-PQ (the production FAISS IVFPQ): PQ codes quantize
       // v − c(cell(v)); query LUTs are per probed CELL. Fixed, SQL-
@@ -2248,6 +2273,25 @@ object SparkEntry {
              FROM adc)
          SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e14: SQ8 search — e7's exact quantization rule (floor(x/scale+0.5),
+    // scale = max|x|/127 floored at 1e-30), dequantize, cosine, top-10.
+    "e14_sq8_ann" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+           s AS (SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS sc
+             FROM b),
+           dq AS (SELECT vec_id, list_transform(v, x -> floor(x / sc + 0.5) * sc) AS w
+             FROM s),
+           q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 5),
+           scored AS (SELECT q.query_id, d.vec_id AS corpus_id,
+               list_cosine_similarity(d.w, q.qv) AS cos
+             FROM dq d, q WHERE d.vec_id <> q.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // e13: residual IVF-PQ — e11's oracle with PQ argmins over residuals
     // v − c(cell(v)) and the query LUT keyed by probed cell. Same fixed
     // training inputs (coarse = first 8, codebooks = first-16 residuals),
@@ -2595,6 +2639,14 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem l
              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
          ORDER BY o_orderkey""",
+    "q37_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 200
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "q36_full_outer" ->
       """WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 700),
            r AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,

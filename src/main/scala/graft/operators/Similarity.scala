@@ -224,6 +224,36 @@ object Similarity {
     pqTopKScored(candidates, queries, codebooks, k, vecCol, idCol)
   }
 
+  /** Scalar-quantized (SQ8) brute-force top-k — the FAISS SQ8 stance: each
+    * corpus vector is stored as dim int8 codes + ONE scale (4× smaller scan
+    * payload than f32; 16× smaller than f64), search is ASYMMETRIC — the
+    * query stays exact, corpus vectors are dequantized code*scale on the
+    * fly. Per-vector symmetric scale max|x|/127 with the same
+    * floor(x/scale + 0.5) rounding rule the quantization diagnostic (e7)
+    * pins across engines. Same scale shape as [[bruteForceTopK]]: broadcast
+    * queries, one narrow corpus pass, bounded top-k partials — the scan
+    * just reads a quarter of the bytes at rest. Returns
+    * (query_id, corpus_id, cosine, rank) over the dequantized corpus. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val topk = udaf(new ScoredTopKAggregator(k))
+    // at rest this is (corpus_id, codes int8[], scale); recomputed inline
+    // here, dequantized per row in the scoring pass
+    val enc = corpus
+      .select(col(idCol).cast("long").as("corpus_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))) / 127.0, lit(1e-30)))
+      .withColumn("codes", transform(col("v"), x => floor(x / col("scale") + 0.5)))
+      .select(col("corpus_id"), col("scale"),
+        transform(col("codes"), c => c * col("scale")).as("dq"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val scored = enc.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("dq")).as("cosine"))
+    explodeRanked(scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
+  }
+
   /** Residual IVF-PQ top-k — the production FAISS IVFPQ layout: PQ codes
     * quantize each vector's RESIDUAL v − c(cell(v)) instead of v itself.
     * Residuals concentrate near the origin once the coarse quantizer has

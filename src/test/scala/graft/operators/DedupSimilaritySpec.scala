@@ -515,6 +515,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(both(1)._2.isEmpty && both(1)._3.length == 1)
   }
 
+  test("sq8TopK: quantized search preserves exact top-k order on separated vectors") {
+    val dim = 8
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val sq = Similarity.sq8TopK(vecs, q, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // int8 error ~1/254 per element: same ids in the same order, and every
+    // quantized cosine within 2% of the exact one
+    assert(sq.map(r => (r._1, r._2, r._4)).toSet == exact.map(r => (r._1, r._2, r._4)).toSet)
+    val exactByPair = exact.map(r => (r._1, r._2) -> r._3).toMap
+    sq.foreach { case (qid, cid, cos, _) =>
+      assert(math.abs(cos - exactByPair((qid, cid))) < 0.02)
+    }
+  }
+
   test("ivfPqResidualTopK: an exact copy ranks first; residual ADC beats plain PQ fidelity") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>
