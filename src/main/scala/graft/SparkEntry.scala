@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, Partitioners, TextFunctions, VectorFunctions}
 import graft.model.PartitionerSpec
-import graft.operators.{Bpe, Chunking, CurationPipeline, Decontaminate, Dedup, Multimodal, Packing, Redaction, Sampling, Sharding, Similarity, Transforms, Vocab}
+import graft.operators.{Bpe, Chunking, CurationPipeline, Decontaminate, Dedup, Lm, Multimodal, Packing, Redaction, Sampling, Sharding, Similarity, Transforms, Vocab}
 import graft.streaming.StreamingDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1015,6 +1015,21 @@ object SparkEntry {
           jaccardThreshold = 0.5, probeNgram = 4, nShards = 16)
         .orderBy("doc_id")
     }),
+    "d41_lm_perplexity" -> ((s, d) => {
+      // CCNet-style LM quality scoring: per-doc cross-entropy/perplexity
+      // under a corpus unigram LM. The LM is one hash agg reduced to a
+      // top-V broadcast table (TakeOrderedAndProject); scoring is one
+      // narrow explode+broadcast-join+agg corpus pass. OOV floor 1/N keeps
+      // the score total. vocabSize 64 < corpus vocab so the OOV path is
+      // genuinely exercised by the gate.
+      val docs = t(s, d, "documents")
+      val lm = Lm.unigramLm(docs, vocabSize = 64)
+      Lm.perplexity(docs, lm)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+    }),
     "d39_edit_distance" -> ((s, d) =>
       // edit-distance-verified near-dups: O(len²) Levenshtein runs only on
       // LSH-colliding pairs. Oracle enumerates candidates via the shared-
@@ -1248,6 +1263,25 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e15_pca_project" -> ((s, d) => {
+      // PCA projection to the top-4 principal axes — the pre-quantization /
+      // whitening step (and the "O" in OPQ). One O(d²)-state moments pass
+      // (MomentsAggregator: ~2k doubles per partition cross the exchange,
+      // never rows), driver Jacobi eigensolve of the 64×64 sample
+      // covariance, then a narrow codegen'd projection pass. Oracle: an
+      // INDEPENDENT numpy/LAPACK eigensolve (tools/gen_fixtures.py) under
+      // the shared determinism contract (eigenvalue-desc order,
+      // largest-|x|-component-positive sign).
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.Pca.fit(emb, r = 4)
+      graft.operators.Pca.project(emb, model)
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 4).as("p1"),
+          round(element_at(col("proj"), 2), 4).as("p2"),
+          round(element_at(col("proj"), 3), 4).as("p3"),
+          round(element_at(col("proj"), 4), 4).as("p4"))
+        .orderBy("vec_id")
     }),
     "e14_sq8_ann" -> ((s, d) =>
       // SQ8 asymmetric search: int8 codes + per-vector scale at rest (4×
@@ -1912,6 +1946,23 @@ object SparkEntry {
          SELECT doc_id, stage, shard FROM outp ORDER BY doc_id""",
     // d39: edit-distance verify over inverted-index candidates (superset of
     // the engine's LSH candidates); filter on the unrounded similarity.
+    // d41: unigram LM scoring — vocab = top-64 by (cnt desc, token asc);
+    // N counts EVERY token occurrence; OOV floor = ln(1/N). Cross-entropy
+    // is -avg(ln p) in nats; float sum-order noise is ~1e-15 relative,
+    // far inside the round(…,4)/(…,2) margins.
+    "d41_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)) AS token FROM documents),
+           cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+           tot AS (SELECT sum(c) AS n FROM cnt),
+           voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 64),
+           sc AS (SELECT t.doc_id, ln(coalesce(v.c, 1.0) / tot.n) AS lp,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+             FROM tok t LEFT JOIN voc v USING (token) CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
+           round(-avg(lp), 4) AS cross_entropy, round(exp(-avg(lp)), 2) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "d39_edit_distance" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LmSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // corpus: "a" ×4, "b" ×2, "c" ×1, "d" ×1 → N = 8
+  private def docs = Seq(
+    (1L, "a a b c"),
+    (2L, "a a b d"),
+    (3L, "   "),
+    (4L, "A")
+  ).toDF("doc_id", "text")
+
+  test("unigram probabilities are MLE over ALL occurrences; top-V ordered (cnt desc, token asc)") {
+    val lm = Lm.unigramLm(docs, vocabSize = 2)
+    assert(lm.totalTokens == 9) // a×5 (case-folded "A"), b×2, c×1, d×1
+    val vocab = lm.vocab.as[(String, Long, Double)].collect().toSeq
+    assert(vocab.map(v => (v._1, v._2)) == Seq(("a", 5L), ("b", 2L)))
+    assert(math.abs(vocab.head._3 - math.log(5.0 / 9.0)) < 1e-12)
+    assert(math.abs(lm.oovLogp - math.log(1.0 / 9.0)) < 1e-12)
+  }
+
+  test("cross-entropy is -mean log p with the OOV floor; blank docs vanish") {
+    val lm = Lm.unigramLm(docs, vocabSize = 2)
+    val got = Lm.perplexity(docs, lm)
+      .select("doc_id", "n_tokens", "n_oov", "cross_entropy")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 is whitespace-only
+    val (_, n1, oov1, h1) = got(0)
+    assert(n1 == 4 && oov1 == 1) // "c" is OOV at V=2
+    val expected1 = -(2 * math.log(5.0 / 9.0) + math.log(2.0 / 9.0) + math.log(1.0 / 9.0)) / 4.0
+    assert(math.abs(h1 - expected1) < 1e-12)
+    // single-token doc of the most frequent word: H = -ln p(a)
+    assert(math.abs(got(2)._4 - (-math.log(5.0 / 9.0))) < 1e-12)
+  }
+
+  test("perplexity = exp(cross-entropy), and uniform corpus gives ppl = vocab size") {
+    // 4 equally frequent tokens, all in vocab → p = 1/4 each, ppl = 4
+    val uni = Seq((1L, "w x y z")).toDF("doc_id", "text")
+    val lm = Lm.unigramLm(uni, vocabSize = 8)
+    val row = Lm.perplexity(uni, lm).select("cross_entropy", "ppl")
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - math.log(4.0)) < 1e-12)
+    assert(math.abs(row._2 - 4.0) < 1e-9)
+  }
+
+  test("a low-probability doc scores strictly higher cross-entropy than a high-probability one") {
+    val lm = Lm.unigramLm(docs, vocabSize = 2)
+    val h = Lm.perplexity(
+      Seq((10L, "a a a"), (11L, "q r s")).toDF("doc_id", "text"), lm)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(h(11L) > h(10L)) // all-OOV gibberish ≫ all-frequent
+  }
+}

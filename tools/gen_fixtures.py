@@ -330,6 +330,48 @@ def media_ann_fixture(sf, dim=32, k=5, queries_below=6):
     return rows
 
 
+def pca_fixture(sf, r=4):
+    """Independent PCA oracle via numpy/LAPACK: sample covariance (ddof=1),
+    eigh, descending order, largest-|x|-component-positive sign convention —
+    the determinism contract documented on graft.operators.Pca. The Scala
+    side solves with cyclic Jacobi, so agreement here proves the whole
+    moments→covariance→eigensolve→projection chain, not shared code."""
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(i) for i, _ in rows]
+    x = np.array([[float(v) for v in e] for _, e in rows])
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(-vals)
+    vals, vecs = vals[order], vecs[:, order]
+    # refuse degenerate spectra: repeated eigenvalues give the two solvers
+    # genuine rotational freedom and the fixture would be meaningless
+    for j in range(r):
+        gap = (vals[j] - vals[j + 1]) / max(vals[0], 1e-30)
+        assert gap > 1e-6, f"near-degenerate PCA spectrum at {j}: gap={gap}"
+    comps = []
+    for j in range(r):
+        c = vecs[:, j].copy()
+        best = int(np.argmax(np.abs(c)))  # first index of the max, like Scala
+        if c[best] < 0:
+            c = -c
+        comps.append(c)
+    proj = (x - mean) @ np.array(comps).T
+    out = []
+    for i, pid in enumerate(ids):
+        vs = []
+        for j in range(r):
+            p = float(proj[i, j])
+            assert_rounding_safe(p, 4, 1e-7, f"e15 proj ({pid},{j})")
+            vs.append(rnd(p, 4))
+        out.append((pid, *vs))
+    return out
+
+
 def bpe_learn(word_counts, num_merges):
     """INDEPENDENT BPE merge learning (Sennrich et al. 2016): symbols are
     codepoints, merge choice is (weighted pair count desc, left asc, right
@@ -501,6 +543,9 @@ def main():
     # ---- m3: media features ANN (codec-free mirror of the image pipeline)
     m3_rows = media_ann_fixture(sf)
 
+    # ---- e15: PCA projection — independent numpy/LAPACK eigensolve
+    e15_rows = pca_fixture(sf)
+
     # ---- d16: stratified sample — per-language hash-mod rates (xxh64 of
     # the doc_id LONG, floorMod 100, mirroring Spark pmod(xxhash64(col),100))
     d16_rates = {"en": 20, "de": 50, "es": 80, "fr": 100}
@@ -602,6 +647,12 @@ def main():
                " c2 AS pieces_prefix FROM (VALUES\n"
                + values(d31_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}")
                + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    e15_sql = ("SELECT c0::BIGINT AS vec_id, c1::DOUBLE AS p1,"
+               " c2::DOUBLE AS p2, c3::DOUBLE AS p3, c4::DOUBLE AS p4"
+               " FROM (VALUES\n"
+               + values(e15_rows,
+                        lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, {r[3]!r}, {r[4]!r}")
+               + ") AS t(c0, c1, c2, c3, c4) ORDER BY vec_id")
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -644,7 +695,9 @@ object FixtureOracles {{
     "d30_bpe_merges" ->
       \"\"\"{d30_sql}\"\"\",
     "d31_bpe_encode" ->
-      \"\"\"{d31_sql}\"\"\")
+      \"\"\"{d31_sql}\"\"\",
+    "e15_pca_project" ->
+      \"\"\"{e15_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
