@@ -1030,6 +1030,68 @@ object SparkEntry {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    "d45_bigram_lm" -> ((s, d) => {
+      // interpolated bigram LM scoring — one step toward CCNet's KenLM:
+      // p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·p_uni(w2). Bigram table capped
+      // top-256 (TakeOrderedAndProject, broadcast; each row carries its own
+      // c(w1)); misses back off to the unigram term, so capping coarsens —
+      // never breaks — scores. vocabSize 64 / maxBigrams 256 ≪ corpus
+      // vocab so BOTH backoff paths are gate-exercised.
+      val docs = t(s, d, "documents")
+      val model = Lm.bigramLm(docs, vocabSize = 64, maxBigrams = 256, lambda = 0.7)
+      Lm.bigramPerplexity(docs, model)
+        .select(col("doc_id"), col("n_scored"), col("n_bigram_hits"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+    }),
+    "d44_wordpiece_encode" -> ((s, d) => {
+      // WordPiece greedy maximal-munch segmentation under the d30 BPE
+      // vocabulary — the OTHER standard subword deployment (BERT matching
+      // rule vs d31's merge-order replay; they disagree on real words).
+      // Narrow memoized scan pass, no shuffle. Oracle: independent Python
+      // greedy matcher over the independently-learned Python BPE vocab.
+      val docs = t(s, d, "documents")
+      val model = Bpe.learnMerges(docs, numMerges = 40)
+      graft.operators.Wordpiece.encode(docs, graft.operators.Wordpiece.fromBpe(model))
+        .select(col("doc_id"), col("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 8)).as("pieces_prefix"))
+        .orderBy("doc_id")
+    }),
+    "d42_heavy_hitters" -> ((s, d) => {
+      // Count-Min heavy hitters (Cormode–Muthukrishnan '05): the sketch is
+      // O(w×d) mergeable state built in ONE corpus pass — at 100 TB the
+      // frequent-token table comes from sketch + Space-Saving candidates
+      // (d12's TopKAggregator), never a full (token, count) shuffle. Gate
+      // stance mirrors d26's exactness window: at this eps (1e-4 ⇒ width
+      // 27 183 ≫ corpus vocab) every top-20 estimate is EXACT, so the
+      // DuckDB exact-count oracle applies to both columns — a single
+      // colliding cell in all 7 sketch rows would break the row hash.
+      import s.implicits._
+      val tok = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      val cmsBin = tok
+        .agg(expr("count_min_sketch(token, 0.0001d, 0.999d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(cmsBin))
+      val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+        .as[(String, Long)].collect().toSeq
+      top.map { case (tk, cnt) => (tk, cnt, cms.estimateCount(tk)) }
+        .toDF("token", "cnt", "cnt_est")
+        .orderBy("token")
+    }),
+    "d43_weighted_sample" -> ((s, d) =>
+      // quality/length-weighted subcorpus selection: Efraimidis–Spirakis
+      // A-ES without-replacement sampling, deterministic md5-derived
+      // uniforms, global top-k as TakeOrderedAndProject — one narrow pass,
+      // no global sort, engine-recomputable (DuckDB recomputes the exact
+      // same keys from the same digests).
+      Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
+          col("n_chars"), k = 50)
+        .select(col("doc_id"), col("n_chars"), round(col("wkey"), 6).as("wkey"))
+        .orderBy("doc_id")),
     "d39_edit_distance" -> ((s, d) =>
       // edit-distance-verified near-dups: O(len²) Levenshtein runs only on
       // LSH-colliding pairs. Oracle enumerates candidates via the shared-
@@ -1283,6 +1345,18 @@ object SparkEntry {
           round(element_at(col("proj"), 4), 4).as("p4"))
         .orderBy("vec_id")
     }),
+    "e16_standardize" -> ((s, d) =>
+      // per-dimension z-score standardization — feature scaling before
+      // k-means/quantization. One O(d²)-state moments pass (mean + sample
+      // std per dim), then a narrow codegen'd projection; stddev_samp
+      // parity with the DuckDB oracle.
+      graft.operators.Pca.standardize(t(s, d, "embeddings"))
+        .select(col("vec_id"),
+          round(element_at(col("z"), 1), 4).as("z1"),
+          round(element_at(col("z"), 2), 4).as("z2"),
+          round(element_at(col("z"), 3), 4).as("z3"),
+          round(element_at(col("z"), 4), 4).as("z4"))
+        .orderBy("vec_id")),
     "e14_sq8_ann" -> ((s, d) =>
       // SQ8 asymmetric search: int8 codes + per-vector scale at rest (4×
       // smaller scan), exact queries, cosine over the dequantized corpus.
@@ -1946,6 +2020,73 @@ object SparkEntry {
          SELECT doc_id, stage, shard FROM outp ORDER BY doc_id""",
     // d39: edit-distance verify over inverted-index candidates (superset of
     // the engine's LSH candidates); filter on the unrounded similarity.
+    // d45: interpolated bigram scoring. The (1.0 - 0.7) form (not 0.3)
+    // keeps the interpolation weight bit-identical across engines; noise
+    // is then pure sum-order, ~1e-16 relative, inside the 4dp/2dp margins.
+    "d45_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           cnt AS (SELECT unnest(toks) AS token FROM t),
+           uc AS (SELECT token, count(*)::DOUBLE AS c FROM cnt GROUP BY token),
+           tot AS (SELECT sum(c) AS n FROM uc),
+           voc AS (SELECT token, c FROM uc ORDER BY c DESC, token LIMIT 64),
+           pr0 AS (SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+             FROM t WHERE len(toks) >= 2),
+           pr AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pr0),
+           bc AS (SELECT w1, w2, count(*)::DOUBLE AS cnt FROM pr GROUP BY w1, w2
+             ORDER BY cnt DESC, w1, w2 LIMIT 256),
+           w1c AS (SELECT w1, count(*)::DOUBLE AS c1 FROM pr GROUP BY w1),
+           bi AS (SELECT bc.w1, bc.w2, bc.cnt / w1c.c1 AS p_cond
+             FROM bc JOIN w1c USING (w1)),
+           sc AS (SELECT pr.doc_id,
+               CASE WHEN bi.w1 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+               ln(coalesce(bi.p_cond, 0.0) * 0.7 +
+                  coalesce(voc.c / tot.n, 1.0 / tot.n) * (1.0 - 0.7)) AS lp
+             FROM pr LEFT JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+               LEFT JOIN voc ON pr.w2 = voc.token CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_scored, sum(hit)::BIGINT AS n_bigram_hits,
+           round(-avg(lp), 4) AS cross_entropy, round(exp(-avg(lp)), 2) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // e16: stddev_samp parity (n−1); float32 inputs are exact in double on
+    // both engines, so only sum-order noise separates them — ≪ 4dp margins.
+    "e16_standardize" ->
+      """WITH s AS (SELECT
+             avg(embedding[1]) AS m1, stddev_samp(embedding[1]) AS s1,
+             avg(embedding[2]) AS m2, stddev_samp(embedding[2]) AS s2,
+             avg(embedding[3]) AS m3, stddev_samp(embedding[3]) AS s3,
+             avg(embedding[4]) AS m4, stddev_samp(embedding[4]) AS s4
+           FROM embeddings)
+         SELECT vec_id,
+           round((embedding[1] - m1) / s1, 4) AS z1,
+           round((embedding[2] - m2) / s2, 4) AS z2,
+           round((embedding[3] - m3) / s3, 4) AS z3,
+           round((embedding[4] - m4) / s4, 4) AS z4
+         FROM embeddings CROSS JOIN s ORDER BY vec_id""",
+    // d42: exactness-window oracle (d26's stance): at eps 1e-4 the CMS
+    // width dwarfs the corpus vocab, so every top-20 estimate equals the
+    // exact count — the oracle pins cnt_est to the exact count and any
+    // sketch collision breaks the row hash.
+    "d42_heavy_hitters" ->
+      """SELECT token, cnt, cnt AS cnt_est FROM (
+           SELECT token, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)) AS token FROM documents)
+           GROUP BY token ORDER BY cnt DESC, token LIMIT 20)
+         ORDER BY token""",
+    // d43: A-ES weighted sampling — identical md5-derived uniforms on both
+    // engines; keys are -ln(u)/w over doubles, noise ~1e-16 relative, far
+    // inside the round(…,6) margin and the k-th/(k+1)-th key gap.
+    "d43_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+             ((('0x' || substr(md5(doc_id::VARCHAR || ':wrs'), 1, 8))::UBIGINT)::DOUBLE
+               + 0.5) / 4294967296.0 AS u
+           FROM documents),
+           sel AS (SELECT doc_id, n_chars, -ln(u) / n_chars::DOUBLE AS wkey
+             FROM k ORDER BY wkey, doc_id LIMIT 50)
+         SELECT doc_id, n_chars, round(wkey, 6) AS wkey FROM sel ORDER BY doc_id""",
     // d41: unigram LM scoring — vocab = top-64 by (cnt desc, token asc);
     // N counts EVERY token occurrence; OOV floor = ln(1/N). Cross-entropy
     // is -avg(ln p) in nats; float sum-order noise is ~1e-15 relative,

@@ -45,6 +45,74 @@ object Lm {
     UnigramModel(vocab, n, math.log(1.0 / n.toDouble))
   }
 
+  /** Interpolated bigram model: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·p_uni(w₂)
+    * — one step toward the KenLM scoring CCNet actually deploys. The bigram
+    * table is capped to the top `maxBigrams` by (count desc, w₁, w₂) with
+    * each row carrying its own c(w₁) (so the conditional needs no second
+    * join); a missing bigram backs off to (1−λ)·p_uni — the interpolation
+    * keeps every probability strictly positive, so capping the table only
+    * coarsens scores, never breaks them. Both tables are
+    * TakeOrderedAndProject-bounded broadcasts; corpus scans: one for
+    * unigrams, one for bigrams, one to score. */
+  final case class BigramModel(unigram: UnigramModel, bigrams: DataFrame, lambda: Double)
+
+  def bigramLm(docs: DataFrame, textCol: String = "text", vocabSize: Int = 4096,
+      maxBigrams: Int = 4096, lambda: Double = 0.7): BigramModel = {
+    require(lambda > 0 && lambda < 1, s"lambda in (0,1): $lambda")
+    val uni = unigramLm(docs, textCol, vocabSize)
+    val toks = docs.select(TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    // within-doc adjacent pairs: zip(toks[0..n-2], toks[1..n-1])
+    val pairs = toks.select(explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val biCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
+    // attach c(w1): w1-marginal over the FULL pair relation (not the capped
+    // table) so conditionals are true corpus conditionals
+    val w1Counts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = biCounts.join(w1Counts, "w1")
+      .select(col("w1"), col("w2"), col("cnt"), col("c1"),
+        (col("cnt").cast("double") / col("c1")).as("p_cond"))
+    BigramModel(uni, bi, lambda)
+  }
+
+  /** Per-doc conditional cross-entropy under the interpolated bigram model:
+    * positions 2..T scored by ln(λ·p_cond + (1−λ)·p_uni(w₂)); the first
+    * token has no history and is skipped (standard conditional scoring).
+    * Docs with < 2 tokens vanish. Returns (idCol, n_scored, n_bigram_hits,
+    * cross_entropy, ppl). */
+  def bigramPerplexity(docs: DataFrame, model: BigramModel, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toks.select(col(idCol), explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val nTotal = model.unigram.totalTokens.toDouble
+    val scored = pairs
+      .join(broadcast(model.bigrams.select("w1", "w2", "p_cond")), Seq("w1", "w2"), "left")
+      .join(broadcast(model.unigram.vocab
+          .select(col("token").as("w2"),
+            (col("cnt").cast("double") / nTotal).as("p_uni"))),
+        Seq("w2"), "left")
+      .select(col(idCol),
+        col("p_cond").isNotNull.as("hit"),
+        log(coalesce(col("p_cond"), lit(0.0)) * model.lambda +
+          coalesce(col("p_uni"), lit(1.0 / nTotal)) * (1.0 - model.lambda))
+          .as("lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bigram_hits"),
+        (-avg(col("lp"))).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
   /** Per-doc cross-entropy (nats/token) and perplexity under the model.
     * Docs with zero tokens vanish at the explode (callers that need them
     * keep a left join). Returns (idCol, n_tokens, n_oov, cross_entropy,

@@ -135,6 +135,35 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Per-dimension z-score standardization — the feature-scaling step in
+    * front of k-means / quantization / cosine pipelines whose dimensions
+    * have incommensurate scales. Same cost shape as [[fit]]: ONE O(d²)-state
+    * moments pass yields mean and SAMPLE std (n−1, `stddev_samp` parity)
+    * per dimension, then a narrow codegen'd pass emits
+    * z = (x − mean) / max(sd, 1e-30) (the floor keeps constant dimensions
+    * at z = 0 instead of NaN). Returns (idCol, z array<double>). */
+  def standardize(vectors: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val dim = vectors.select(size(col(vecCol))).head.getInt(0)
+    val agg = udaf(new MomentsAggregator(dim))
+    val flat = vectors
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .agg(agg(col("v")).as("m"))
+      .head.getSeq[Double](0)
+    val m = MomentsAggregator.decode(dim, flat)
+    require(m.n > 1, s"standardize needs n > 1 vectors, got ${m.n}")
+    val n = m.n.toDouble
+    val mean = m.sums.map(_ / n)
+    val sd = Array.tabulate(dim) { j =>
+      math.max(math.sqrt(math.max(m.raw(j)(j) - n * mean(j) * mean(j), 0.0) / (n - 1.0)), 1e-30)
+    }
+    val z = zip_with(
+      zip_with(transform(col(vecCol), x => x.cast("double")),
+        array(mean.map(lit): _*), (a, b) => a - b),
+      array(sd.map(lit): _*), (a, b) => a / b)
+    vectors.select(col(idCol), z.as("z"))
+  }
+
   /** Project onto the model's components: (idCol, proj array<double>[r]).
     * Narrow codegen'd pass — mean and components are literals in the
     * expression tree. */

@@ -99,6 +99,33 @@ object Sampling {
     raw.view.mapValues(w => math.max(1, math.round(10000.0 * w / mx).toInt)).toMap
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * Information Processing Letters '06): the k rows minimizing
+    * −ln(u_i)/w_i, where u_i ∈ (0,1) is a per-row uniform. Inclusion
+    * probability is proportional to weight in the without-replacement
+    * sense — THE quality-weighted subcorpus selection step (keep 1M docs
+    * favoring high quality scores).
+    *
+    * The uniform is deterministic, not RNG: u = (first 8 md5 hex digits of
+    * `id:salt` + 0.5) / 2³². Same engine-recomputable stance as
+    * [[hashSplit]]/[[mixtureSample]] (salted so composed sampling stages
+    * decorrelate), and +0.5 keeps u strictly inside (0,1) — no ln(0).
+    *
+    * Scale shape: one narrow codegen'd pass computes keys, then a global
+    * top-k by `orderBy(key).limit(k)` — TakeOrderedAndProject (per-partition
+    * top-k, k-row driver merge), NEVER a global sort. The key transform
+    * −ln(u)/w is the strictly-monotone equivalent of maximizing u^(1/w)
+    * (the paper's form) and is float-stable for tiny weights. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "wrs"): DataFrame = {
+    val u = (conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.withColumn("u", u)
+      .withColumn("wkey", -log(col("u")) / weight.cast("double"))
+      .orderBy(col("wkey"), id)
+      .limit(k)
+  }
+
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")

@@ -48,6 +48,40 @@ class LmSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(row._2 - 4.0) < 1e-9)
   }
 
+  test("bigram conditionals are c(w1w2)/c(w1); misses back off to the unigram term") {
+    // pairs: (a,b)x2, (b,a)x1, (a,c)x1 from "a b a b" and "a c"
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = Lm.bigramLm(corpus, vocabSize = 8, maxBigrams = 8, lambda = 0.5)
+    val bi = m.bigrams.select("w1", "w2", "p_cond")
+      .as[(String, String, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    // c(a)=3 as first element: (a,b)x2, (a,c)x1 → p(b|a)=2/3, p(c|a)=1/3
+    assert(math.abs(bi(("a", "b")) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(bi(("a", "c")) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(bi(("b", "a")) - 1.0) < 1e-12) // c(b)=1 first-position
+    // scoring "a b": one position, hit → ln(0.5·(2/3) + 0.5·p_uni(b))
+    // N=6 (a×3,b×2,c×1): p_uni(b)=2/6
+    val h = Lm.bigramPerplexity(Seq((9L, "a b")).toDF("doc_id", "text"), m)
+      .select("n_scored", "n_bigram_hits", "cross_entropy")
+      .as[(Long, Long, Double)].head()
+    assert(h._1 == 1 && h._2 == 1)
+    assert(math.abs(h._3 - (-math.log(0.5 * (2.0 / 3.0) + 0.5 * (2.0 / 6.0)))) < 1e-12)
+    // an unseen bigram of unseen words: pure floor backoff, zero hits
+    val miss = Lm.bigramPerplexity(Seq((10L, "q r")).toDF("doc_id", "text"), m)
+      .select("n_bigram_hits", "cross_entropy").as[(Long, Double)].head()
+    assert(miss._1 == 0)
+    assert(math.abs(miss._2 - (-math.log(0.5 * (1.0 / 6.0)))) < 1e-12)
+  }
+
+  test("bigram table cap only coarsens: capped model never scores NaN/-inf and single-token docs vanish") {
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "x")).toDF("doc_id", "text")
+    val m = Lm.bigramLm(corpus, vocabSize = 2, maxBigrams = 2, lambda = 0.7)
+    assert(m.bigrams.count() == 2) // cap applied
+    val got = Lm.bigramPerplexity(corpus, m)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L)) // "x" has no bigram positions
+    assert(!got.head._2.isNaN && !got.head._2.isInfinite)
+  }
+
   test("a low-probability doc scores strictly higher cross-entropy than a high-probability one") {
     val lm = Lm.unigramLm(docs, vocabSize = 2)
     val h = Lm.perplexity(

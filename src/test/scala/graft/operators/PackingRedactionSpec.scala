@@ -101,6 +101,42 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "c") == 2)
   }
 
+  test("weightedSample: A-ES keys match driver arithmetic; selection is deterministic") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(df, $"doc_id", $"w", k = 10)
+      .select("doc_id", "wkey").as[(Long, Double)].collect().sortBy(_._1)
+    // driver reference: same md5-derived uniform, -ln(u)/w, bottom-10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(s"$id:wrs".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      -math.log(u) / w
+    }
+    val expected = (1L to 100L).map(i => (i, key(i, i.toDouble)))
+      .sortBy { case (id, k0) => (k0, id) }.take(10).sortBy(_._1)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+    // deterministic under reordering
+    val again = Sampling.weightedSample(df.orderBy(rand(7)), $"doc_id", $"w", k = 10)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == got.map(_._1).toSeq)
+  }
+
+  test("weightedSample favors heavy weights (inclusion ~ weight) and salts decorrelate") {
+    // two strata: ids 1-500 weight 1, ids 501-1000 weight 100 — the heavy
+    // half must dominate a k=100 sample overwhelmingly
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) 1L else 100L)).toDF("doc_id", "w")
+    val sel = Sampling.weightedSample(df, $"doc_id", $"w", k = 100)
+      .select("doc_id").as[Long].collect()
+    val heavy = sel.count(_ > 500)
+    assert(heavy > 90, s"heavy-weight rows selected: $heavy/100")
+    // a different salt reshuffles the light-weight stragglers
+    val other = Sampling.weightedSample(df, $"doc_id", $"w", k = 100, salt = "other")
+      .select("doc_id").as[Long].collect()
+    assert(other.toSet != sel.toSet)
+  }
+
   test("hashSplit: total deterministic partition with md5-mod buckets") {
     val df = (0L until 500L).toDF("doc_id")
     val splits = Seq(("train", 80), ("val", 10), ("test", 10))

@@ -74,6 +74,26 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("standardize: per-dim sample mean 0 / std 1; constant dims map to 0, not NaN") {
+    val df = Seq(
+      (1L, Seq(1.0, 10.0, 5.0)),
+      (2L, Seq(2.0, 20.0, 5.0)),
+      (3L, Seq(3.0, 30.0, 5.0)),
+      (4L, Seq(4.0, 40.0, 5.0))).toDF("vec_id", "embedding")
+    val z = Pca.standardize(df).as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val zs = z.map(_._2)
+    for (j <- 0 until 3) {
+      val colV = zs.map(_(j))
+      assert(math.abs(colV.sum / 4) < 1e-12, s"mean dim $j")
+      if (j < 2) {
+        val sd = math.sqrt(colV.map(x => x * x).sum / 3) // mean is 0
+        assert(math.abs(sd - 1.0) < 1e-12, s"std dim $j")
+      } else assert(colV.forall(_ == 0.0), "constant dim → 0")
+    }
+    // z-scores of dims 0 and 1 are identical (both are linear ramps)
+    zs.foreach(v => assert(math.abs(v(0) - v(1)) < 1e-12))
+  }
+
   test("explained variance ratios sum to <= 1 and match eigenvalue shares") {
     val vecs = Seq.tabulate(30)(i =>
       (i.toLong, Seq(i.toDouble, (i % 5).toDouble, ((i * 7) % 11).toDouble / 11.0)))

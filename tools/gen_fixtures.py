@@ -588,6 +588,41 @@ def main():
             pieces.extend(enc_memo[w])
         d31_rows.append((i, len(pieces), " ".join(pieces[:8])))
 
+    # ---- d44: WordPiece greedy maximal-munch under the BPE-merge vocab —
+    # independent matcher; chooses different segmentations than d31's
+    # merge-order replay, so it pins the greedy rule specifically
+    wp_vocab = set(l + r for l, r, _c in bpe_merges)
+    wp_max = max((len(p) for p in wp_vocab), default=1)
+
+    def wp_encode(word):
+        out = []
+        i = 0
+        while i < len(word):
+            m = None
+            j = min(len(word), i + wp_max)
+            while m is None and j - i >= 2:
+                if word[i:j] in wp_vocab:
+                    m = word[i:j]
+                else:
+                    j -= 1
+            if m is not None:
+                out.append(m)
+                i += len(m)
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    wp_memo = {}
+    d44_rows = []
+    for i, _t in docs:
+        pieces = []
+        for w in toks[i]:
+            if w not in wp_memo:
+                wp_memo[w] = wp_encode(w)
+            pieces.extend(wp_memo[w])
+        d44_rows.append((i, len(pieces), " ".join(pieces[:8])))
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -647,6 +682,10 @@ def main():
                " c2 AS pieces_prefix FROM (VALUES\n"
                + values(d31_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}")
                + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    d44_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_pieces,"
+               " c2 AS pieces_prefix FROM (VALUES\n"
+               + values(d44_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}")
+               + ") AS t(c0, c1, c2) ORDER BY doc_id")
     e15_sql = ("SELECT c0::BIGINT AS vec_id, c1::DOUBLE AS p1,"
                " c2::DOUBLE AS p2, c3::DOUBLE AS p3, c4::DOUBLE AS p4"
                " FROM (VALUES\n"
@@ -696,6 +735,8 @@ object FixtureOracles {{
       \"\"\"{d30_sql}\"\"\",
     "d31_bpe_encode" ->
       \"\"\"{d31_sql}\"\"\",
+    "d44_wordpiece_encode" ->
+      \"\"\"{d44_sql}\"\"\",
     "e15_pca_project" ->
       \"\"\"{e15_sql}\"\"\")
 }}
