@@ -1030,6 +1030,30 @@ object SparkEntry {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    "d46_source_report" -> ((s, d) => {
+      // corpus composition accounting — the report every mixture decision
+      // (d29/temperature reweighting) reads: per-source doc/token counts,
+      // token share, mean quality, exact-dup incidence. One profile scan +
+      // one md5 dup-group pass + one per-source rollup; shuffles carry
+      // (source) and (digest) keys only, never text.
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScoreOfProfile(
+          TextFunctions.textProfile(col("text"))).as("q"),
+        md5(col("text")).as("digest"))
+      val dupDigests = scored.groupBy("digest").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("digest"), lit(1L).as("is_dup"))
+      val flagged = scored.join(dupDigests, Seq("digest"), "left")
+      val totalTokens = scored.agg(sum("n_tokens")).head.getLong(0).toDouble
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          round(sum("n_tokens").cast("double") / totalTokens, 6).as("token_share"),
+          round(avg("q"), 4).as("avg_quality"),
+          coalesce(sum("is_dup"), lit(0L)).as("n_exact_dup_docs"))
+        .orderBy("source")
+    }),
     "d45_bigram_lm" -> ((s, d) => {
       // interpolated bigram LM scoring — one step toward CCNet's KenLM:
       // p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·p_uni(w2). Bigram table capped
@@ -1344,6 +1368,46 @@ object SparkEntry {
           round(element_at(col("proj"), 3), 4).as("p3"),
           round(element_at(col("proj"), 4), 4).as("p4"))
         .orderBy("vec_id")
+    }),
+    "e18_opq_adc" -> ((s, d) => {
+      // OPQ (Ge et al. '14, parametric variant): PCA-rotate with greedy
+      // eigenvalue allocation balancing per-subspace variance products,
+      // THEN PQ/ADC — same storage as e9, better code-budget use. One
+      // moments pass for the rotation, narrow projection, then exactly
+      // e9's encode/search shape over the rotated space. Oracle: an
+      // independent numpy chain (LAPACK eigh → same greedy allocation →
+      // PQ argmin with margin asserts) in tools/gen_fixtures.py.
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.Pca.fit(emb, r = 64)
+      val perm = graft.operators.Pca.opqAllocation(model.eigenvalues, m = 8)
+      val rot = graft.operators.Pca.PcaModel(model.n, model.mean,
+        perm.map(model.eigenvalues(_)), perm.map(model.components(_)))
+      val proj = graft.operators.Pca.project(emb, rot)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      val cents = proj.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cbs = Similarity.pqCodebooks(cents, m = 8)
+      Similarity.pqTopK(Similarity.pqEncode(proj, cbs),
+          proj.filter(col("vec_id") < 3), cbs, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e17_knn_graph" -> ((s, d) => {
+      // corpus k-NN graph (clustering / SemDeDup / label-propagation
+      // input): cell-restricted neighbors via the zero-shuffle argmin
+      // assignment + skew-guarded within-cell pairs + bounded top-k
+      // partials. Fixed first-8 centroids keep the whole construction
+      // SQL-reproducible (e6's stance).
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.knnGraph(emb, cents, k = 3)
+        .select(col("id"), col("nbr_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("id", "rank")
     }),
     "e16_standardize" -> ((s, d) =>
       // per-dimension z-score standardization — feature scaling before
@@ -2020,6 +2084,36 @@ object SparkEntry {
          SELECT doc_id, stage, shard FROM outp ORDER BY doc_id""",
     // d39: edit-distance verify over inverted-index candidates (superset of
     // the engine's LSH candidates); filter on the unrounded similarity.
+    // d46: per-source composition rollup. Quality is d5's UNROUNDED score
+    // averaged per source (4dp round only at the end); dup incidence =
+    // docs whose md5(text) digest appears more than once corpus-wide.
+    "d46_source_report" ->
+      """WITH s AS (SELECT doc_id, source, length(text) AS n,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS ltoks,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0) AS toks,
+           length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS npunct,
+           md5(text) AS digest
+           FROM documents),
+         q AS (SELECT doc_id, source, digest, len(toks)::BIGINT AS n_tokens,
+           (CASE WHEN n < 10 THEN n / 10.0 WHEN n > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+           + (CASE WHEN npunct::DOUBLE / n > 0.3 THEN 0.0 ELSE 1.0 END) * 0.25
+           + (CASE WHEN len(ltoks) > 0 AND len(list_filter(ltoks, t -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it','that','for',
+                'on','with','as','was','at','by','be','this','are','from','but'], t)))::DOUBLE
+               / len(ltoks) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.25
+           + (CASE WHEN len(toks) > 0
+               AND list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) >= 2.5
+               AND list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) <= 12.0
+               THEN 1.0 ELSE 0.4 END) * 0.25 AS q
+           FROM s),
+         dup AS (SELECT digest FROM q GROUP BY digest HAVING count(*) > 1),
+         tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM q)
+         SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           round(sum(n_tokens)::DOUBLE / tot.t, 6) AS token_share,
+           round(avg(q.q), 4) AS avg_quality,
+           sum(CASE WHEN dup.digest IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup_docs
+         FROM q LEFT JOIN dup ON q.digest = dup.digest CROSS JOIN tot
+         GROUP BY source, tot.t ORDER BY source""",
     // d45: interpolated bigram scoring. The (1.0 - 0.7) form (not 0.3)
     // keeps the interpolation weight bit-identical across engines; noise
     // is then pure sum-order, ~1e-16 relative, inside the 4dp/2dp margins.
@@ -2050,6 +2144,27 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_scored, sum(hit)::BIGINT AS n_bigram_hits,
            round(-avg(lp), 4) AS cross_entropy, round(exp(-avg(lp)), 2) AS ppl
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // e17: window-form kNN graph — cells by the e6 argmin window, within-
+    // cell directed pairs, rank by (cosine desc, nbr asc). Cosine parity
+    // with list_cosine_similarity is the e6-pinned pairing.
+    "e17_knn_graph" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           cell AS (SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           p AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+               list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos
+             FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             JOIN embeddings ea ON ea.vec_id = a.vec_id
+             JOIN embeddings eb ON eb.vec_id = b.vec_id),
+           rk AS (SELECT id, nbr_id, cos,
+               row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr_id) AS r
+             FROM p)
+         SELECT id, nbr_id, round(cos, 6) AS cosine, r::INT AS rank
+         FROM rk WHERE r <= 3 ORDER BY id, rank""",
     // e16: stddev_samp parity (n−1); float32 inputs are exact in double on
     // both engines, so only sum-order noise separates them — ≪ 4dp margins.
     "e16_standardize" ->

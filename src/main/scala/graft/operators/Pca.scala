@@ -135,6 +135,44 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** Parametric OPQ dimension allocation (Ge et al. CVPR '14, "Optimized
+    * Product Quantization", the OPQ-P variant): permute principal
+    * dimensions so each of the `m` PQ subspaces receives a balanced
+    * eigenvalue PRODUCT — plain PCA rotation concentrates variance in the
+    * first subspaces and starves the rest, which wastes their code budget;
+    * balancing the log-eigenvalue sums equalizes per-subspace quantization
+    * difficulty. Greedy: dims in eigenvalue-desc order, each assigned to
+    * the unfilled bucket with the smallest running log-product (ties →
+    * lowest bucket) — the paper's heuristic, driver-side arithmetic over d
+    * scalars.
+    *
+    * Returns the permuted dimension order: positions [j·d/m, (j+1)·d/m)
+    * hold bucket j's principal-dimension indices in assignment order. Use
+    * it to reorder a [[PcaModel]]'s components before [[project]], then
+    * PQ-encode the projections ([[Similarity.pqCodebooks]] slices
+    * consecutively, so slice j IS bucket j). */
+  def opqAllocation(eigenvalues: Array[Double], m: Int): Array[Int] = {
+    val d = eigenvalues.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val cap = d / m
+    val order = eigenvalues.indices.sortBy(i => (-eigenvalues(i), i))
+    val logSum = new Array[Double](m)
+    val buckets = Array.fill(m)(Vector.newBuilder[Int])
+    val sizes = new Array[Int](m)
+    order.foreach { dim =>
+      var best = -1
+      var j = 0
+      while (j < m) {
+        if (sizes(j) < cap && (best < 0 || logSum(j) < logSum(best))) best = j
+        j += 1
+      }
+      buckets(best) += dim
+      sizes(best) += 1
+      logSum(best) += math.log(math.max(eigenvalues(dim), 1e-30))
+    }
+    buckets.flatMap(_.result())
+  }
+
   /** Per-dimension z-score standardization — the feature-scaling step in
     * front of k-means / quantization / cosine pipelines whose dimensions
     * have incommensurate scales. Same cost shape as [[fit]]: ONE O(d²)-state

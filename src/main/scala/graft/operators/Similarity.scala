@@ -428,6 +428,46 @@ object Similarity {
         col("dup_of").isNull.as("kept"))
   }
 
+  /** Corpus k-NN graph: for EVERY vector, its k most-cosine-similar
+    * neighbors within its IVF cell — the input structure for graph
+    * clustering, SemDeDup-style pruning, label propagation, and
+    * UMAP/diffusion embeddings. The all-pairs kNN graph is quadratic; the
+    * cell-restricted graph is the standard scale construction (recall
+    * bounded by cell balance — more centroids ⇒ finer cells; the e12
+    * recall metric applies).
+    *
+    * Scale shape: one zero-shuffle argmin pass assigns cells; candidate
+    * pairs form only WITHIN a cell via the same skew-guarded self-join as
+    * [[semanticDedup]] (hot cells collapse/cap with observed metrics, never
+    * silently); per-id top-k is the bounded [[ScoredTopKAggregator]]
+    * partial — ≤ k rows per (id, partition) cross the exchange, no window.
+    * Returns (id, nbr_id, cosine, rank), rank by (cosine desc, nbr asc). */
+  def knnGraph(vectors: DataFrame, centroids: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Int = 4096): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val cells = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col("vec"), cents, 1), 1)
+          .getField("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // undirected guarded pairs → symmetrize (each endpoint ranks the other)
+    val und = SkewGuard.guardedSelfJoinPairs(cells, Seq("cell"),
+      idCol = "id", payloadCol = "vec", maxBucket = maxBucket, label = "knn_graph")
+    val directed = und.unionByName(
+      und.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val scored = directed
+      .join(cells.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(cells.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+    scored.groupBy("id_a").agg(topk(col("id_b"), col("cosine")).as("top"))
+      .select(col("id_a").as("id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("id"), col("s.id").as("nbr_id"), col("s.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Random-hyperplane LSH self-join: vectors sharing a `nBits`-bit sign
     * sketch land in one bucket; pairs within a bucket are verified by exact
     * cosine ≥ threshold. Hyperplanes are derived deterministically from

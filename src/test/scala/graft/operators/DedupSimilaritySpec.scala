@@ -584,4 +584,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("n_found").as[Long].collect()
     assert(partial.forall(_ <= 5L))
   }
+
+  test("knnGraph: every vector ranks its cellmates by cosine; edges stay within cells") {
+    val dim = 8
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    val graph = Similarity.knnGraph(vecs, cents, k = 3)
+      .select("id", "nbr_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // driver reference: cells via assignCells, per-cell all-pairs cosine
+    val cells = KMeans.assignCells(vecs, cents.select($"centroid_id", $"centroid_vec"),
+        "embedding", "vec_id")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val raw = vecs.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = raw.keys.toSeq.flatMap { id =>
+      val mates = raw.keys.toSeq.filter(o => o != id && cells(o) == cells(id))
+      mates.map(o => (id, o, cos(raw(id), raw(o))))
+        .sortBy { case (_, o, c) => (-c, o) }.take(3).zipWithIndex
+        .map { case ((i, o, _), r) => (i, o, r + 1) }
+    }.toSet
+    assert(graph.map(g => (g._1, g._2, g._4)).toSet == expected)
+    // every edge stays within a cell
+    graph.foreach { case (a, b, _, _) => assert(cells(a) == cells(b)) }
+    // ranks are 1..k' contiguous per id, cosine non-increasing
+    graph.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    }
+  }
 }
