@@ -1374,9 +1374,10 @@ object SparkEntry {
       // eigenvalue allocation balancing per-subspace variance products,
       // THEN PQ/ADC — same storage as e9, better code-budget use. One
       // moments pass for the rotation, narrow projection, then exactly
-      // e9's encode/search shape over the rotated space. Oracle: an
-      // independent numpy chain (LAPACK eigh → same greedy allocation →
-      // PQ argmin with margin asserts) in tools/gen_fixtures.py.
+      // e9's encode/search shape over the rotated space. Oracle: the
+      // independent numpy chain in tools/gen_fixtures.py (LAPACK eigh →
+      // same greedy allocation → PQ argmin → ADC, margin asserts at every
+      // discrete choice), emitted as the e18 FixtureOracles entry.
       val emb = t(s, d, "embeddings")
       val model = graft.operators.Pca.fit(emb, r = 64)
       val perm = graft.operators.Pca.opqAllocation(model.eigenvalues, m = 8)
@@ -1430,6 +1431,34 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")),
+    "e19_opq_ivfpq" -> ((s, d) => {
+      // OPQ-IVFPQ (production FAISS "OPQn,IVFk,PQm"): e18's rotation
+      // composed with e13's residual layout — rotate with balanced
+      // eigenvalue allocation, coarse-quantize the ROTATED vectors
+      // (first-8, e6's fixed-training stance), PQ the residuals
+      // (codebooks from the first-16 rotated vectors' residuals),
+      // per-(query, probed-cell) LUTs. Same bounded shapes as e13: the
+      // rotation rides the expression tree, LUTs stay driver-metadata-
+      // sized, the probe reads nProbe/nCells of the codes. Oracle: the
+      // e18 numpy chain extended one step (coarse argmin → residual PQ →
+      // per-cell LUT ADC) in tools/gen_fixtures.py → FixtureOracles e19.
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.Pca.fit(emb, r = 64)
+      val perm = graft.operators.Pca.opqAllocation(model.eigenvalues, m = 8)
+      val rot = graft.operators.Pca.PcaModel(model.n, model.mean,
+        perm.map(model.eigenvalues(_)), perm.map(model.components(_)))
+      val proj = graft.operators.Pca.project(emb, rot)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      val coarse = proj.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cbs = Similarity.residualCodebooks(proj.filter(col("vec_id") < 16), coarse, m = 8)
+      Similarity.ivfPqResidualTopK(proj, proj.filter(col("vec_id") < 3), coarse, cbs,
+          k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e13_ivfpq_residual" -> ((s, d) => {
       // residual IVF-PQ (the production FAISS IVFPQ): PQ codes quantize
       // v − c(cell(v)); query LUTs are per probed CELL. Fixed, SQL-

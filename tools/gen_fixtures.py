@@ -372,6 +372,193 @@ def pca_fixture(sf, r=4):
     return out
 
 
+def opq_allocation(vals, m):
+    """Mirror graft.operators.Pca.opqAllocation exactly: dims in
+    eigenvalue-desc order, each to the unfilled bucket with the smallest
+    running log-eigenvalue sum (strict <, ties keep the lowest bucket).
+    Margin-asserts every non-forced choice so solver noise (engine Jacobi
+    vs LAPACK eigh, ~1e-12) cannot flip a bucket assignment."""
+    import math
+    d = len(vals)
+    assert d % m == 0
+    cap = d // m
+    logsum = [0.0] * m
+    sizes = [0] * m
+    buckets = [[] for _ in range(m)]
+    for dim in range(d):  # vals already eigenvalue-desc
+        best = -1
+        for j in range(m):
+            if sizes[j] < cap and (best < 0 or logsum[j] < logsum[best]):
+                best = j
+        others = [logsum[j] for j in range(m) if j != best and sizes[j] < cap]
+        if others:
+            gap = min(others) - logsum[best]
+            assert gap > 1e-9 or (gap == 0.0 and logsum[best] == 0.0), \
+                f"fragile OPQ allocation at dim {dim}: bucket gap {gap}"
+        buckets[best].append(dim)
+        sizes[best] += 1
+        logsum[best] += math.log(max(float(vals[dim]), 1e-30))
+    return [dim for b in buckets for dim in b]
+
+
+def opq_rotated_corpus(sf, m=8):
+    """The shared OPQ front half of e18/e19: full-spectrum PCA (numpy/LAPACK
+    — independent of the engine's Jacobi), sign/order determinism contract,
+    greedy OPQ dimension allocation, rotation. Returns (ids, {id: rotated
+    vector}, d). Refuses near-degenerate spectra ANYWHERE (unlike e15's
+    top-4 check, the rotation uses all 64 eigenvectors)."""
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(i) for i, _ in rows]
+    x = np.array([[float(v) for v in e] for _, e in rows])
+    d = x.shape[1]
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(-vals, kind="stable")
+    vals, vecs = vals[order], vecs[:, order]
+    for j in range(d - 1):
+        gap = (vals[j] - vals[j + 1]) / max(vals[0], 1e-30)
+        assert gap > 1e-6, f"near-degenerate spectrum at {j}: gap={gap}"
+    comps = []
+    for j in range(d):
+        c = vecs[:, j].copy()
+        best = int(np.argmax(np.abs(c)))
+        assert abs(c[best]) > 1e-6, f"sign-fix pivot ~0 at component {j}"
+        if c[best] < 0:
+            c = -c
+        comps.append(c)
+    perm = opq_allocation(vals, m)
+    rot = np.array([comps[p] for p in perm])
+    proj = (x - mean) @ rot.T
+    return ids, {vid: proj[i] for i, vid in enumerate(ids)}, d
+
+
+def pq_codes_with_margin(vec, cents, m, sub, what, eps=1e-7):
+    """Per-subspace argmin codes (dist asc, id asc — NearestCellsExpr's
+    order), refusing any argmin whose winner beats the runner-up by < eps
+    (engine/fixture rotations differ by solver noise ~1e-10)."""
+    codes = []
+    for j in range(m):
+        slices = {cid: tuple(float(x) for x in cv[j * sub:(j + 1) * sub])
+                  for cid, cv in cents}
+        scored = sorted((l2sq(vec[j * sub:(j + 1) * sub], slices[cid]), cid)
+                        for cid, _cv in cents)
+        gap = scored[1][0] - scored[0][0]
+        # an exact tie is safe ONLY between bit-identical codewords (e.g.
+        # the all-zero residuals of centroid-sample vectors): both engines
+        # then compute bit-equal distances and break by id the same way
+        assert gap > eps or (gap == 0.0 and slices[scored[1][1]] == slices[scored[0][1]]), \
+            f"fragile PQ argmin {what} j={j}: gap {gap}"
+        codes.append(scored[0][1])
+    return codes
+
+
+def ranked_topk_with_margin(cands, k, what, eps=1e-8):
+    """(adc, id) asc ranking with a separation assert through the top-k
+    boundary, then 6-decimal rounding-safety on the emitted distances.
+    cands are (adc, id, key): an exact-zero gap is safe ONLY between
+    candidates with identical keys (code vectors [+cell]) — both engines
+    then compute bit-equal sums and break the tie by id the same way."""
+    cands = sorted(cands)
+    for r in range(min(k, len(cands) - 1)):
+        gap = cands[r + 1][0] - cands[r][0]
+        assert gap > eps or (gap == 0.0 and cands[r + 1][2] == cands[r][2]), \
+            f"fragile rank boundary {what} r={r + 1}: gap {gap}"
+    out = []
+    for rank, (adc, cid, _key) in enumerate(cands[:k], start=1):
+        assert_rounding_safe(adc, 6, 1e-7, f"{what} adc rank {rank}")
+        out.append((cid, rnd(adc, 6), rank))
+    return out
+
+
+def opq_adc_fixture(ids, rotated, d, m=8, k=5):
+    """e18 oracle: plain PQ/ADC over the OPQ-rotated space — sub-codebooks
+    are slices of the first-16 rotated vectors (e9's fixed-training stance),
+    codes are per-subspace argmins, ADC sums LUT entries in subspace order.
+    Mirrors Similarity.pqEncode/pqTopK by contract, not by code."""
+    sub = d // m
+    cents = [(cid, rotated[cid]) for cid in sorted(ids) if cid < 16]
+    codes = {vid: pq_codes_with_margin(rotated[vid], cents, m, sub, f"e18 v{vid}")
+             for vid in ids}
+    rows = []
+    for q in [i for i in sorted(ids) if i < 3]:
+        qv = rotated[q]
+        lut = [[l2sq(qv[j * sub:(j + 1) * sub], cv[j * sub:(j + 1) * sub])
+                for _cid, cv in cents] for j in range(m)]
+        cands = []
+        for c in ids:
+            if c == q:
+                continue
+            acc = 0.0
+            for j in range(m):  # left-to-right, parity w/ aggregate()
+                acc += lut[j][codes[c][j]]
+            cands.append((acc, c, tuple(codes[c])))
+        for cid, adc, rank in ranked_topk_with_margin(cands, k, f"e18 q{q}"):
+            rows.append((q, cid, adc, rank))
+    return rows
+
+
+def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
+    """e19 oracle: the full production FAISS OPQ-IVFPQ chain over the
+    rotated space — coarse cells (first-8 rotated vectors), residual
+    codebooks (residuals of the first-16), per-(query, probed-cell) LUTs,
+    ADC over probed cells only. Mirrors Similarity.ivfPqResidualTopK by
+    contract."""
+    sub = d // m
+    coarse = [(cid, rotated[cid]) for cid in sorted(ids) if cid < 8]
+
+    def cell_of(vec, what):
+        scored = sorted((l2sq(vec, cv), cid) for cid, cv in coarse)
+        assert scored[1][0] - scored[0][0] > 1e-7, \
+            f"fragile coarse argmin {what}: gap {scored[1][0] - scored[0][0]}"
+        return scored[0][1]
+
+    cent = dict(coarse)
+    # residual codebooks from the first-16 rotated vectors
+    cbs = []
+    for sid in sorted(ids):
+        if sid >= 16:
+            continue
+        v = rotated[sid]
+        res = v - cent[cell_of(v, f"e19 cb{sid}")]
+        cbs.append((sid, res))
+    # corpus: cell + residual codes
+    cells, codes = {}, {}
+    for vid in ids:
+        v = rotated[vid]
+        cells[vid] = cell_of(v, f"e19 v{vid}")
+        res = v - cent[cells[vid]]
+        codes[vid] = pq_codes_with_margin(res, cbs, m, sub, f"e19 v{vid}")
+    rows = []
+    for q in [i for i in sorted(ids) if i < 3]:
+        qv = rotated[q]
+        probes = sorted((l2sq(qv, cv), cid) for cid, cv in coarse)
+        assert probes[n_probe][0] - probes[n_probe - 1][0] > 1e-7, \
+            f"fragile probe boundary e19 q{q}: gap {probes[n_probe][0] - probes[n_probe - 1][0]}"
+        probed = [cid for _d, cid in probes[:n_probe]]
+        luts = {}
+        for cell in probed:
+            cv = cent[cell]
+            luts[cell] = [[l2sq([qv[j * sub + i] - cv[j * sub + i] for i in range(sub)], cw[j * sub:(j + 1) * sub])
+                           for _sid, cw in cbs] for j in range(m)]
+        cands = []
+        for c in ids:
+            if c == q or cells[c] not in probed:
+                continue
+            lut = luts[cells[c]]
+            acc = 0.0
+            for j in range(m):
+                acc += lut[j][codes[c][j]]
+            cands.append((acc, c, (cells[c],) + tuple(codes[c])))
+        for cid, adc, rank in ranked_topk_with_margin(cands, k, f"e19 q{q}"):
+            rows.append((q, cid, adc, rank))
+    return rows
+
+
 def bpe_learn(word_counts, num_merges):
     """INDEPENDENT BPE merge learning (Sennrich et al. 2016): symbols are
     codepoints, merge choice is (weighted pair count desc, left asc, right
@@ -546,6 +733,12 @@ def main():
     # ---- e15: PCA projection — independent numpy/LAPACK eigensolve
     e15_rows = pca_fixture(sf)
 
+    # ---- e18/e19: OPQ chain (rotation → PQ/ADC; rotation → residual
+    # IVF-PQ) — one independent numpy front half feeds both oracles
+    opq_ids, opq_rot, opq_d = opq_rotated_corpus(sf)
+    e18_rows = opq_adc_fixture(opq_ids, opq_rot, opq_d)
+    e19_rows = opq_ivfpq_fixture(opq_ids, opq_rot, opq_d)
+
     # ---- d16: stratified sample — per-language hash-mod rates (xxh64 of
     # the doc_id LONG, floorMod 100, mirroring Spark pmod(xxhash64(col),100))
     d16_rates = {"en": 20, "de": 50, "es": 80, "fr": 100}
@@ -692,6 +885,14 @@ def main():
                + values(e15_rows,
                         lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, {r[3]!r}, {r[4]!r}")
                + ") AS t(c0, c1, c2, c3, c4) ORDER BY vec_id")
+    def adc_sql(rows):
+        return ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
+                " c2::DOUBLE AS adc_dist, c3::INT AS rank FROM (VALUES\n"
+                + values(rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
+                + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
+
+    e18_sql = adc_sql(e18_rows)
+    e19_sql = adc_sql(e19_rows)
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -738,7 +939,11 @@ object FixtureOracles {{
     "d44_wordpiece_encode" ->
       \"\"\"{d44_sql}\"\"\",
     "e15_pca_project" ->
-      \"\"\"{e15_sql}\"\"\")
+      \"\"\"{e15_sql}\"\"\",
+    "e18_opq_adc" ->
+      \"\"\"{e18_sql}\"\"\",
+    "e19_opq_ivfpq" ->
+      \"\"\"{e19_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
