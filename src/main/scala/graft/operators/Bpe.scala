@@ -156,7 +156,16 @@ object Bpe {
     val ranks = model.ranks
     // stable identity for the memo registry: the merge list determines the
     // encoding, so equal models share a memo and different models never do
-    val modelId = model.merges.hashCode.toString + ":" + model.merges.length
+    // — a content digest, not hashCode, so 32-bit collisions between
+    // distinct models can't silently share memoized segmentations
+    val modelId = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      model.merges.foreach { case (l, r, _) =>
+        md.update(l.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(r.getBytes("UTF-8")); md.update(1.toByte)
+      }
+      java.util.Base64.getEncoder.encodeToString(md.digest)
+    }
     val enc = udf { toks: Seq[String] =>
       val memo = EncodeMemos.forModel(modelId)
       toks.flatMap { w =>

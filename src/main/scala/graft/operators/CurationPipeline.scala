@@ -88,7 +88,18 @@ object CurationPipeline {
         pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long"), lit(nShards)).as("shard"))
 
-    qualityDrop.unionByName(exactDrop).unionByName(nearDrop)
+    val out = qualityDrop.unionByName(exactDrop).unionByName(nearDrop)
       .unionByName(contamDrop).unionByName(kept)
+    // Materialize the verdict eagerly (it is (id, stage, shard)-only —
+    // tiny next to the text-bearing s1/s2), then release every stage
+    // intermediate: a long-lived session invoking curate repeatedly would
+    // otherwise accumulate MEMORY_AND_DISK blocks until eviction pressure.
+    // The eager localCheckpoint cuts the lineage first, so the unpersists
+    // cannot trigger recomputation. Operator-internal persists (inside
+    // ngramJaccardPairs etc.) become unreferenced here and are reclaimed
+    // by Spark's ContextCleaner on GC.
+    val result = out.localCheckpoint(true)
+    Seq(scored, s1, s2, pairs).foreach(_.unpersist(false))
+    result
   }
 }

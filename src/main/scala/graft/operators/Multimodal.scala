@@ -289,7 +289,15 @@ object Multimodal {
     * rasters hash equal across machines (no float resize in the loop).
     * Near-dup pairs then come from banding the i64 exactly like
     * [[Dedup.simHashPairs]] — one narrow decode pass, 16 bytes/image to
-    * any downstream join. */
+    * any downstream join.
+    *
+    * Images smaller than the 9×8 grid (tracking pixels, spacers — common
+    * in real web corpora) would leave grid cells empty under block-mean
+    * (`cx = x*9/w` skips cells when w<9), so empty cells borrow the
+    * nearest filled cell in their row band (same source rows — a flat
+    * column stays flat), and fully-empty row bands copy the nearest
+    * filled band. Still exact integer arithmetic, and a no-op whenever
+    * every cell has ≥1 pixel (w≥9 and h≥8). */
   def imageDHash(media: DataFrame, idCol: String = "media_id",
       bytesCol: String = "content"): Dataset[DHash] = {
     import media.sparkSession.implicits._
@@ -317,6 +325,56 @@ object Multimodal {
                 x += 1
               }
               y += 1
+            }
+            // backfill cells left empty by a sub-grid raster (w<9 or h<8):
+            // within a partially-filled band borrow the nearest filled cell
+            // of the SAME band (it averages the same source rows, so a flat
+            // column stays flat); fully-empty bands then copy the nearest
+            // filled band. Nearest prefers the lower index — deterministic.
+            if (w < 9 || h < 8) {
+              var bcy = 0
+              while (bcy < 8) {
+                // y=0 maps to band 0, so band 0 is always filled; a band is
+                // either fully empty or has its columns at x*9/w filled
+                var has = false
+                var bcx = 0
+                while (bcx < 9) { if (cnts(bcy * 9 + bcx) > 0) has = true; bcx += 1 }
+                if (has) {
+                  bcx = 0
+                  while (bcx < 9) {
+                    if (cnts(bcy * 9 + bcx) == 0) {
+                      var d = 1; var src = -1
+                      while (src < 0) {
+                        if (bcx - d >= 0 && cnts(bcy * 9 + bcx - d) > 0) src = bcx - d
+                        else if (bcx + d < 9 && cnts(bcy * 9 + bcx + d) > 0) src = bcx + d
+                        else d += 1
+                      }
+                      sums(bcy * 9 + bcx) = sums(bcy * 9 + src)
+                      cnts(bcy * 9 + bcx) = cnts(bcy * 9 + src)
+                    }
+                    bcx += 1
+                  }
+                }
+                bcy += 1
+              }
+              bcy = 0
+              while (bcy < 8) {
+                if (cnts(bcy * 9) == 0) { // post-fill, empty band ⇔ cell 0 empty
+                  var d = 1; var src = -1
+                  while (src < 0) {
+                    if (bcy - d >= 0 && cnts((bcy - d) * 9) > 0) src = bcy - d
+                    else if (bcy + d < 8 && cnts((bcy + d) * 9) > 0) src = bcy + d
+                    else d += 1
+                  }
+                  var bcx = 0
+                  while (bcx < 9) {
+                    sums(bcy * 9 + bcx) = sums(src * 9 + bcx)
+                    cnts(bcy * 9 + bcx) = cnts(src * 9 + bcx)
+                    bcx += 1
+                  }
+                }
+                bcy += 1
+              }
             }
             var hi = 0L; var lo = 0L
             var cy = 0

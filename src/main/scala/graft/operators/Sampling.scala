@@ -120,7 +120,12 @@ object Sampling {
       salt: String = "wrs"): DataFrame = {
     val u = (conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    df.withColumn("u", u)
+    // the A-ES key is only meaningful for w > 0: a negative weight would
+    // sort the WORST rows first, zero yields ±Inf/NaN keys — drop such
+    // rows explicitly (the documented contract, mirroring mixtureSample's
+    // basis-point validation) rather than let them poison the top-k
+    df.filter(weight.cast("double") > 0)
+      .withColumn("u", u)
       .withColumn("wkey", -log(col("u")) / weight.cast("double"))
       .orderBy(col("wkey"), id)
       .limit(k)

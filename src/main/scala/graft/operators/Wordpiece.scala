@@ -66,7 +66,12 @@ object Wordpiece {
     private val memos =
       new ConcurrentHashMap[String, ConcurrentHashMap[String, Vector[String]]]()
     def forVocab(vocabId: String): ConcurrentHashMap[String, Vector[String]] = {
-      if (memos.size > MaxVocabs) memos.clear()
+      if (memos.size > MaxVocabs) {
+        // evict one arbitrary entry, not the whole registry — a clear()
+        // would stampede every live vocab's memo at once
+        val it = memos.keySet.iterator
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       memos.computeIfAbsent(vocabId, _ => new ConcurrentHashMap())
     }
   }
@@ -74,7 +79,15 @@ object Wordpiece {
   /** Segment each document: (idCol, n_pieces, pieces). */
   def encode(docs: DataFrame, vocab: Vocab, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val vocabId = vocab.pieces.hashCode.toString + ":" + vocab.pieces.size
+    // content digest over the sorted piece list (not hashCode — 32-bit
+    // collisions between distinct vocabs must not share memos)
+    val vocabId = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      vocab.pieces.toSeq.sorted.foreach { p =>
+        md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+      }
+      java.util.Base64.getEncoder.encodeToString(md.digest)
+    }
     val enc = udf { toks: Seq[String] =>
       val memo = Memos.forVocab(vocabId)
       toks.flatMap { w =>

@@ -160,6 +160,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L).dhash_hi == 0xFFFFFFFFL && out(1L).dhash_lo == 0xFFFFFFFFL)
   }
 
+  test("imageDHash: images smaller than the 9x8 grid hash without error") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      Multimodal.encodeImage(img, "png")
+    }
+    val d = Seq(
+      (1L, png(1, 1, (_, _) => 128)),       // tracking pixel
+      (2L, png(2, 3, (x, y) => x * 90 + y)),
+      (3L, png(20, 4, (x, _) => x * 12)),   // wide but shorter than 8
+      (4L, png(5, 40, (_, y) => y * 6))     // narrower than 9
+    ).toDF("media_id", "content")
+    val out = Multimodal.imageDHash(d).collect().map(r => r.media_id -> r).toMap
+    assert(out.size == 4)
+    // a flat 1x1 image has zero gradient everywhere: no bit set
+    assert(out(1L).dhash_hi == 0L && out(1L).dhash_lo == 0L)
+    // the wide ramp still rises left-to-right: every adjacent-cell bit set
+    assert(out(3L).dhash_hi == 0xFFFFFFFFL && out(3L).dhash_lo == 0xFFFFFFFFL)
+    // the vertical ramp is flat within each row: no horizontal gradient
+    assert(out(4L).dhash_hi == 0L && out(4L).dhash_lo == 0L)
+  }
+
   test("decodeWav rejects junk; WAV payloads survive an opaque-binary round trip") {
     assertThrows[Exception] {
       Multimodal.decodeWav(Array.fill[Byte](64)('x'))
