@@ -151,6 +151,65 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("wordpiece: pieces concatenate back to the word, and every multi-char piece is in vocab") {
+    import graft.operators.Wordpiece
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val vocabGen = Gen.listOf(
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)))
+      .map(ps => Wordpiece.Vocab(ps.toSet))
+    forAll(Gen.zip(Gen.listOfN(10, wordGen), vocabGen), trials = 20) { case (words, vocab) =>
+      words.foreach { w =>
+        val pieces = Wordpiece.encodeWord(w, vocab)
+        assert(pieces.mkString == w, s"round-trip failed for '$w'")
+        // single codepoints are the implicit fallback; anything longer must
+        // be a real vocab piece
+        assert(pieces.filter(_.length >= 2).forall(vocab.pieces.contains))
+      }
+    }
+  }
+
+  test("wordpiece: greedy longest-match dominance — no longer vocab prefix exists at any cut") {
+    import graft.operators.Wordpiece
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b')).map(_.mkString)
+    val vocabGen = Gen.listOf(
+      Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString)))
+      .map(ps => Wordpiece.Vocab(ps.toSet))
+    forAll(Gen.zip(Gen.listOfN(8, wordGen), vocabGen), trials = 20) { case (words, vocab) =>
+      words.foreach { w =>
+        val pieces = Wordpiece.encodeWord(w, vocab)
+        var i = 0
+        pieces.foreach { p =>
+          // at offset i the emitted piece must be the LONGEST vocab match
+          val longer = ((p.length + 1) to math.min(vocab.maxLen, w.length - i))
+            .map(len => w.substring(i, i + len))
+          assert(!longer.exists(vocab.pieces.contains),
+            s"'$p' at $i in '$w' is not the longest match")
+          i += p.length
+        }
+      }
+    }
+  }
+
+  test("unigram LM perplexity is invariant to doc order and partitioning") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Lm
+    val docGen = Gen.listOfN(12,
+      Gen.nonEmptyListOf(Gen.oneOf("the", "cat", "sat", "mat", "dog", "xylo", "q"))
+        .map(_.mkString(" ")))
+    forAll(docGen, trials = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def score(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Double)] = {
+        val m = Lm.unigramLm(df, vocabSize = 4)
+        Lm.perplexity(df, m).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            math.rint(r.getDouble(3) * 1e9) / 1e9))).toMap
+      }
+      val base = score(docs.toDF("doc_id", "text"))
+      val shuffled = score(docs.reverse.toDF("doc_id", "text").repartition(7, col("doc_id")))
+      assert(shuffled == base)
+    }
+  }
+
   test("multiline splitter: concatenation of records covers all start-anchored content") {
     val startLine = Gen.chooseNum(0, 99999).map(n => f"I$n%05d payload")
     val contLine = Gen.alphaNumStr.map("  " + _)
