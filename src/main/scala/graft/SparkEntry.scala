@@ -1642,6 +1642,20 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(min(col("dup_of")).as("dup_of"))
         .orderBy("doc_id")
     }),
+    "w7_stream_curation" -> ((s, d) => {
+      // the STANDING curation pipeline's batch twin: curateFold drives FOUR
+      // sequential id-range micro-batches through curateBatch, each judged
+      // against the at-rest state (digests + signature index) of earlier
+      // quality+exact survivors. The oracle is a ONE-SHOT python mirror
+      // (duckdb quality expr + independent xxh64 minhash/shingle chain), so
+      // a green row proves the stage semantics AND the batch-boundary
+      // invariance. Probes: doc_id%31==0 (d27's split).
+      val docs = t(s, d, "documents")
+      graft.streaming.StreamingCuration.curateFold(
+          docs.filter(pmod(col("doc_id"), lit(31)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(31)) === 0), nBatches = 4)
+        .orderBy("doc_id")
+    }),
     "w4_interval_join" -> ((s, d) => {
       // purchases within 30 minutes after each click by the same user —
       // batch twin of the watermarked stream-stream interval join (state

@@ -1,0 +1,234 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.operators.Dedup
+
+/** The STANDING form of [[graft.operators.CurationPipeline]] — continuous
+  * ingest driving quality filter → incremental exact dedup → incremental
+  * near-dup against the at-rest signature index → benchmark decontamination
+  * → shard assignment, the reference's whole identity (a pipeline that
+  * never stops) applied to the engine's flagship corpus operator.
+  *
+  * Incremental semantics (the load-bearing design decision): the at-rest
+  * state is the set of QUALITY+EXACT SURVIVORS seen so far — their content
+  * digests (exact dedup) and their MinHash LSH [[Dedup.signatureIndex]]
+  * rows (near-dup). Because every arriving doc is judged against "all
+  * survivors with a smaller id" (state ∪ lower-id same-batch rows), the
+  * cumulative output is BATCH-BOUNDARY INVARIANT: any split of an
+  * id-ordered corpus into sequential micro-batches produces exactly the
+  * one-shot verdict (spec-pinned, and the w7 gate runs the 4-batch fold
+  * against a one-shot-derived fixture). Invariance holds while the
+  * `maxBucket` hot-bucket guard does not bind (observed via
+  * [[graft.operators.SkewGuard.bucketStats]], never silent) — and exact
+  * dedup runs FIRST, so identical docs can never flood an LSH bucket.
+  *
+  * Scale shape: arriving batches shuffle digests and 12-byte band keys,
+  * never text; the resident corpus is never re-read or re-signed (its
+  * signatures are at rest, bucketed by (band, key)); state appends are
+  * per-batch parquet writes keyed by batch id (idempotent under
+  * foreachBatch replay). Probe hashes are a broadcast distinct set.
+  */
+object StreamingCuration {
+
+  /** Verdict + state deltas for ONE arriving id-ordered batch judged
+    * against the at-rest state. Pure — no IO, no state mutation.
+    *
+    * @param batch     arriving docs (idCol, textCol)
+    * @param digests   at-rest (id, digest) of every prior quality+exact survivor
+    * @param sigIndex  at-rest [[Dedup.signatureIndex]] rows of the same docs
+    * @param probeHashes distinct probe shingle hashes (one `h` column)
+    * @return (verdict(idCol, stage, shard), digestsDelta(id, digest),
+    *         sigsDelta(id, sig, band, key)) — deltas are THIS batch's
+    *         quality+exact survivors, the state for later batches
+    */
+  def curateBatch(batch: DataFrame, digests: DataFrame, sigIndex: DataFrame,
+      probeHashes: DataFrame, minQuality: Double = 0.9, threshold: Double = 0.3,
+      probeNgram: Int = 4, nShards: Int = 16, maxBucket: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val nullShard = lit(null).cast("long").as("shard")
+
+    // stage 1: quality floor — narrow, codegen'd, scan speed
+    val scored = batch
+      .select(col(idCol), col(textCol),
+        TextFunctions.qualityScoreOfProfile(TextFunctions.textProfile(col(textCol))).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qualityDrop = scored.filter(col("q") < minQuality)
+      .select(col(idCol), lit("quality").as("stage"), nullShard)
+    val s1 = scored.filter(col("q") >= minQuality)
+      .select(col(idCol), col(textCol), md5(col(textCol)).as("digest"))
+
+    // stage 2: exact dedup — drop if the digest is already at rest, or a
+    // lower-id doc in THIS batch carries it (min-id-keeps, the batch rule)
+    val seen = digests.select(col("digest"), col("id").as("prior_id"))
+    val batchMin = s1.groupBy("digest").agg(min(col(idCol)).as("batch_min"))
+    val s1j = s1
+      .join(broadcast(batchMin), Seq("digest"))
+      .join(seen.groupBy("digest").agg(min("prior_id").as("prior_id")), Seq("digest"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactDrop = s1j
+      .filter(col("prior_id").isNotNull || col(idCol) =!= col("batch_min"))
+      .select(col(idCol), lit("exact_dup").as("stage"), nullShard)
+    val s2 = s1j.filter(col("prior_id").isNull && col(idCol) === col("batch_min"))
+      .select(col(idCol), col(textCol))
+
+    // the batch's state delta: quality+exact survivors (INDEPENDENT of the
+    // later stages — near-dup-dropped docs stay in state so later copies of
+    // them are judged identically to the one-shot run)
+    val sigsDelta = Dedup.signatureIndex(s2, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val digestsDelta = s1j
+      .filter(col("prior_id").isNull && col(idCol) === col("batch_min"))
+      .select(col(idCol).as("id"), col("digest"))
+
+    // stage 3: near-dup — judged against at-rest survivors ∪ lower-id
+    // same-batch survivors (the `<` filter makes within-batch flags
+    // one-directional; state ids are always lower because batches arrive
+    // id-ordered). Hot (band, key) buckets past maxBucket are excluded —
+    // observed via SkewGuard.bucketStats, and exact dedup upstream keeps
+    // identical content out of the buckets.
+    val combined = sigIndex.select("id", "sig", "band", "key")
+      .unionByName(sigsDelta.select("id", "sig", "band", "key"))
+    val hotKeys = combined.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).select("band", "key")
+    val idxOk = combined.join(broadcast(hotKeys), Seq("band", "key"), "left_anti")
+    val candIds = sigsDelta.select(col("id").as("new_id"), col("band"), col("key"))
+      .join(idxOk.select(col("id").as("idx_id"), col("band"), col("key")), Seq("band", "key"))
+      .filter(col("idx_id") < col("new_id"))
+      .select("new_id", "idx_id").distinct()
+    val idxSigs = combined.select(col("id"), col("sig")).dropDuplicates("id")
+    val nearIds = candIds
+      .join(idxSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(idxSigs.select(col("id").as("idx_id"), col("sig").as("sig_i")), "idx_id")
+      .filter(HashFunctions.minHashJaccard(col("sig_n"), col("sig_i")) >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    val nearDrop = nearIds.select(col(idCol), lit("near_dup").as("stage"), nullShard)
+    val s3 = s2.join(nearIds, Seq(idCol), "left_anti")
+
+    // stage 4: decontamination — any shared probe n-gram kills
+    val contamIds = s3
+      .select(col(idCol), explode(HashFunctions.shingleHashes(col(textCol), probeNgram)).as("h"))
+      .join(broadcast(probeHashes), "h")
+      .select(col(idCol)).distinct()
+    val contamDrop = contamIds.select(col(idCol), lit("contaminated").as("stage"), nullShard)
+
+    // stage 5: reproducible md5 shard for the kept set
+    val kept = s3.join(contamIds, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("kept").as("stage"),
+        pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(nShards)).as("shard"))
+
+    val verdict = qualityDrop.unionByName(exactDrop).unionByName(nearDrop)
+      .unionByName(contamDrop).unionByName(kept)
+    (verdict, digestsDelta, sigsDelta)
+  }
+
+  /** Distinct decontamination probe hashes for [[curateBatch]]. */
+  def probeHashSet(probes: DataFrame, probeNgram: Int = 4,
+      textCol: String = "text"): DataFrame =
+    probes.select(explode(HashFunctions.shingleHashes(col(textCol), probeNgram)).as("h"))
+      .distinct()
+
+  /** One-shot fold of an id-partitioned corpus through [[curateBatch]] —
+    * the BATCH TWIN the w7 gate runs (4 sequential batches at sf0.01) and
+    * the restart-resume spec compares against. Batches are id ranges
+    * (`idCol % nBatches` would interleave ids and break the `<`-ordering
+    * contract); each round's verdict and state are eagerly
+    * `localCheckpoint`ed so the fold's plans don't nest (the
+    * duplicateClusters stance), and per-round intermediates are released.
+    */
+  def curateFold(docs: DataFrame, probes: DataFrame, nBatches: Int,
+      minQuality: Double = 0.9, threshold: Double = 0.3, probeNgram: Int = 4,
+      nShards: Int = 16, maxBucket: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBatches >= 1, s"nBatches >= 1: $nBatches")
+    val spark = docs.sparkSession
+    val probeH = probeHashSet(probes, probeNgram, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = docs.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0)) { probeH.unpersist(false); return emptyVerdict(spark, idCol) }
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (hi - lo) / nBatches + 1
+    var digests = emptyDigests(spark)
+    var sigs = emptySigs(spark)
+    var verdicts = List.empty[DataFrame]
+    (0 until nBatches).foreach { b =>
+      val batch = docs.filter(col(idCol) >= lo + b * span && col(idCol) < lo + (b + 1) * span)
+      val (v, dd, sd) = curateBatch(batch, digests, sigs, probeH,
+        minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
+      val vc = v.localCheckpoint(true)
+      val ddc = dd.localCheckpoint(true)
+      val sdc = sd.localCheckpoint(true)
+      verdicts ::= vc
+      digests = digests.unionByName(ddc)
+      sigs = sigs.unionByName(sdc)
+    }
+    probeH.unpersist(false)
+    verdicts.reduce(_ unionByName _)
+  }
+
+  private def emptyVerdict(spark: SparkSession, idCol: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Option[Long])].toDF(idCol, "stage", "shard")
+      .select(col(idCol), col("stage"), col("shard").cast("long"))
+  }
+  private def emptyDigests(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("id", "digest")
+  }
+  private def emptySigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[Long], Int, Long)].toDF("id", "sig", "band", "key")
+  }
+
+  /** The standing pipeline: a streaming `docs` source driven through
+    * [[curateBatch]] with parquet at-rest state and per-batch-id idempotent
+    * writes (a replayed epoch overwrites its own directory, the
+    * LogPipeline audit stance), so restart-resume neither loses nor
+    * duplicates verdicts.
+    *
+    * Layout under `stateDir`: `digests/batch=<epoch>/`, `sigs/batch=<epoch>/`,
+    * `verdicts/batch=<epoch>/`. The checkpoint gives exactly-once batch
+    * replay; the per-epoch overwrite makes the at-rest state idempotent
+    * under that replay. */
+  def run(docs: DataFrame, probes: DataFrame, stateDir: String,
+      checkpointDir: String, minQuality: Double = 0.9, threshold: Double = 0.3,
+      probeNgram: Int = 4, nShards: Int = 16, maxBucket: Int = 4096,
+      textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val spark = docs.sparkSession
+    val probeH = probeHashSet(probes, probeNgram, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val digests = readStateOr(spark, s"$stateDir/digests", emptyDigests(spark))
+        val sigs = readStateOr(spark, s"$stateDir/sigs", emptySigs(spark))
+        val (v, dd, sd) = curateBatch(batch, digests, sigs, probeH,
+          minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
+        // deltas first (overwrite = replay-idempotent), verdict last
+        dd.write.mode("overwrite").parquet(s"$stateDir/digests/batch=$epoch")
+        sd.write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$epoch")
+        v.write.mode("overwrite").parquet(s"$stateDir/verdicts/batch=$epoch")
+        ()
+      }
+      .start()
+  }
+
+  /** All per-batch state under `dir` (batch=N subdirs), or `empty` when no
+    * batch has committed yet. */
+  private def readStateOr(spark: SparkSession, dir: String, empty: DataFrame): DataFrame = {
+    val subdirs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+      .map(_.getAbsolutePath)
+    if (subdirs.isEmpty) empty
+    else spark.read.parquet(subdirs.toIndexedSeq: _*)
+  }
+
+  /** Cumulative verdicts written by [[run]] so far. */
+  def verdicts(spark: SparkSession, stateDir: String, idCol: String = "doc_id"): DataFrame =
+    readStateOr(spark, s"$stateDir/verdicts", emptyVerdict(spark, idCol))
+}

@@ -13,6 +13,7 @@ SQL keyed by query name (merged into SparkEntry.oracleSql).
 
 Validated against the public xxh64 test vectors before use (see selftest).
 """
+import hashlib
 import re
 import sys
 import zlib
@@ -559,6 +560,52 @@ def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
     return rows
 
 
+def shingle_hash_set(tok_list, n):
+    """Mirror ShingleHashesExpr as a SET: chained xxh64 token hashes per
+    n-gram window; zero tokens yield {xxh64('', 42)} (the whole-doc
+    fallback). Unsigned values throughout — only set semantics are used."""
+    if not tok_list:
+        return {xxh64(b"", 42)}
+    th = [xxh64(t.encode("utf-8"), 42) for t in tok_list]
+    nwin = max(len(th) - (n - 1), 1)
+    out = set()
+    for w in range(nwin):
+        h0 = th[w]
+        for d in range(1, n):
+            if w + d < len(th):
+                h0 = hash_long(th[w + d], h0)
+        out.add(h0)
+    return out
+
+
+def quality_scores(sf):
+    """Per-doc quality via the SAME independent DuckDB expression the d40
+    oracle uses (length/punct/stopword/word-length metrics) — not the
+    engine's TextFunctions."""
+    rows = duckdb.sql(f"""
+        WITH t AS (SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              x -> length(x) > 0) AS ltoks,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              x -> length(x) > 0) AS rtoks
+          FROM '{sf}/documents.parquet')
+        SELECT doc_id,
+            (CASE WHEN length(text) < 10 THEN length(text) / 10.0
+               WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+            + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text) > 0.3 THEN 0.0 ELSE 1.0 END) * 0.25
+            + (CASE WHEN len(ltoks) > 0 AND len(list_filter(ltoks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it','that','for',
+                 'on','with','as','was','at','by','be','this','are','from','but'], x)))::DOUBLE
+                / len(ltoks) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.25
+            + (CASE WHEN len(rtoks) > 0
+                AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) >= 2.5
+                AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) <= 12.0
+                THEN 1.0 ELSE 0.4 END) * 0.25 AS q
+          FROM t ORDER BY doc_id""").fetchall()
+    return {int(i): float(q) for i, q in rows}
+
+
 def bpe_learn(word_counts, num_merges):
     """INDEPENDENT BPE merge learning (Sennrich et al. 2016): symbols are
     codepoints, merge choice is (weighted pair count desc, left asc, right
@@ -816,6 +863,51 @@ def main():
             pieces.extend(wp_memo[w])
         d44_rows.append((i, len(pieces), " ".join(pieces[:8])))
 
+    # ---- w7: streaming curation — one-shot mirror of the batch-boundary-
+    # invariant incremental pipeline (quality from the d40 oracle's DuckDB
+    # expression; exact/near-dup/contamination via the independent python
+    # xxh64 chain). The Scala side folds FOUR sequential id-range batches
+    # through curateBatch, so a green row proves the stage semantics AND
+    # the invariance, not just the math. Probes: doc_id%31==0 (d27's split).
+    qmap = quality_scores(sf)
+    w7_probe_hashes = set()
+    for i, t in docs:
+        if i % 31 == 0:
+            w7_probe_hashes |= shingle_hash_set(toks[i], 4)
+    w7_verdict = {}
+    w7_texts_seen = set()
+    w7_buckets = {}
+    for i, t in docs:
+        if i % 31 == 0:
+            continue
+        if qmap[i] < 0.9:
+            w7_verdict[i] = ("quality", None)
+            continue
+        if t in w7_texts_seen:  # set semantics only — digest not needed
+            w7_verdict[i] = ("exact_dup", None)
+            continue
+        w7_texts_seen.add(t)
+        dup = False
+        if toks[i]:
+            sig = sigs[i]
+            cands = set()
+            for bk in band_keys(sig):
+                cands |= w7_buckets.get(bk, set())
+            dup = any(
+                sum(1 for a, b in zip(sigs[c], sig) if a == b) / 64 >= 0.3
+                for c in cands)  # all cands have smaller ids (id-order insert)
+            for bk in band_keys(sig):
+                w7_buckets.setdefault(bk, set()).add(i)
+        if dup:
+            w7_verdict[i] = ("near_dup", None)
+            continue
+        if shingle_hash_set(toks[i], 4) & w7_probe_hashes:
+            w7_verdict[i] = ("contaminated", None)
+            continue
+        shard = int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16) % 16
+        w7_verdict[i] = ("kept", shard)
+    w7_rows = sorted((i, st, sh) for i, (st, sh) in w7_verdict.items())
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -893,6 +985,11 @@ def main():
 
     e18_sql = adc_sql(e18_rows)
     e19_sql = adc_sql(e19_rows)
+    w7_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS stage, c2::BIGINT AS shard"
+              " FROM (VALUES\n"
+              + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
+                       f"{'NULL' if r[2] is None else r[2]}")
+              + ") AS t(c0, c1, c2) ORDER BY doc_id")
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -943,7 +1040,9 @@ object FixtureOracles {{
     "e18_opq_adc" ->
       \"\"\"{e18_sql}\"\"\",
     "e19_opq_ivfpq" ->
-      \"\"\"{e19_sql}\"\"\")
+      \"\"\"{e19_sql}\"\"\",
+    "w7_stream_curation" ->
+      \"\"\"{w7_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
