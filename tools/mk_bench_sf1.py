@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_sf1.json — the sf0.1 → sf1 (10x) scale-up evidence
+artifact — from four runs:
+  Bench      (gate-parameter queries)      at sf0.1 and sf1
+  BenchScale (scale-parameter operators)   at sf0.1 and sf1
+Usage: python3 tools/mk_bench_sf1.py <bench01> <bench1> <scale01> <scale1>
+"""
+import json
+import sys
+
+
+def main():
+    b01, b1, s01, s1 = (json.load(open(p)) for p in sys.argv[1:5])
+
+    def ratios(q0, q1):
+        out = {}
+        for k in q1:
+            if k in q0 and q0[k] > 0:
+                out[k] = {
+                    "sf0.1_sec": round(q0[k], 3),
+                    "sf1_sec": round(q1[k], 3),
+                    "ratio_at_10x_data": round(q1[k] / q0[k], 2),
+                }
+        return out
+
+    artifact = {
+        "what": "sf0.1 -> sf1 (10x rows: 50k documents, 20k embeddings) "
+                "scale-up evidence for the dedup/ANN family; sf1 corpus is "
+                "distribution-matched synthetic (tools/gen_sf1.py), other "
+                "tables symlinked from sf0.1",
+        "gate_parameter_queries": ratios(b01["queries"], b1["queries"]),
+        "scale_parameter_operators": ratios(s01["queries"], s1["queries"]),
+        "cells": {"sf0.1": s01["n_cells"], "sf1": s1["n_cells"],
+                  "rule": "max(8, n_vectors/256) — bounded cell size"},
+        "findings": [
+            "documents family (d7/d17/d36/d37/d40/w7): all <= ~6x at 10x "
+            "data — no superlinearity; d36 is SUBlinear because the "
+            "hot-shingle df cap excludes more of the head at sf1 "
+            "(observed, not silent).",
+            "e10/e17 with the GATE's pinned 8 centroids go quadratic "
+            "(23-26x at 10x): fixed cell count -> cell population grows "
+            "linearly -> within-cell pairs grow quadratically. This is "
+            "the pinned oracle parameter, not the operator: with the "
+            "scale rule (cells = n/256, bounded cell size) the same "
+            "operators run 4.4x / 2.8x at 10x data — sublinear. A 100 TB "
+            "deployment must scale nCells with the corpus (SemDeDup / "
+            "FAISS IVF guidance); the operator API takes centroids as an "
+            "input precisely so callers own that choice.",
+        ],
+    }
+    with open("BENCH_sf1.json", "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("wrote BENCH_sf1.json")
+
+
+if __name__ == "__main__":
+    main()
