@@ -1054,6 +1054,59 @@ object SparkEntry {
           coalesce(sum("is_dup"), lit(0L)).as("n_exact_dup_docs"))
         .orderBy("source")
     }),
+    "d48_quality_histogram" -> ((s, d) =>
+      // corpus quality distribution at scan speed: fixed-width 0.05 bins
+      // of the native quality score — ONE hash aggregation, no sort, no
+      // percentile state. The curation-threshold picker's first query
+      // (where should d40's minQuality sit?). floor(q*20) not a window
+      // rank: bins are stable under any partitioning and any corpus size.
+      t(s, d, "documents")
+        .select(floor(TextFunctions.qualityScoreOfProfile(
+          TextFunctions.textProfile(col("text"))) * 20).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+        .select(col("bin"), round(col("bin") * 0.05, 2).as("bin_lo"), col("n_docs"))
+        .orderBy("bin")),
+    "d47_token_budget" -> ((s, d) => {
+      // data-mixing budget: per-language doc/token counts, corpus share,
+      // and the temperature-weighted sampling distribution p_l ∝ share^α
+      // (α = 0.3 — the multilingual-LM mixing rule, Conneau & Lample '19)
+      // — the numbers a training-data plan starts from. ONE corpus scan +
+      // a lang-cardinality aggregate; both normalizations broadcast-join
+      // their 1-row totals (no windows, no second scan).
+      val per = t(s, d, "documents")
+        .select(col("lang"),
+          size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("tot"))
+      val shared = per.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens") / col("tot"))
+        .withColumn("w", pow(col("share"), 0.3))
+      val wtot = shared.agg(sum("w").as("wtot"))
+      shared.crossJoin(broadcast(wtot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("w") / col("wtot"), 6).as("mix_weight"))
+        .orderBy("lang")
+    }),
+    "d49_oov_rate" -> ((s, d) => {
+      // tokenizer-coverage report: per-language OOV token fraction under a
+      // deliberately tiny top-8 corpus vocab (the corpus vocabulary is 31
+      // words, so OOV is real) — the "does this tokenizer cover that
+      // slice" audit before a training run. The vocab is metadata-scale
+      // (TakeOrderedAndProject top-V, broadcast); ONE scan scores the
+      // corpus per language.
+      val docs = t(s, d, "documents")
+      val vocab = graft.operators.Vocab.build(docs, size = 8)
+      docs.select(col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .join(broadcast(vocab.select("token", "vid")), Seq("token"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("vid").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("lang")
+    }),
     "d45_bigram_lm" -> ((s, d) => {
       // interpolated bigram LM scoring — one step toward CCNet's KenLM:
       // p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·p_uni(w2). Bigram table capped
@@ -1472,6 +1525,22 @@ object SparkEntry {
           k = 5, nProbe = 2)
         .select(col("query_id"), col("corpus_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e20_ivfpq_rerank" -> ((s, d) => {
+      // two-stage retrieval (FAISS IndexRefineFlat over IVFPQ): e13's ADC
+      // top-20 candidates re-ranked by EXACT squared L2 on re-attached
+      // full-precision vectors → top-5. Full vectors are fetched for
+      // candidates only (queries × kCoarse id-keyed rows). Oracle: e13's
+      // pure-SQL chain extended with the exact-L2 refine step.
+      val emb = t(s, d, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val cbs = Similarity.residualCodebooks(emb.filter(col("vec_id") < 16), coarse, m = 8)
+      Similarity.ivfPqRefineTopK(emb, emb.filter(col("vec_id") < 3), coarse, cbs,
+          kFinal = 5, kCoarse = 20)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("l2sq"), 6).as("l2sq"), col("rank"))
         .orderBy("query_id", "rank")
     }),
     "e10_semantic_dedup" -> ((s, d) => {
@@ -2160,6 +2229,61 @@ object SparkEntry {
     // d45: interpolated bigram scoring. The (1.0 - 0.7) form (not 0.3)
     // keeps the interpolation weight bit-identical across engines; noise
     // is then pure sum-order, ~1e-16 relative, inside the 4dp/2dp margins.
+    "d48_quality_histogram" ->
+      """WITH t AS (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS ltoks,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> length(x) > 0) AS rtoks
+             FROM documents),
+           sc AS (SELECT doc_id,
+               (CASE WHEN length(text) < 10 THEN length(text) / 10.0
+                  WHEN length(text) > 10000 THEN 0.5 ELSE 1.0 END) * 0.25
+               + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                    / length(text) > 0.3 THEN 0.0 ELSE 1.0 END) * 0.25
+               + (CASE WHEN len(ltoks) > 0 AND len(list_filter(ltoks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','that','for',
+                    'on','with','as','was','at','by','be','this','are','from','but'], x)))::DOUBLE
+                   / len(ltoks) > 0.05 THEN 1.0 ELSE 0.3 END) * 0.25
+               + (CASE WHEN len(rtoks) > 0
+                   AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) >= 2.5
+                   AND list_sum(list_transform(rtoks, x -> length(x)))::DOUBLE / len(rtoks) <= 12.0
+                   THEN 1.0 ELSE 0.4 END) * 0.25 AS q
+             FROM t)
+         SELECT floor(q * 20)::BIGINT AS bin,
+           round(floor(q * 20) * 0.05::DOUBLE, 2) AS bin_lo,
+           count(*)::BIGINT AS n_docs
+         FROM sc GROUP BY 1, 2 ORDER BY bin""",
+    "d49_oov_rate" ->
+      """WITH t AS (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM documents),
+           exp AS (SELECT lang, unnest(toks) AS token FROM t WHERE len(toks) > 0),
+           cnts AS (SELECT token, count(*) AS cnt FROM exp GROUP BY 1),
+           vocab AS (SELECT token FROM (
+               SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rn
+               FROM cnts) WHERE rn <= 8)
+         SELECT e.lang, count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS oov_rate
+         FROM exp e LEFT JOIN vocab v USING (token)
+         GROUP BY e.lang ORDER BY e.lang""",
+    "d47_token_budget" ->
+      """WITH tk AS (SELECT lang,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0))::BIGINT AS n
+             FROM documents),
+           per AS (SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+             FROM tk GROUP BY 1),
+           tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+           sh AS (SELECT lang, n_docs, n_tokens,
+               n_tokens / tot.tot AS share, pow(n_tokens / tot.tot, 0.3) AS w
+             FROM per, tot),
+           wt AS (SELECT sum(w) AS wtot FROM sh)
+         SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
+           round(w / wt.wtot, 6) AS mix_weight
+         FROM sh, wt ORDER BY lang""",
     "d45_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -2694,6 +2818,64 @@ object SparkEntry {
              FROM adc)
          SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    "e20_ivfpq_rerank" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+           cc AS (SELECT vec_id::INT AS ccid, embedding::DOUBLE[] AS ccv
+             FROM embeddings WHERE vec_id < 8),
+           vcell AS (SELECT vec_id, ccid AS cell, ccv FROM (
+               SELECT e.vec_id, cc.ccid, cc.ccv,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings e, cc) WHERE r = 1),
+           res AS (SELECT e.vec_id, v.cell,
+               list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - v.ccv[i]) AS res
+             FROM embeddings e JOIN vcell v USING (vec_id)),
+           cbr AS (SELECT r16.vec_id::INT AS cid, s.j,
+               list_transform(range(1, 9), i -> r16.res[s.j*8 + i]) AS cv
+             FROM res r16, sub s WHERE r16.vec_id < 16),
+           dists AS (SELECT r.vec_id, cbr.j, cbr.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> (r.res[cbr.j*8 + i] - cbr.cv[i])
+                    * (r.res[cbr.j*8 + i] - cbr.cv[i]))) AS dist
+             FROM res r, cbr),
+           codes AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS r
+               FROM dists) WHERE r = 1),
+           query_cells AS (SELECT query_id, ccid AS cell, ccv FROM (
+               SELECT q.vec_id AS query_id, cc.ccid, cc.ccv,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], cc.ccv), cc.ccid) AS r
+               FROM embeddings q, cc WHERE q.vec_id < 3) WHERE r <= 2),
+           qlut AS (SELECT qc.query_id, qc.cell, cbr.j, cbr.cid,
+               list_sum(list_transform(range(1, 9),
+                 i -> ((q.embedding[cbr.j*8 + i]::DOUBLE - qc.ccv[cbr.j*8 + i]) - cbr.cv[i])
+                    * ((q.embedding[cbr.j*8 + i]::DOUBLE - qc.ccv[cbr.j*8 + i]) - cbr.cv[i]))) AS d
+             FROM query_cells qc JOIN embeddings q ON q.vec_id = qc.query_id
+             CROSS JOIN cbr),
+           adc AS (SELECT l.query_id, c.vec_id AS corpus_id,
+               list_sum(list(l.d ORDER BY l.j)) AS adc_raw
+             FROM codes c
+             JOIN vcell cl ON cl.vec_id = c.vec_id
+             JOIN qlut l ON l.j = c.j AND l.cid = c.cid AND l.cell = cl.cell
+             WHERE c.vec_id <> l.query_id
+             GROUP BY 1, 2),
+           ranked AS (SELECT query_id, corpus_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
+             FROM adc),
+           refine AS (SELECT r.query_id, r.corpus_id,
+               list_sum(list_transform(range(1, 65),
+                 i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                    * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))) AS l2sq
+             FROM ranked r
+             JOIN embeddings q ON q.vec_id = r.query_id
+             JOIN embeddings c ON c.vec_id = r.corpus_id
+             WHERE r.rank <= 20),
+           rr AS (SELECT query_id, corpus_id, l2sq,
+               row_number() OVER (PARTITION BY query_id ORDER BY l2sq, corpus_id) AS rank
+             FROM refine)
+         SELECT query_id, corpus_id, round(l2sq, 6) AS l2sq, rank
+         FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
     // e10: planted exact copies are the only pairs at cosine ≥ 0.95 and
     // inherit their original's cell bit-exactly, so cells, dup links and
     // survivors are all SQL-derivable (e6's fixed-centroid stance).

@@ -345,6 +345,39 @@ object Similarity {
         (-col("s.score")).as("adc_dist"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Two-stage retrieval (the production FAISS refine step,
+    * IndexRefineFlat over IVFPQ): ADC top-`kCoarse` candidates from
+    * [[ivfPqResidualTopK]], re-ranked by EXACT squared L2 on re-attached
+    * full-precision vectors, emitting top `kFinal` — recovers most of the
+    * recall the code quantization loses for one extra id-keyed lookup.
+    *
+    * Scale shape: stage 1 is the bounded IVF-PQ probe (codes only, never
+    * full vectors); the refine join touches queries × kCoarse rows — full
+    * vectors are fetched for CANDIDATES only, by id against the at-rest
+    * corpus, so the accuracy/IO trade is explicit (Jégou et al. '11 §IV-D).
+    * Top-k is the bounded [[ScoredTopKAggregator]] partial, rank by
+    * (distance asc, id asc). */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Seq[(Int, Array[Double])]], kFinal: Int, kCoarse: Int,
+      nProbe: Int = 2, vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cand = ivfPqResidualTopK(corpus, queries, centroids, codebooks,
+        kCoarse, nProbe, vecCol, idCol)
+      .select(col("query_id"), col("corpus_id"))
+    val cvec = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val qvec = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv")))
+    val exact = cand.join(cvec, "corpus_id").join(qvec, "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a, x) => a + x).as("dist"))
+    val topk = udaf(new ScoredTopKAggregator(kFinal))
+    exact.groupBy("query_id").agg(topk(col("corpus_id"), -col("dist")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"),
+        (-col("s.score")).as("l2sq"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Residual-PQ codebooks from a sample relation: each sample vector's
     * residual against its nearest centroid, sliced into m subspaces — the
     * fixed-sample training stance of [[pqCodebooks]] (codebook quality is a
