@@ -1107,6 +1107,22 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d50_boilerplate_matrix" -> ((s, d) => {
+      // boilerplate-provenance matrix: pairs of docs sharing an identical
+      // 80-char prefix (shared headers/templates — the cheap cross-source
+      // copy audit), counted per ordered source pair. The self-join
+      // carries (prefix-digest, id, source) only: 16-byte digests shuffle,
+      // text never does; per-digest pair counts are template-group
+      // bounded.
+      val dg = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(substring(col("text"), 1, 80)).as("dg"))
+      dg.as("a").join(dg.as("b"),
+          col("a.dg") === col("b.dg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
     "d45_bigram_lm" -> ((s, d) => {
       // interpolated bigram LM scoring — one step toward CCNet's KenLM:
       // p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·p_uni(w2). Bigram table capped
@@ -1641,6 +1657,12 @@ object SparkEntry {
           col("n_samples"), col("peak"), col("sum_abs"))
         .orderBy("media_id")
     }),
+    "m9_audio_fingerprint" -> ((s, d) =>
+      // energy-envelope sign fingerprint over the REAL decoded PCM — the
+      // audio near-dup signature (dHash's twin). Exact integer arithmetic,
+      // so the closed-form-sample oracle reproduces the bits exactly.
+      Multimodal.audioFingerprint(syntheticAudio(s, d), windowSamples = 64)
+        .toDF().orderBy("media_id")),
     "m6_audio_energy" -> ((s, d) =>
       // executor-side window explode over the real decoded sample stream;
       // exact integer sum-of-squares per 128-sample window
@@ -3041,6 +3063,26 @@ object SparkEntry {
          SELECT doc_id AS media_id, (i // 128)::INT AS win_idx,
            count(*)::BIGINT AS n_samples, sum(smp*smp)::BIGINT AS sum_sq
          FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""",
+    "m9_audio_fingerprint" ->
+      """WITH s AS (SELECT d.doc_id, i.v AS i,
+             ((d.doc_id*31 + i.v*17) % 65536) - 32768 AS smp
+           FROM documents d,
+             LATERAL (SELECT unnest(range(0, (256 + (d.doc_id % 512))::INT)) AS v) i),
+           w AS (SELECT doc_id, (i // 64)::INT AS win_idx, sum(smp*smp)::BIGINT AS e
+             FROM s GROUP BY 1, 2),
+           fpj AS (SELECT a.doc_id,
+               sum(CASE WHEN b.e > a.e AND a.win_idx < 64
+                 THEN 1::BIGINT << a.win_idx ELSE 0::BIGINT END) AS fp
+             FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.win_idx = a.win_idx + 1
+             GROUP BY 1),
+           nw AS (SELECT doc_id, count(*)::INT AS n_windows FROM w GROUP BY 1)
+         SELECT nw.doc_id AS media_id, nw.n_windows, coalesce(f.fp, 0)::BIGINT AS fp
+         FROM nw LEFT JOIN fpj f USING (doc_id) ORDER BY media_id""",
+    "d50_boilerplate_matrix" ->
+      """SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_pairs
+         FROM documents a JOIN documents b
+           ON substr(a.text, 1, 80) = substr(b.text, 1, 80) AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "m4_pixel_stats" ->
       """SELECT d.doc_id AS media_id,
          (16 + (d.doc_id % 48))::BIGINT AS width,

@@ -39,6 +39,7 @@ object Multimodal {
   case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
       n_samples: Long, peak: Long, sum_abs: Long)
   case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Long, sum_sq: Long)
+  case class AudioFp(media_id: Long, n_windows: Int, fp: Long)
   case class PixelStats(media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
@@ -253,6 +254,43 @@ object Multimodal {
             while (i < win.length) { val v = win(i).toLong; sq += v * v; i += 1 }
             AudioWindow(id, w, win.length.toLong, sq)
           }
+        }
+      }
+  }
+
+  /** Perceptual audio fingerprint — the audio twin of [[imageDHash]]:
+    * sign-of-delta over consecutive window energies (bit k = 1 iff
+    * energy(k+1) > energy(k)), the energy-envelope shape a re-encoded or
+    * gain-shifted copy of the same recording preserves better than raw
+    * samples. Exact integer arithmetic end-to-end (window energies are
+    * integer sums of squares), so equal PCM fingerprints equal across
+    * machines and an arithmetic oracle reproduces the bits. Bits beyond 64
+    * energy deltas are truncated (`n_windows` reports the full count) —
+    * at real recording lengths callers pick `windowSamples` so the
+    * envelope fits, exactly like dHash's fixed 9×8 grid. One narrow
+    * decode pass, 12 bytes/recording to any downstream band-join. */
+  def audioFingerprint(media: DataFrame, windowSamples: Int,
+      idCol: String = "media_id", bytesCol: String = "content"): Dataset[AudioFp] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (_, _, samples) = decodeWav(bytes)
+          val energies = samples.grouped(windowSamples).map { win =>
+            var sq = 0L
+            var i = 0
+            while (i < win.length) { val v = win(i).toLong; sq += v * v; i += 1 }
+            sq
+          }.toArray
+          var fp = 0L
+          var k = 0
+          while (k < energies.length - 1 && k < 64) {
+            if (energies(k + 1) > energies(k)) fp |= 1L << k
+            k += 1
+          }
+          AudioFp(id, energies.length, fp)
         }
       }
   }

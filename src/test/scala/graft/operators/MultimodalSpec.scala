@@ -186,6 +186,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(4L).dhash_hi == 0L && out(4L).dhash_lo == 0L)
   }
 
+  test("audioFingerprint: gain-shifted copy keeps the envelope bits, reversed flips them") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s0 => bb.putShort(s0))
+      bb.array()
+    }
+    // rising energy envelope: window w has amplitude ~(w+1)*100
+    val rising = Array.tabulate(8 * 64)(i => ((i / 64 + 1) * 100).toShort)
+    val d = Seq(
+      (1L, wav(rising)),
+      (2L, wav(rising.map(s0 => (s0 * 2).toShort))), // 2x gain: e scales 4x, signs keep
+      (3L, wav(rising.reverse))                      // falling envelope: all signs flip
+    ).toDF("media_id", "content")
+    val out = Multimodal.audioFingerprint(d, windowSamples = 64)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.values.forall(_.n_windows == 8))
+    assert(out(1L).fp == 0x7FL)            // 7 rising deltas, bits 0-6 set
+    assert(out(2L).fp == out(1L).fp)       // gain-invariant
+    assert(out(3L).fp == 0L)               // monotone falling: no bit set
+  }
+
   test("decodeWav rejects junk; WAV payloads survive an opaque-binary round trip") {
     assertThrows[Exception] {
       Multimodal.decodeWav(Array.fill[Byte](64)('x'))
