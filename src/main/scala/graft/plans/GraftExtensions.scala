@@ -88,7 +88,24 @@ object GraftFunctions {
       args => L2SqExpr(args(0), args(1))),
     "avro_decode" ->
       ("avro_decode(bytes, 'schema-json') - binary avro datum to struct",
-      args => AvroDecodeExpr(args(0), stringLit(args(1), "schema-json"))))
+      args => AvroDecodeExpr(args(0), stringLit(args(1), "schema-json"))),
+    "shingle_hashes" ->
+      ("shingle_hashes(tokens, n) - distinct chained n-gram hashes (i64)",
+      args => ShingleHashesExpr(args(0), intLit(args(1), "n"))),
+    "positional_shingle_hashes" ->
+      ("positional_shingle_hashes(tokens, n) - per-window n-gram hashes, index-aligned",
+      args => PositionalShingleHashesExpr(args(0), intLit(args(1), "n"))),
+    "char_entropy" -> ("char_entropy(text) - Shannon entropy + distinct chars struct",
+      args => CharEntropyExpr(args(0))),
+    "repetition_ratio" ->
+      ("repetition_ratio(text, n) - duplicate word-n-gram fraction",
+      args => x(HashFunctions.repetitionRatio(c(args(0)), intLit(args(1), "n")))),
+    "murmur_partition" ->
+      ("murmur_partition(key, n) - reference murmur3-32 partitioner (Guava parity)",
+      args => x(Partitioners.murmurPartition(c(args(0)), intLit(args(1), "n")))),
+    "md5_partition" ->
+      ("md5_partition(key, n) - reference md5 string-key partitioner",
+      args => x(Partitioners.md5StringKeyPartition(c(args(0)), intLit(args(1), "n")))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,32 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(p >= 0 && p < 8)
   }
 
+  test("round-5 SQL registrations: shingles, entropy, repetition, partitioners") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a b c a b c a b c", 1L), ("x y z w v u t", 2L))
+      .toDF("text", "id").createOrReplaceTempView("docs_sql5")
+    val rows = spark.sql(
+      """SELECT id,
+         size(shingle_hashes(split(text, ' '), 3)) AS nsh,
+         size(positional_shingle_hashes(split(text, ' '), 3)) AS nps,
+         char_entropy(text).entropy AS ent,
+         repetition_ratio(text, 3) AS rep,
+         murmur_partition(cast(text AS binary), 8) AS mp,
+         md5_partition(cast(text AS binary), 8) AS dp
+         FROM docs_sql5 ORDER BY id""").collect()
+    // doc 1: 9 tokens, 7 windows, 3 distinct shingles -> repetition 4/7
+    assert(rows(0).getAs[Int]("nsh") == 3)
+    assert(rows(0).getAs[Int]("nps") == 7)
+    assert(math.abs(rows(0).getAs[Double]("rep") - 4.0 / 7.0) < 1e-12)
+    // doc 2: all shingles distinct -> zero repetition
+    assert(rows(1).getAs[Int]("nsh") == 5 && rows(1).getAs[Double]("rep") == 0.0)
+    assert(rows(1).getAs[Double]("ent") > 0.0)
+    Seq("mp", "dp").foreach { c0 =>
+      val p = rows(0).getAs[Int](c0); assert(p >= 0 && p < 8, c0)
+    }
+  }
+
   test("cosine/jaccard SQL functions") {
     GraftFunctions.register(spark)
     val r = spark.sql(
