@@ -1747,6 +1747,32 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(31)) === 0), nBatches = 4)
         .orderBy("doc_id")
     }),
+    "w8_stream_ivf" -> ((s, d) => {
+      // standing ANN-index maintenance (StreamingIvf): embeddings arrive in
+      // THREE id-range epochs, each cell-routed by the frozen first-8
+      // centroids and overwritten into its own cell-partitioned epoch dir
+      // (replay-idempotent). The search over the at-rest epoch union must
+      // equal the in-memory ivfTopK probe exactly — e6's oracle, verbatim.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w8_ivf_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.streaming.StreamingIvf.search(s, path, emb.filter(col("vec_id") < 3),
+          k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "w4_interval_join" -> ((s, d) => {
       // purchases within 30 minutes after each click by the same user —
       // batch twin of the watermarked stream-stream interval join (state
@@ -2941,6 +2967,35 @@ object SparkEntry {
     // FixtureOracles (merged below). e6: the probe with fixed centroids is
     // fully SQL-reproducible.
     "e6_ivf_probe" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 3) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // w8: the at-rest epoch-union search must equal the in-memory probe —
+    // e6's oracle verbatim (same fixed centroids, same ranking contract)
+    "w8_stream_ivf" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),
            corpus_cell AS (

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.{ScoredTopKAggregator, VectorFunctions}
+import graft.operators.Similarity
+import graft.plans.VectorExpressions
+
+/** STANDING ANN-index maintenance — the streaming form of
+  * [[graft.operators.IvfIndex.append]]: arriving embedding micro-batches
+  * are cell-routed by the FROZEN at-rest centroids and land as per-epoch
+  * cell-partitioned parquet. Differences from the batch `append` are
+  * exactly the standing-pipeline concerns:
+  *
+  *  - **Replay idempotence**: `mode("append")` under foreachBatch would
+  *    double-write a replayed epoch; here each epoch OVERWRITES its own
+  *    `epoch=<n>` directory (the LogPipeline audit stance), so checkpoint
+  *    recovery neither loses nor duplicates vectors.
+  *  - **Search equality**: `cell` remains a partition column under every
+  *    epoch directory, so searches over the at-rest union are
+  *    partition-pruned to the probed cells (`PartitionFilters`,
+  *    spec-verified) and return EXACTLY what the in-memory
+  *    [[Similarity.ivfTopK]] probe returns over the same corpus — the w8
+  *    gate pins this against e6's oracle.
+  *
+  * Re-fit (a fresh `IvfIndex.build`) remains the answer to centroid drift;
+  * the per-batch assignment SSE is the monitoring signal, as for `append`.
+  */
+object StreamingIvf {
+
+  /** Freeze the quantizer: write `centroids/` (no corpus yet). */
+  def init(centroids: DataFrame, path: String): Unit =
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+
+  /** Cell-route one epoch's vectors and overwrite its epoch directory —
+    * idempotent under foreachBatch replay. */
+  def appendEpoch(batch: DataFrame, path: String, epoch: Long,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = batch.sparkSession
+    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+    batch.select(col(idCol), col(vecCol))
+      .withColumn("cell",
+        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+          .getField("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus/epoch=$epoch")
+  }
+
+  /** The standing pipeline: stream → cell-route → per-epoch at-rest append. */
+  def run(vectors: DataFrame, path: String, checkpointDir: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        appendEpoch(batch, path, epoch, vecCol, idCol)
+        ()
+      }
+      .start()
+
+  /** Top-k cosine probe over the at-rest epoch union — the same search
+    * shape as [[graft.operators.IvfIndex.Loaded.search]]: driver-side
+    * probed-cell set becomes a LITERAL isin filter so Catalyst prunes the
+    * corpus partitions before the scan; epoch directories union at
+    * listing. */
+  def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nProbe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val queryCells = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+      .withColumn("cell",
+        explode(transform(
+          VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
+          s => s.getField("cell"))))
+    val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.option("basePath", s"$path/corpus")
+      .parquet(s"$path/corpus")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell"), col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("corpus_vec"))
+    val scored = corpus.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+}

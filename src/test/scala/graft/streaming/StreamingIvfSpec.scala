@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+
+class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def vec(i: Long): Seq[Float] =
+    Array.tabulate(8)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq
+
+  private val all = (0L until 30L).map(i => (i, vec(i)))
+
+  test("standing index ingest resumes after restart; at-rest search equals in-memory probe") {
+    val inDir = Files.createTempDirectory("graft-sivf-in")
+    val path = Files.createTempDirectory("graft-sivf-idx").toString
+    val cpDir = Files.createTempDirectory("graft-sivf-cp").toString
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
+      Files.writeString(inDir.resolve(name),
+        rows.map { case (i, v) =>
+          s"""{"vec_id":$i,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("", "\n", "\n"))
+    def stream = spark.readStream
+      .schema("vec_id long, embedding array<float>")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+
+    writeBatch("b1.json", all.slice(0, 10))
+    val q1 = StreamingIvf.run(stream, path, cpDir)
+    q1.processAllAvailable()
+    q1.stop()
+
+    writeBatch("b2.json", all.slice(10, 20))
+    writeBatch("b3.json", all.slice(20, 30))
+    val q2 = StreamingIvf.run(stream, path, cpDir)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val queries = all.take(3).toDF("vec_id", "embedding")
+    val atRest = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val inMem = Similarity.ivfTopK(all.toDF("vec_id", "embedding"), queries,
+        cents, k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(atRest == inMem)
+    // no loss, no dupes across the restart (epoch overwrite is idempotent)
+    assert(spark.read.option("basePath", s"$path/corpus").parquet(s"$path/corpus")
+      .select("vec_id").distinct().count() == 30)
+    assert(spark.read.option("basePath", s"$path/corpus").parquet(s"$path/corpus")
+      .count() == 30)
+    // the probe scan is partition-pruned on cell under the epoch dirs
+    val plan = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell#"),
+      plan.take(800))
+  }
+}
