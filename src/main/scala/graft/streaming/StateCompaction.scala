@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+
+/** Compaction for per-epoch at-rest state directories
+  * ([[StreamingCuration]]'s `digests/batch=<n>`, [[StreamingIvf]]'s
+  * `corpus/epoch=<n>/cell=<m>`): a standing pipeline accumulates one
+  * subdirectory per micro-batch forever — thousands of tiny files whose
+  * LISTING eventually costs more than the data. Compaction folds them into
+  * ONE `<key>=-1` subdirectory; real epochs are ≥ 0, so the compacted
+  * directory can never collide with a future epoch's idempotent overwrite.
+  *
+  * Swap protocol (single-maintenance-writer, the RolledObjectSink recovery
+  * stance): write the union into `<dir>.compacting/<key>=-1`, then delete
+  * `<dir>` and rename the staging directory over it. A crash between the
+  * delete and the rename leaves `<dir>` missing with a COMPLETE staging
+  * sibling — [[recover]] (called on every compact entry) finishes the
+  * rename, so no state is ever lost. Run compaction only while the
+  * pipeline is stopped (it rewrites the directory the next epoch appends
+  * into).
+  */
+object StateCompaction {
+
+  /** Fold every `<key>=<n>` subdirectory of `dir` into `<key>=-1`.
+    * `partitionCols` are re-applied to the compacted write (e.g. `cell`
+    * for the IVF corpus) so downstream partition pruning is preserved.
+    * No-op when `dir` does not exist or holds no subdirectories. */
+  def compact(spark: SparkSession, dir: String, key: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    recover(dir)
+    val src = new File(dir)
+    val subdirs = Option(src.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    if (subdirs.isEmpty) return
+    val staging = new File(dir + ".compacting")
+    if (staging.exists()) rmrf(staging.toPath)
+    // partition discovery surfaces <key> (and any nested partition cols);
+    // drop the epoch key, keep the data partition cols for the rewrite
+    val df = spark.read.parquet(dir).drop(key)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(s"${staging.getAbsolutePath}/$key=-1")
+    rmrf(src.toPath)
+    Files.move(staging.toPath, src.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Finish an interrupted swap: `<dir>` missing + `<dir>.compacting`
+    * present means the staging write completed and only the rename
+    * remains. */
+  def recover(dir: String): Unit = {
+    val src = new File(dir)
+    val staging = new File(dir + ".compacting")
+    if (!src.exists() && staging.exists())
+      Files.move(staging.toPath, src.toPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def rmrf(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+}

@@ -231,4 +231,17 @@ object StreamingCuration {
   /** Cumulative verdicts written by [[run]] so far. */
   def verdicts(spark: SparkSession, stateDir: String, idCol: String = "doc_id"): DataFrame =
     readStateOr(spark, s"$stateDir/verdicts", emptyVerdict(spark, idCol))
+
+  /** Fold the per-epoch state subdirectories into one (`batch=-1`) each —
+    * run while the pipeline is stopped; see [[StateCompaction]] for the
+    * crash-safe swap protocol. Restarting from the SAME checkpoint
+    * resumes cleanly: the compacted directory reads exactly like the
+    * epochs it replaced, and future epochs (≥ 0) can never collide with
+    * it. A fresh checkpoint restarts epoch numbering at 0 and would
+    * re-ingest — compaction does not change that contract, the checkpoint
+    * IS the ingest position. */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    Seq("digests", "sigs", "verdicts").foreach { sub =>
+      StateCompaction.compact(spark, s"$stateDir/$sub", key = "batch")
+    }
 }

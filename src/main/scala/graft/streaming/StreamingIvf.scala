@@ -59,6 +59,14 @@ object StreamingIvf {
       }
       .start()
 
+  /** Fold the per-epoch corpus directories into one (`epoch=-1`),
+    * preserving the `cell` partitioning (and with it the probe's partition
+    * pruning) — run while the pipeline is stopped; see [[StateCompaction]]
+    * for the crash-safe swap protocol. */
+  def compact(spark: SparkSession, path: String): Unit =
+    StateCompaction.compact(spark, s"$path/corpus", key = "epoch",
+      partitionCols = Seq("cell"))
+
   /** Top-k cosine probe over the at-rest epoch union — the same search
     * shape as [[graft.operators.IvfIndex.Loaded.search]]: driver-side
     * probed-cell set becomes a LITERAL isin filter so Catalyst prunes the

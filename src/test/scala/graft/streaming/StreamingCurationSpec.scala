@@ -70,6 +70,12 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     q1.stop()
     assert(StreamingCuration.verdicts(spark, stateDir).count() == 3)
 
+    // compact the one-epoch state while stopped: the restart below then
+    // runs against batch=-1 directories — results must be unchanged
+    StreamingCuration.compactState(spark, stateDir)
+    assert(new java.io.File(s"$stateDir/digests").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet == Set("batch=-1"))
+
     // restart from the checkpoint with two more files — the resumed query
     // must process only the new files, judged against the at-rest state
     writeBatch("b2.json", docsAll.slice(3, 6))

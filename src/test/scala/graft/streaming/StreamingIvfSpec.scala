@@ -63,5 +63,29 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters:") && plan.contains("cell#"),
       plan.take(800))
+
+    // ---- compaction: fold the three epoch dirs into epoch=-1; search,
+    // row counts and partition pruning are unchanged
+    StreamingIvf.compact(spark, path)
+    val corpusDir = new java.io.File(s"$path/corpus")
+    assert(corpusDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      == Set("epoch=-1"))
+    val compacted = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(compacted == inMem)
+    val planC = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(planC.contains("PartitionFilters:") && planC.contains("cell#"))
+
+    // ---- crash-recovery: simulate a crash between delete and rename
+    // (corpus missing, complete .compacting sibling present) — the next
+    // compact() entry finishes the swap, losing nothing
+    val staging = new java.io.File(s"$path/corpus.compacting")
+    java.nio.file.Files.move(corpusDir.toPath, staging.toPath)
+    assert(!corpusDir.exists() && staging.exists())
+    StreamingIvf.compact(spark, path)
+    val recovered = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(recovered == inMem)
   }
 }
