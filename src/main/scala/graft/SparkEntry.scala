@@ -1070,22 +1070,26 @@ object SparkEntry {
       // data-mixing budget: per-language doc/token counts, corpus share,
       // and the temperature-weighted sampling distribution p_l ∝ share^α
       // (α = 0.3 — the multilingual-LM mixing rule, Conneau & Lample '19)
-      // — the numbers a training-data plan starts from. ONE corpus scan +
-      // a lang-cardinality aggregate; both normalizations broadcast-join
-      // their 1-row totals (no windows, no second scan).
-      val per = t(s, d, "documents")
+      // — the numbers a training-data plan starts from. ONE corpus scan:
+      // the per-language aggregate is lang-cardinality (metadata-scale),
+      // so both normalizations run on the collected rows — a totals
+      // crossJoin plan was measured re-scanning the corpus 4× because
+      // every derived relation re-derived the aggregate.
+      import s.implicits._
+      val rows = t(s, d, "documents")
         .select(col("lang"),
           size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      val tot = per.agg(sum("n_tokens").as("tot"))
-      val shared = per.crossJoin(broadcast(tot))
-        .withColumn("share", col("n_tokens") / col("tot"))
-        .withColumn("w", pow(col("share"), 0.3))
-      val wtot = shared.agg(sum("w").as("wtot"))
-      shared.crossJoin(broadcast(wtot))
-        .select(col("lang"), col("n_docs"), col("n_tokens"),
-          round(col("share"), 6).as("share"),
-          round(col("w") / col("wtot"), 6).as("mix_weight"))
+        .collect().sortBy(_.getString(0)) // deterministic double-sum order
+      val tot = rows.map(_.getLong(2)).sum.toDouble
+      val ws = rows.map(r => math.pow(r.getLong(2) / tot, 0.3))
+      val wtot = ws.sum
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.zip(ws).map { case (r, w) =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r6(r.getLong(2) / tot), r6(w / wtot))
+      }.toSeq.toDF("lang", "n_docs", "n_tokens", "share", "mix_weight")
         .orderBy("lang")
     }),
     "d49_oov_rate" -> ((s, d) => {
