@@ -33,11 +33,18 @@ object GraftMain {
       restartSchedule: Option[RestartSchedule] = None,
       monitorIntervalMs: Long = 10000L): PipelineManager = {
     val confs = loadConfigs(Paths.get(confDir))
-    require(confs.nonEmpty, s"no *.properties pipeline configs under $confDir")
+    val dataSpecs = loadDataConfigs(Paths.get(confDir))
+    require(confs.nonEmpty || dataSpecs.nonEmpty,
+      s"no *.properties pipeline configs under $confDir")
     heartbeat.foreach(emit => spark.streams.addListener(new HeartbeatListener(emit)))
     val audit = auditDir.map(new AuditWriter(spark, _))
     val mgr = new PipelineManager(spark, audit = audit, restartSchedule = restartSchedule)
     mgr.startAll(confs, trigger = trigger)
+    // standing DATA pipelines (pipeline.type=curation|ivf) run under the
+    // same manager: active/stuck/drain/stopAll see them like log pipelines
+    dataSpecs.foreach { spec =>
+      mgr.adopt(spec.name, graft.streaming.DataPipelines.start(spark, spec))
+    }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val monitor = new Thread(() => {
       try while (true) {
@@ -62,9 +69,27 @@ object GraftMain {
     val s = Files.list(dir)
     try s.iterator().asScala
       .filter(_.toString.endsWith(".properties"))
-      .map { p =>
+      .flatMap { p =>
         val name = p.getFileName.toString.stripSuffix(".properties")
-        PipelineConfig.fromProperties(Files.readString(p), name)
+        val text = Files.readString(p)
+        // files claimed by the data-pipeline parser are not log pipelines
+        if (graft.streaming.DataPipelines.fromProperties(text, name).isDefined) None
+        else Some(PipelineConfig.fromProperties(text, name))
+      }
+      .toSeq.sortBy(_.name)
+    finally s.close()
+  }
+
+  /** Standing data-pipeline specs (`pipeline.type=curation|ivf`) in the
+    * same conf directory. */
+  def loadDataConfigs(dir: Path): Seq[graft.streaming.DataPipelines.Spec] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".properties"))
+      .flatMap { p =>
+        val name = p.getFileName.toString.stripSuffix(".properties")
+        graft.streaming.DataPipelines.fromProperties(Files.readString(p), name)
       }
       .toSeq.sortBy(_.name)
     finally s.close()

@@ -62,6 +62,14 @@ class PipelineManager(spark: SparkSession,
         else { pendingDirs.put(c.name, (c, trigger)); None }
       }
 
+  /** Track an externally-started query (e.g. a [[DataPipelines]] standing
+    * pipeline) under this manager: it then participates in `active`,
+    * `stuck`, `drain` and `stopAll` exactly like a log pipeline. */
+  def adopt(name: String, q: StreamingQuery): StreamingQuery = {
+    queries.put(name, q)
+    q
+  }
+
   /** Pipelines held because their logDir was missing. */
   def pending: Set[String] = pendingDirs.keySet.toSet
 

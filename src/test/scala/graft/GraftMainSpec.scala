@@ -55,6 +55,63 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
     } finally mgr.stopAll()
   }
 
+  test("agent boots standing data pipelines (curation + ivf) from the same conf directory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confDir = Files.createTempDirectory("graft-dconf")
+    val docsIn = Files.createTempDirectory("graft-dp-docs")
+    val vecsIn = Files.createTempDirectory("graft-dp-vecs")
+    val stateDir = Files.createTempDirectory("graft-dp-state").toString
+    val idxPath = Files.createTempDirectory("graft-dp-idx").toString
+    val probesPath = Files.createTempDirectory("graft-dp-probes").toString + "/probes"
+    val centsPath = Files.createTempDirectory("graft-dp-cents").toString + "/cents"
+
+    Seq((1000L, "benchmark probe phrase never in corpus docs"))
+      .toDF("doc_id", "text").write.parquet(probesPath)
+    def vec(i: Long) = Array.tabulate(8)(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat).toSeq
+    (0L until 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+      .write.parquet(centsPath)
+
+    Files.writeString(confDir.resolve("curate.properties"),
+      s"""pipeline.type=curation
+         |inputDir=$docsIn
+         |probesPath=$probesPath
+         |stateDir=$stateDir
+         |checkpointDir=${Files.createTempDirectory("dcp1")}
+         |""".stripMargin)
+    Files.writeString(confDir.resolve("vectors.properties"),
+      s"""pipeline.type=ivf
+         |inputDir=$vecsIn
+         |indexPath=$idxPath
+         |centroidsPath=$centsPath
+         |checkpointDir=${Files.createTempDirectory("dcp2")}
+         |""".stripMargin)
+
+    Files.writeString(docsIn.resolve("d1.json"),
+      """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog near the river bank today"}
+        |{"doc_id":2,"text":"the quick brown fox jumps over the lazy dog near the river bank today"}
+        |""".stripMargin)
+    Files.writeString(vecsIn.resolve("v1.json"),
+      (0L until 12L).map(i => s"""{"vec_id":$i,"embedding":[${vec(i).mkString(",")}]}""")
+        .mkString("", "\n", "\n"))
+
+    // data-pipeline files are invisible to the log-pipeline loader
+    assert(GraftMain.loadConfigs(confDir).isEmpty)
+    val mgr = GraftMain.run(spark, confDir.toString,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      mgr.active.values.foreach(_.processAllAvailable())
+      assert(mgr.active.keySet == Set("curate", "vectors"))
+      val v = graft.streaming.StreamingCuration.verdicts(spark, stateDir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v == Map(1L -> "kept", 2L -> "exact_dup"))
+      assert(graft.streaming.StreamingIvf.search(spark, idxPath,
+        Seq((0L, vec(0))).toDF("vec_id", "embedding"), k = 3).count() == 3)
+    } finally mgr.stopAll()
+  }
+
   test("deciders gate sampling deterministically and instances fail open") {
     import graft.model.Deciders
     val d = Deciders.fromProperties("decider.mylog=50\ndecider.off=0\n")
