@@ -1532,6 +1532,30 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "e21_opq_ivfpq_refine" -> ((s, d) => {
+      // the FULL production retrieval stack (FAISS "OPQ64,IVF8,PQ8 +
+      // RFlat"): OPQ rotation → residual IVF-PQ probe → exact re-rank of
+      // the ADC top-20 in the rotated space (rotation preserves L2, so
+      // refine math equals original-space refine) → top-5. Oracle: the
+      // e19 numpy chain extended with a sequential-sum exact-L2 refine,
+      // margin-asserted at the shortlist boundary and the final ranks.
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.Pca.fit(emb, r = 64)
+      val perm = graft.operators.Pca.opqAllocation(model.eigenvalues, m = 8)
+      val rot = graft.operators.Pca.PcaModel(model.n, model.mean,
+        perm.map(model.eigenvalues(_)), perm.map(model.components(_)))
+      val proj = graft.operators.Pca.project(emb, rot)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      val coarse = proj.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val cbs = Similarity.residualCodebooks(proj.filter(col("vec_id") < 16), coarse, m = 8)
+      Similarity.ivfPqRefineTopK(proj, proj.filter(col("vec_id") < 3), coarse, cbs,
+          kFinal = 5, kCoarse = 20, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("l2sq"), 6).as("l2sq"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e13_ivfpq_residual" -> ((s, d) => {
       // residual IVF-PQ (the production FAISS IVFPQ): PQ codes quantize
       // v − c(cell(v)); query LUTs are per probed CELL. Fixed, SQL-

@@ -503,12 +503,12 @@ def opq_adc_fixture(ids, rotated, d, m=8, k=5):
     return rows
 
 
-def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
-    """e19 oracle: the full production FAISS OPQ-IVFPQ chain over the
-    rotated space — coarse cells (first-8 rotated vectors), residual
-    codebooks (residuals of the first-16), per-(query, probed-cell) LUTs,
-    ADC over probed cells only. Mirrors Similarity.ivfPqResidualTopK by
-    contract."""
+def opq_ivfpq_cands(ids, rotated, d, m=8, n_probe=2):
+    """Shared candidate stage of e19/e21: the OPQ-rotated residual IVF-PQ
+    chain — coarse cells (first-8 rotated vectors), residual codebooks
+    (residuals of the first-16), per-(query, probed-cell) LUTs, ADC over
+    probed cells only. Returns {query_id: [(adc, corpus_id, key), ...]}.
+    Mirrors Similarity.ivfPqResidualTopK by contract."""
     sub = d // m
     coarse = [(cid, rotated[cid]) for cid in sorted(ids) if cid < 8]
 
@@ -534,12 +534,12 @@ def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
         cells[vid] = cell_of(v, f"e19 v{vid}")
         res = v - cent[cells[vid]]
         codes[vid] = pq_codes_with_margin(res, cbs, m, sub, f"e19 v{vid}")
-    rows = []
+    out = {}
     for q in [i for i in sorted(ids) if i < 3]:
         qv = rotated[q]
         probes = sorted((l2sq(qv, cv), cid) for cid, cv in coarse)
         assert probes[n_probe][0] - probes[n_probe - 1][0] > 1e-7, \
-            f"fragile probe boundary e19 q{q}: gap {probes[n_probe][0] - probes[n_probe - 1][0]}"
+            f"fragile probe boundary q{q}: gap {probes[n_probe][0] - probes[n_probe - 1][0]}"
         probed = [cid for _d, cid in probes[:n_probe]]
         luts = {}
         for cell in probed:
@@ -555,8 +555,43 @@ def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
             for j in range(m):
                 acc += lut[j][codes[c][j]]
             cands.append((acc, c, (cells[c],) + tuple(codes[c])))
+        out[q] = cands
+    return out
+
+
+def opq_ivfpq_fixture(ids, rotated, d, m=8, k=5, n_probe=2):
+    """e19 oracle: ADC top-k over the shared candidate stage."""
+    rows = []
+    for q, cands in opq_ivfpq_cands(ids, rotated, d, m, n_probe).items():
         for cid, adc, rank in ranked_topk_with_margin(cands, k, f"e19 q{q}"):
             rows.append((q, cid, adc, rank))
+    return rows
+
+
+def opq_ivfpq_refine_fixture(ids, rotated, d, m=8, k=5, k_coarse=20, n_probe=2):
+    """e21 oracle: the full production stack — ADC top-`k_coarse`
+    candidates re-ranked by EXACT L2 in the rotated space (rotation
+    preserves L2; the sum is SEQUENTIAL left-to-right to match the
+    engine's aggregate()). Margin asserts guard the k_coarse boundary and
+    the refined ranks; engine/fixture rotations differ by solver noise
+    ~1e-12, well inside the 6-decimal rounding slack."""
+    def l2seq(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            da = float(a[i]) - float(b[i])
+            acc += da * da
+        return acc
+
+    rows = []
+    for q, cands in opq_ivfpq_cands(ids, rotated, d, m, n_probe).items():
+        qv = rotated[q]
+        shortlist = [cid for cid, _adc, _r in
+                     ranked_topk_with_margin(cands, k_coarse, f"e21 coarse q{q}")]
+        refined = [(l2seq(qv, rotated[c]), c,
+                    tuple(round(float(x), 9) for x in rotated[c]))
+                   for c in shortlist]
+        for cid, dist, rank in ranked_topk_with_margin(refined, k, f"e21 q{q}"):
+            rows.append((q, cid, dist, rank))
     return rows
 
 
@@ -785,6 +820,7 @@ def main():
     opq_ids, opq_rot, opq_d = opq_rotated_corpus(sf)
     e18_rows = opq_adc_fixture(opq_ids, opq_rot, opq_d)
     e19_rows = opq_ivfpq_fixture(opq_ids, opq_rot, opq_d)
+    e21_rows = opq_ivfpq_refine_fixture(opq_ids, opq_rot, opq_d)
 
     # ---- d16: stratified sample — per-language hash-mod rates (xxh64 of
     # the doc_id LONG, floorMod 100, mirroring Spark pmod(xxhash64(col),100))
@@ -985,6 +1021,10 @@ def main():
 
     e18_sql = adc_sql(e18_rows)
     e19_sql = adc_sql(e19_rows)
+    e21_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
+               " c2::DOUBLE AS l2sq, c3::INT AS rank FROM (VALUES\n"
+               + values(e21_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
     w7_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS stage, c2::BIGINT AS shard"
               " FROM (VALUES\n"
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
@@ -1042,7 +1082,9 @@ object FixtureOracles {{
     "e19_opq_ivfpq" ->
       \"\"\"{e19_sql}\"\"\",
     "w7_stream_curation" ->
-      \"\"\"{w7_sql}\"\"\")
+      \"\"\"{w7_sql}\"\"\",
+    "e21_opq_ivfpq_refine" ->
+      \"\"\"{e21_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
