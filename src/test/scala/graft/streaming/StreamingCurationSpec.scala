@@ -21,7 +21,9 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     (5L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
     (6L, "a totally fresh subject in this corpus about glaciers and the mountain weather patterns"),
     (7L, "this document contains the secret benchmark probe phrase for decontamination checks"),
-    (8L, "the final document is about cooking pasta and the joy of sharing a meal"))
+    (8L, "the final document is about cooking pasta and the joy of sharing a meal"),
+    (9L, ""),      // empty text: zero tokens, no signature — must not throw
+    (10L, "   "))  // whitespace-only: tokens() yields nothing
   private val probes = Seq(
     (1000L, "the secret benchmark probe phrase for decontamination"))
 
@@ -43,6 +45,8 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(one(5L)._1 == "near_dup")
     assert(one(7L)._1 == "contaminated")
     assert(one(2L)._1 == "kept" && one(6L)._1 == "kept" && one(8L)._1 == "kept")
+    // degenerate docs fail the quality floor instead of crashing any stage
+    assert(one(9L)._1 == "quality" && one(10L)._1 == "quality")
     // kept docs carry a shard, dropped docs don't
     assert(one.values.forall { case (st, sh) => (st == "kept") == sh.isDefined })
     assert(foldVerdict(2) == one)
