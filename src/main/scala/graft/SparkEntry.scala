@@ -1111,6 +1111,27 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d51_contamination_fraction" -> ((s, d) => {
+      // graded decontamination: per-doc FRACTION of distinct 4-gram
+      // shingles shared with the probe set (d14 answers yes/no; threshold
+      // policies need the fraction — drop at ≥x%, flag for review below).
+      // Same scale shape as d14: 64-bit hashes explode, probe side
+      // broadcast distinct; the fraction is two counts per doc.
+      val docs = t(s, d, "documents")
+      val probeH = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+        .select(explode(HashFunctions.shingleHashes(col("text"), 4)).as("h"))
+        .distinct()
+      docs.filter(pmod(col("doc_id"), lit(31)) =!= 0)
+        .select(col("doc_id"), explode(HashFunctions.shingleHashes(col("text"), 4)).as("h"))
+        .join(broadcast(probeH.select(col("h"), lit(1).as("__hit"))), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    }),
     "d50_boilerplate_matrix" -> ((s, d) => {
       // boilerplate-provenance matrix: pairs of docs sharing an identical
       // 80-char prefix (shared headers/templates — the cheap cross-source
@@ -1642,6 +1663,22 @@ object SparkEntry {
           pmod(col("event_id"), lit(2400)).cast("int"))).as("edate"))
       val o = t(s, d, "orders")
       graft.operators.Joins.asofBackward(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("edate"), rightTime = col("o_orderdate"),
+        rightId = col("o_orderkey"), rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
+    "a2_asof_forward" -> ((s, d) => {
+      // forward as-of: each event joined to the user's NEXT order at-or-
+      // after the event date (ties: smallest orderkey) — a1's time-mirror,
+      // same one-shuffle-per-side sort-merge shape.
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          pmod(col("event_id"), lit(2400)).cast("int"))).as("edate"))
+      val o = t(s, d, "orders")
+      graft.operators.Joins.asofForward(e, o,
         leftKey = col("user_id"), rightKey = col("o_custkey"),
         leftTime = col("edate"), rightTime = col("o_orderdate"),
         rightId = col("o_orderkey"), rightCols = Seq("o_orderkey", "o_totalprice"))
@@ -3110,6 +3147,16 @@ object SparkEntry {
            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.edate
            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) ord ON true
          ORDER BY event_id""",
+    "a2_asof_forward" ->
+      """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
+         FROM (SELECT event_id, user_id,
+             (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
+           FROM events) e
+         LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.edate
+           ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) ord ON true
+         ORDER BY event_id""",
     // m1/m4: the Spark side decodes REAL PNG/JPEG bytes with javax.imageio;
     // the oracle recomputes what the deterministic image generator drew
     // (dims + per-channel sums) from pure arithmetic — fully independent of
@@ -3161,6 +3208,30 @@ object SparkEntry {
            nw AS (SELECT doc_id, count(*)::INT AS n_windows FROM w GROUP BY 1)
          SELECT nw.doc_id AS media_id, nw.n_windows, coalesce(f.fp, 0)::BIGINT AS fp
          FROM nw LEFT JOIN fpj f USING (doc_id) ORDER BY media_id""",
+    // d51: shingle hashes are bijective with shingle strings (d13's proven
+    // stance), so the fraction oracle runs on token-string 4-grams
+    "d51_contamination_fraction" ->
+      """WITH t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS ltoks FROM documents),
+           psh AS (SELECT DISTINCT unnest(list_distinct(
+               CASE WHEN len(ltoks) - 3 <= 0 THEN [array_to_string(ltoks, ' ')]
+                 ELSE list_transform(generate_series(1, len(ltoks) - 3),
+                   i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' '
+                     || ltoks[i+3]) END)) AS g
+             FROM t WHERE doc_id % 31 = 0),
+           csh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(ltoks) - 3 <= 0 THEN [array_to_string(ltoks, ' ')]
+                 ELSE list_transform(generate_series(1, len(ltoks) - 3),
+                   i -> ltoks[i] || ' ' || ltoks[i+1] || ' ' || ltoks[i+2] || ' '
+                     || ltoks[i+3]) END)) AS g
+             FROM t WHERE doc_id % 31 <> 0)
+         SELECT c.doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+           round(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS contamination
+         FROM csh c LEFT JOIN psh p USING (g)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
     "d50_boilerplate_matrix" ->
       """SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_pairs
          FROM documents a JOIN documents b

@@ -25,7 +25,25 @@ object Joins {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
-      rightId: Column, rightCols: Seq[String]): DataFrame = {
+      rightId: Column, rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightId,
+      rightCols, forward = false)
+
+  /** Forward as-of join: the time-mirror of [[asofBackward]] — for every
+    * left row, the single right row with the SMALLEST `(rightTime,
+    * rightId)` such that `rightTime >= leftTime` and the keys match
+    * ("the next dimension snapshot / the next fill after this order").
+    * Identical plan shape: one shuffle per side, one sort, no per-row
+    * subqueries; ties at equal time break by `rightId` (smallest wins). */
+  def asofForward(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightId: Column, rightCols: Seq[String]): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightId,
+      rightCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightId: Column, rightCols: Seq[String], forward: Boolean): DataFrame = {
     val leftTagged = left
       .withColumn("__key", leftKey).withColumn("__time", leftTime)
       .withColumn("__isLeft", lit(1)).withColumn("__rid", lit(null).cast("long"))
@@ -43,10 +61,17 @@ object Joins {
       Seq(col("__key"), col("__time"), col("__isLeft"), col("__rid")) ++
         rightCols.map(c => lit(null).cast(rightTagged.schema(c).dataType).as(c)) ++
         left.columns.map(col): _*)
-    // right rows sort BEFORE left rows at equal time (asof is inclusive);
-    // among right ties the largest (__time, __rid) is last ⇒ wins
-    val w = Window.partitionBy("__key")
-      .orderBy(col("__time"), col("__isLeft"), col("__rid").asc_nulls_last)
+    // right rows sort BEFORE left rows at equal time (asof is inclusive).
+    // Backward scans time ascending (among right ties the largest
+    // (__time, __rid) is last ⇒ wins); forward scans time DESCENDING so
+    // the running-last right row is the nearest at-or-after one (among
+    // equal-time ties __rid descending puts the smallest last ⇒ wins).
+    val w = (if (forward)
+      Window.partitionBy("__key")
+        .orderBy(col("__time").desc, col("__isLeft"), col("__rid").desc_nulls_last)
+    else
+      Window.partitionBy("__key")
+        .orderBy(col("__time"), col("__isLeft"), col("__rid").asc_nulls_last))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightProjected.unionByName(leftProjected)
       .select(

@@ -86,6 +86,33 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofForward matches a brute-force per-row reference on random data") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))))
+    forAll(gen, trials = 5) { case (leftRows, rightRows) =>
+      val left = leftRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lk", "lt")
+      val right = rightRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      val got = Joins.asofForward(left, right,
+        leftKey = col("lk"), rightKey = col("rk"),
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightId = col("rid"), rightCols = Seq("rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt >= t }
+        val best = if (candidates.isEmpty) -1L
+        else candidates.minBy { case ((_, rt), ri) => (rt, ri.toLong) }._2.toLong
+        i.toLong -> best
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("packSequences: arbitrary counts and partitioning match the sequential fold") {
     import org.apache.spark.sql.functions.col
     forAll(Gen.zip(Gen.chooseNum(1, 6),
