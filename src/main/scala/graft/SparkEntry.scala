@@ -1111,6 +1111,28 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d52_dedup_savings" -> ((s, d) => {
+      // dedup-savings accounting: per source, bytes before vs after exact
+      // dedup (each distinct text billed to its min-id doc's source) —
+      // "how much does deduplication save per provider", the number that
+      // prices a curation run. Shuffles carry (digest, id, source, length)
+      // — never text; two hash aggs.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("dg"),
+          length(col("text")).cast("long").as("bytes"))
+      val survivors = docs
+        .groupBy("dg").agg(min(struct(col("doc_id"), col("source"), col("bytes"))).as("m"))
+        .select(col("m.source").as("source"), col("m.bytes").as("bytes"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"), sum("bytes").as("kept_bytes"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("total_bytes"))
+        .join(survivors, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_bytes"),
+          col("n_kept"), col("kept_bytes"),
+          round(lit(1.0) - col("kept_bytes").cast("double") / col("total_bytes"), 6)
+            .as("savings"))
+        .orderBy("source")
+    }),
     "d51_contamination_fraction" -> ((s, d) => {
       // graded decontamination: per-doc FRACTION of distinct 4-gram
       // shingles shared with the probe set (d14 answers yes/no; threshold
@@ -3208,6 +3230,19 @@ object SparkEntry {
            nw AS (SELECT doc_id, count(*)::INT AS n_windows FROM w GROUP BY 1)
          SELECT nw.doc_id AS media_id, nw.n_windows, coalesce(f.fp, 0)::BIGINT AS fp
          FROM nw LEFT JOIN fpj f USING (doc_id) ORDER BY media_id""",
+    "d52_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text)::BIGINT AS bytes
+             FROM documents),
+           surv AS (SELECT text, min_by(source, doc_id) AS source,
+               min_by(bytes, doc_id) AS bytes
+             FROM d GROUP BY text),
+           k AS (SELECT source, count(*)::BIGINT AS n_kept,
+               sum(bytes)::BIGINT AS kept_bytes FROM surv GROUP BY 1),
+           a AS (SELECT source, count(*)::BIGINT AS n_docs,
+               sum(bytes)::BIGINT AS total_bytes FROM d GROUP BY 1)
+         SELECT a.source, a.n_docs, a.total_bytes, k.n_kept, k.kept_bytes,
+           round(1.0::DOUBLE - k.kept_bytes::DOUBLE / a.total_bytes, 6) AS savings
+         FROM a JOIN k USING (source) ORDER BY a.source""",
     // d51: shingle hashes are bijective with shingle strings (d13's proven
     // stance), so the fraction oracle runs on token-string 4-grams
     "d51_contamination_fraction" ->
