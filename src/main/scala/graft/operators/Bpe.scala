@@ -139,7 +139,13 @@ object Bpe {
     private val memos =
       new ConcurrentHashMap[String, ConcurrentHashMap[String, Vector[String]]]()
     def forModel(modelId: String): ConcurrentHashMap[String, Vector[String]] = {
-      if (memos.size > MaxModels) memos.clear()
+      if (memos.size > MaxModels) {
+        // evict one arbitrary entry, not the whole registry (the
+        // Wordpiece.Memos stance — a clear() would stampede every live
+        // model's memo at once)
+        val it = memos.keySet.iterator
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       memos.computeIfAbsent(modelId, _ => new ConcurrentHashMap())
     }
   }
