@@ -42,14 +42,19 @@ object StreamingCuration {
     * @param sigIndex  at-rest [[Dedup.signatureIndex]] rows of the same docs
     * @param probeHashes distinct probe shingle hashes (one `h` column)
     * @return (verdict(idCol, stage, shard), digestsDelta(id, digest),
-    *         sigsDelta(id, sig, band, key)) — deltas are THIS batch's
-    *         quality+exact survivors, the state for later batches
+    *         sigsDelta(id, sig, band, key), release) — deltas are THIS
+    *         batch's quality+exact survivors, the state for later batches.
+    *         Call `release()` once every returned frame is materialized:
+    *         it unpersists the batch's internal intermediates (SQL cache
+    *         entries are NOT GC-reclaimed, so a standing pipeline that
+    *         skipped this would accumulate MEMORY_AND_DISK blocks per
+    *         epoch — the CurationPipeline advisory's streaming twin).
     */
   def curateBatch(batch: DataFrame, digests: DataFrame, sigIndex: DataFrame,
       probeHashes: DataFrame, minQuality: Double = 0.9, threshold: Double = 0.3,
       probeNgram: Int = 4, nShards: Int = 16, maxBucket: Int = 4096,
       textCol: String = "text", idCol: String = "doc_id")
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
     val nullShard = lit(null).cast("long").as("shard")
 
     // stage 1: quality floor — narrow, codegen'd, scan speed
@@ -124,7 +129,8 @@ object StreamingCuration {
 
     val verdict = qualityDrop.unionByName(exactDrop).unionByName(nearDrop)
       .unionByName(contamDrop).unionByName(kept)
-    (verdict, digestsDelta, sigsDelta)
+    val release = () => Seq(scored, s1j, sigsDelta).foreach(_.unpersist(false))
+    (verdict, digestsDelta, sigsDelta, release)
   }
 
   /** Distinct decontamination probe hashes for [[curateBatch]]. */
@@ -158,11 +164,12 @@ object StreamingCuration {
     var verdicts = List.empty[DataFrame]
     (0 until nBatches).foreach { b =>
       val batch = docs.filter(col(idCol) >= lo + b * span && col(idCol) < lo + (b + 1) * span)
-      val (v, dd, sd) = curateBatch(batch, digests, sigs, probeH,
+      val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
         minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
       val vc = v.localCheckpoint(true)
       val ddc = dd.localCheckpoint(true)
       val sdc = sd.localCheckpoint(true)
+      release()
       verdicts ::= vc
       digests = digests.unionByName(ddc)
       sigs = sigs.unionByName(sdc)
@@ -207,13 +214,13 @@ object StreamingCuration {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val digests = readStateOr(spark, s"$stateDir/digests", emptyDigests(spark))
         val sigs = readStateOr(spark, s"$stateDir/sigs", emptySigs(spark))
-        val (v, dd, sd) = curateBatch(batch, digests, sigs, probeH,
+        val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
           minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
         // deltas first (overwrite = replay-idempotent), verdict last
         dd.write.mode("overwrite").parquet(s"$stateDir/digests/batch=$epoch")
         sd.write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$epoch")
         v.write.mode("overwrite").parquet(s"$stateDir/verdicts/batch=$epoch")
-        ()
+        release()
       }
       .start()
   }
