@@ -188,6 +188,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch-quality audit rows: every LSH candidate pair carrying BOTH the
+    * MinHash estimate and the exact shingle Jaccard — the "can I trust
+    * k=64 at this threshold" report a user runs on a sample before
+    * committing a corpus-wide dedup. `estFloor` keeps the candidate set
+    * wide enough to see disagreement in BOTH directions around the real
+    * dedup threshold. Same scale shape as [[ngramJaccardPairs]]: shingle
+    * arrays materialize only for colliding pairs (semi-join before
+    * shingling). */
+  def sketchQualityPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3,
+      estFloor: Double = 0.1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val candidates = minHashLshPairs(docs, textCol, idCol, shingleN,
+      k = 64, bands = 16, threshold = estFloor)
+      .persist(MEMORY_AND_DISK)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard_est"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
   /** Asymmetric containment pairs: max-side Broder containment
     * (|A∩B|/|A|, |A∩B|/|B|) — catches a short document wholly embedded in
     * a long one (boilerplate, quotation), which symmetric Jaccard dilutes

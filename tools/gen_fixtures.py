@@ -944,6 +944,37 @@ def main():
         w7_verdict[i] = ("kept", shard)
     w7_rows = sorted((i, st, sh) for i, (st, sh) in w7_verdict.items())
 
+    # ---- d53: sketch-quality audit — every bucket-colliding pair with
+    # est >= 0.1 scored by BOTH the MinHash estimate (m/64, exact rational,
+    # bit-equal cross-engine) and the exact 3-gram shingle Jaccard
+    # (inter/union, same rational); confusion counts at the 0.3 dedup
+    # threshold + mean absolute error (sum-order noise ~1e-15 << the
+    # 6-decimal slack)
+    def shingle_set3(tk):
+        if len(tk) - 2 <= 0:
+            return {tuple(tk)}
+        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    d53_n = d53_agree = d53_est_only = d53_exact_only = 0
+    d53_errsum = 0.0
+    for a, b in sorted(cand):
+        m = sum(1 for i in range(64) if sigs[a][i] == sigs[b][i])
+        est = m / 64
+        if est < 0.1:
+            continue
+        sa, sb = shingle_set3(toks[a]), shingle_set3(toks[b])
+        uni = len(sa | sb)
+        exact = (len(sa & sb) / uni) if uni else 0.0
+        d53_n += 1
+        if est >= 0.3 and exact >= 0.3:
+            d53_agree += 1
+        elif est >= 0.3:
+            d53_est_only += 1
+        elif exact >= 0.3:
+            d53_exact_only += 1
+        d53_errsum += abs(est - exact)
+    d53_mae = rnd(d53_errsum / d53_n, 6) if d53_n else 0.0
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -1025,6 +1056,9 @@ def main():
                " c2::DOUBLE AS l2sq, c3::INT AS rank FROM (VALUES\n"
                + values(e21_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
                + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
+    d53_sql = (f"SELECT {d53_n}::BIGINT AS n_pairs, {d53_agree}::BIGINT AS agree_dup,"
+               f" {d53_est_only}::BIGINT AS est_only, {d53_exact_only}::BIGINT AS exact_only,"
+               f" {d53_mae!r}::DOUBLE AS mean_abs_err")
     w7_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS stage, c2::BIGINT AS shard"
               " FROM (VALUES\n"
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
@@ -1084,7 +1118,9 @@ object FixtureOracles {{
     "w7_stream_curation" ->
       \"\"\"{w7_sql}\"\"\",
     "e21_opq_ivfpq_refine" ->
-      \"\"\"{e21_sql}\"\"\")
+      \"\"\"{e21_sql}\"\"\",
+    "d53_sketch_quality" ->
+      \"\"\"{d53_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
