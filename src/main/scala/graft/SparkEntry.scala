@@ -1745,6 +1745,15 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
     }),
+    "m10_image_dup_pairs" -> ((s, d) =>
+      // end-to-end image near-dup: dHash → 4×16-bit band buckets → total
+      // Hamming verify ≤ 10 — the "find duplicate images" operator over
+      // the real-decode path. PNG (even ids) so the oracle reproduces the
+      // hash bits and therefore the bands and distances exactly.
+      Multimodal.imageDupPairs(
+          syntheticMedia(s, d).filter(col("media_id") % 2 === 0),
+          maxHamming = 10)
+        .orderBy("id_a", "id_b")),
     "m8_image_dhash" -> ((s, d) =>
       // perceptual dHash over the real decoded raster — integer luma,
       // 9×8 floor block means, gradient-sign bits in two 32-bit halves.
@@ -3303,6 +3312,44 @@ object SparkEntry {
            LATERAL (SELECT unnest(range(0, (16 + ((d.doc_id // 7) % 40))::INT)) AS v) y
          WHERE d.doc_id % 2 = 0
          GROUP BY 1 ORDER BY media_id""",
+    // m10: m8's exact dHash chain extended with band buckets + Hamming
+    "m10_image_dup_pairs" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+             (16 + (doc_id % 48))::BIGINT AS w,
+             (16 + ((doc_id // 7) % 40))::BIGINT AS h
+           FROM documents WHERE doc_id % 2 = 0),
+           px AS (SELECT media_id, w, h, x.v AS x, y.v AS y,
+               (((x.v*7 + y.v*13 + media_id*31) % 256) * 299
+                + ((x.v*3 + y.v*5 + media_id*17) % 256) * 587
+                + ((x.v*11 + y.v*2 + media_id*7) % 256) * 114) // 1000 AS gray
+             FROM img,
+               LATERAL (SELECT unnest(range(0, w::INT)) AS v) x,
+               LATERAL (SELECT unnest(range(0, h::INT)) AS v) y),
+           cells AS (SELECT media_id, (y*8)//h AS cy, (x*9)//w AS cx,
+               sum(gray)//count(*) AS cell
+             FROM px GROUP BY 1, 2, 3),
+           bits AS (SELECT a.media_id, a.cy*8 + a.cx AS k,
+               CASE WHEN b.cell > a.cell THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+             FROM cells a JOIN cells b
+               ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+             WHERE a.cx < 8),
+           hh AS (SELECT media_id,
+               sum(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END)::BIGINT AS hi,
+               sum(CASE WHEN k < 32 THEN bit << k ELSE 0 END)::BIGINT AS lo
+             FROM bits GROUP BY 1),
+           b AS (SELECT media_id, hi, lo, unnest(range(0, 4)) AS band FROM hh),
+           k AS (SELECT media_id, hi, lo, band,
+               CASE WHEN band < 2 THEN (lo >> (band*16)::INT) & 65535
+                 ELSE (hi >> ((band-2)*16)::INT) & 65535 END AS key FROM b),
+           cand AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+               a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
+             FROM k a JOIN k c ON a.band = c.band AND a.key = c.key
+               AND a.media_id < c.media_id)
+         SELECT id_a, id_b,
+           (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
+         FROM cand
+         WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 10
+         ORDER BY id_a, id_b""",
     // m8: dHash recomputed from the closed-form raster — gray/means/bits
     // are all integer floor arithmetic, so the oracle is exact on PNG.
     "m8_image_dhash" ->

@@ -258,6 +258,44 @@ object Multimodal {
       }
   }
 
+  /** Image near-duplicate pairs: [[imageDHash]] banded into 4 × 16-bit
+    * buckets (the SimHash machinery on the 64 gradient bits), candidates
+    * verified by total Hamming distance ≤ `maxHamming` — the end-to-end
+    * "find duplicate images" operator (a re-encoded/brightness-shifted
+    * copy keeps its gradient signs, so it lands in the same buckets at
+    * Hamming 0). One narrow decode pass; the self-join carries
+    * (id, two i32 halves) only — 16 bytes/image, hot buckets bounded by
+    * the skew guard. */
+  def imageDupPairs(media: DataFrame, maxHamming: Int = 10,
+      maxBucket: Int = 4096, idCol: String = "media_id",
+      bytesCol: String = "content"): DataFrame = {
+    val h = imageDHash(media, idCol, bytesCol).toDF()
+      .select(col("media_id").as("id"), col("dhash_hi"), col("dhash_lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = h.select(col("id"),
+        struct(col("dhash_hi"), col("dhash_lo")).as("sig"),
+        explode(transform(sequence(lit(0), lit(3)), b => struct(
+          b.cast("int").as("band"),
+          when(b < 2,
+            call_function("shiftright", col("dhash_lo"), (b * 16).cast("int"))
+              .bitwiseAND(0xFFFFL))
+            .otherwise(
+              call_function("shiftright", col("dhash_hi"), ((b - 2) * 16).cast("int"))
+                .bitwiseAND(0xFFFFL)).as("key")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.key"))
+    graft.operators.SkewGuard.guardedSelfJoinPairs(banded, Seq("band", "key"),
+        idCol = "id", payloadCol = "sig", maxBucket = maxBucket, label = "image_dup")
+      .join(h.select(col("id").as("id_a"),
+        col("dhash_hi").as("ha"), col("dhash_lo").as("la")), "id_a")
+      .join(h.select(col("id").as("id_b"),
+        col("dhash_hi").as("hb"), col("dhash_lo").as("lb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.HashFunctions.hamming64(col("ha"), col("hb")) +
+          graft.functions.HashFunctions.hamming64(col("la"), col("lb")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Perceptual audio fingerprint — the audio twin of [[imageDHash]]:
     * sign-of-delta over consecutive window energies (bit k = 1 iff
     * energy(k+1) > energy(k)), the energy-envelope shape a re-encoded or
