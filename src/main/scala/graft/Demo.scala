@@ -126,6 +126,38 @@ object Demo {
       println(s"DEMO sessions emitted:")
       spark.table("demo_sessions").orderBy("user_id", "session_start").show(false)
     }
+    // the STANDING curation pipeline: continuous ingest → quality →
+    // incremental dedup against at-rest state → decontamination → shard
+    {
+      import graft.streaming.StreamingCuration
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val inDir = Files.createTempDirectory("demo-cur-in")
+      val stateDir = Files.createTempDirectory("demo-cur-state").toString
+      val cpDir = Files.createTempDirectory("demo-cur-cp").toString
+      def write(name: String, docs: Seq[(Long, String)]): Unit =
+        Files.writeString(inDir.resolve(name),
+          docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+            .mkString("", "\n", "\n"))
+      write("b1.json", Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river today"),
+        (2L, "x!")))
+      val probes = Seq((100L, "the held out benchmark probe sentence"))
+        .toDF("doc_id", "text")
+      val cq = StreamingCuration.run(
+        spark.readStream.schema("doc_id long, text string")
+          .option("maxFilesPerTrigger", 1).json(inDir.toString),
+        probes, stateDir, cpDir)
+      cq.processAllAvailable()
+      // a later epoch: one exact dup of doc 1, one fresh doc
+      write("b2.json", Seq(
+        (3L, "the quick brown fox jumps over the lazy dog near the river today"),
+        (4L, "a completely fresh document about the mountain weather patterns")))
+      cq.processAllAvailable()
+      cq.stop()
+      println("DEMO standing curation verdicts (doc 3 exact-dups doc 1 across epochs):")
+      StreamingCuration.verdicts(spark, stateDir).orderBy(col("doc_id")).show(false)
+    }
     spark.streams.removeListener(listener)
     spark.stop()
   }
