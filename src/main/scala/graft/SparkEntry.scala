@@ -1114,19 +1114,21 @@ object SparkEntry {
     "d53_sketch_quality" -> ((s, d) => {
       // sketch-quality audit: LSH candidates (est ≥ 0.1) scored by BOTH
       // the MinHash estimate and the exact shingle Jaccard — confusion
-      // counts at the 0.3 dedup threshold + mean absolute error, the
-      // "can I trust k=64 here" report before a corpus-wide dedup.
+      // counts at a 0.95 threshold (chosen to SPLIT this corpus's strong
+      // dups, so the disagreement cells are actually exercised) + mean
+      // absolute error: the "can I trust k=64 here" report before a
+      // corpus-wide dedup.
       // Estimates (m/64) and exact Jaccards (|∩|/|∪|) are exact
       // rationals, so the threshold comparisons are bit-stable
       // cross-engine. Oracle: independent python xxh64 minhash + string
       // shingles (FixtureOracles).
       Dedup.sketchQualityPairs(t(s, d, "documents"), estFloor = 0.1)
         .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("jaccard_est") >= 0.3 && col("jaccard") >= 0.3, 1L)
+          sum(when(col("jaccard_est") >= 0.95 && col("jaccard") >= 0.95, 1L)
             .otherwise(0L)).as("agree_dup"),
-          sum(when(col("jaccard_est") >= 0.3 && col("jaccard") < 0.3, 1L)
+          sum(when(col("jaccard_est") >= 0.95 && col("jaccard") < 0.95, 1L)
             .otherwise(0L)).as("est_only"),
-          sum(when(col("jaccard_est") < 0.3 && col("jaccard") >= 0.3, 1L)
+          sum(when(col("jaccard_est") < 0.95 && col("jaccard") >= 0.95, 1L)
             .otherwise(0L)).as("exact_only"),
           round(avg(abs(col("jaccard_est") - col("jaccard"))), 6).as("mean_abs_err"))
     }),

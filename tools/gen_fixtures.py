@@ -948,7 +948,8 @@ def main():
     # est >= 0.1 scored by BOTH the MinHash estimate (m/64, exact rational,
     # bit-equal cross-engine) and the exact 3-gram shingle Jaccard
     # (inter/union, same rational); confusion counts at the 0.3 dedup
-    # threshold + mean absolute error (sum-order noise ~1e-15 << the
+    # 0.95 threshold (splits this corpus's strong dups) + mean absolute
+    # error (sum-order noise ~1e-15 << the
     # 6-decimal slack)
     def shingle_set3(tk):
         if len(tk) - 2 <= 0:
@@ -966,11 +967,11 @@ def main():
         uni = len(sa | sb)
         exact = (len(sa & sb) / uni) if uni else 0.0
         d53_n += 1
-        if est >= 0.3 and exact >= 0.3:
+        if est >= 0.95 and exact >= 0.95:
             d53_agree += 1
-        elif est >= 0.3:
+        elif est >= 0.95:
             d53_est_only += 1
-        elif exact >= 0.3:
+        elif exact >= 0.95:
             d53_exact_only += 1
         d53_errsum += abs(est - exact)
     d53_mae = rnd(d53_errsum / d53_n, 6) if d53_n else 0.0
