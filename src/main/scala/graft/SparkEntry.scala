@@ -1111,6 +1111,18 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d54_bm25" -> ((s, d) =>
+      // Okapi BM25 ranked retrieval for a fixed query — the lexical
+      // scorer behind corpus search / RAG candidate generation and the
+      // hybrid partner to the ANN family. Two corpus scans total (stats +
+      // scoring); only (id, term, tf, dl) rows shuffle. All matched docs
+      // emitted by id (no top-k boundary, so float noise can't flip the
+      // row set).
+      graft.operators.Bm25.score(t(s, d, "documents"),
+          Seq("spark", "hash", "window"))
+        .select(col("doc_id"), col("n_hit_terms"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id")),
     "d53_sketch_quality" -> ((s, d) => {
       // sketch-quality audit: LSH candidates (est ≥ 0.1) scored by BOTH
       // the MinHash estimate and the exact shingle Jaccard — confusion
@@ -3260,6 +3272,25 @@ object SparkEntry {
            nw AS (SELECT doc_id, count(*)::INT AS n_windows FROM w GROUP BY 1)
          SELECT nw.doc_id AS media_id, nw.n_windows, coalesce(f.fp, 0)::BIGINT AS fp
          FROM nw LEFT JOIN fpj f USING (doc_id) ORDER BY media_id""",
+    "d54_bm25" ->
+      """WITH t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM documents),
+           st AS (SELECT count(*)::DOUBLE AS n,
+               avg(len(toks)::DOUBLE) AS avgdl FROM t),
+           h AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+               SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM t)
+             WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2, 3),
+           df AS (SELECT term, count(*)::DOUBLE AS df FROM h GROUP BY 1),
+           sc AS (SELECT h.doc_id,
+               ln(1::DOUBLE + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * h.tf * 2.2::DOUBLE
+                 / (h.tf + 1.2::DOUBLE * (1::DOUBLE - 0.75 + (0.75::DOUBLE * h.dl) / st.avgdl))
+                 AS contrib
+             FROM h JOIN df USING (term), st)
+         SELECT doc_id, count(*)::BIGINT AS n_hit_terms,
+           round(sum(contrib), 6) AS score
+         FROM sc GROUP BY 1 ORDER BY doc_id""",
     "d52_dedup_savings" ->
       """WITH d AS (SELECT doc_id, source, text, length(text)::BIGINT AS bytes
              FROM documents),
