@@ -1608,6 +1608,36 @@ object SparkEntry {
           round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
         .orderBy("query_id", "rank")
     }),
+    "e23_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 lexical top-100 fused with embedding-cosine
+      // top-100 by reciprocal-rank fusion (score = Σ 1/(60+rank), the
+      // standard RRF constant) — the lexical+vector search every RAG stack
+      // runs. Lexical ranks come from the ROUNDED score (deterministic
+      // cross-engine); the fused output emits every retrieved doc by id
+      // (no final top-k boundary). doc_id ↔ vec_id is the corpus linkage.
+      import s.implicits._
+      val lex100 = graft.operators.Bm25.score(t(s, d, "documents"),
+          Seq("spark", "hash", "window"))
+        .select(col("doc_id"), round(col("score"), 6).as("s"))
+        .orderBy(col("s").desc, col("doc_id")).limit(100)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1) }.toSeq
+        .toDF("doc_id", "lex_rank")
+      val emb = t(s, d, "embeddings")
+      val ann100 = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 100)
+        .select(col("corpus_id").as("doc_id"), col("rank").as("ann_rank"))
+      lex100.join(ann100, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("ann_rank"), lit(0)).as("ann_rank"),
+          round(
+            when(col("lex_rank").isNotNull, lit(1.0) / (col("lex_rank") + 60.0))
+              .otherwise(0.0) +
+            when(col("ann_rank").isNotNull, lit(1.0) / (col("ann_rank") + 60.0))
+              .otherwise(0.0), 6).as("rrf"))
+        .orderBy("doc_id")
+    }),
     "e21_opq_ivfpq_refine" -> ((s, d) => {
       // the FULL production retrieval stack (FAISS "OPQ64,IVF8,PQ8 +
       // RFlat"): OPQ rotation → residual IVF-PQ probe → exact re-rank of
@@ -3272,6 +3302,44 @@ object SparkEntry {
            nw AS (SELECT doc_id, count(*)::INT AS n_windows FROM w GROUP BY 1)
          SELECT nw.doc_id AS media_id, nw.n_windows, coalesce(f.fp, 0)::BIGINT AS fp
          FROM nw LEFT JOIN fpj f USING (doc_id) ORDER BY media_id""",
+    "e23_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0) AS toks FROM documents),
+           st AS (SELECT count(*)::DOUBLE AS n,
+               avg(len(toks)::DOUBLE) AS avgdl FROM t),
+           h AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+               SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM t)
+             WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2, 3),
+           df AS (SELECT term, count(*)::DOUBLE AS df FROM h GROUP BY 1),
+           sc AS (SELECT h.doc_id,
+               ln(1::DOUBLE + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * h.tf * 2.2::DOUBLE
+                 / (h.tf + 1.2::DOUBLE * (1::DOUBLE - 0.75 + (0.75::DOUBLE * h.dl) / st.avgdl))
+                 AS contrib
+             FROM h JOIN df USING (term), st),
+           bm AS (SELECT doc_id, round(sum(contrib), 6) AS s FROM sc GROUP BY 1),
+           lex AS (SELECT doc_id, rnk AS lex_rank FROM (
+               SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+               FROM bm) WHERE rnk <= 100),
+           q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+           ann AS (SELECT doc_id, rnk AS ann_rank FROM (
+               SELECT e.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                   e.vec_id) AS rnk
+               FROM embeddings e, q WHERE e.vec_id <> 0) WHERE rnk <= 100)
+         SELECT doc_id,
+           coalesce(l.lex_rank, 0)::INT AS lex_rank,
+           coalesce(a.ann_rank, 0)::INT AS ann_rank,
+           round(
+             (CASE WHEN l.lex_rank IS NOT NULL
+                THEN 1.0::DOUBLE / (l.lex_rank + 60.0::DOUBLE) ELSE 0::DOUBLE END)
+             + (CASE WHEN a.ann_rank IS NOT NULL
+                THEN 1.0::DOUBLE / (a.ann_rank + 60.0::DOUBLE) ELSE 0::DOUBLE END),
+             6) AS rrf
+         FROM lex l FULL OUTER JOIN ann a USING (doc_id)
+         ORDER BY doc_id""",
     "d54_bm25" ->
       """WITH t AS (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
