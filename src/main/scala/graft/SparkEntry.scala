@@ -1111,6 +1111,25 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d55_chunk_neardup" -> ((s, d) => {
+      // passage-level near-dup (the RAG-era dedup): 32-token chunks
+      // (Chunking) driven through the SAME MinHash-LSH operator as doc
+      // dedup, keeping only CROSS-document chunk pairs — catches shared
+      // passages doc-level Jaccard dilutes. Chunk uid = doc_id*1000 +
+      // chunk_id; the pair relation carries signatures, never chunk text.
+      val chunks = graft.operators.Chunking.chunkTokens(
+          t(s, d, "documents"), chunkSize = 32, overlap = 0)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      Dedup.minHashLshPairs(chunks, threshold = 0.5)
+        .filter(floor(col("id_a") / 1000) =!= floor(col("id_b") / 1000))
+        .select(floor(col("id_a") / 1000).cast("long").as("doc_a"),
+          pmod(col("id_a"), lit(1000)).as("chunk_a"),
+          floor(col("id_b") / 1000).cast("long").as("doc_b"),
+          pmod(col("id_b"), lit(1000)).as("chunk_b"),
+          round(col("jaccard_est"), 4).as("jaccard_est"))
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    }),
     "d54_bm25" -> ((s, d) =>
       // Okapi BM25 ranked retrieval for a fixed query — the lexical
       // scorer behind corpus search / RAG candidate generation and the

@@ -976,6 +976,37 @@ def main():
         d53_errsum += abs(est - exact)
     d53_mae = rnd(d53_errsum / d53_n, 6) if d53_n else 0.0
 
+    # ---- d55: passage-level near-dup — 32-token chunks (Chunking mirror:
+    # starts 0, 32, ... while start <= max(n-1, 0), empty chunks dropped),
+    # chunk uid = doc_id*1000 + chunk_id, same minhash/banding chain as d7
+    # over the lowercased chunk tokens; CROSS-doc pairs with est >= 0.5
+    chunk_toks = {}
+    for i, t in docs:
+        tk = tokens(t)  # case-preserving split, lowered per-token below
+        for ci, s0 in enumerate(range(0, max(len(tk) - 1, 0) + 1, 32)):
+            ctk = tk[s0:s0 + 32]
+            if ctk:
+                chunk_toks[i * 1000 + ci] = [w.lower() for w in ctk]
+    csigs = {u: minhash_sig(ct) for u, ct in chunk_toks.items()}
+    cbuckets = {}
+    for u, sig in csigs.items():
+        for bk in band_keys(sig):
+            cbuckets.setdefault(bk, []).append(u)
+    ccand = set()
+    for us in cbuckets.values():
+        us.sort()
+        for x in range(len(us)):
+            for y in range(x + 1, len(us)):
+                ccand.add((us[x], us[y]))
+    d55_rows = []
+    for a, b in sorted(ccand):
+        if a // 1000 == b // 1000:
+            continue  # same-document chunk pair
+        m = sum(1 for i in range(64) if csigs[a][i] == csigs[b][i])
+        if m / 64 >= 0.5:
+            d55_rows.append((a // 1000, a % 1000, b // 1000, b % 1000,
+                             round_half_up(m, 64, 4)))
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -1060,6 +1091,11 @@ def main():
     d53_sql = (f"SELECT {d53_n}::BIGINT AS n_pairs, {d53_agree}::BIGINT AS agree_dup,"
                f" {d53_est_only}::BIGINT AS est_only, {d53_exact_only}::BIGINT AS exact_only,"
                f" {d53_mae!r}::DOUBLE AS mean_abs_err")
+    d55_sql = ("SELECT c0::BIGINT AS doc_a, c1::BIGINT AS chunk_a,"
+               " c2::BIGINT AS doc_b, c3::BIGINT AS chunk_b,"
+               " c4::DOUBLE AS jaccard_est FROM (VALUES\n"
+               + values(d55_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]!r}")
+               + ") AS t(c0, c1, c2, c3, c4) ORDER BY doc_a, chunk_a, doc_b, chunk_b")
     w7_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS stage, c2::BIGINT AS shard"
               " FROM (VALUES\n"
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
@@ -1121,7 +1157,9 @@ object FixtureOracles {{
     "e21_opq_ivfpq_refine" ->
       \"\"\"{e21_sql}\"\"\",
     "d53_sketch_quality" ->
-      \"\"\"{d53_sql}\"\"\")
+      \"\"\"{d53_sql}\"\"\",
+    "d55_chunk_neardup" ->
+      \"\"\"{d55_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
