@@ -62,7 +62,8 @@ object BenchScale {
 
     val docFamily = Seq("d7_minhash_pairs", "d17_dup_clusters",
       "d36_containment_pairs", "d37_jaccard_verified", "d40_curation_pipeline",
-      "w7_stream_curation")
+      "w7_stream_curation", "d54_bm25", "d55_chunk_neardup",
+      "w8_stream_ivf", "e21_opq_ivfpq_refine")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.foreach { q =>
       results += time(q) {
