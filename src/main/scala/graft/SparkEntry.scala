@@ -1111,6 +1111,27 @@ object SparkEntry {
           round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("lang")
     }),
+    "d56_vocab_coverage" -> ((s, d) => {
+      // vocabulary coverage curve: cumulative corpus-token share of the
+      // top-k tokens for k in 1,2,4,...,32 — the "how big a vocab do I
+      // need" sizing chart behind d23/d44/d49. ONE corpus scan (token
+      // hash agg); the ranked top-32 and the total are metadata-scale, so
+      // the curve is driver arithmetic on exact integer counts.
+      import s.implicits._
+      val counts = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = counts.agg(sum("cnt")).head.getLong(0).toDouble
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(32)
+        .collect().map(_.getLong(1))
+      counts.unpersist(false)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(1, 2, 4, 8, 16, 32).map { k =>
+        (k, r6(top.take(k).sum / total))
+      }.toDF("k", "coverage").orderBy("k")
+    }),
     "d55_chunk_neardup" -> ((s, d) => {
       // passage-level near-dup (the RAG-era dedup): 32-token chunks
       // (Chunking) driven through the SAME MinHash-LSH operator as doc
@@ -1657,6 +1678,21 @@ object SparkEntry {
               .otherwise(0.0), 6).as("rrf"))
         .orderBy("doc_id")
     }),
+    "e24_drift_monitor" -> ((s, d) =>
+      // quantizer-drift monitor: per-cell count + assignment SSE of the
+      // corpus against the frozen centroids — THE refit signal for the
+      // at-rest IVF family (IvfIndex/StreamingIvf docs: re-build when
+      // appended-batch SSE drifts). One zero-shuffle argmin pass + a
+      // cells-cardinality aggregate.
+      graft.operators.KMeans.assignDistances(
+          t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding").as("centroid_vec")),
+          vecCol = "embedding", idCol = "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), round(sum("dist_sq"), 4).as("sse"))
+        .orderBy("cell")),
     "e21_opq_ivfpq_refine" -> ((s, d) => {
       // the FULL production retrieval stack (FAISS "OPQ64,IVF8,PQ8 +
       // RFlat"): OPQ rotation → residual IVF-PQ probe → exact re-rank of
@@ -2881,6 +2917,20 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1, len(v)),
              i -> (v[i] - q[i] * ssafe) * (v[i] - q[i] * ssafe))), 6) AS sq_err
          FROM q ORDER BY vec_id""",
+    "e24_drift_monitor" ->
+      """WITH c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           s AS (SELECT e.vec_id, c.cid,
+               list_sum(list_transform(range(1, 65),
+                 i -> (e.embedding[i]::DOUBLE - c.cv[i])
+                    * (e.embedding[i]::DOUBLE - c.cv[i]))) AS dist_sq
+             FROM embeddings e, c),
+           b AS (SELECT vec_id, cid, dist_sq,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq, cid) AS r
+             FROM s)
+         SELECT cid AS cell, count(*)::BIGINT AS n_vectors,
+           round(sum(dist_sq), 4) AS sse
+         FROM b WHERE r = 1 GROUP BY 1 ORDER BY cell""",
     "e8_centroid_outliers" ->
       """WITH c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),
@@ -3359,6 +3409,20 @@ object SparkEntry {
              6) AS rrf
          FROM lex l FULL OUTER JOIN ann a USING (doc_id)
          ORDER BY doc_id""",
+    "d56_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)) AS token FROM documents),
+           c AS (SELECT token, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+           tot AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+           r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+             FROM c),
+           cum AS (SELECT rnk, sum(cnt) OVER (ORDER BY rnk)::DOUBLE AS cum
+             FROM r)
+         SELECT ks.k::INT AS k, round(cum.cum / tot.total, 6) AS coverage
+         FROM (VALUES (1), (2), (4), (8), (16), (32)) AS ks(k)
+         JOIN cum ON cum.rnk = LEAST(ks.k, (SELECT max(rnk) FROM cum)), tot
+         ORDER BY k""",
     "d54_bm25" ->
       """WITH t AS (SELECT doc_id,
                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
