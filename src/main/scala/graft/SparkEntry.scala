@@ -1243,6 +1243,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
     }),
+    "d57_kneser_ney" -> ((s, d) => {
+      // interpolated Kneser–Ney bigram scoring — the standard smoothing
+      // over d45's plain interpolation (continuation TYPE counts, absolute
+      // discounting). Trained on the doc_id<250 half and scored on the
+      // whole corpus: 5 of the 26,665 scored bigrams are unseen, so the
+      // discount+continuation interpolation is gate-exercised. The
+      // unseen-HISTORY branch cannot occur on this 31-token corpus (every
+      // token is a seen history) — LmSpec covers it directly.
+      val docs = t(s, d, "documents")
+      val model = Lm.kneserNey(docs.filter(col("doc_id") < 250))
+      Lm.knPerplexity(docs, model)
+        .select(col("doc_id"), col("n_scored"), col("n_bigram_hits"),
+          round(col("cross_entropy"), 4).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+    }),
     "d45_bigram_lm" -> ((s, d) => {
       // interpolated bigram LM scoring — one step toward CCNet's KenLM:
       // p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·p_uni(w2). Bigram table capped
@@ -2546,6 +2562,36 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
            round(w / wt.wtot, 6) AS mix_weight
          FROM sh, wt ORDER BY lang""",
+    "d57_kneser_ney" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+           trp AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t WHERE doc_id < 250 AND len(toks) >= 2)),
+           bi AS (SELECT w1, w2, count(*)::DOUBLE AS cnt FROM trp GROUP BY 1, 2),
+           hist AS (SELECT w1, sum(cnt) AS c1, count(*)::DOUBLE AS n_fwd
+             FROM bi GROUP BY 1),
+           cont AS (SELECT w2, count(*)::DOUBLE AS n_bwd FROM bi GROUP BY 1),
+           tt AS (SELECT count(*)::DOUBLE AS ty FROM bi),
+           sp AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u
+               FROM t WHERE len(toks) >= 2)),
+           lp AS (SELECT sp.doc_id, bi.cnt IS NOT NULL AS hit,
+               ln(CASE WHEN h.c1 IS NULL
+                 THEN coalesce(c.n_bwd, 0.5) / tt.ty
+                 ELSE greatest(coalesce(bi.cnt, 0.0) - 0.75, 0.0) / h.c1
+                   + (0.75 * h.n_fwd / h.c1) * (coalesce(c.n_bwd, 0.5) / tt.ty)
+                 END) AS lp
+             FROM sp LEFT JOIN bi USING (w1, w2) LEFT JOIN hist h USING (w1)
+               LEFT JOIN cont c USING (w2), tt)
+         SELECT doc_id, count(*)::BIGINT AS n_scored,
+           sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_bigram_hits,
+           round(-avg(lp), 4) AS cross_entropy,
+           round(exp(-avg(lp)), 2) AS ppl
+         FROM lp GROUP BY 1 ORDER BY doc_id""",
     "d45_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

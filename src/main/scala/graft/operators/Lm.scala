@@ -113,6 +113,77 @@ object Lm {
       .withColumn("ppl", exp(col("cross_entropy")))
   }
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney '95; Chen &
+    * Goodman '99 eq. 4.di) — the standard over [[bigramLm]]'s plain
+    * interpolation: p(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) + λ(w₁)·p_cont(w₂)
+    * with λ(w₁) = D·N₁₊(w₁,•)/c(w₁) and the CONTINUATION unigram
+    * p_cont(w₂) = N₁₊(•,w₂)/N₁₊(•,•) (type counts, not token counts —
+    * KN's defining idea). Unseen histories back off to p_cont alone;
+    * unseen continuations contribute λ·p_cont (> 0, so scores are total).
+    *
+    * Scale shape: every table is an aggregate of the bigram relation
+    * (vocab²-bounded — broadcast); TWO training scans (unigram + bigram)
+    * and one scoring scan. */
+  final case class KnModel(bigrams: DataFrame, hist: DataFrame, cont: DataFrame,
+      nTypes: Long, discount: Double)
+
+  def kneserNey(train: DataFrame, textCol: String = "text",
+      discount: Double = 0.75): KnModel = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val toks = train.select(TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = bi.groupBy("w1")
+      .agg(sum("cnt").as("c1"), count(lit(1)).as("n_fwd"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n_bwd"))
+    val nTypes = bi.count()
+    KnModel(bi, hist, cont, nTypes, discount)
+  }
+
+  /** Per-doc conditional cross-entropy under the KN model (positions
+    * 2..T, first token has no history). Returns (idCol, n_scored,
+    * n_bigram_hits, cross_entropy, ppl). */
+  def knPerplexity(docs: DataFrame, model: KnModel, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toks.select(col(idCol), explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val d = model.discount
+    val t = model.nTypes.toDouble
+    val scored = pairs
+      .join(broadcast(model.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(model.hist), Seq("w1"), "left")
+      .join(broadcast(model.cont), Seq("w2"), "left")
+      .select(col(idCol), col("cnt").isNotNull.as("hit"),
+        log(
+          // continuation unigram (unseen w2 types contribute 0 mass from
+          // cont but λ·(1/T)·0 would zero the prob — floor at 0.5/T, half
+          // a type's worth, so scores stay total and deterministic)
+          when(col("c1").isNull,
+            coalesce(col("n_bwd").cast("double"), lit(0.5)) / t)
+          .otherwise(
+            greatest(coalesce(col("cnt").cast("double"), lit(0.0)) - d, lit(0.0))
+              / col("c1") +
+            (lit(d) * col("n_fwd") / col("c1")) *
+              (coalesce(col("n_bwd").cast("double"), lit(0.5)) / t))).as("lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bigram_hits"),
+        (-avg(col("lp"))).as("cross_entropy"))
+      .withColumn("ppl", exp(col("cross_entropy")))
+  }
+
   /** Per-doc cross-entropy (nats/token) and perplexity under the model.
     * Docs with zero tokens vanish at the explode (callers that need them
     * keep a left join). Returns (idCol, n_tokens, n_oov, cross_entropy,

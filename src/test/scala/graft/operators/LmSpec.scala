@@ -89,4 +89,26 @@ class LmSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
     assert(h(11L) > h(10L)) // all-OOV gibberish ≫ all-frequent
   }
+
+  test("Kneser-Ney: seen, unseen-continuation and unseen-HISTORY branches all score finite") {
+    val train = Seq((1L, "a b a b a c"), (2L, "b a b c")).toDF("doc_id", "text")
+    val model = Lm.kneserNey(train)
+    // score: (a,b) seen; (c,a) unseen bigram with seen history c? c IS a
+    // seen history? train bigrams: ab,ba,ab,ba,ac | ba,ab,bc — histories
+    // {a, b}: 'c' never starts a bigram -> (c, b) exercises unseen HISTORY;
+    // (a, q) exercises unseen continuation under a seen history
+    val out = Lm.knPerplexity(
+        Seq((10L, "a b"), (11L, "c b"), (12L, "a q")).toDF("doc_id", "text"), model)
+      .select("doc_id", "n_scored", "n_bigram_hits", "cross_entropy")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L)._3 == 1L)                     // seen bigram
+    assert(out(11L)._3 == 0L)                     // unseen history
+    assert(out(12L)._3 == 0L)                     // unseen continuation
+    out.values.foreach { case (_, _, _, ce) =>
+      assert(!ce.isNaN && !ce.isInfinite && ce > 0)
+    }
+    // the seen bigram is the most probable of the three
+    assert(out(10L)._4 < out(11L)._4 && out(10L)._4 < out(12L)._4)
+  }
 }
