@@ -28,6 +28,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.SkewGuard.registerMetricsLogger(spark) // no-silent-cap logging
+    graft.model.TableContracts.assertContract(spark, sfDir)
 
     // JVM/codegen warmup on a scan that touches every table once
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -55,21 +56,33 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
 
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A crashed query must NOT be timed — its crash-fast elapsed would
+    // masquerade as a (suspiciously good) measurement. Errors are carried
+    // to the JSON as an "errors" map and excluded from the total.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val outcome =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); Right(()) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          Left(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // the sketch operators persist() intermediates their callers may
       // reuse; a bench run is done with them — drop them so block-manager
       // residue never bleeds into the next query's measurement
       spark.catalog.clearCache()
-      secs
+      outcome.map(_ => secs)
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      results(name) = (1 to 2).map(_ => timeOnce(name, fn)).min
+      val runs = (1 to 2).map(_ => timeOnce(name, fn))
+      runs.collect { case Right(s) => s } match {
+        case good if good.nonEmpty => results(name) = good.min
+        case _ => errors(name) = runs.collectFirst { case Left(m) => m }.getOrElse("unknown")
+      }
     }
 
     // CONTENTION RETRY PASSES. This host is a shared microVM with visible
@@ -89,11 +102,12 @@ object Bench {
       if (results.nonEmpty) { // empty subset selection → nothing to retry
         val med = results.values.toSeq.sorted.apply(results.size / 2)
         val threshold = math.max(3 * med, 1.5)
-        val suspects = selected.filter { case (name, _) => results(name) > threshold }
+        val suspects = selected.filter { case (name, _) =>
+          results.get(name).exists(_ > threshold) }
         suspects.foreach { case (name, fn) =>
           val before = retried.get(name).map(_._1).getOrElse(results(name))
           retried(name) = (before, retried.get(name).map(_._2).getOrElse(0) + 1)
-          results(name) = math.min(results(name), timeOnce(name, fn))
+          timeOnce(name, fn).foreach(s => results(name) = math.min(results(name), s))
         }
       }
     }
@@ -115,8 +129,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.sum
 
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errsJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest},"contention_retries":$rt}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest},"contention_retries":$rt,"errors":$errsJson}"""
     println(line)
     // Self-contained artifact: the graded BENCH file is assembled from
     // captured stdout, which has been observed truncated — also write the

@@ -21,13 +21,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column usable as a Spark timestamp.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
-    * Bench/test sessions): parquet nanos arrive as a long, converted here via
-    * integer division to microseconds — same floor semantics as DuckDB's
-    * native nanosecond timestamp reads. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with its `ts` column normalized to a Spark TIMESTAMP regardless
+    * of the physical parquet encoding. The driver's testdata generator has
+    * shipped `ts` both as TIMESTAMP(NANOS) (arriving as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as plain
+    * `timestamp[us]`; branching on the loaded schema keeps every downstream
+    * query working against either. Long nanos floor-divide to microseconds —
+    * same truncation DuckDB applies reading nanos natively. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected TIMESTAMP, TIMESTAMP_NTZ, or BIGINT nanos")
+    }
+  }
 
   /** Synthetic media corpus for the m-queries: one deterministic PNG (even
     * ids) / JPEG (odd ids) per document id, encoded on executors — see

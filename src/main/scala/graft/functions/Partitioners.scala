@@ -162,3 +162,45 @@ class PartitionMetadataCache(
       }
     }
 }
+
+/** One broker node of the cluster: id + rack/AZ. The AdminClient
+  * `describeCluster` row shape (reference:
+  * writer/partitioners/LocalityAwarePartitioner.java:60-104 resolves
+  * leader racks from cluster node metadata). */
+case class BrokerNode(id: Int, rack: String)
+
+/** One partition's topic metadata: partition id + leader node id
+  * (None = currently leaderless / under-replicated) — the
+  * `describeTopics` row shape. */
+case class TopicPartitionMeta(partition: Int, leaderNodeId: Option[Int])
+
+/** AdminClient-shaped metadata source. The two calls mirror the exact
+  * slice of `org.apache.kafka.clients.admin.AdminClient` the reference's
+  * locality partitioner uses — `describeCluster` (node → rack) and
+  * `describeTopics` (partition → leader). A real-client binding lives in
+  * `tools/adapters/` (unbuilt here: no kafka-clients jar on this
+  * classpath); specs script a fake. */
+trait BrokerAdmin {
+  def describeCluster(): Seq[BrokerNode]
+  def describeTopic(topic: String): Seq[TopicPartitionMeta]
+  def close(): Unit = ()
+}
+
+object BrokerAdmin {
+  /** Adapt a [[BrokerAdmin]] to [[PartitionMetadataCache]]'s fetch seam:
+    * join topic leaders onto cluster racks, exactly the reference's
+    * refresh body. A leaderless partition keeps an empty rack (it is
+    * dropped by skipNoLeader before rack filtering anyway); a leader whose
+    * node is missing from the cluster description also maps to the empty
+    * rack, so it survives leaderless-skip but only matches the
+    * fall-back-to-all path — never a real local rack. Throws propagate to
+    * the cache, which keeps last-known-good. */
+  def fetcher(admin: BrokerAdmin, topic: String): () => Map[Int, PartitionInfo] =
+    () => {
+      val racks = admin.describeCluster().map(n => n.id -> n.rack).toMap
+      admin.describeTopic(topic).map { tp =>
+        tp.partition -> PartitionInfo(
+          tp.leaderNodeId, tp.leaderNodeId.flatMap(racks.get).getOrElse(""))
+      }.toMap
+    }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.TableContracts
+
+/** Pins the loud-failure contract of the verify/bench harness (round-6
+  * postmortem: 20 queries crashed for two rounds and the gate showed fewer
+  * rows instead of FAILs).
+  *
+  * Three layers, each spec'd:
+  *  1. Verify.dumpQuery leaves an `_ERROR` marker (and clears stale output)
+  *     when a query throws — a crash now produces an artifact, not silence.
+  *  2. TableContracts fails fast, with a readable diff, on input-schema
+  *     drift — 20 scattered AnalysisExceptions become one contract error.
+  *  3. SparkEntry.events normalizes both physical `ts` encodings the driver
+  *     has shipped (BIGINT nanos under nanosAsLong, and timestamp[us]) to
+  *     identical TIMESTAMP values.
+  */
+class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  // ------------------------------------------------------------ dumpQuery
+
+  test("dumpQuery writes parquet and no _ERROR for a healthy query") {
+    val out = tmp("gate-ok")
+    val ok = Verify.dumpQuery(spark, "unused", out.toString, "good",
+      (s, _) => s.range(5).toDF("id"))
+    assert(ok)
+    val dir = out.resolve("good")
+    assert(Files.list(dir).anyMatch(p => p.toString.endsWith(".parquet")))
+    assert(!Files.exists(dir.resolve("_ERROR")))
+  }
+
+  test("dumpQuery leaves an _ERROR marker and clears stale parquet when the query throws") {
+    val out = tmp("gate-crash")
+    // a previous good run left parquet behind
+    assert(Verify.dumpQuery(spark, "unused", out.toString, "q",
+      (s, _) => s.range(3).toDF("id")))
+    // the query now crashes (e.g. input schema drifted underneath it)
+    val ok = Verify.dumpQuery(spark, "unused", out.toString, "q",
+      (_, _) => throw new IllegalStateException("schema drifted"))
+    assert(!ok)
+    val dir = out.resolve("q")
+    assert(Files.exists(dir.resolve("_ERROR")),
+      "a crashed query must leave a loud _ERROR artifact")
+    assert(Files.readString(dir.resolve("_ERROR")).contains("schema drifted"))
+    assert(!Files.list(dir).anyMatch(p => p.toString.endsWith(".parquet")),
+      "stale parquet from the earlier good run must not read as a fresh result")
+  }
+
+  // -------------------------------------------------------- TableContracts
+
+  /** Minimal conforming testdata dir: every contracted table with its
+    * expected columns/types, zero rows (contract is schema-only). */
+  private def writeConformingTables(dir: Path): Unit = {
+    def empty(df: DataFrame, name: String): Unit =
+      df.limit(0).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    val s = spark
+    import s.implicits._
+    empty(Seq((1, "a")).toDF("r_regionkey", "r_name"), "region")
+    empty(Seq((1, "a", 1)).toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
+    empty(Seq((1L, "a", 1, 0.0, "m")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+    empty(Seq((1L, "a", 1, 0.0)).toDF(
+      "s_suppkey", "s_name", "s_nationkey", "s_acctbal"), "supplier")
+    empty(Seq((1L, "a", "b", "t", 1, 0.0)).toDF(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part")
+    empty(Seq((1L, 1L, "O", 0.0, "p")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .withColumn("o_orderdate", lit("2024-01-01").cast("timestamp")), "orders")
+    empty(Seq((1L, 1L, 1L, 1, 0.0, 0.0, 0.0, 0.0, "R", "F")).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+      .withColumn("l_shipdate", lit("2024-01-01").cast("timestamp")), "lineitem")
+    empty(Seq((1L, 1L, "t", 0.0, "{}")).toDF(
+      "event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", lit("2024-01-01").cast("timestamp")), "events")
+    empty(Seq((1L, "t", "en", "s", 1L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars"), "documents")
+    empty(Seq((1L, Array(0.1f), 1)).toDF("vec_id", "embedding", "label"), "embeddings")
+  }
+
+  test("TableContracts passes a conforming testdata dir") {
+    val dir = tmp("contract-ok")
+    writeConformingTables(dir)
+    assert(TableContracts.violations(spark, dir.toString).isEmpty)
+    TableContracts.assertContract(spark, dir.toString) // must not throw
+  }
+
+  test("TableContracts fails fast with a readable diff on a mistyped events table") {
+    val dir = tmp("contract-drift")
+    writeConformingTables(dir)
+    val s = spark
+    import s.implicits._
+    // the drift: ts shipped as a string column
+    Seq((1L, "2024-01-01", 1L, "t", 0.0, "{}")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+      .limit(0).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val v = TableContracts.violations(spark, dir.toString)
+    assert(v.exists(line => line.contains("events.ts") && line.contains("string")),
+      s"expected a readable events.ts type diff, got: $v")
+    val err = intercept[IllegalStateException] {
+      TableContracts.assertContract(spark, dir.toString)
+    }
+    assert(err.getMessage.contains("events.ts"))
+  }
+
+  test("TableContracts reports a missing column, not a scattered AnalysisException") {
+    val dir = tmp("contract-missing")
+    writeConformingTables(dir)
+    val s = spark
+    import s.implicits._
+    Seq((1L, "t")).toDF("doc_id", "text")
+      .limit(0).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v = TableContracts.violations(spark, dir.toString)
+    assert(v.exists(_.contains("documents.lang: MISSING")))
+  }
+
+  // ------------------------------------------------- events ts adaptivity
+
+  test("SparkEntry.events normalizes BIGINT-nanos and timestamp[us] ts identically") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, 1706745600123456789L, 10L, "click", 1.0, "{}"),
+      (2L, 1706745601987654321L, 11L, "view", 2.0, "{}"))
+    val nanosDir = tmp("events-nanos")
+    base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    val microsDir = tmp("events-micros")
+    base.map { case (id, ns, u, t, v, p) => (id, ns / 1000, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+
+    val fromNanos = SparkEntry.events(spark, nanosDir.toString)
+    val fromMicros = SparkEntry.events(spark, microsDir.toString)
+    assert(fromNanos.schema("ts").dataType.typeName == "timestamp")
+    assert(fromMicros.schema("ts").dataType.typeName == "timestamp")
+    val a = fromNanos.orderBy("event_id").collect().map(_.toSeq).toSeq
+    val b = fromMicros.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(a == b, "both physical encodings must yield identical normalized rows")
+  }
+}

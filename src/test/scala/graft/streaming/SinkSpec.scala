@@ -122,6 +122,51 @@ class SinkSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.writablePartitions("az-1").isEmpty)
   }
 
+  test("BrokerAdmin fetcher: describeCluster/describeTopic join drives the cache end-to-end") {
+    import graft.functions.{BrokerAdmin, BrokerNode, PartitionMetadataCache, TopicPartitionMeta}
+    var now = 0L
+    var down = false
+    // scripted AdminClient-shaped fake: leader of p1 moves az-2→az-1 between
+    // refreshes; p2 starts leaderless then recovers; p3's leader node is
+    // absent from describeCluster (rack unknown)
+    var nodes = Seq(BrokerNode(101, "az-1"), BrokerNode(102, "az-2"))
+    var parts = Seq(
+      TopicPartitionMeta(0, Some(101)),
+      TopicPartitionMeta(1, Some(102)),
+      TopicPartitionMeta(2, None),
+      TopicPartitionMeta(3, Some(999)))
+    val admin = new BrokerAdmin {
+      def describeCluster(): Seq[BrokerNode] =
+        if (down) throw new RuntimeException("admin timeout") else nodes
+      def describeTopic(topic: String): Seq[TopicPartitionMeta] = {
+        assert(topic == "events_out"); parts
+      }
+    }
+    val cache = new PartitionMetadataCache(
+      BrokerAdmin.fetcher(admin, "events_out"),
+      refreshIntervalMs = 10000L, clock = () => now)
+
+    // p2 leaderless-dropped; p3's unknown-rack leader survives the skip but
+    // never matches a real rack; az-1 locality → {0}
+    assert(cache.writablePartitions("az-1") == Seq(0))
+    // unknown rack falls back to all live (0,1,3) for a foreign-rack writer
+    assert(cache.writablePartitions("az-9") == Seq(0, 1, 3))
+
+    // 10 s later: p1's leader moved onto an az-1 node, p2 recovered on 103/az-1
+    now = 10000L
+    nodes = nodes :+ BrokerNode(103, "az-1")
+    parts = Seq(
+      TopicPartitionMeta(0, Some(101)),
+      TopicPartitionMeta(1, Some(103)),
+      TopicPartitionMeta(2, Some(103)),
+      TopicPartitionMeta(3, Some(999)))
+    assert(cache.writablePartitions("az-1") == Seq(0, 1, 2))
+
+    // admin outage past the interval: stale-but-served, no throw
+    now = 20000L; down = true
+    assert(cache.writablePartitions("az-1") == Seq(0, 1, 2))
+  }
+
   // ---------------------------------------------------------------- epoch
   // transactions: fake producer records the protocol calls
 

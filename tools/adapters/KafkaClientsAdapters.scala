@@ -108,6 +108,28 @@ object KafkaAdminMetadata {
   }
 }
 
+/** [[graft.functions.BrokerAdmin]] over a real AdminClient — the typed
+  * describeCluster/describeTopics pair, for callers that prefer the shaped
+  * interface (+ its scripted-fake specs) over the raw fetcher above:
+  * `new PartitionMetadataCache(BrokerAdmin.fetcher(new KafkaBrokerAdmin(s), topic))`. */
+final class KafkaBrokerAdmin(bootstrapServers: String)
+    extends graft.functions.BrokerAdmin {
+  private val admin = {
+    val p = new Properties()
+    p.put("bootstrap.servers", bootstrapServers)
+    AdminClient.create(p)
+  }
+  override def describeCluster(): Seq[graft.functions.BrokerNode] =
+    admin.describeCluster().nodes().get().asScala.toSeq
+      .map(n => graft.functions.BrokerNode(n.id(), Option(n.rack()).getOrElse("")))
+  override def describeTopic(topic: String): Seq[graft.functions.TopicPartitionMeta] =
+    admin.describeTopics(java.util.List.of(topic))
+      .allTopicNames().get().get(topic).partitions().asScala.toSeq
+      .map(tpi => graft.functions.TopicPartitionMeta(
+        tpi.partition(), Option(tpi.leader()).filter(_.id() >= 0).map(_.id())))
+  override def close(): Unit = admin.close()
+}
+
 /** [[graft.streaming.PulsarEpochProducer]] over a real Pulsar client.
   * Partitioned-topic routing uses the engine's partition column verbatim
   * (reference: writer/pulsar/PulsarMessageRouter.java:40-51) by addressing

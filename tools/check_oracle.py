@@ -59,9 +59,29 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    dumped = set(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
+    # Every oracled name is reported even when Verify produced no dump for
+    # it (a crashed query) — a breakage must surface as a FAIL row, never
+    # as a silently shorter report. SPARK_GRAFT_QUERIES (same prefix
+    # contract as Verify/Bench) narrows the expectation for local iteration.
+    expected = set(oracle)
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        expected = {n for n in expected if any(n.startswith(p) for p in prefixes)}
+    names = sorted(dumped | expected)
     n_ok = n_bad = n_rowsonly = 0
     for name in names:
+        if name not in dumped:
+            print(f"FAIL  {name}: no dump dir (query crashed or was never run)")
+            n_bad += 1
+            continue
+        err_marker = os.path.join(out_dir, name, "_ERROR")
+        if os.path.exists(err_marker):
+            msg = open(err_marker).read().strip().splitlines()
+            print(f"FAIL  {name}: query crashed: {msg[0] if msg else 'unknown'}")
+            n_bad += 1
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
