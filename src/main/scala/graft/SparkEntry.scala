@@ -2032,6 +2032,23 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
         .orderBy("hour", "event_type")),
+    "w9_funnel" -> ((s, d) =>
+      // ordered conversion funnel click → view → purchase, 7-day window
+      // anchored at the first click; chained combinable min-aggs, no
+      // per-user history materialized (power-user-skew safe)
+      graft.streaming.EventAnalytics.funnel(
+        events(s, d), Seq("click", "view", "purchase"), windowDays = 7)
+        .orderBy("stage_idx")),
+    "w10_retention" -> ((s, d) =>
+      // signup-style cohort retention: users by first-activity day, re-active
+      // exactly 1/3/7/14 days later (offset 0 = the cohort size itself)
+      graft.streaming.EventAnalytics.retentionCohorts(
+        events(s, d), Seq(0, 1, 3, 7, 14))
+        .orderBy("cohort_day", "day_offset")),
+    "w11_top_paths" -> ((s, d) =>
+      // most common per-user 3-step event-type sequences; one user-keyed
+      // window shuffle + combinable count + top-k (no global sort)
+      graft.streaming.EventAnalytics.topEventPaths(events(s, d), n = 3, k = 20)),
     "w2_dedup_events" -> ((s, d) =>
       events(s, d)
         .groupBy("user_id", "event_type")
@@ -3792,6 +3809,39 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, count(*) AS n,
          round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "w9_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         s1 AS (SELECT e.user_id, s0.t0, min(e.ts) AS t1 FROM events e
+           JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'view' AND e.ts > s0.t0
+             AND e.ts <= s0.t0 + INTERVAL 7 DAY GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+             AND e.ts <= s1.t0 + INTERVAL 7 DAY GROUP BY 1)
+         SELECT 0 AS stage_idx, 'click' AS stage, count(*) AS users FROM s0
+         UNION ALL
+         SELECT 1, 'view', count(*) FROM s1
+         UNION ALL
+         SELECT 2, 'purchase', count(*) FROM s2
+         ORDER BY stage_idx""",
+    "w10_retention" ->
+      """WITH first_day AS (SELECT user_id, min(ts::DATE) AS cohort_day
+           FROM events GROUP BY 1),
+         active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+         SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day)::INT AS day_offset,
+           count(DISTINCT f.user_id) AS retained
+         FROM first_day f JOIN active a ON f.user_id = a.user_id
+         WHERE date_diff('day', f.cohort_day, a.day) IN (0, 1, 3, 7, 14)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    "w11_top_paths" ->
+      """WITH seq AS (SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT concat_ws('>', event_type, e2, e3) AS path, count(*) AS cnt
+         FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
     "w2_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
          FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",

@@ -157,4 +157,74 @@ object EventAnalytics {
         count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
       .drop("session_id")
   }
+
+  /** Ordered funnel: per-user earliest completion of each step in sequence,
+    * where step i must happen strictly after step i-1 and the whole funnel
+    * within `windowDays` of the step-0 event. Returns one row per stage:
+    * (stage_idx, stage, users reaching it).
+    *
+    * Shape chosen for scale: one chained min-aggregation per step — each is
+    * a map-side-combinable min over events pre-filtered to ONE event type
+    * (filter pushed to the scan), joined on user_id. A power user with 10^8
+    * events costs nothing special: no per-user collect_list materializes
+    * their history, the min combines partially in every task. steps.length
+    * shuffles of |users| rows each, vs. the sort-within-user alternative's
+    * full-history shuffle. */
+  def funnel(events: DataFrame, steps: Seq[String], windowDays: Int = 7): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage 0 anchors the conversion window
+    val s0 = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val perStage = steps.indices.drop(1).scanLeft(s0) { (prev, i) =>
+      val prevTs = if (i == 1) "t0" else s"t${i - 1}"
+      events.filter(col("event_type") === steps(i))
+        .select(col("user_id"), col("ts").as("cand"))
+        .join(prev, "user_id")
+        .filter(col("cand") > col(prevTs) &&
+          col("cand") <= col("t0") + expr(s"INTERVAL $windowDays DAYS"))
+        .groupBy((col("user_id") +: (0 until i).map(j => col(s"t$j"))): _*)
+        .agg(min("cand").as(s"t$i"))
+    }
+    perStage.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i).as("stage_idx"), lit(steps(i)).as("stage"), col("users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * requested day offset, how many are active again exactly that many days
+    * later. Two combinable aggregations (per-user first day; distinct
+    * (user, day)) and one user-keyed join — no window functions, no
+    * full-history state, safe at any user skew. */
+  def retentionCohorts(events: DataFrame, offsets: Seq[Int]): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activeDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    firstDay.join(activeDays, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").isin(offsets.map(Int.box): _*))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("retained"))
+  }
+
+  /** Most frequent length-`n` per-user event-type sequences ("paths"),
+    * top `k` by count (ties broken by path text for determinism). One
+    * window shuffle on user_id (ts, event_id ordering makes equal
+    * timestamps deterministic), then a combinable count and a
+    * TakeOrderedAndProject top-k — no global sort materializes. */
+  def topEventPaths(events: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = col("event_type") +:
+      (1 until n).map(i => lead(col("event_type"), i).over(w))
+    val withPath = events
+      .withColumn("path", concat_ws(">", steps: _*))
+      // lead() past the user's last event is null; concat_ws drops nulls, so
+      // an incomplete tail path has fewer separators — filter by arity
+      .filter(size(split(col("path"), ">")) === n)
+    withPath.groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(k)
+  }
 }

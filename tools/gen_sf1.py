@@ -72,7 +72,33 @@ def main():
         "label": pa.array(rng.integers(0, 10, n_vecs).tolist(), pa.int32()),
     })
     pq.write_table(emb, f"{outdir}/embeddings.parquet")
-    print(f"wrote {outdir}: {n_docs} docs, {n_vecs} embeddings")
+
+    # events: distribution-matched to the driver's sf0.1 table (measured:
+    # 100k rows / 30 days of Jan 2024 / 1500 users / 5 uniform event types /
+    # value ~ exp(mean 50) / props {"k": 0-99}), scaled 10x in BOTH rows and
+    # users so per-user temporal density — what sessionization and the as-of
+    # joins key on — stays comparable while total work grows 10x. ts is
+    # written as timestamp[us], the current physical encoding.
+    n_events = n_docs * 20          # 1M at the default 50k docs (sf0.1: 100k)
+    n_users = max(1, n_events // 67)  # sf0.1 ratio: ~67 events/user (100k/1500)
+    start_us = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(start_us + (rng.random(n_events) * span_us).astype(np.int64))
+    etypes = np.array(["click", "view", "purchase", "signup", "error"])
+    events = pa.table({
+        "event_id": pa.array(range(n_events), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_events).tolist(), pa.int64()),
+        "event_type": pa.array(
+            etypes[rng.integers(0, 5, n_events)].tolist(), pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, n_events), 2).tolist(),
+                          pa.float64()),
+        "props": pa.array([f'{{"k": {int(k)}}}'
+                           for k in rng.integers(0, 100, n_events)], pa.string()),
+    })
+    pq.write_table(events, f"{outdir}/events.parquet")
+    print(f"wrote {outdir}: {n_docs} docs, {n_vecs} embeddings, "
+          f"{n_events} events / {n_users} users")
 
 
 if __name__ == "__main__":

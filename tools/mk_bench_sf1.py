@@ -1,31 +1,34 @@
 #!/usr/bin/env python3
 """Assemble BENCH_sf1.json — the sf0.1 → sf1 (10x) scale-up evidence
-artifact — from four runs:
+artifact — from four (optionally six) runs:
   Bench      (gate-parameter queries)      at sf0.1 and sf1
   BenchScale (scale-parameter operators)   at sf0.1 and sf1
+  Bench subset w*/a*/j* (events family)    at sf0.1 and sf1   [optional]
 Usage: python3 tools/mk_bench_sf1.py <bench01> <bench1> <scale01> <scale1>
+                                     [<events01> <events1>]
 """
 import json
 import sys
 
 
+def ratios(q0, q1):
+    out = {}
+    for k in q1:
+        if k in q0 and q0[k] > 0:
+            out[k] = {
+                "sf0.1_sec": round(q0[k], 3),
+                "sf1_sec": round(q1[k], 3),
+                "ratio_at_10x_data": round(q1[k] / q0[k], 2),
+            }
+    return out
+
+
 def main():
     b01, b1, s01, s1 = (json.load(open(p)) for p in sys.argv[1:5])
 
-    def ratios(q0, q1):
-        out = {}
-        for k in q1:
-            if k in q0 and q0[k] > 0:
-                out[k] = {
-                    "sf0.1_sec": round(q0[k], 3),
-                    "sf1_sec": round(q1[k], 3),
-                    "ratio_at_10x_data": round(q1[k] / q0[k], 2),
-                }
-        return out
-
     artifact = {
-        "what": "sf0.1 -> sf1 (10x rows: 50k documents, 20k embeddings) "
-                "scale-up evidence for the dedup/ANN family; sf1 corpus is "
+        "what": "sf0.1 -> sf1 (10x rows: 50k documents, 20k embeddings, "
+                "1M events/15k users) scale-up evidence; sf1 corpus is "
                 "distribution-matched synthetic (tools/gen_sf1.py), other "
                 "tables symlinked from sf0.1",
         "gate_parameter_queries": ratios(b01["queries"], b1["queries"]),
@@ -48,6 +51,9 @@ def main():
             "input precisely so callers own that choice.",
         ],
     }
+    if len(sys.argv) > 6:
+        e01, e1 = (json.load(open(p)) for p in sys.argv[5:7])
+        artifact["events_family_10x"] = ratios(e01["queries"], e1["queries"])
     with open("BENCH_sf1.json", "w") as f:
         json.dump(artifact, f, indent=1)
     print("wrote BENCH_sf1.json")
