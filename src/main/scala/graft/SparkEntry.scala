@@ -2049,6 +2049,28 @@ object SparkEntry {
       // most common per-user 3-step event-type sequences; one user-keyed
       // window shuffle + combinable count + top-k (no global sort)
       graft.streaming.EventAnalytics.topEventPaths(events(s, d), n = 3, k = 20)),
+    "w12_rate_anomaly" -> ((s, d) => {
+      // hourly event-rate anomaly per type: z-score of each hour's count
+      // against the trailing 6 hours. One combinable count agg, then one
+      // window pass partitioned by type (5 partitions) — at 100 TB the
+      // windowed series is |types| x |hours| rows, trivially small vs the
+      // scan; the heavy work stays in the partial-aggregated count
+      val hourly = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-6, -1)
+      hourly
+        .withColumn("mu", avg("n").over(w))
+        .withColumn("sd", stddev_samp(col("n").cast("double")).over(w))
+        // threshold on the RAW z (rounding first would flip boundary rows
+        // against the oracle, which also thresholds raw)
+        .filter(col("sd").isNotNull && col("sd") > 0 &&
+          abs((col("n") - col("mu")) / col("sd")) > 2)
+        .select(col("hour"), col("event_type"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 3).as("z"))
+        .orderBy("hour", "event_type")
+    }),
     "w2_dedup_events" -> ((s, d) =>
       events(s, d)
         .groupBy("user_id", "event_type")
@@ -3842,6 +3864,17 @@ object SparkEntry {
          SELECT concat_ws('>', event_type, e2, e3) AS path, count(*) AS cnt
          FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    "w12_rate_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
+           event_type, count(*) AS n FROM events GROUP BY 1, 2),
+         scored AS (SELECT hour, event_type, n,
+           avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+         SELECT hour, event_type, n, round((n - mu) / sd, 3) AS z
+         FROM scored WHERE sd IS NOT NULL AND sd > 0 AND abs((n - mu) / sd) > 2
+         ORDER BY hour, event_type""",
     "w2_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
          FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",

@@ -139,6 +139,80 @@ object EventAnalytics {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Streaming funnel state: current stage index (0-based into `steps`),
+    * the step-0 anchor, and the last advanced step's event time. PUBLIC:
+    * Janino codegen cannot access private case-class accessors. */
+  case class FunnelProgress(stage: Int, t0Ms: Long, lastMs: Long)
+
+  /** One user's funnel outcome: emitted on completion of the last step, or
+    * at event-time timeout when the conversion window expires un-completed
+    * (so abandonment is observable, not silent). */
+  case class FunnelOutcome(user_id: Long, stage_reached: Int,
+      t0: java.sql.Timestamp, t_last: java.sql.Timestamp, completed: Boolean)
+
+  /** Streaming twin of [[funnel]]: per-user ordered-step state machine via
+    * `flatMapGroupsWithState`, one O(1) record of state per in-flight user
+    * (stage + two timestamps — never the event history). Events are applied
+    * in event-time order within each micro-batch; a completed funnel emits
+    * immediately and resets (the user can convert again), an expired one
+    * emits `completed = false` at watermark past t0 + window.
+    *
+    * Equivalence to the batch chained-min semantics holds for event-time-
+    * ordered arrival (spec-pinned); an out-of-order event delivered in a
+    * LATER micro-batch that would have advanced a stage earlier is not
+    * retro-applied — the monotone-state trade every O(1)-state streaming
+    * funnel makes (the alternative, buffering the full per-user window,
+    * is O(history) state). */
+  def funnelStream(events: Dataset[Ev], steps: Seq[String], windowMs: Long,
+      watermark: String = "10 minutes"): Dataset[FunnelOutcome] = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, evs: Iterator[Ev],
+        state: GroupState[FunnelProgress]): Iterator[FunnelOutcome] = {
+      val out = Seq.newBuilder[FunnelOutcome]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out += FunnelOutcome(userId, s.stage,
+            new java.sql.Timestamp(s.t0Ms), new java.sql.Timestamp(s.lastMs),
+            completed = false)
+        }
+        state.remove()
+      } else {
+        var s = state.getOption.orNull
+        for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+          val t = e.ts.getTime
+          if (s == null) {
+            if (e.event_type == steps.head) s = FunnelProgress(0, t, t)
+          } else if (s.stage < steps.size - 1 &&
+              e.event_type == steps(s.stage + 1) &&
+              t > s.lastMs && t <= s.t0Ms + windowMs) {
+            s = FunnelProgress(s.stage + 1, s.t0Ms, t)
+            if (s.stage == steps.size - 1) {
+              out += FunnelOutcome(userId, s.stage,
+                new java.sql.Timestamp(s.t0Ms), new java.sql.Timestamp(t),
+                completed = true)
+              s = null // reset: the next step-0 event starts a fresh funnel
+            }
+          }
+        }
+        if (s != null) {
+          state.update(s)
+          // timeout must sit at/after the current watermark or Spark rejects
+          // it; an already-expired window times out on the next trigger
+          state.setTimeoutTimestamp(
+            math.max(s.t0Ms + windowMs, state.getCurrentWatermarkMs() + 1))
+        } else state.remove()
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
   /** Batch twin of [[sessionize]] — identical gap semantics via window
     * functions, used as the oracle for the stateful path. */
   def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {

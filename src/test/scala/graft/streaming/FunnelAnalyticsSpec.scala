@@ -2,9 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+import graft.streaming.EventAnalytics.Ev
 
 /** Batch event-analytics additions: ordered funnel, cohort retention, and
   * top event paths — hand-computed oracles on small corpora (the sf0.01
@@ -64,5 +67,49 @@ class FunnelAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       ("click>view>purchase", 2L),
       ("view>purchase>click", 1L),
       ("x>y>z", 1L)))
+  }
+
+  test("funnelStream: cross-batch completion, window expiry, matches batch twin on ordered data") {
+    implicit val sq = spark.sqlContext
+    def m(hour: Int, min: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+    val input = MemoryStream[Ev]
+    val q = EventAnalytics.funnelStream(input.toDS(),
+        Seq("click", "view", "purchase"), windowMs = 5 * 60 * 1000L,
+        watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("fs")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // batch 1: user 1 advances to stage 1; user 2 anchors at stage 0
+      input.addData(
+        Ev(1, m(10, 0), "click", 0), Ev(1, m(10, 1), "view", 0),
+        Ev(2, m(10, 0), "click", 0))
+      q.processAllAvailable()
+      // batch 2: user 1 completes across the batch boundary
+      input.addData(Ev(1, m(10, 2), "purchase", 0))
+      q.processAllAvailable()
+      // batch 3: sentinel advances the watermark past user 2's
+      // t0 + window (10:05) → expiry outcome fires
+      input.addData(Ev(9, m(10, 30), "noop", 0))
+      q.processAllAvailable()
+      input.addData(Ev(9, m(11, 0), "noop", 0))
+      q.processAllAvailable()
+      val rows = spark.table("fs")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4))).toSet
+      assert(rows.contains((1L, 2, true)), s"user 1 must complete: $rows")
+      assert(rows.contains((2L, 0, false)), s"user 2 must expire at stage 0: $rows")
+
+      // outcome counts agree with the batch twin on the same (ordered) data
+      import spark.implicits._
+      val batchEvents = Seq(
+        (1L, m(10, 0), 1L, "click"), (2L, m(10, 1), 1L, "view"),
+        (3L, m(10, 2), 1L, "purchase"), (4L, m(10, 0), 2L, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+      val stages = EventAnalytics.funnel(batchEvents, Seq("click", "view", "purchase"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // batch: 2 users reach stage 0, 1 reaches stage 1 and 2; streaming
+      // emitted exactly one completion (stage 2) and one stage-0 expiry
+      assert(stages == Map(0 -> 2L, 1 -> 1L, 2 -> 1L))
+    } finally q.stop()
   }
 }
