@@ -2049,6 +2049,28 @@ object SparkEntry {
       // most common per-user 3-step event-type sequences; one user-keyed
       // window shuffle + combinable count + top-k (no global sort)
       graft.streaming.EventAnalytics.topEventPaths(events(s, d), n = 3, k = 20)),
+    "w13_sliding_rate" -> ((s, d) =>
+      // 30-min windows sliding every 10 min — batch twin of the streaming
+      // slidingRate path: Spark's window() generator emits the 3 covering
+      // slides per event BEFORE the combinable count agg, so the shuffle
+      // carries (window, type) partials, never events
+      events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+    "w14_daily_active" -> ((s, d) =>
+      // daily active users + events/user — the count-distinct shuffles
+      // (day, user) pairs once; at 100 TB swap countDistinct for
+      // approx_count_distinct (d26 documents the exactness-window stance)
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"),
+          round(count(lit(1)) / countDistinct(col("user_id")), 3)
+            .as("events_per_user"))
+        .orderBy("day")),
     "w12_rate_anomaly" -> ((s, d) => {
       // hourly event-rate anomaly per type: z-score of each hour's count
       // against the trailing 6 hours. One combinable count agg, then one
@@ -3864,6 +3886,17 @@ object SparkEntry {
          SELECT concat_ws('>', event_type, e2, e3) AS path, count(*) AS cnt
          FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    "w13_sliding_rate" ->
+      """WITH s AS (SELECT time_bucket(INTERVAL '10 minutes', ts)
+             - k.k * INTERVAL '10 minutes' AS window_start, event_type
+           FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k))
+         SELECT window_start::TIMESTAMP AS window_start, event_type, count(*) AS n
+         FROM s GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "w14_daily_active" ->
+      """SELECT ts::DATE AS day, count(DISTINCT user_id) AS dau,
+           count(*) AS n_events,
+           round(count(*)::DOUBLE / count(DISTINCT user_id), 3) AS events_per_user
+         FROM events GROUP BY 1 ORDER BY day""",
     "w12_rate_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
            event_type, count(*) AS n FROM events GROUP BY 1, 2),
