@@ -363,6 +363,208 @@ object SparkEntry {
                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
                ORDER BY o_orderkey""")
     }),
+    "q38_min_cost_supplier" -> ((s, d) => {
+      // TPC-H Q2 shape (min-cost supplier) over a lineitem-DERIVED
+      // part-supplier relation (the testdata has no partsupp table): per
+      // (part, supplier) unit cost = min observed extendedprice/quantity,
+      // rounded BEFORE the min-equality so the correlated comparison is on
+      // engine-stable 4-decimal values. The correlated scalar subquery is
+      // reformulated Spark-first as a per-part min aggregate joined back —
+      // Catalyst would decorrelate to the same shape, but writing the join
+      // directly keeps the per-part min computed only for the filtered
+      // parts (size 10, SMALL) instead of all parts. nation/region are
+      // always-tiny broadcasts; the derived ps relation shuffles on its
+      // group keys once.
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4).as("unit_cost"))
+      val eu = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = t(s, d, "part")
+        .filter(col("p_size") === 10 && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val cand = ps.join(eu, ps("l_suppkey") === eu("s_suppkey"))
+        .join(p, ps("l_partkey") === p("p_partkey"))
+      val minCost = cand.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      cand.join(minCost,
+          col("p_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+    }),
+    "q39_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape: revenue by supplier nation × order year for parts
+      // matching a name pattern. Part/supplier scale with the corpus so
+      // they keep shuffle joins (AQE may still broadcast at small SF);
+      // nation is the only forced broadcast. The name LIKE filter reaches
+      // the part scan as a pushed predicate.
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val p = t(s, d, "part").filter(col("p_name").like("%gear%")).select("p_partkey")
+      val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q40_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+      // 6-month window. Both filters (returnflag, orderdate) push to their
+      // scans; the top-20 is an orderBy+limit → TakeOrderedAndProject, no
+      // global sort. Revenue is rounded to 2 decimals BEFORE ranking so the
+      // limit boundary is engine-stable.
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+    "q41_order_count_dist" -> ((s, d) => {
+      // TPC-H Q13 shape: customer order-count histogram INCLUDING the
+      // zero-order customers — the left outer join with the non-key
+      // condition folded into the join (not a post-filter, which would
+      // turn unmatched rows back into matches). Double aggregation: the
+      // first shuffles on custkey, the second on the tiny count domain.
+      val c = t(s, d, "customer").select("c_custkey")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q42_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+      // The scalar max is a 1-row aggregate broadcast into the filter
+      // (Catalyst's decorrelated form of the Q15 view + subquery); revenue
+      // rounds to 2 decimals before the max-equality so the winner set is
+      // engine-stable.
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev), col("total_revenue") === col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+    "q43_part_supplier_counts" -> ((s, d) => {
+      // TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+      // over the lineitem-derived part-supplier relation, with brand/type
+      // exclusions and a size IN-list. The distinct pre-pass and the
+      // countDistinct both shuffle on bounded key domains.
+      val sp = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val p = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 10, 20, 30, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      sp.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    "q44_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape: revenue that would be lost by dropping
+      // small-quantity orders for one brand. The correlated per-part
+      // average is a groupBy over the FULL lineitem (the subquery is not
+      // brand-scoped) joined back to the brand-filtered probe side.
+      val l = t(s, d, "lineitem")
+      val partAvg = l.groupBy(col("l_partkey").as("ak"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      val b3 = t(s, d, "part").filter(col("p_brand") === "Brand#3").select("p_partkey")
+      l.join(b3, col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+    }),
+    "q45_large_volume_cust" -> ((s, d) => {
+      // TPC-H Q18 shape: customers with orders above a total-quantity
+      // threshold. The HAVING-subquery is reformulated as an aggregate
+      // semi-side computed ONCE and joined (Catalyst's decorrelation of
+      // the IN-subquery produces the same plan); total_qty rides out of
+      // that aggregate instead of being re-summed per output group.
+      val bigOrders = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 350)
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+    "q46_late_suppliers" -> ((s, d) => {
+      // TPC-H Q21 shape (suppliers who alone kept an order waiting),
+      // adapted to the available columns: late = shipped more than 90 days
+      // after the order date. The EXISTS / NOT-EXISTS pair over correlated
+      // self-joins is reformulated as ONE per-order aggregate — distinct
+      // suppliers and distinct LATE suppliers — joined back: a qualifying
+      // row is late, in a multi-supplier order, where it is the only late
+      // supplier. Two shuffles on l_orderkey replace two correlated scans.
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
+      val stats = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val sup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+      li.filter(col("late"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(stats, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+    "q47_dormant_customers" -> ((s, d) => {
+      // TPC-H Q22 shape: above-average-balance customers with no recent
+      // orders, grouped by nation. The scalar average is a 1-row broadcast
+      // cross join; "no recent orders" is a LEFT ANTI join (never a
+      // NOT IN, whose null semantics would silently change the result and
+      // whose plan degenerates to a nested loop).
+      val cust = t(s, d, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("abal"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("abal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("nation")
+    }),
     "q37_lateral_topn" -> ((s, d) => {
       // LATERAL correlated-subquery join (per-customer top-2 orders by
       // price) — the modern SQL-surface twin of q8's window form. Catalyst
@@ -1406,6 +1608,30 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
+    "d58_ngram_novelty" -> ((s, d) =>
+      // train-on-past novelty: share of each doc's distinct word 3-grams
+      // first seen (min doc_id) in that doc — see Dedup.ngramNovelty for
+      // the two-(gram,id)-shuffle scale shape
+      Dedup.ngramNovelty(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+        .orderBy("doc_id")),
+    "d59_zipf_slope" -> ((s, d) => {
+      // corpus token-frequency power-law audit: log-log regression slope
+      // over the top-1000 tokens. Frequency is a combinable count; the
+      // top-k is orderBy+limit (TakeOrderedAndProject); the rank window
+      // then runs on the ≤1000-row bounded survivor set, so the single
+      // partition it implies is k-bounded, not corpus-bounded.
+      val toks = t(s, d, "documents")
+        .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(1000)
+      top.withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+          round(expr("regr_r2(ln(f), ln(r))"), 4).as("fit_r2"))
+    }),
+
     // ------------------------------------------------ similarity search
     "e1_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2071,6 +2297,27 @@ object SparkEntry {
           round(count(lit(1)) / countDistinct(col("user_id")), 3)
             .as("events_per_user"))
         .orderBy("day")),
+    "w15_attribution" -> ((s, d) => {
+      // click→purchase attribution: every click LEFT OUTER joined to the
+      // purchases that follow it within 30 minutes (the watermarked outer
+      // stream-stream join's batch twin — EventAnalyticsSpec pins the
+      // streaming form, including the null-row-after-watermark emission),
+      // then the FIRST purchase per click via one combinable min-struct
+      // aggregate (no per-click sort window). Unconverted clicks keep a
+      // NULL purchase and converted=false.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.streaming.EventAnalytics.attributionJoin(clicks, purchases, key = "user_id")
+        .groupBy(col("l.click_id").as("click_id"), col("l.user_id").as("user_id"))
+        .agg(min(struct(col("r.ts"), col("r.purchase_id"))).as("m"))
+        .select(col("click_id"), col("user_id"),
+          col("m.purchase_id").as("purchase_id"),
+          col("m.purchase_id").isNotNull.as("converted"))
+        .orderBy("click_id")
+    }),
     "w12_rate_anomaly" -> ((s, d) => {
       // hourly event-rate anomaly per type: z-score of each hour's count
       // against the trailing 6 hours. One combinable count agg, then one
@@ -2634,6 +2881,38 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
            round(w / wt.wtot, 6) AS mix_weight
          FROM sh, wt ORDER BY lang""",
+    "d58_ngram_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS w
+           FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM toks WHERE len(w) >= 3),
+         first_seen AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY 1)
+         SELECT g.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           round(sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS novelty
+         FROM grams g JOIN first_seen f ON f.g = g.g
+         GROUP BY 1 ORDER BY doc_id""",
+    "d59_zipf_slope" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> length(t) > 0)) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+         ranked AS (SELECT tok, f,
+           row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq),
+         top AS (SELECT * FROM ranked WHERE r <= 1000)
+         SELECT count(*) AS n_tokens,
+           round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(f), ln(r)), 4) AS fit_r2
+         FROM top""",
     "d57_kneser_ney" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3770,6 +4049,121 @@ object SparkEntry {
            AND EXISTS (SELECT 1 FROM lineitem l
              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
          ORDER BY o_orderkey""",
+    "q38_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+           FROM lineitem GROUP BY 1, 2),
+         eu AS (
+           SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE')
+         SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, ps.unit_cost
+         FROM part p
+         JOIN ps ON p.p_partkey = ps.l_partkey
+         JOIN eu ON eu.s_suppkey = ps.l_suppkey
+         WHERE p.p_size = 10 AND p.p_type = 'SMALL'
+           AND ps.unit_cost = (
+             SELECT min(ps2.unit_cost) FROM ps ps2
+             JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+             WHERE ps2.l_partkey = p.p_partkey)
+         ORDER BY s_acctbal DESC, s_name, p_partkey""",
+    "q39_product_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%gear%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q40_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           c.c_acctbal, n.n_name
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-07-01'
+         GROUP BY 1, 2, 4, 5
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q41_order_count_dist" ->
+      """WITH co AS (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist
+         FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q42_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q43_part_supplier_counts" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT sp.l_suppkey) AS supplier_cnt
+         FROM sp JOIN part p ON p.p_partkey = sp.l_partkey
+         WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+           AND p.p_size IN (1, 10, 20, 30, 49)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q44_small_qty_revenue" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#3'
+           AND l.l_quantity < (
+             SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)""",
+    "q45_large_volume_cust" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IN (
+           SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 350)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    "q46_late_suppliers" ->
+      """WITH li AS (
+           SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderstatus = 'F')
+         SELECT s.s_name, count(*) AS numwait
+         FROM li l1
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE l1.late
+           AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+           AND EXISTS (SELECT 1 FROM li l2
+             WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM li l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q47_dormant_customers" ->
+      """SELECT n.n_name AS nation, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+         GROUP BY 1 ORDER BY nation""",
     "q37_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,
@@ -3897,6 +4291,22 @@ object SparkEntry {
            count(*) AS n_events,
            round(count(*)::DOUBLE / count(DISTINCT user_id), 3) AS events_per_user
          FROM events GROUP BY 1 ORDER BY day""",
+    "w15_attribution" ->
+      """WITH clicks AS (
+           SELECT event_id AS click_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id AS purchase_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         joined AS (
+           SELECT c.click_id, c.user_id, p.purchase_id,
+             row_number() OVER (PARTITION BY c.click_id
+               ORDER BY p.ts, p.purchase_id) AS rn
+           FROM clicks c LEFT JOIN purchases p
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         SELECT click_id, user_id, purchase_id, purchase_id IS NOT NULL AS converted
+         FROM joined WHERE rn = 1 ORDER BY click_id""",
     "w12_rate_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS hour,
            event_type, count(*) AS n FROM events GROUP BY 1, 2),

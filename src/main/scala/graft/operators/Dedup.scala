@@ -482,6 +482,40 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT word
+    * n-grams whose FIRST corpus occurrence (minimum doc id) is this doc —
+    * the "train-on-past" novelty signal curation pipelines use to surface
+    * boilerplate-heavy or templated documents (novelty → 0) before any
+    * pairwise dedup runs.
+    *
+    * Scale shape: grams are deduplicated PER ROW (`array_distinct` before
+    * the explode, no shuffle), then one gram-keyed shuffle computes the
+    * combinable `min(doc_id)` first-seen owner and a second joins it back —
+    * both carry (gram, id) pairs only, never document text. At 100 TB the
+    * gram strings would be xxhash64-hashed to 8-byte keys before the
+    * shuffle; here they stay literal so the DuckDB oracle reproduces them
+    * exactly. Tokenization matches the d3 profile convention (trim,
+    * lowercase, split on runs of whitespace). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val grams = docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("w")) - n), i =>
+          concat_ws(" ", (0 until n).map(j =>
+            element_at(col("w"), (i + lit(j + 1)).cast("int"))): _*)))).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min(col(idCol)).as("owner"))
+    grams.join(firstSeen, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+  }
+
   /** Quality-aware cluster dedup: per near-dup cluster keep the member with
     * the BEST `score` (ties → smallest id) — what production pipelines
     * actually want (keep the cleanest duplicate, not the one that happened

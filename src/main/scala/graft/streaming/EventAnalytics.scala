@@ -61,6 +61,32 @@ object EventAnalytics {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"))
   }
 
+  /** Attribution join: every left row (click) paired with the right rows
+    * (purchases) that follow it within `maxDelay` — LEFT OUTER, so
+    * unconverted clicks survive with a NULL right side. In streaming mode
+    * this is Spark's watermarked outer stream-stream join: matched pairs
+    * emit eagerly, while the null row for an unmatched click emits only
+    * once the watermark proves no purchase can still arrive (left state
+    * held to watermark + maxDelay — bounded by the delay window, not the
+    * stream). Batch mode runs the identical plan over static frames (the
+    * w15 twin picks the FIRST purchase per click on top of this).
+    *
+    * Column collision note: both sides keep their own `key`/ts under the
+    * `l`/`r` aliases; callers select with qualified names. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "ts",
+      maxDelay: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val l = (if (clicks.isStreaming) clicks.withWatermark(leftTs, watermark)
+             else clicks).alias("l")
+    val r = (if (purchases.isStreaming) purchases.withWatermark(rightTs, watermark)
+             else purchases).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"),
+      "left_outer")
+  }
+
   /** Stream-static enrichment: events joined to a slowly-changing dimension
     * table, then windowed per enriched attribute — "hourly revenue by
     * customer segment". The dimension side is BROADCAST (stream-static

@@ -661,4 +661,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
     }
   }
+
+  test("ngramNovelty: verbatim copies score 0, fresh docs 1, order matters") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // all grams first seen here
+      (2L, "alpha beta gamma delta"),     // exact copy of 1 → novelty 0
+      (3L, "zeta eta theta iota kappa"),  // disjoint → novelty 1
+      (4L, "alpha beta gamma NEW"),       // shares "alpha beta gamma" with 1
+      (5L, "xy"))                         // < n tokens → no row
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ngramNovelty(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 2L, 2L, 1.0)))   // 2 grams, both novel
+    assert(byId(2L)._4 == 0.0)                // copy: nothing novel
+    assert(byId(3L)._4 == 1.0)                // disjoint: fully novel
+    // doc 4: grams {alpha beta gamma, beta gamma new} — first owned by doc 1
+    assert(byId(4L) == ((4L, 2L, 1L, 0.5)))
+    // case-insensitivity: "NEW" lowercased, so a later "new" is not novel
+  }
 }

@@ -180,4 +180,39 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(twin2 == Set(("c1", "p-in"), ("c2", "p-in2")))
   }
+
+  test("attributionJoin emits matched pairs eagerly and null rows after watermark") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventAnalytics.attributionJoin(
+      clicks.toDF().withColumnRenamed("event_type", "cv"),
+      buys.toDF().withColumnRenamed("event_type", "pv"),
+      key = "user_id", maxDelay = "5 minutes", watermark = "1 minute")
+      .select(col("l.cv").as("click"), col("r.pv").as("purchase"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("attr")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      clicks.addData(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      buys.addData(Ev(1, ts(3), "p-in", 0))  // converts c1; user 2 never buys
+      q.processAllAvailable()
+      // watermark must pass ts(0)+5min+1min before c2-dry's null row may emit
+      clicks.addData(Ev(8, ts(59), "wm", 0)); buys.addData(Ev(9, ts(59), "wm", 0))
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(got == Set(("c1", Some("p-in")), ("c2-dry", None)))
+    } finally q.stop()
+
+    // batch twin: identical rows (null right side preserved) from same data
+    val cb = Seq(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      .toDF().withColumnRenamed("event_type", "cv")
+    val pb = Seq(Ev(1, ts(3), "p-in", 0))
+      .toDF().withColumnRenamed("event_type", "pv")
+    val twin = EventAnalytics.attributionJoin(cb, pb,
+        key = "user_id", maxDelay = "5 minutes")
+      .select(col("l.cv"), col("r.pv")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(twin == Set(("c1", Some("p-in")), ("c2-dry", None)))
+  }
 }
