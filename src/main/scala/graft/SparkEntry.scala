@@ -388,10 +388,15 @@ object SparkEntry {
         .select(col("p_partkey"))
       val cand = ps.join(eu, ps("l_suppkey") === eu("s_suppkey"))
         .join(p, ps("l_partkey") === p("p_partkey"))
-      val minCost = cand.groupBy(col("p_partkey").as("mk"))
-        .agg(min(col("unit_cost")).as("min_cost"))
-      cand.join(minCost,
-          col("p_partkey") === col("mk") && col("unit_cost") === col("min_cost"))
+      // per-part min as a WINDOW over the candidate set, not a groupBy
+      // joined back: the groupBy+self-join form would recompute the whole
+      // ps⋈eu⋈p subtree twice (no exchange reuse — the two sides project
+      // differently); the window costs one p_partkey shuffle of the
+      // already-filtered candidates, whose per-part group is supplier-
+      // bounded, so the sort-within-group is never skewed
+      cand.withColumn("min_cost",
+          min(col("unit_cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("unit_cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
           col("unit_cost"))
         .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
@@ -490,12 +495,17 @@ object SparkEntry {
       // small-quantity orders for one brand. The correlated per-part
       // average is a groupBy over the FULL lineitem (the subquery is not
       // brand-scoped) joined back to the brand-filtered probe side.
-      val l = t(s, d, "lineitem")
-      val partAvg = l.groupBy(col("l_partkey").as("ak"))
-        .agg(avg(col("l_quantity")).as("avg_qty"))
+      // the brand filter is PART-level, so restricting lineitem to the
+      // brand's partkeys first keeps every lineitem of every surviving
+      // part — the per-part average over that subset equals the
+      // full-corpus per-part average, and ONE lineitem pass + one
+      // l_partkey window shuffle replaces the aggregate-and-join-back
+      // form's second scan
       val b3 = t(s, d, "part").filter(col("p_brand") === "Brand#3").select("p_partkey")
-      l.join(b3, col("l_partkey") === col("p_partkey"))
-        .join(partAvg, col("l_partkey") === col("ak"))
+      t(s, d, "lineitem")
+        .join(b3, col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
     }),
@@ -530,18 +540,23 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY")).as("late"))
-      val stats = li.groupBy(col("l_orderkey").as("ok"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      // per-order supplier stats as a WINDOW over li, not a groupBy joined
+      // back (which would recompute the lineitem⋈orders join twice): one
+      // l_orderkey shuffle; collect_set is bounded by the per-order
+      // supplier count, and when() leaves non-late rows null, which
+      // collect_set drops — so the late-distinct count matches the
+      // NOT-EXISTS semantics exactly
+      val ow = Window.partitionBy(col("l_orderkey"))
       val sup = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")
             .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      li.filter(col("late"))
+      li.withColumn("n_supp", size(collect_set(col("l_suppkey")).over(ow)))
+        .withColumn("n_late_supp",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(ow)))
+        .filter(col("late") && col("n_supp") > 1 && col("n_late_supp") === 1)
         .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(stats, col("l_orderkey") === col("ok"))
-        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
         .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
