@@ -580,6 +580,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("nation")
     }),
+    "q48_bucketed_join" -> ((s, d) => {
+      // Bucketed co-located join: customer and orders written bucketed (8
+      // buckets) on the join key, then joined with ZERO shuffle exchange
+      // on either side (StorageLayoutSpec pins the plan shape) — the 100 TB
+      // pattern for a fact⋈dim join repeated across a pipeline: pay the
+      // bucketing once at write time, never shuffle on read. The write is
+      // idempotent (overwrite) and part of the measured op.
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q48_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      t(s, d, "customer").write.mode("overwrite")
+        .option("path", s"$wh/customer").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("graft_q48_customer")
+      t(s, d, "orders").write.mode("overwrite")
+        .option("path", s"$wh/orders").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("graft_q48_orders")
+      s.table("graft_q48_customer")
+        .join(s.table("graft_q48_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
     "q37_lateral_topn" -> ((s, d) => {
       // LATERAL correlated-subquery join (per-customer top-2 orders by
       // price) — the modern SQL-surface twin of q8's window form. Catalyst
@@ -1623,6 +1644,49 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
+    "d61_dup_pagerank" -> ((s, d) => {
+      // template-document detection: PageRank centrality over the d7
+      // MinHash near-dup pair graph — the hub of a boilerplate cluster
+      // outranks its copies. Oracle: independent python mirror (same
+      // xxh64 pair derivation as d7, float PR with margin-asserted
+      // 6-decimal rounding) in FixtureOracles. Only ranked nodes with
+      // rank above the isolated-node floor are emitted (every isolated
+      // node sits exactly at teleport mass; the floor filter keeps the
+      // fixture small without losing any graph structure).
+      val docs = t(s, d, "documents")
+      val edges = Dedup.minHashLshPairs(docs, threshold = 0.3)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val n = docs.count().toDouble
+      graft.operators.Graph.pageRank(docs.select(col("doc_id").as("id")), edges,
+          iterations = 3, damping = 0.85)
+        .filter(col("rank") > lit(0.15 / n) + lit(1e-12))
+        .select(col("id").as("doc_id"), round(col("rank") * 1000, 6).as("pr_millis"))
+        .orderBy("doc_id")
+    }),
+    "d60_scd2_merge" -> ((s, d) => {
+      // type-2 dimension merge (lakehouse MERGE INTO on plain parquet):
+      // customers with custkey%7==0 arrive with a changed balance (old row
+      // closes, v2 opens), 30 brand-new keys insert at v1, everyone else
+      // passes through untouched — see ScdMerge for the single
+      // key-shuffle full-outer shape
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val current = dim
+        .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("version", lit(1L))
+      val updates = dim
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+        .unionByName(dim.filter(col("c_custkey") < 30)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            (col("c_custkey") * 1.5).as("c_acctbal"),
+            pmod(col("c_custkey"), lit(25)).as("c_nationkey")))
+      graft.operators.ScdMerge.merge(current, updates, "c_custkey",
+          changeCols = Seq("c_acctbal"), batchTs = lit("2024-06-01").cast("timestamp"))
+        .orderBy(col("c_custkey"), col("version"))
+    }),
     "d58_ngram_novelty" -> ((s, d) =>
       // train-on-past novelty: share of each doc's distinct word 3-grams
       // first seen (min doc_id) in that doc — see Dedup.ngramNovelty for
@@ -2312,6 +2376,22 @@ object SparkEntry {
           round(count(lit(1)) / countDistinct(col("user_id")), 3)
             .as("events_per_user"))
         .orderBy("day")),
+    "w16_session_window" -> ((s, d) =>
+      // gap-based sessions via Spark's NATIVE session_window operator —
+      // the built-in twin of w3's flatMapGroupsWithState sessionizer
+      // (identical sessions; window_end = last event + gap is the native
+      // operator's convention). Batch plans as one user-keyed shuffle +
+      // in-partition session merge; in streaming the same expression is
+      // watermark-evicted session state. Boundary note: session_window
+      // starts a NEW session at gap == exactly 30 min (merge iff
+      // next < end); the oracle mirrors with >=, and the testdata has no
+      // exact-30-min gap either way.
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("window_start"),
+          col("sw.end").as("window_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "window_start")),
     "w15_attribution" -> ((s, d) => {
       // click→purchase attribution: every click LEFT OUTER joined to the
       // purchases that follow it within 30 minutes (the watermarked outer
@@ -2896,6 +2976,36 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
            round(w / wt.wtot, 6) AS mix_weight
          FROM sh, wt ORDER BY lang""",
+    "d60_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal, c_nationkey FROM customer),
+         upd AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal,
+             c_nationkey FROM customer
+           UNION ALL
+           SELECT c_custkey + 100000, c_custkey * 1.5, c_custkey % 25
+           FROM customer WHERE c_custkey < 30),
+         changed AS (SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+           WHERE u.c_acctbal <> c.c_acctbal)
+         SELECT c.c_custkey, c.c_acctbal, c.c_nationkey,
+           TIMESTAMP '2020-01-01' AS valid_from,
+           TIMESTAMP '2024-06-01' AS valid_to,
+           1::BIGINT AS version, 'closed' AS change_status
+         FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+         UNION ALL
+         SELECT u.c_custkey, u.c_acctbal, u.c_nationkey,
+           TIMESTAMP '2024-06-01', NULL, 2::BIGINT, 'updated'
+         FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+         UNION ALL
+         SELECT c.c_custkey, c.c_acctbal, c.c_nationkey,
+           TIMESTAMP '2020-01-01', NULL, 1::BIGINT, 'unchanged'
+         FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+         UNION ALL
+         SELECT u.c_custkey, u.c_acctbal, u.c_nationkey,
+           TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
+         FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+         ORDER BY c_custkey, version""",
     "d58_ngram_novelty" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -4179,6 +4289,11 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY 1 ORDER BY nation""",
+    "q48_bucketed_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "q37_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,
@@ -4306,6 +4421,22 @@ object SparkEntry {
            count(*) AS n_events,
            round(count(*)::DOUBLE / count(DISTINCT user_id), 3) AS events_per_user
          FROM events GROUP BY 1 ORDER BY day""",
+    "w16_session_window" ->
+      """WITH x AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+               THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM x)
+         SELECT user_id, min(ts)::TIMESTAMP AS window_start,
+           (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM y GROUP BY user_id, sid ORDER BY user_id, window_start""",
     "w15_attribution" ->
       """WITH clicks AS (
            SELECT event_id AS click_id, user_id, ts FROM events

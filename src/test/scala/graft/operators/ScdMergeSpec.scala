@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ScdMergeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private def snapshot(rows: (Long, Double)*): DataFrame =
+    rows.toSeq.toDF("id", "bal")
+      .withColumn("valid_from", lit(ts("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+
+  test("changed key closes the old row and opens a successor") {
+    val out = ScdMerge.merge(snapshot(1L -> 10.0, 2L -> 20.0),
+        Seq((1L, 11.0), (2L, 20.0)).toDF("id", "bal"),
+        "id", Seq("bal"), lit(ts("2024-06-01")))
+      .orderBy("id", "version")
+      .select("id", "bal", "version", "change_status")
+      .as[(Long, Double, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10.0, 1L, "closed"),
+      (1L, 11.0, 2L, "updated"),
+      (2L, 20.0, 1L, "unchanged")))
+  }
+
+  test("new keys insert at version 1; absent keys pass through (no deletes)") {
+    val out = ScdMerge.merge(snapshot(1L -> 10.0),
+        Seq((7L, 70.0)).toDF("id", "bal"),
+        "id", Seq("bal"), lit(ts("2024-06-01")))
+      .select("id", "bal", "version", "change_status")
+      .as[(Long, Double, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10.0, 1L, "unchanged"),
+      (7L, 70.0, 1L, "inserted")))
+  }
+
+  test("idempotent: re-applying the same feed changes nothing") {
+    val feed = Seq((1L, 11.0), (2L, 20.0)).toDF("id", "bal")
+    val once = ScdMerge.merge(snapshot(1L -> 10.0, 2L -> 20.0), feed,
+      "id", Seq("bal"), lit(ts("2024-06-01"))).drop("change_status")
+    val twice = ScdMerge.merge(once, feed, "id", Seq("bal"), lit(ts("2024-07-01")))
+    assert(twice.filter(col("change_status").isin("updated", "inserted", "closed"))
+      .count() == 0)
+    assert(twice.drop("change_status").except(once).count() == 0 &&
+      once.except(twice.drop("change_status")).count() == 0)
+  }
+
+  test("two sequential changes chain versions and keep full history") {
+    val s0 = snapshot(1L -> 10.0)
+    val s1 = ScdMerge.merge(s0, Seq((1L, 11.0)).toDF("id", "bal"),
+      "id", Seq("bal"), lit(ts("2024-06-01"))).drop("change_status")
+    val s2 = ScdMerge.merge(s1, Seq((1L, 12.0)).toDF("id", "bal"),
+      "id", Seq("bal"), lit(ts("2024-07-01")))
+    val hist = s2.orderBy("version")
+      .select("bal", "version", "change_status")
+      .as[(Double, Long, String)].collect().toSeq
+    assert(hist == Seq(
+      (10.0, 1L, "history"),
+      (11.0, 2L, "closed"),
+      (12.0, 3L, "updated")))
+    // exactly one open row
+    assert(s2.filter(col("valid_to").isNull).count() == 1)
+  }
+}

@@ -753,6 +753,33 @@ def main():
         w5[b] = min(w5.get(b, a), a)
     w5_rows = sorted(w5.items())
 
+    # ---- d61: PageRank over the d7 pair graph (Graph.pageRank mirror:
+    # symmetrized edges, uniform init, teleport (1-d)/N, NO dangling
+    # redistribution — isolated nodes sit exactly at teleport mass and are
+    # filtered out on both sides). Neighbor sums run in sorted order;
+    # Spark's arbitrary-order sums differ by ~1e-15, so every emitted
+    # value is margin-asserted against its 6-decimal boundary.
+    pr_nodes = [i for i, _ in docs]
+    pr_n = float(len(pr_nodes))
+    adj = {}
+    for a, b in ((r[0], r[1]) for r in d7_rows):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    pr_damp, pr_tele = 0.85, 0.15 / pr_n
+    rank = {v: 1.0 / pr_n for v in pr_nodes}
+    for _ in range(3):
+        inflow = {v: 0.0 for v in pr_nodes}
+        for u in sorted(adj):
+            share = rank[u] / len(adj[u])
+            for v in sorted(adj[u]):
+                inflow[v] += share
+        rank = {v: pr_tele + pr_damp * inflow[v] for v in pr_nodes}
+    d61_rows = []
+    for v in sorted(adj):
+        millis = rank[v] * 1000
+        assert_rounding_safe(millis, 6, 1e-9, f"d61 pr_millis doc {v}")
+        d61_rows.append((v, rnd(millis, 6)))
+
     # ---- d27: incremental dedup — probe docs (doc_id%31==0) flagged
     # against the resident index (doc_id%31!=0): minimum index partner
     # sharing >= 1 LSH band bucket with sig-match est >= 0.3; NULLs when
@@ -1035,6 +1062,10 @@ def main():
     w5_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of FROM (VALUES\n"
               + values(w5_rows, lambda r: f"{r[0]}, {r[1]}")
               + ") AS t(c0, c1) ORDER BY doc_id")
+    d61_sql = ("SELECT c0::BIGINT AS doc_id, c1::DOUBLE AS pr_millis"
+               " FROM (VALUES\n"
+               + values(d61_rows, lambda r: f"{r[0]}, {r[1]!r}")
+               + ") AS t(c0, c1) ORDER BY doc_id")
     d27_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of,"
                " c2::DOUBLE AS jaccard_est FROM (VALUES\n"
                + values(d27_rows, lambda r: f"{r[0]}, "
@@ -1159,7 +1190,9 @@ object FixtureOracles {{
     "d53_sketch_quality" ->
       \"\"\"{d53_sql}\"\"\",
     "d55_chunk_neardup" ->
-      \"\"\"{d55_sql}\"\"\")
+      \"\"\"{d55_sql}\"\"\",
+    "d61_dup_pagerank" ->
+      \"\"\"{d61_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
