@@ -181,6 +181,43 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(twin2 == Set(("c1", "p-in"), ("c2", "p-in2")))
   }
 
+  test("native session_window works in streaming mode and matches its batch twin") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = input.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("ws"), col("sw.end").as("we"),
+        col("n_events"))
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sws").trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // user 1: two events 3 min apart (one session), then 15 min gap (new)
+      input.addData(Ev(1, ts(0), "a", 0), Ev(1, ts(3), "b", 0), Ev(1, ts(18), "c", 0))
+      q.processAllAvailable()
+      input.addData(Ev(9, ts(59), "wm", 0)) // advance watermark to flush
+      q.processAllAvailable()
+      val got = spark.table("sws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .filter(_._1 == 1L).toSet
+      assert(got == Set(
+        (1L, ts(0), ts(13), 2L),   // merged session: start 0, end = 3 + 10min
+        (1L, ts(18), ts(28), 1L)))
+    } finally q.stop()
+
+    // batch twin: the same expression over a static frame yields the same rows
+    val twin = Seq(Ev(1, ts(0), "a", 0), Ev(1, ts(3), "b", 0), Ev(1, ts(18), "c", 0))
+      .toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(twin == Set((1L, ts(0), ts(13), 2L), (1L, ts(18), ts(28), 1L)))
+  }
+
   test("attributionJoin emits matched pairs eagerly and null rows after watermark") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Ev]

@@ -97,8 +97,103 @@ def main():
                            for k in rng.integers(0, 100, n_events)], pa.string()),
     })
     pq.write_table(events, f"{outdir}/events.parquet")
+
+    # relational star schema, 10x sf0.1 row counts, distribution-matched
+    # (measured on the driver's sf0.1 tables): orders 1.5M (totalprice ~
+    # uniform 1k-500k, dates 1995-01..2001-08, 3 statuses / 5 priorities
+    # uniform), lineitem ~6M (lines/order ~ Poisson(4) zero-dropped,
+    # quantity uniform 1-50, extendedprice uniform ~0.9k-105k, discount
+    # 0-0.1, tax 0-0.08, shipdate = orderdate + lag averaging ~48 days),
+    # customer 150k / part 200k / supplier 10k with the same key domains,
+    # segment/brand/type/size distributions. nation/region stay symlinked
+    # (fixed 25/5 rows at every TPC-H scale).
+    n_orders, n_cust, n_part, n_supp = n_docs * 30, n_docs * 3, n_docs * 4, n_docs // 5
+    odate_us = np.datetime64("1995-01-01", "us").astype(np.int64)
+    ospan_us = int(6.6 * 365.25 * 86400) * 1_000_000
+    o_dates = odate_us + (rng.random(n_orders) * ospan_us).astype(np.int64)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_orders).tolist(), pa.int64()),
+        "o_orderstatus": pa.array(
+            np.array(["P", "O", "F"])[rng.integers(0, 3, n_orders)].tolist()),
+        "o_totalprice": pa.array(
+            np.round(1000 + rng.random(n_orders) * 499000, 2).tolist(), pa.float64()),
+        "o_orderdate": pa.array(o_dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )[rng.integers(0, 5, n_orders)].tolist()),
+    })
+    pq.write_table(orders, f"{outdir}/orders.parquet")
+
+    lines_per = rng.poisson(4.0, n_orders)
+    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per)
+    n_li = len(okeys)
+    lag_us = ((rng.random(n_li) * 296 - 100) * 86400 * 1e6).astype(np.int64)
+    lineitem = pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li).tolist(), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li).tolist(), pa.int64()),
+        "l_linenumber": pa.array(
+            np.concatenate([np.arange(k) for k in lines_per if k > 0]).tolist(),
+            pa.int64()),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, n_li).astype(np.float64).tolist(), pa.float64()),
+        "l_extendedprice": pa.array(
+            np.round(900 + rng.random(n_li) * 104100, 2).tolist(), pa.float64()),
+        "l_discount": pa.array(
+            np.round(rng.random(n_li) * 0.1, 2).tolist(), pa.float64()),
+        "l_tax": pa.array(np.round(rng.random(n_li) * 0.08, 2).tolist(), pa.float64()),
+        "l_returnflag": pa.array(
+            np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)].tolist()),
+        "l_linestatus": pa.array(
+            np.array(["O", "F"])[rng.integers(0, 2, n_li)].tolist()),
+        "l_shipdate": pa.array(o_dates[okeys] + lag_us, pa.timestamp("us")),
+    })
+    pq.write_table(lineitem, f"{outdir}/lineitem.parquet")
+
+    customer = pa.table({
+        "c_custkey": pa.array(range(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).tolist(), pa.int64()),
+        "c_acctbal": pa.array(
+            np.round(-1000 + rng.random(n_cust) * 11000, 2).tolist(), pa.float64()),
+        "c_mktsegment": pa.array(np.array(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        )[rng.integers(0, 5, n_cust)].tolist()),
+    })
+    pq.write_table(customer, f"{outdir}/customer.parquet")
+
+    adjs = ["small", "red", "blue", "hot", "cold", "dark", "pale", "big"]
+    nouns = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "valve", "pin"]
+    part = pa.table({
+        "p_partkey": pa.array(range(n_part), pa.int64()),
+        "p_name": pa.array([f"{adjs[int(a)]} {nouns[int(b)]}" for a, b in
+                            zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))]),
+        "p_brand": pa.array([f"Brand#{int(k) + 1}"
+                             for k in rng.integers(0, 25, n_part)]),
+        "p_type": pa.array(np.array(
+            ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+        )[rng.integers(0, 6, n_part)].tolist()),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32).tolist(),
+                           pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(100 + rng.random(n_part) * 1700, 2).tolist(), pa.float64()),
+    })
+    pq.write_table(part, f"{outdir}/part.parquet")
+
+    supplier = pa.table({
+        "s_suppkey": pa.array(range(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).tolist(), pa.int64()),
+        "s_acctbal": pa.array(
+            np.round(-1000 + rng.random(n_supp) * 11000, 2).tolist(), pa.float64()),
+    })
+    pq.write_table(supplier, f"{outdir}/supplier.parquet")
+
     print(f"wrote {outdir}: {n_docs} docs, {n_vecs} embeddings, "
-          f"{n_events} events / {n_users} users")
+          f"{n_events} events / {n_users} users, {n_orders} orders, "
+          f"{n_li} lineitems, {n_cust} customers, {n_part} parts, "
+          f"{n_supp} suppliers")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,19 @@ def ratios(q0, q1):
 
 
 def main():
+    # append mode: add one named family's ratios to the existing artifact
+    # without re-running the other four/six benches
+    #   python3 tools/mk_bench_sf1.py --append <family_key> <sf01json> <sf1json>
+    if sys.argv[1] == "--append":
+        key, p01, p1 = sys.argv[2:5]
+        artifact = json.load(open("BENCH_sf1.json"))
+        b01, b1 = json.load(open(p01)), json.load(open(p1))
+        artifact[key] = ratios(b01["queries"], b1["queries"])
+        with open("BENCH_sf1.json", "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"appended {key} ({len(artifact[key])} queries) to BENCH_sf1.json")
+        return
+
     b01, b1, s01, s1 = (json.load(open(p)) for p in sys.argv[1:5])
 
     artifact = {
