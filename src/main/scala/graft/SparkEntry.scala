@@ -1644,6 +1644,22 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
+    "d62_source_overlap" -> ((s, d) => {
+      // cross-source duplication accounting (the RefinedWeb/Dolma-style
+      // report): near-dup pairs bucketed by the unordered source pair of
+      // their endpoints — which feeds deduplicate-ACROSS-sources vs
+      // within-source decisions. Two key joins of the (id, source)
+      // relation onto the pair list; counts are integers, no float risk.
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minHashLshPairs(docs, threshold = 0.3)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
     "d61_dup_pagerank" -> ((s, d) => {
       // template-document detection: PageRank centrality over the d7
       // MinHash near-dup pair graph — the hub of a boilerplate cluster

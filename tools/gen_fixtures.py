@@ -780,6 +780,17 @@ def main():
         assert_rounding_safe(millis, 6, 1e-9, f"d61 pr_millis doc {v}")
         d61_rows.append((v, rnd(millis, 6)))
 
+    # ---- d62: cross-source near-dup overlap matrix — the d7 pair set
+    # grouped by the (unordered) source pair of its endpoints; pure
+    # integer counts, no float risk
+    srcs = dict(duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf}/documents.parquet'").fetchall())
+    d62_counts = {}
+    for a, b, _ in d7_rows:
+        k = tuple(sorted((srcs[a], srcs[b])))
+        d62_counts[k] = d62_counts.get(k, 0) + 1
+    d62_rows = sorted((sa, sb, n) for (sa, sb), n in d62_counts.items())
+
     # ---- d27: incremental dedup — probe docs (doc_id%31==0) flagged
     # against the resident index (doc_id%31!=0): minimum index partner
     # sharing >= 1 LSH band bucket with sig-match est >= 0.3; NULLs when
@@ -1066,6 +1077,10 @@ def main():
                " FROM (VALUES\n"
                + values(d61_rows, lambda r: f"{r[0]}, {r[1]!r}")
                + ") AS t(c0, c1) ORDER BY doc_id")
+    d62_sql = ("SELECT c0 AS src_a, c1 AS src_b, c2::BIGINT AS n_pairs"
+               " FROM (VALUES\n"
+               + values(d62_rows, lambda r: f"{r[0]!r}, {r[1]!r}, {r[2]}")
+               + ") AS t(c0, c1, c2) ORDER BY src_a, src_b")
     d27_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of,"
                " c2::DOUBLE AS jaccard_est FROM (VALUES\n"
                + values(d27_rows, lambda r: f"{r[0]}, "
@@ -1192,7 +1207,9 @@ object FixtureOracles {{
     "d55_chunk_neardup" ->
       \"\"\"{d55_sql}\"\"\",
     "d61_dup_pagerank" ->
-      \"\"\"{d61_sql}\"\"\")
+      \"\"\"{d61_sql}\"\"\",
+    "d62_source_overlap" ->
+      \"\"\"{d62_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
