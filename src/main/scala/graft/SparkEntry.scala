@@ -1644,6 +1644,47 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
+    "d63_negative_sampling" -> ((s, d) => {
+      // contrastive-training negatives: per anchor, the 5 corpus docs that
+      // rank first under a deterministic per-(anchor,candidate) md5 —
+      // reproducible across engines/runs (no RNG state), excluding the
+      // anchor and its exact duplicates. The anchor set is k-bounded by
+      // contract (broadcast); at 100 TB swap the full-corpus window for a
+      // per-anchor bounded top-k aggregate (ScoredTopKAggregator, e1's
+      // shape) — the hash ordering is the same.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val anchors = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("anchor_id"), col("text").as("anchor_text"))
+      docs.select(col("doc_id").as("corpus_id"), col("text").as("cand_text"))
+        .join(broadcast(anchors),
+          col("corpus_id") =!= col("anchor_id") &&
+            col("cand_text") =!= col("anchor_text"))
+        .withColumn("h", md5(concat_ws("_", col("anchor_id"), col("corpus_id"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("anchor_id").orderBy(col("h"), col("corpus_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("anchor_id"), col("corpus_id"), col("rank"))
+        .orderBy("anchor_id", "rank")
+    }),
+    "d64_split_leakage" -> ((s, d) => {
+      // cross-split contamination report: near-dup pairs whose endpoints
+      // landed in different train/val/test splits (the leakage the split
+      // was supposed to prevent — dedup-before-split auditing). Composes
+      // the d7 pair generator with the d24 md5 split; oracle mirrors both
+      // chains independently in the python fixture.
+      val docs = t(s, d, "documents")
+      val split = Sampling.hashSplit(docs, col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("split"))
+      Dedup.minHashLshPairs(docs, threshold = 0.3)
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+          Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          (col("split_a") =!= col("split_b")).as("leaked"))
+        .orderBy("id_a", "id_b")
+    }),
     "d62_source_overlap" -> ((s, d) => {
       // cross-source duplication accounting (the RefinedWeb/Dolma-style
       // report): near-dup pairs bucketed by the unordered source pair of
@@ -2992,6 +3033,18 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
            round(w / wt.wtot, 6) AS mix_weight
          FROM sh, wt ORDER BY lang""",
+    "d63_negative_sampling" ->
+      """WITH a AS (SELECT doc_id AS anchor_id, text AS atext
+             FROM documents WHERE doc_id < 10),
+         c AS (SELECT doc_id AS corpus_id, text AS ctext FROM documents),
+         s AS (SELECT anchor_id, corpus_id,
+             md5(anchor_id::VARCHAR || '_' || corpus_id::VARCHAR) AS h
+           FROM a JOIN c ON corpus_id <> anchor_id AND ctext <> atext),
+         r AS (SELECT anchor_id, corpus_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY h, corpus_id) AS rank
+           FROM s)
+         SELECT anchor_id, corpus_id, rank FROM r WHERE rank <= 5
+         ORDER BY anchor_id, rank""",
     "d60_scd2_merge" ->
       """WITH cur AS (SELECT c_custkey, c_acctbal, c_nationkey FROM customer),
          upd AS (

@@ -791,6 +791,15 @@ def main():
         d62_counts[k] = d62_counts.get(k, 0) + 1
     d62_rows = sorted((sa, sb, n) for (sa, sb), n in d62_counts.items())
 
+    # ---- d64: cross-split leakage — d7 pairs labeled with the d24 md5
+    # split of each endpoint (independent md5 here; Spark recomputes via
+    # Sampling.hashSplit); leaked = endpoints in different splits
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+    d64_rows = [(a, b, split_of(a), split_of(b), split_of(a) != split_of(b))
+                for a, b, _ in d7_rows]
+
     # ---- d27: incremental dedup — probe docs (doc_id%31==0) flagged
     # against the resident index (doc_id%31!=0): minimum index partner
     # sharing >= 1 LSH band bucket with sig-match est >= 0.3; NULLs when
@@ -1081,6 +1090,11 @@ def main():
                " FROM (VALUES\n"
                + values(d62_rows, lambda r: f"{r[0]!r}, {r[1]!r}, {r[2]}")
                + ") AS t(c0, c1, c2) ORDER BY src_a, src_b")
+    d64_sql = ("SELECT c0::BIGINT AS id_a, c1::BIGINT AS id_b, c2 AS split_a,"
+               " c3 AS split_b, c4::BOOLEAN AS leaked FROM (VALUES\n"
+               + values(d64_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, "
+                        f"{r[3]!r}, {str(r[4]).lower()}")
+               + ") AS t(c0, c1, c2, c3, c4) ORDER BY id_a, id_b")
     d27_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS dup_of,"
                " c2::DOUBLE AS jaccard_est FROM (VALUES\n"
                + values(d27_rows, lambda r: f"{r[0]}, "
@@ -1209,7 +1223,9 @@ object FixtureOracles {{
     "d61_dup_pagerank" ->
       \"\"\"{d61_sql}\"\"\",
     "d62_source_overlap" ->
-      \"\"\"{d62_sql}\"\"\")
+      \"\"\"{d62_sql}\"\"\",
+    "d64_split_leakage" ->
+      \"\"\"{d64_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
