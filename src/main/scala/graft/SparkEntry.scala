@@ -1713,9 +1713,10 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val edges = Dedup.minHashLshPairs(docs, threshold = 0.3)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val n = docs.count().toDouble
+      val nDocs = docs.count() // one count job; shared with pageRank below
+      val n = nDocs.toDouble
       graft.operators.Graph.pageRank(docs.select(col("doc_id").as("id")), edges,
-          iterations = 3, damping = 0.85)
+          iterations = 3, damping = 0.85, nNodes = Some(nDocs))
         .filter(col("rank") > lit(0.15 / n) + lit(1e-12))
         .select(col("id").as("doc_id"), round(col("rank") * 1000, 6).as("pr_millis"))
         .orderBy("doc_id")

@@ -507,8 +507,12 @@ object Dedup {
         transform(sequence(lit(0), size(col("w")) - n), i =>
           concat_ws(" ", (0 until n).map(j =>
             element_at(col("w"), (i + lit(j + 1)).cast("int"))): _*)))).as("g"))
-    val firstSeen = grams.groupBy("g").agg(min(col(idCol)).as("owner"))
-    grams.join(firstSeen, "g")
+    // first-seen owner as a WINDOW over the gram relation, not a groupBy
+    // joined back: the join form computes the tokenize/ngram/explode
+    // pipeline twice (the two exchange children differ, so ReuseExchange
+    // cannot fire) — the window is one gram-keyed shuffle of the same rows
+    val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    grams.withColumn("owner", min(col(idCol)).over(firstSeen))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))

@@ -33,13 +33,16 @@ object Graph {
     * shuffles, each O(|E|) in 16-byte rows. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, idCol: String = "id",
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      nNodes: Option[Long] = None): DataFrame = {
     val ids = nodes.select(col(idCol).as("id"))
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n = ids.count().toDouble
+    // callers that already know |nodes| pass it in — the count() is a full
+    // pass over the node relation otherwise
+    val n = nNodes.getOrElse(ids.count()).toDouble
     val teleport = (1.0 - damping) / n
 
     var ranks = ids.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)

@@ -34,6 +34,8 @@ object ScdMerge {
     val attrs = current.columns.filterNot(meta.contains) // includes key
     require(updates.columns.toSet == attrs.toSet,
       s"updates must carry exactly the business columns ${attrs.mkString(",")}")
+    require(changeCols.nonEmpty, "changeCols must name at least one column " +
+      "to compare — an empty list would make every update a silent no-op")
 
     val closed = current.filter(col("valid_to").isNotNull)
       .withColumn("change_status", lit("history"))
@@ -43,10 +45,12 @@ object ScdMerge {
     val j = open.join(u, col(key) === col(s"u_$key"), "full_outer")
     val hasOld = col(key).isNotNull
     val hasNew = col(s"u_$key").isNotNull
-    val changed = changeCols.map(c => col(s"u_$c") =!= col(c)).reduce(_ || _)
-    // reopen = this key gets a fresh open row (insert, or changed update);
-    // three-valued logic is safe: for inserts `changed` is NULL but
-    // !hasOld short-circuits to TRUE
+    // null-SAFE inequality: business columns are nullable (the scaladoc's
+    // license states etc.), and a NULL→value or value→NULL transition must
+    // count as changed — plain =!= would yield NULL there and the update
+    // would silently vanish into the 'unchanged' branch
+    val changed = changeCols.map(c => !(col(s"u_$c") <=> col(c))).reduce(_ || _)
+    // reopen = this key gets a fresh open row (insert, or changed update)
     val reopen = hasNew && (!hasOld || changed)
 
     val openOut = j.select(

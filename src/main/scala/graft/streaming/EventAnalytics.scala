@@ -50,7 +50,8 @@ object EventAnalytics {
     * key equality already hash-partitions the join. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String = "ts", rightTs: String = "ts",
-      maxDelay: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+      maxDelay: String = "30 minutes", watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
       .alias("l")
     val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
@@ -58,7 +59,8 @@ object EventAnalytics {
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"),
+      joinType)
   }
 
   /** Attribution join: every left row (click) paired with the right rows
@@ -75,17 +77,9 @@ object EventAnalytics {
     * `l`/`r` aliases; callers select with qualified names. */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame, key: String,
       leftTs: String = "ts", rightTs: String = "ts",
-      maxDelay: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
-    val l = (if (clicks.isStreaming) clicks.withWatermark(leftTs, watermark)
-             else clicks).alias("l")
-    val r = (if (purchases.isStreaming) purchases.withWatermark(rightTs, watermark)
-             else purchases).alias("r")
-    l.join(r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL '$maxDelay'"),
-      "left_outer")
-  }
+      maxDelay: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(clicks, purchases, key, leftTs, rightTs, maxDelay, watermark,
+      joinType = "left_outer")
 
   /** Stream-static enrichment: events joined to a slowly-changing dimension
     * table, then windowed per enriched attribute — "hourly revenue by

@@ -43,6 +43,22 @@ class ScdMergeSpec extends AnyFunSuite with SparkTestBase {
       (7L, 70.0, 1L, "inserted")))
   }
 
+  test("NULL-to-value and value-to-NULL transitions count as changed") {
+    val current = Seq((1L, Option.empty[Double]), (2L, Some(20.0)))
+      .toDF("id", "bal")
+      .withColumn("valid_from", lit(ts("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+    val feed = Seq((1L, Some(5.0)), (2L, Option.empty[Double])).toDF("id", "bal")
+    val out = ScdMerge.merge(current, feed, "id", Seq("bal"), lit(ts("2024-06-01")))
+      .orderBy("id", "version")
+      .select("id", "version", "change_status")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "closed"), (1L, 2L, "updated"),
+      (2L, 1L, "closed"), (2L, 2L, "updated")))
+  }
+
   test("idempotent: re-applying the same feed changes nothing") {
     val feed = Seq((1L, 11.0), (2L, 20.0)).toDF("id", "bal")
     val once = ScdMerge.merge(snapshot(1L -> 10.0, 2L -> 20.0), feed,
