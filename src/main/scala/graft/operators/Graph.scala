@@ -36,9 +36,14 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       nNodes: Option[Long] = None): DataFrame = {
     val ids = nodes.select(col(idCol).as("id"))
+    // materialize the symmetrized edge list ONCE: its lineage is the
+    // caller's candidate generation (for the dup graph, the whole LSH
+    // signing pipeline), which would otherwise re-run every iteration —
+    // the checkpointed relation is (id, id) pairs only
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // callers that already know |nodes| pass it in — the count() is a full
     // pass over the node relation otherwise
