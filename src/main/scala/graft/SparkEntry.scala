@@ -580,6 +580,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("nation")
     }),
+    "q49_zorder_cluster" -> ((s, d) => {
+      // Z-order (Morton) clustering key — the multi-dimensional data-
+      // skipping layout: 16 equal buckets of the zkey-sorted subset each
+      // span a BOUNDED range in both l_partkey and l_suppkey (what makes
+      // a zkey-sorted parquet write skippable on either column;
+      // StorageLayoutSpec pins the actual row-group skipping). The global
+      // ntile window runs on the l_orderkey<2000 subset — bounded by
+      // contract; the at-scale layout path is repartitionByRange(zkey),
+      // not a window.
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+        .withColumn("zkey",
+          HashFunctions.zorder2(col("l_partkey"), col("l_suppkey")))
+      li.withColumn("bucket", ntile(16).over(
+          Window.orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))))
+        .groupBy("bucket")
+        .agg(min("l_partkey").as("min_p"), max("l_partkey").as("max_p"),
+          min("l_suppkey").as("min_s"), max("l_suppkey").as("max_s"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
     "q48_bucketed_join" -> ((s, d) => {
       // Bucketed co-located join: customer and orders written bucketed (8
       // buckets) on the join key, then joined with ZERO shuffle exchange
@@ -4359,6 +4381,21 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY 1 ORDER BY nation""",
+    // q49's Morton interleave spelled out term by term — generated from
+    // the same (bit, position) pairs the Spark expression uses
+    "q49_zorder_cluster" -> {
+      val z = (0 until 16).map(i =>
+        s"((((l_partkey >> $i) & 1) << ${2 * i}) | " +
+          s"(((l_suppkey >> $i) & 1) << ${2 * i + 1}))").mkString(" | ")
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ($z) AS zkey
+           FROM lineitem WHERE l_orderkey < 2000),
+         b AS (SELECT *, ntile(16) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+             AS bucket FROM z)
+         SELECT bucket, min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+           min(l_suppkey) AS min_s, max(l_suppkey) AS max_s, count(*) AS n
+         FROM b GROUP BY 1 ORDER BY bucket"""
+    },
     "q48_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
            round(sum(o.o_totalprice), 2) AS revenue

@@ -105,6 +105,24 @@ object HashFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 2-D Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer columns — x on even positions, y on odd. Rows
+    * sorted by this key cluster in BOTH dimensions at once, so a
+    * `repartitionByRange(zkey) + sort + write` layout lets parquet footer
+    * min/max statistics skip row groups for selective filters on EITHER
+    * column (StorageLayoutSpec pins the skipping; single-column sort only
+    * helps its lead column). Pure bit arithmetic — codegen'd, and exactly
+    * reproducible in any engine (the q49 oracle spells out the same 32-term
+    * expression in SQL). */
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Rolling-hash document fingerprint: chained hash over the token stream,
     * order-sensitive — two docs get equal fingerprints iff their token
     * sequences match (mod collisions). Implemented as an xxhash64 chain

@@ -100,4 +100,40 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
         "unsorted layout should read strictly more rows than the sorted one")
     }
   }
+
+  test("z-order layout skips row groups on BOTH filter dimensions") {
+    import graft.functions.HashFunctions
+    val n = 256 * 256
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case f: FileSourceScanExec => f })
+        .head.metrics("numOutputRows").value
+    }
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // zkey-sorted layout: ~64 files, each a ~32x32-aligned grid region →
+      // a selective filter on EITHER column prunes most files via footer
+      // min/max on that column
+      val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      grid.withColumn("zkey", HashFunctions.zorder2($"x", $"y", bits = 8))
+        .repartitionByRange(64, $"zkey").sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(zdir)
+      val zx = scanned(spark.read.parquet(zdir).filter($"x" < 16))
+      val zy = scanned(spark.read.parquet(zdir).filter($"y" < 16))
+      assert(zx <= n / 4, s"z-order should skip on x: scanned $zx of $n")
+      assert(zy <= n / 4, s"z-order should skip on y: scanned $zy of $n")
+      // single-column sort: skips on its lead column but reads EVERYTHING
+      // for the other dimension — the contrast that motivates z-order
+      val xdir = java.nio.file.Files.createTempDirectory("graft-xsort").toString
+      grid.repartitionByRange(64, $"x").sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(xdir)
+      assert(scanned(spark.read.parquet(xdir).filter($"x" < 16)) <= n / 4)
+      assert(scanned(spark.read.parquet(xdir).filter($"y" < 16)) > zy,
+        "x-sorted layout cannot skip on y; z-order must read strictly less")
+    }
+  }
 }
