@@ -580,6 +580,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("nation")
     }),
+    "q50_recursive_cte" -> ((s, d) => {
+      // WITH RECURSIVE (Spark 4.x): ancestor walk over the implicit
+      // binary tree parent(k) = k div 2 — 16 seed customers, each chain
+      // joined back to the customer table per level and aggregated. The
+      // recursion is driver-bounded (max_depth ~ log2(key)); each
+      // iteration is one small join — the UnionLoop plans like an
+      // iterative DataFrame loop but inside one SQL statement.
+      t(s, d, "customer").createOrReplaceTempView("g_customer_rec")
+      s.sql("""WITH RECURSIVE anc(start_key, cur_key, depth) AS (
+                 SELECT c_custkey, c_custkey, 0 FROM g_customer_rec
+                 WHERE c_custkey >= 1000 AND c_custkey < 1016
+                 UNION ALL
+                 SELECT a.start_key, a.cur_key div 2, a.depth + 1
+                 FROM anc a WHERE a.cur_key > 0)
+               SELECT start_key, count(*) AS chain_len, max(depth) AS max_depth,
+                 round(sum(c.c_acctbal), 2) AS chain_acctbal
+               FROM anc JOIN g_customer_rec c ON c.c_custkey = anc.cur_key
+               GROUP BY start_key ORDER BY start_key""")
+    }),
     "q49_zorder_cluster" -> ((s, d) => {
       // Z-order (Morton) clustering key — the multi-dimensional data-
       // skipping layout: 16 equal buckets of the zkey-sorted subset each
@@ -4381,6 +4400,17 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
          GROUP BY 1 ORDER BY nation""",
+    "q50_recursive_cte" ->
+      """WITH RECURSIVE anc(start_key, cur_key, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           WHERE c_custkey >= 1000 AND c_custkey < 1016
+           UNION ALL
+           SELECT a.start_key, a.cur_key // 2, a.depth + 1
+           FROM anc a WHERE a.cur_key > 0)
+         SELECT start_key, count(*) AS chain_len, max(depth) AS max_depth,
+           round(sum(c.c_acctbal), 2) AS chain_acctbal
+         FROM anc JOIN customer c ON c.c_custkey = anc.cur_key
+         GROUP BY start_key ORDER BY start_key""",
     // q49's Morton interleave spelled out term by term — generated from
     // the same (bit, position) pairs the Spark expression uses
     "q49_zorder_cluster" -> {
