@@ -101,6 +101,21 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("zorder2 is a bijective Morton interleave (scala-mirror + injectivity)") {
+    import graft.functions.HashFunctions
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pts = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", HashFunctions.zorder2($"x", $"y", bits = 6).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 6), s"($x,$y)") }
+    // bijective on the 6-bit grid: 4096 distinct keys covering 0..4095
+    val keys = got.map(_._3).toSet
+    assert(keys.size == 4096 && keys.min == 0L && keys.max == 4095L)
+  }
+
   test("z-order layout skips row groups on BOTH filter dimensions") {
     import graft.functions.HashFunctions
     val n = 256 * 256
