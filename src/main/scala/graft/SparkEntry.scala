@@ -2475,6 +2475,22 @@ object SparkEntry {
           round(count(lit(1)) / countDistinct(col("user_id")), 3)
             .as("events_per_user"))
         .orderBy("day")),
+    "w17_converted_clicks" -> ((s, d) => {
+      // LEFT SEMI watermarked interval join — the third stream-stream
+      // join type (inner = w4, left outer = w15): clicks that DID convert
+      // within 30 minutes, emitted once each regardless of how many
+      // purchases matched; in streaming the right side needs only
+      // existence state inside the delay window
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.streaming.EventAnalytics.intervalJoin(clicks, purchases,
+          key = "user_id", joinType = "left_semi")
+        .select(col("click_id"), col("user_id"))
+        .orderBy("click_id")
+    }),
     "w16_session_window" -> ((s, d) =>
       // gap-based sessions via Spark's NATIVE session_window operator —
       // the built-in twin of w3's flatMapGroupsWithState sessionizer
@@ -4558,6 +4574,14 @@ object SparkEntry {
            count(*) AS n_events,
            round(count(*)::DOUBLE / count(DISTINCT user_id), 3) AS events_per_user
          FROM events GROUP BY 1 ORDER BY day""",
+    "w17_converted_clicks" ->
+      """SELECT c.event_id AS click_id, c.user_id
+         FROM events c
+         WHERE c.event_type = 'click' AND EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+         ORDER BY click_id""",
     "w16_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, value,

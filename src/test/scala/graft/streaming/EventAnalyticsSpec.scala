@@ -218,6 +218,40 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(twin == Set((1L, ts(0), ts(13), 2L), (1L, ts(18), ts(28), 1L)))
   }
 
+  test("left-semi intervalJoin streams converted clicks exactly once") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventAnalytics.intervalJoin(
+      clicks.toDF().withColumnRenamed("event_type", "cv"),
+      buys.toDF().withColumnRenamed("event_type", "pv"),
+      key = "user_id", maxDelay = "5 minutes", watermark = "1 minute",
+      joinType = "left_semi")
+      .select(col("cv").as("click"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("semij")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      clicks.addData(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      // TWO matching purchases — semi must still emit c1 once
+      buys.addData(Ev(1, ts(2), "p1", 0), Ev(1, ts(4), "p2", 0))
+      q.processAllAvailable()
+      clicks.addData(Ev(8, ts(59), "wm", 0)); buys.addData(Ev(9, ts(59), "wm", 0))
+      q.processAllAvailable()
+      val got = spark.table("semij").collect().map(_.getString(0)).toSeq
+      assert(got.sorted == Seq("c1"))
+    } finally q.stop()
+
+    // batch twin: same single row
+    val cb = Seq(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      .toDF().withColumnRenamed("event_type", "cv")
+    val pb = Seq(Ev(1, ts(2), "p1", 0), Ev(1, ts(4), "p2", 0))
+      .toDF().withColumnRenamed("event_type", "pv")
+    val twin = EventAnalytics.intervalJoin(cb, pb, key = "user_id",
+        maxDelay = "5 minutes", joinType = "left_semi")
+      .select(col("cv")).collect().map(_.getString(0)).toSeq
+    assert(twin == Seq("c1"))
+  }
+
   test("attributionJoin emits matched pairs eagerly and null rows after watermark") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[Ev]
