@@ -1685,6 +1685,36 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langIdOf(col("ltoks")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
 
+    "d65_scd2_fold" -> ((s, d) => {
+      // standing-dimension maintenance: TWO update feeds folded through
+      // the at-rest snapshot (init → applyEpoch → applyEpoch, each with a
+      // staged-write atomic swap — StreamingDimension). The oracle is
+      // CASE-ENUMERATED from first principles (the four key classes:
+      // changed twice / first only / second only / never), independent of
+      // the merge implementation, so a green row proves the fold, the
+      // version chaining, AND the status labeling.
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val current = dim
+        .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("version", lit(1L))
+      val feed1 = dim.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      val feed2 = feed1.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(5)) === 0, col("c_acctbal") + 50)
+          .otherwise(col("c_acctbal")))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_d65_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingDimension.init(current, dir)
+      graft.streaming.StreamingDimension.applyEpoch(feed1, dir, "c_custkey",
+        Seq("c_acctbal"), lit("2024-06-01").cast("timestamp"))
+      graft.streaming.StreamingDimension.applyEpoch(feed2, dir, "c_custkey",
+        Seq("c_acctbal"), lit("2024-07-01").cast("timestamp"))
+      graft.streaming.StreamingDimension.snapshot(s, dir)
+        .orderBy("c_custkey", "version")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -3091,6 +3121,30 @@ object SparkEntry {
          SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
            round(w / wt.wtot, 6) AS mix_weight
          FROM sh, wt ORDER BY lang""",
+    "d65_scd2_fold" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS b, c_nationkey AS n
+             FROM customer)
+         SELECT k AS c_custkey, bal AS c_acctbal, n AS c_nationkey,
+           vf::TIMESTAMP AS valid_from, vt::TIMESTAMP AS valid_to,
+           ver::BIGINT AS version, st AS change_status
+         FROM (
+           SELECT k, b AS bal, n, '2020-01-01' AS vf, '2024-06-01' AS vt,
+             1 AS ver, 'history' AS st FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b + 100, n, '2024-06-01', '2024-07-01',
+             2, 'closed' FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b + 150, n, '2024-07-01', NULL,
+             3, 'updated' FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b, n, '2020-01-01', '2024-06-01',
+             1, 'history' FROM c WHERE k % 7 = 0 AND k % 5 <> 0
+           UNION ALL SELECT k, b + 100, n, '2024-06-01', NULL,
+             2, 'unchanged' FROM c WHERE k % 7 = 0 AND k % 5 <> 0
+           UNION ALL SELECT k, b, n, '2020-01-01', '2024-07-01',
+             1, 'closed' FROM c WHERE k % 5 = 0 AND k % 7 <> 0
+           UNION ALL SELECT k, b + 50, n, '2024-07-01', NULL,
+             2, 'updated' FROM c WHERE k % 5 = 0 AND k % 7 <> 0
+           UNION ALL SELECT k, b, n, '2020-01-01', NULL,
+             1, 'unchanged' FROM c WHERE k % 5 <> 0 AND k % 7 <> 0)
+         ORDER BY c_custkey, version""",
     "d63_negative_sampling" ->
       """WITH a AS (SELECT doc_id AS anchor_id, text AS atext
              FROM documents WHERE doc_id < 10),
