@@ -642,6 +642,133 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+    "q51_volume_shipping" -> ((s, d) => {
+      // TPC-H Q7 shape: bilateral revenue flow between two nations by ship
+      // year. The 2-name nation filter broadcast-semi-reduces supplier and
+      // customer BEFORE they touch the fact tables, the shipdate window
+      // pushes to the lineitem scan, and the cross-pair condition is the
+      // cheap post-join disjunction over two already-tiny dimension tags.
+      val n = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val sup = t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum(col("volume")), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q52_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: NATION_3's share of EUROPE's PROMO-part order
+      // revenue per year. Numerator rides the same aggregate as the
+      // denominator (conditional sum — one shuffle, no second pass); the
+      // customer-side region restriction is a broadcast chain
+      // nation→region, the part-type filter pushes to the part scan.
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val p = t(s, d, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+      val euCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val supN = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(euCust, col("o_custkey") === col("c_custkey"))
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    "q53_important_parts" -> ((s, d) => {
+      // TPC-H Q11 shape (partsupp-free analog): parts whose lineitem
+      // revenue exceeds 1.5× the average part's — SF-invariant (Q11's
+      // fraction-of-total cutoff scales with part count and empties at
+      // test SF). The threshold is a 1-row aggregate cross-joined back
+      // (broadcast scalar, q47's pattern) — Catalyst's decorrelation of
+      // the Q11 HAVING subquery; ReuseExchange serves both branches from
+      // one per-part shuffle.
+      val pv = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+      val total = pv.agg(avg(col("value")).as("tv"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value") > col("tv") * 1.5)
+        .select(col("p_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+    "q54_dominant_suppliers" -> ((s, d) => {
+      // TPC-H Q20 shape (partsupp-free analog): suppliers who shipped more
+      // than 30% of some gear-part's 1996 volume. The per-(part, supplier)
+      // aggregate shuffles once on partkey+suppkey; the part-total is a
+      // WINDOW over the aggregated relation (supplier-bounded groups, q38's
+      // stance) — never a self-join that would recompute the aggregate.
+      val gearParts = t(s, d, "part")
+        .filter(col("p_name").like("%gear%")).select("p_partkey")
+      val qty = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+      val withTot = qty.withColumn("part_total",
+        sum(col("sq")).over(Window.partitionBy(col("l_partkey"))))
+      // sq*10 > total*3, not sq > total*0.3: quantities are integer-valued
+      // doubles, so both products are EXACT and the 30% boundary can never
+      // flip on float representation (a boundary case exists in the data)
+      withTot.filter(col("sq") * 10 > col("part_total") * 3)
+        .select(col("l_suppkey")).distinct()
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+    "q55_late_priority" -> ((s, d) => {
+      // TPC-H Q12 shape (shipmode-free analog): order-priority mix by
+      // ship-latency bucket. The latency CASE runs on the joined row —
+      // one orderkey shuffle join, the tiny bucket domain re-aggregates
+      // for free; the date window pushes to the lineitem scan.
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .select("l_orderkey", "l_shipdate")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(lag <= 15, "0-15").when(lag <= 45, "16-45").otherwise("46+")
+            .as("latency_bucket"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+            .as("high"))
+        .groupBy("latency_bucket")
+        .agg(sum(col("high")).as("high_line_count"),
+          (count(lit(1)) - sum(col("high"))).as("low_line_count"))
+        .orderBy("latency_bucket")
+    }),
     "q37_lateral_topn" -> ((s, d) => {
       // LATERAL correlated-subquery join (per-customer top-2 orders by
       // price) — the modern SQL-surface twin of q8's window form. Catalyst
@@ -1715,6 +1842,39 @@ object SparkEntry {
       graft.streaming.StreamingDimension.snapshot(s, dir)
         .orderBy("c_custkey", "version")
     }),
+    "d66_dsir_select" -> ((s, d) => {
+      // DSIR (Xie et al. '23): rank the non-English pile by how English it
+      // looks under the hashed-unigram importance model fit on the lang=en
+      // target vs the whole corpus. Weights round to 6 decimals BEFORE the
+      // top-50 rank so the cutoff is engine-stable (q40's stance).
+      val docs = t(s, d, "documents")
+      graft.operators.Dsir.importanceWeights(docs,
+          isTarget = col("lang") === "en", buckets = 512)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("lang"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(50)
+    }),
+    "d67_bigram_diversity" -> ((s, d) => {
+      // per-source lexical diversity: distinct-bigram ratio (the
+      // distinct-n diversity audit — templated/boilerplate-heavy sources
+      // score low). One tokenize pass, bigrams by zipping the token array
+      // with its own tail (no shuffle until the 20-row source aggregate).
+      val toks = TextFunctions.tokens(lower(col("text")))
+      t(s, d, "documents")
+        .select(col("source"), toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_bigrams"),
+          countDistinct(col("bigram")).as("distinct_bigrams"),
+          round(countDistinct(col("bigram")) / count(lit(1)).cast("double"), 6)
+            .as("diversity"))
+        .orderBy("source")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -2139,6 +2299,15 @@ object SparkEntry {
               .otherwise(0.0), 6).as("rrf"))
         .orderBy("doc_id")
     }),
+    "e25_binary_ann" -> ((s, d) =>
+      // binary (sign-bit) embeddings: Hamming top-50 over 32×-compressed
+      // packed codes (xor+popcount scan), exact cosine re-rank to top-10.
+      // Hamming ties at the candidate cutoff break by id on both engines.
+      Similarity.binarySignTopK(t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10, rerank = 50)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")),
     "e24_drift_monitor" -> ((s, d) =>
       // quantizer-drift monitor: per-cell count + assignment SSE of the
       // corpus against the frozen centroids — THE refit signal for the
@@ -2284,6 +2453,25 @@ object SparkEntry {
         leftTime = col("edate"), rightTime = col("o_orderdate"),
         rightId = col("o_orderkey"), rightCols = Seq("o_orderkey", "o_totalprice"))
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
+    "a3_asof_nearest" -> ((s, d) => {
+      // nearest as-of: each event joined to the user's CLOSEST order in
+      // either time direction (pandas merge_asof direction='nearest';
+      // distance ties → backward). ONE union + ONE window sort — both
+      // directional candidates come off the same per-key ordered pass, so
+      // the whole join costs what a single directional as-of costs.
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          pmod(col("event_id"), lit(2400)).cast("int"))).as("edate"))
+      val o = t(s, d, "orders")
+      graft.operators.Joins.asofNearest(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("edate"), rightTime = col("o_orderdate"),
+        rightId = col("o_orderkey"), rightCols = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"),
+          col("asof_dir"))
         .orderBy("event_id")
     }),
 
@@ -3206,6 +3394,40 @@ object SparkEntry {
              / count(*), 4) AS novelty
          FROM grams g JOIN first_seen f ON f.g = g.g
          GROUP BY 1 ORDER BY doc_id""",
+    "d66_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0)) AS token
+           FROM documents),
+         f AS (SELECT doc_id, lang = 'en' AS tgt,
+             (('0x' || substr(md5(token), 1, 8))::UBIGINT % 512)::BIGINT AS b,
+             count(*) AS c
+           FROM tok GROUP BY 1, 2, 3),
+         g AS (SELECT b, sum(c) AS rc,
+             sum(CASE WHEN tgt THEN c ELSE 0 END) AS tc
+           FROM f GROUP BY 1),
+         tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM g),
+         lr AS (SELECT b, ln((tc + 1) / (tt + 512.0))
+             - ln((rc + 1) / (rt + 512.0)) AS lr FROM g, tot),
+         w AS (SELECT f.doc_id, sum(f.c * lr.lr) AS wsum
+           FROM f JOIN lr USING (b) GROUP BY 1)
+         SELECT w.doc_id AS doc_id, d.lang, round(w.wsum, 6) AS weight
+         FROM w JOIN documents d ON d.doc_id = w.doc_id
+         WHERE d.lang <> 'en'
+         ORDER BY weight DESC, w.doc_id LIMIT 50""",
+    "d67_bigram_diversity" ->
+      """WITH t AS (SELECT source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         b AS (SELECT source,
+             unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+           FROM t WHERE len(tk) >= 2)
+         SELECT source, count(*) AS total_bigrams,
+           count(DISTINCT bigram) AS distinct_bigrams,
+           round(count(DISTINCT bigram) / count(*), 6) AS diversity
+         FROM b GROUP BY source ORDER BY source""",
     "d59_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3620,6 +3842,33 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1, len(v)),
              i -> (v[i] - q[i] * ssafe) * (v[i] - q[i] * ssafe))), 6) AS sq_err
          FROM q ORDER BY vec_id""",
+    "e25_binary_ann" ->
+      """WITH b AS (SELECT vec_id,
+             list_transform(embedding, x -> (x > 0)::INT) AS sb,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, sb AS qs, v AS qv
+           FROM b WHERE vec_id < 5),
+         h AS (SELECT q.query_id, c.vec_id AS corpus_id,
+             list_sum(list_transform(range(1, len(c.sb) + 1),
+               i -> (c.sb[i] <> q.qs[i])::INT)) AS ham
+           FROM b c, q WHERE c.vec_id <> q.query_id),
+         cand AS (SELECT query_id, corpus_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ham, corpus_id) AS hrank
+           FROM h),
+         scored AS (SELECT c.query_id, c.corpus_id,
+             list_cosine_similarity(bv.v, q.qv) AS cos
+           FROM cand c
+           JOIN b bv ON bv.vec_id = c.corpus_id
+           JOIN q ON q.query_id = c.query_id
+           WHERE c.hrank <= 50),
+         ranked AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "e24_drift_monitor" ->
       """WITH c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),
@@ -4022,6 +4271,23 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice FROM orders o
            WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.edate
            ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) ord ON true
+         ORDER BY event_id""",
+    "a3_asof_nearest" ->
+      """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice, ord.asof_dir
+         FROM (SELECT event_id, user_id,
+             (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
+           FROM events) e
+         LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice,
+             CASE WHEN o.o_orderdate <= e.edate THEN 'backward'
+               ELSE 'forward' END AS asof_dir
+           FROM orders o
+           WHERE o.o_custkey = e.user_id
+           ORDER BY abs(epoch(o.o_orderdate) - epoch(e.edate)),
+             (o.o_orderdate > e.edate),
+             CASE WHEN o.o_orderdate <= e.edate THEN -o.o_orderkey
+               ELSE o.o_orderkey END
+           LIMIT 1) ord ON true
          ORDER BY event_id""",
     // m1/m4: the Spark side decodes REAL PNG/JPEG bytes with javax.imageio;
     // the oracle recomputes what the deterministic image generator drew
@@ -4501,6 +4767,71 @@ object SparkEntry {
            round(sum(o.o_totalprice), 2) AS revenue
          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    "q51_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q52_market_share" ->
+      """WITH f AS (SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'EUROPE'
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n2 ON n2.n_nationkey = s.s_nationkey)
+         SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+         FROM f GROUP BY 1 ORDER BY o_year""",
+    "q53_important_parts" ->
+      """WITH pv AS (SELECT l_partkey AS p_partkey,
+             sum(l_extendedprice * (1 - l_discount)) AS value
+           FROM lineitem GROUP BY 1),
+           tot AS (SELECT avg(value) AS tv FROM pv)
+         SELECT p_partkey, round(value, 2) AS value FROM pv, tot
+         WHERE value > tv * 1.5 ORDER BY value DESC, p_partkey""",
+    "q54_dominant_suppliers" ->
+      """WITH qty AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%gear%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1, 2),
+           w AS (SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS part_total
+             FROM qty)
+         SELECT DISTINCT s.s_suppkey, s.s_name
+         FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+         WHERE sq * 10 > part_total * 3 ORDER BY s_suppkey""",
+    "q55_late_priority" ->
+      """SELECT CASE
+             WHEN datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) <= 15
+               THEN '0-15'
+             WHEN datediff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) <= 45
+               THEN '16-45'
+             ELSE '46+' END AS latency_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1 ORDER BY latency_bucket""",
     "q37_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

@@ -81,6 +81,76 @@ object Joins {
     filled.filter(col("__isLeft") === 1).drop("__isLeft")
   }
 
+  /** Nearest as-of join: for every left row, the single key-matching right
+    * row whose time is CLOSEST to the left time, in either direction
+    * (pandas `merge_asof(direction='nearest')`). Distance ties between the
+    * backward and forward candidate resolve BACKWARD (the at-or-before row
+    * wins); ties within a direction follow [[asofBackward]]/[[asofForward]]
+    * (backward: largest `(time, id)`; forward: smallest).
+    *
+    * Implementation: ONE union + ONE window sort — not two as-of joins
+    * glued together. Both candidates come off the same per-key time-ordered
+    * sort: the backward payload is a running `last(_, ignoreNulls)` over
+    * the preceding frame, the forward payload a `first(_, ignoreNulls)`
+    * over the following frame; Catalyst plans window expressions sharing a
+    * (partition, order) spec into a single WindowExec, so the whole join is
+    * one shuffle per side and one sort — the same cost as a single
+    * directional as-of. Equal-time right rows sort before left rows, so
+    * they land in the preceding frame and surface as a backward match at
+    * distance zero, which the tie rule would pick anyway.
+    *
+    * Output carries `rightCols` (nullable: null = key has no right rows at
+    * all) plus `asof_dir` ('backward' | 'forward' | null). */
+  def asofNearest(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightId: Column, rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__key", leftKey).withColumn("__time", leftTime)
+      .withColumn("__isLeft", lit(1)).withColumn("__rid", lit(null).cast("long"))
+    val payloadNulls = rightCols.foldLeft(leftTagged) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val rightTagged = right
+      .withColumn("__key", rightKey).withColumn("__time", rightTime)
+      .withColumn("__isLeft", lit(0)).withColumn("__rid", rightId.cast("long"))
+    val rightProjected = rightTagged.select(
+      Seq(col("__key"), col("__time"), col("__isLeft"), col("__rid")) ++
+        rightCols.map(col) ++
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftProjected = payloadNulls.select(
+      Seq(col("__key"), col("__time"), col("__isLeft"), col("__rid")) ++
+        rightCols.map(c => lit(null).cast(rightTagged.schema(c).dataType).as(c)) ++
+        left.columns.map(col): _*)
+    val ord = Window.partitionBy("__key")
+      .orderBy(col("__time"), col("__isLeft"), col("__rid").asc_nulls_last)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // right-row timestamps ride as an extra nullable payload so the
+    // backward/forward distances are computable without a second pass
+    val rtime = when(col("__isLeft") === 0, col("__time"))
+    val filled = rightProjected.unionByName(leftProjected)
+      .select(
+        (left.columns.map(col) ++ Seq(
+          col("__isLeft"), col("__time"),
+          last(rtime, ignoreNulls = true).over(wBack).as("__btime"),
+          first(rtime, ignoreNulls = true).over(wFwd).as("__ftime")) ++
+          rightCols.map(c => last(col(c), ignoreNulls = true).over(wBack).as(s"__b_$c")) ++
+          rightCols.map(c => first(col(c), ignoreNulls = true).over(wFwd).as(s"__f_$c"))): _*)
+      .filter(col("__isLeft") === 1)
+    val bDist = col("__time").cast("double") - col("__btime").cast("double")
+    val fDist = col("__ftime").cast("double") - col("__time").cast("double")
+    val useFwd = col("__ftime").isNotNull &&
+      (col("__btime").isNull || fDist < bDist)
+    val dir = when(useFwd, lit("forward"))
+      .when(col("__btime").isNotNull, lit("backward"))
+      .otherwise(lit(null).cast("string"))
+    val out = filled.select(
+      (left.columns.map(col) ++
+        rightCols.map(c => when(useFwd, col(s"__f_$c")).otherwise(col(s"__b_$c")).as(c)) :+
+        dir.as("asof_dir")): _*)
+    out
+  }
+
   /** Binned range join: left rows (a numeric `pointCol`) against right rows
     * (a numeric interval `[startCol, endCol]`, inclusive), optionally with
     * equi-keys. Spark's planner turns a bare range predicate into a

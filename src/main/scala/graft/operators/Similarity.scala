@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ScoredTopKAggregator, VectorFunctions}
@@ -252,6 +252,61 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         VectorFunctions.cosine(col("query_vec"), col("dq")).as("cosine"))
     explodeRanked(scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
+  }
+
+  /** One packed sign-bit word array per vector: bit `i mod 64` of word
+    * `i div 64` is set iff `v[i] > 0` — the at-rest layout is `dim/64`
+    * longs, a 32× reduction over float32. Pure `functions._` composition
+    * (transform/aggregate/shiftleft), stays inside codegen. */
+  private def packSignBits(v: Column): Column =
+    transform(sequence(lit(0), floor((size(v) - 1) / 64).cast("int")), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + 63, size(v) - 1)),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(v, (i + 1).cast("int")) > 0,
+            call_function("shiftleft", lit(1L), (i - w * 64).cast("int")))
+            .otherwise(0L))))
+
+  /** Binary (sign-bit) quantization ANN: Hamming distance over packed
+    * sign bits as the cheap candidate stage, exact cosine re-rank of the
+    * `rerank` Hamming-best as the answer — the "binary embeddings" recipe
+    * (LSH sign sketches; Charikar '02 random-hyperplane simhash with the
+    * identity basis). At rest the corpus is `dim/64` longs per row (32×
+    * smaller than f32), and the candidate scan is xor+popcount per word —
+    * memory-bandwidth-bound, no floats touched until re-rank fetches the
+    * `queries × rerank` survivor vectors.
+    *
+    * Candidate stage ties (equal Hamming) break by smallest corpus id on
+    * both engines, so the re-rank cutoff is engine-stable; final ranking is
+    * cosine desc, id asc ([[bruteForceTopK]]'s rule). */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, k: Int, rerank: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(rerank >= k, s"rerank budget $rerank must cover k=$k")
+    val topCand = udaf(new ScoredTopKAggregator(rerank))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val codes = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      packSignBits(col(vecCol)).as("corpus_bits"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      packSignBits(col(vecCol)).as("query_bits"))
+    val hamming = aggregate(
+      zip_with(col("corpus_bits"), col("query_bits"),
+        (a, b) => call_function("bit_count", a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    // score = -hamming: the aggregator keeps largest-score (⇒ smallest
+    // distance), ties smallest id — the cross-engine cutoff rule
+    val cand = codes.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), (-hamming).cast("double").as("nh"))
+      .groupBy("query_id").agg(topCand(col("corpus_id"), col("nh")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val rescored = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+      .join(broadcast(cand), "corpus_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    explodeRanked(rescored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
   /** Residual IVF-PQ top-k — the production FAISS IVFPQ layout: PQ codes

@@ -113,6 +113,46 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofNearest matches a brute-force per-row reference (ties resolve backward)") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 100L))))
+    forAll(gen, trials = 5) { case (leftRows, rightRows) =>
+      val left = leftRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "lk", "lt")
+      val right = rightRows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("rid", "rk", "rt")
+      val got = Joins.asofNearest(left, right,
+        leftKey = col("lk"), rightKey = col("rk"),
+        leftTime = col("lt"), rightTime = col("rt"),
+        rightId = col("rid"), rightCols = Seq("rid"))
+        .select("lid", "rid", "asof_dir").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+            if (r.isNullAt(2)) "none" else r.getString(2))).toMap
+      val expected = leftRows.zipWithIndex.map { case ((k, t), i) =>
+        val back = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt <= t }
+          .sortBy { case ((_, rt), ri) => (-rt, -ri.toLong) }.headOption
+        val fwd = rightRows.zipWithIndex
+          .filter { case ((rk, rt), _) => rk == k && rt >= t }
+          .sortBy { case ((_, rt), ri) => (rt, ri.toLong) }.headOption
+        val pick = (back, fwd) match {
+          case (None, None) => (-1L, "none")
+          case (Some(b), None) => (b._2.toLong, "backward")
+          case (None, Some(f)) => (f._2.toLong, "forward")
+          case (Some(b), Some(f)) =>
+            // forward wins ONLY on strictly smaller distance
+            if (f._1._2 - t < t - b._1._2) (f._2.toLong, "forward")
+            else (b._2.toLong, "backward")
+        }
+        i.toLong -> pick
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("packSequences: arbitrary counts and partitioning match the sequential fold") {
     import org.apache.spark.sql.functions.col
     forAll(Gen.zip(Gen.chooseNum(1, 6),

@@ -536,6 +536,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("binarySignTopK: full rerank budget reproduces brute-force exactly; packed bits match signs") {
+    val dim = 67 // deliberately non-multiple of 64: exercises the partial last word
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    // rerank >= corpus ⇒ the Hamming stage prunes nothing and the exact
+    // re-rank IS brute force — ids, ranks, and cosines must all agree
+    val bin = Similarity.binarySignTopK(vecs, q, k = 5, rerank = 40)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(bin == exact)
+    // with a tight budget the candidate stage actually gates: results are
+    // a subset of the Hamming-closest, still k rows per query, rank 1 keeps
+    // the best surviving cosine
+    val tight = Similarity.binarySignTopK(vecs, q, k = 3, rerank = 5)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(tight == Map(0L -> 3L, 1L -> 3L))
+  }
+
   test("ivfPqResidualTopK: an exact copy ranks first; residual ADC beats plain PQ fidelity") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>
