@@ -46,10 +46,17 @@ object Dsir {
       .select(col(idCol), col("__tgt"), bucket.as("__b"))
       .groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    // `perDoc` feeds both the model branch and the final weight join as the
-    // SAME logical subtree, so ReuseExchange serves the model aggregation
-    // from the (doc, bucket) shuffle files instead of re-tokenizing the
-    // corpus — no persist() needed, nothing held past the query.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `perDoc` feeds both the model branch and the final weight join.
+    // Declarative reuse does NOT happen here: column pruning drops `idCol`
+    // from the model branch, the two exchange subtrees stop being
+    // identical, and ReuseExchange no longer applies — the corpus would
+    // tokenize TWICE (verified on the physical plan). The counts relation
+    // is the smallest thing both branches share (≤ `buckets` rows per doc,
+    // numeric-only — far smaller than the text it summarizes), so persist
+    // it; the spill-able level keeps the 100 TB case safe ([[Bm25]]'s
+    // stance). Released by the caller's cache lifecycle (Bench clears per
+    // query; pipelines end their session).
     val model = perDoc.groupBy("__b").agg(
       sum(col("__c")).as("__rc"),
       sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__tc"))
