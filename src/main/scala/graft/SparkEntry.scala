@@ -1875,6 +1875,27 @@ object SparkEntry {
             .as("diversity"))
         .orderBy("source")
     }),
+    "d68_normalized_dedup" -> ((s, d) => {
+      // CCNet-style normalization-aware dedup (Dedup.normalizedDuplicateGroups
+      // over plans.TextNormalizeExpr): case/accent/digit/punctuation/
+      // whitespace variants of a document hash identically. The corpus is
+      // already canonical, so the query plants the variant classes it must
+      // collapse — upper-case, punctuation-injected, and accented copies
+      // built with engine-portable builtins (upper/concat/translate) —
+      // and every group must re-collapse to size 4 with n_raw_forms
+      // counting the distinct raw bodies. This pins the full normalize→
+      // md5 path byte-for-byte against DuckDB's
+      // strip_accents/lower/regexp form on all ~4×|docs| rows.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val variants = docs
+        .unionAll(docs.select(col("doc_id"), upper(col("text")).as("text")))
+        .unionAll(docs.select(col("doc_id"),
+          concat(lit("  ** "), col("text"), lit(" !!")).as("text")))
+        .unionAll(docs.select(col("doc_id"),
+          translate(col("text"), "a", "á").as("text")))
+      Dedup.normalizedDuplicateGroups(variants)
+        .orderBy("keep_id", "norm_hash")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -2709,6 +2730,54 @@ object SparkEntry {
         .select(col("click_id"), col("user_id"))
         .orderBy("click_id")
     }),
+    "w18_gap_fill" -> ((s, d) =>
+      // per-user hourly resample + forward fill (EventAnalytics.gapFill):
+      // dense grid generated distributively (sequence+explode off the
+      // |users|-row span relation), last-observation-carried-forward via a
+      // user-partitioned window — no global sort, no driver materialization
+      graft.streaming.EventAnalytics.gapFill(events(s, d))
+        .orderBy("user_id", "bucket")),
+    "w19_ab_test" -> ((s, d) => {
+      // two-variant experiment readout: deterministic assignment
+      // (user_id % 2), exposure = first click, conversion = a purchase
+      // within 12 h after it (the window keeps the rate non-degenerate on
+      // this dense corpus). Two combinable aggs + one LEFT SEMI interval
+      // join (per-user first-click relation is |users|-rows); the final
+      // stats are a single-row conditional aggregate — rates in exact
+      // integer basis points, the pooled z-score rounded with an
+      // offline-checked boundary margin (same stance as d25/q20).
+      val ev = events(s, d)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val converted = firstClick.join(purchases,
+          col("user_id") === col("p_user") && col("p_ts") > col("first_click") &&
+            col("p_ts") <= col("first_click") + expr("interval 12 hours"),
+          "left_semi")
+        .select(col("user_id"), lit(1L).as("converted"))
+      firstClick
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+        .join(converted, Seq("user_id"), "left")
+        .withColumn("conv", coalesce(col("converted"), lit(0L)))
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a_bp", expr("conv_a * 10000 div users_a"))
+        .withColumn("rate_b_bp", expr("conv_b * 10000 div users_b"))
+        .withColumn("z_score", round(
+          (col("conv_a").cast("double") / col("users_a") -
+            col("conv_b").cast("double") / col("users_b")) /
+          sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+              (col("users_a") + col("users_b"))) *
+            (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+              (col("users_a") + col("users_b"))) *
+            (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 3))
+        .select("users_a", "conv_a", "rate_a_bp",
+          "users_b", "conv_b", "rate_b_bp", "z_score")
+    }),
     "w16_session_window" -> ((s, d) =>
       // gap-based sessions via Spark's NATIVE session_window operator —
       // the built-in twin of w3's flatMapGroupsWithState sessionizer
@@ -3428,6 +3497,19 @@ object SparkEntry {
            count(DISTINCT bigram) AS distinct_bigrams,
            round(count(DISTINCT bigram) / count(*), 6) AS diversity
          FROM b GROUP BY source ORDER BY source""",
+    "d68_normalized_dedup" ->
+      """WITH v AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, upper(text) FROM documents
+           UNION ALL SELECT doc_id, concat('  ** ', text, ' !!') FROM documents
+           UNION ALL SELECT doc_id, translate(text, 'a', 'á') FROM documents),
+         n AS (SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(lower(strip_accents(text)),
+             '[0-9]', '0', 'g'), '[^a-z0-9]+', ' ', 'g')) AS norm
+           FROM v)
+         SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
+           count(*) AS group_size, count(DISTINCT md5(text)) AS n_raw_forms
+         FROM n GROUP BY 1 ORDER BY keep_id, norm_hash""",
     "d59_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -4967,6 +5049,49 @@ object SparkEntry {
            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
          ORDER BY click_id""",
+    "w18_gap_fill" ->
+      """WITH b AS (
+           SELECT user_id AS b_user, bucket AS b_bucket, value AS obs_value FROM (
+             SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1),
+         s AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+           FROM events GROUP BY 1),
+         g AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+           FROM s)
+         SELECT g.user_id, g.bucket,
+           last_value(b.obs_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           b.obs_value IS NOT NULL AS is_observed
+         FROM g LEFT JOIN b ON g.user_id = b.b_user AND g.bucket = b.b_bucket
+         ORDER BY 1, 2""",
+    "w19_ab_test" ->
+      """WITH fc AS (
+           SELECT user_id, min(ts) AS first_click FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         cu AS (SELECT user_id, user_id % 2 AS variant,
+             EXISTS (SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = fc.user_id
+                 AND p.ts > fc.first_click
+                 AND p.ts <= fc.first_click + INTERVAL '12 hours')::BIGINT AS conv
+           FROM fc),
+         agg AS (SELECT
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS users_a,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS users_b,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+           FROM cu)
+         SELECT users_a, conv_a, conv_a * 10000 // users_a AS rate_a_bp,
+           users_b, conv_b, conv_b * 10000 // users_b AS rate_b_bp,
+           round((conv_a::DOUBLE / users_a - conv_b::DOUBLE / users_b) /
+             sqrt(((conv_a + conv_b)::DOUBLE / (users_a + users_b)) *
+               (1.0 - (conv_a + conv_b)::DOUBLE / (users_a + users_b)) *
+               (1.0 / users_a + 1.0 / users_b)), 3) AS z_score
+         FROM agg""",
     "w16_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, value,

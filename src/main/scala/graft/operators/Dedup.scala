@@ -33,6 +33,27 @@ object Dedup {
     docs.join(keep, idCol)   // keep-set is small relative to docs ⇒ AQE broadcasts when it fits
   }
 
+  /** Normalization-aware exact dedup (CCNet-style): documents identical up
+    * to case, accents, digit values, punctuation, and whitespace fall into
+    * one group — the standard pre-hash canonicalization of web-corpus
+    * pipelines, where re-crawls differ only in counters/formatting that
+    * defeat raw exact-hash dedup.
+    *
+    * Same scale shape as [[exactDuplicateGroups]]: normalization happens
+    * inside the scan (one native-expression pass,
+    * [[graft.plans.TextNormalizeExpr]]), the shuffle carries
+    * (16-byte digest, id) only, one hash aggregation. `n_raw_forms` counts
+    * the distinct raw texts each normalized group collapsed — 1 means
+    * exact dedup would have caught it too, >1 is the lift from
+    * normalizing. The distinct-count shuffles (digest, raw-md5) pairs,
+    * never document bodies. */
+  def normalizedDuplicateGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(graft.plans.TextNormalizeExpr.normalizeText(col(textCol)))
+        .as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"),
+        countDistinct(md5(col(textCol))).as("n_raw_forms"))
+
   /** MinHash+LSH near-duplicate candidate pairs with verified estimated
     * Jaccard. Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     *

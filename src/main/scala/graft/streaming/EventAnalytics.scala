@@ -321,4 +321,46 @@ object EventAnalytics {
     withPath.groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("path")).limit(k)
   }
+
+  /** Per-key time-grid resample with forward fill ("gap fill"): one row per
+    * (`user_id`, hour) over each user's active span, carrying the last
+    * observed `value` forward across hours with no events — the standard
+    * regularization step before any fixed-step time-series model or
+    * rate-of-change metric.
+    *
+    * Shape: (1) one hash aggregation buckets observations to the grain and
+    * picks the in-bucket survivor deterministically (`max_by` on
+    * (ts, event_id) — last write wins, id-tie-broken); (2) a second
+    * aggregation derives each user's [first, last] bucket span — |users|
+    * rows; (3) the dense grid is GENERATED per user via
+    * `sequence`+`explode`, never materialized on the driver, and
+    * equi-joins the observations on (user, bucket); (4) forward fill is
+    * `last(ignoreNulls)` over a user-partitioned window — Spark sorts
+    * within each user's partition only, so the fill parallelizes across
+    * users and no global sort exists. Grid size is bounded by
+    * span/grain per user; the first bucket of every span is observed by
+    * construction, so `value_filled` is never null.
+    *
+    * 100 TB note: the only all-rows shuffle is the bucket aggregation,
+    * which combines map-side to one partial per (user, bucket). The window
+    * operates on the already-reduced grid (users × span-hours), not on raw
+    * events. */
+  def gapFill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+        .as("obs_value"))
+    val spans = events.groupBy("user_id")
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    grid.join(bucketed, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), col("bucket"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value_filled"),
+        col("obs_value").isNotNull.as("is_observed"))
+  }
 }
