@@ -769,6 +769,29 @@ object SparkEntry {
           (count(lit(1)) - sum(col("high"))).as("low_line_count"))
         .orderBy("latency_bucket")
     }),
+    "q56_column_profile" -> ((s, d) => {
+      // ANALYZE-style column statistics (the CBO stats-collection surface):
+      // one row per profiled column with non-null count, null count, and
+      // exact distinct count, computed in ONE scan — a single aggregate
+      // over all columns, unpivoted with stack(). Multiple exact
+      // count-distincts make Catalyst plan an Expand (xN rows of
+      // (value, gid) partials, still map-side combined); at 100 TB swap
+      // countDistinct for approx_count_distinct and the Expand disappears
+      // (HLL partials, one pass — the d26 exactness-window stance; Spark's
+      // own ANALYZE TABLE uses the same sketch).
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus", "l_shipdate")
+      val li = t(s, d, "lineitem")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackExpr = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      one.selectExpr("n_rows",
+          s"stack(${cols.size}, $stackExpr) AS (column_name, n_non_null, n_distinct)")
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_non_null")).as("n_null"), col("n_distinct"))
+        .orderBy("column_name")
+    }),
     "q37_lateral_topn" -> ((s, d) => {
       // LATERAL correlated-subquery join (per-customer top-2 orders by
       // price) — the modern SQL-surface twin of q8's window form. Catalyst
@@ -2777,6 +2800,24 @@ object SparkEntry {
             (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 3))
         .select("users_a", "conv_a", "rate_a_bp",
           "users_b", "conv_b", "rate_b_bp", "z_score")
+    }),
+    "w20_unmatched_interval" -> ((s, d) => {
+      // FULL OUTER watermarked interval join — completes the stream-stream
+      // join-type matrix (inner = w4, left outer = w15, left semi = w17):
+      // converting pairs emit joined, unconverted clicks AND orphan
+      // purchases each emit once with a NULL other side (in streaming,
+      // when the watermark closes their window). Same bounded two-sided
+      // state as w4.
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.streaming.EventAnalytics.intervalJoin(clicks, purchases,
+          key = "user_id", joinType = "full_outer")
+        .select(col("l.click_id"), col("r.purchase_id"),
+          coalesce(col("l.user_id"), col("r.user_id")).as("user_id"))
+        .orderBy("click_id", "purchase_id")
     }),
     "w16_session_window" -> ((s, d) =>
       // gap-based sessions via Spark's NATIVE session_window operator —
@@ -4914,6 +4955,23 @@ object SparkEntry {
          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
            AND l.l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY 1 ORDER BY latency_bucket""",
+    "q56_column_profile" ->
+      """WITH p AS (
+           SELECT 'l_orderkey' AS column_name, count(*)::BIGINT AS n_rows,
+             (count(*) - count(l_orderkey))::BIGINT AS n_null,
+             count(DISTINCT l_orderkey)::BIGINT AS n_distinct FROM lineitem
+           UNION ALL SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+             count(DISTINCT l_partkey) FROM lineitem
+           UNION ALL SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+             count(DISTINCT l_suppkey) FROM lineitem
+           UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag) FROM lineitem
+           UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+             count(DISTINCT l_shipdate) FROM lineitem
+           UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+             count(DISTINCT l_linestatus) FROM lineitem)
+         SELECT column_name, n_rows, n_null, n_distinct
+         FROM p ORDER BY column_name""",
     "q37_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,
@@ -5092,6 +5150,14 @@ object SparkEntry {
                (1.0 - (conv_a + conv_b)::DOUBLE / (users_a + users_b)) *
                (1.0 / users_a + 1.0 / users_b)), 3) AS z_score
          FROM agg""",
+    "w20_unmatched_interval" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           coalesce(c.user_id, p.user_id) AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY 1, 2""",
     "w16_session_window" ->
       """WITH x AS (
            SELECT user_id, ts, value,

@@ -286,4 +286,45 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet
     assert(twin == Set(("c1", Some("p-in")), ("c2-dry", None)))
   }
+
+  test("full-outer intervalJoin emits null rows for BOTH unmatched sides") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventAnalytics.intervalJoin(
+      clicks.toDF().withColumnRenamed("event_type", "cv"),
+      buys.toDF().withColumnRenamed("event_type", "pv"),
+      key = "user_id", maxDelay = "5 minutes", watermark = "1 minute",
+      joinType = "full_outer")
+      .select(col("l.cv").as("click"), col("r.pv").as("purchase"))
+    val q = joined.writeStream.outputMode("append").format("memory").queryName("foj")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      clicks.addData(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      buys.addData(Ev(1, ts(3), "p-in", 0),   // converts c1
+        Ev(3, ts(1), "p-orphan", 0))          // user 3 never clicked
+      q.processAllAvailable()
+      // watermark past both windows releases the two null rows
+      clicks.addData(Ev(8, ts(59), "wm", 0)); buys.addData(Ev(9, ts(59), "wm", 0))
+      q.processAllAvailable()
+      val got = spark.table("foj").collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+      assert(got == Set(
+        (Some("c1"), Some("p-in")),
+        (Some("c2-dry"), None),
+        (None, Some("p-orphan"))))
+    } finally q.stop()
+
+    // batch twin: identical rows from the same data
+    val cb = Seq(Ev(1, ts(0), "c1", 0), Ev(2, ts(0), "c2-dry", 0))
+      .toDF().withColumnRenamed("event_type", "cv")
+    val pb = Seq(Ev(1, ts(3), "p-in", 0), Ev(3, ts(1), "p-orphan", 0))
+      .toDF().withColumnRenamed("event_type", "pv")
+    val twin = EventAnalytics.intervalJoin(cb, pb, key = "user_id",
+        maxDelay = "5 minutes", joinType = "full_outer")
+      .select(col("l.cv"), col("r.pv")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(twin == Set((Some("c1"), Some("p-in")), (Some("c2-dry"), None),
+      (None, Some("p-orphan"))))
+  }
 }
