@@ -1919,6 +1919,23 @@ object SparkEntry {
       Dedup.normalizedDuplicateGroups(variants)
         .orderBy("keep_id", "norm_hash")
     }),
+    "d69_incremental_mv" -> ((s, d) => {
+      // incremental aggregate-MV maintenance (IncrementalAgg): the per-
+      // (event_type, day) stats table folded from 3 arrival batches
+      // (deterministic event_id%3 split), never re-scanning earlier
+      // batches — each merge shuffles the key domain only, raw rows are
+      // map-side combined inside their own batch. Readout derives avg
+      // from the mergeable partials; result ≡ one-shot aggregation (the
+      // oracle computes exactly that).
+      val ev = events(s, d).withColumn("day", to_date(col("ts")))
+      val batches = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+      graft.operators.IncrementalAgg.fold(batches, Seq("event_type", "day"), "value")
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          col("min_v"), col("max_v"),
+          round(col("sum_v") / col("n"), 3).as("avg_v"))
+        .orderBy("event_type", "day")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -3551,6 +3568,11 @@ object SparkEntry {
          SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
            count(*) AS group_size, count(DISTINCT md5(text)) AS n_raw_forms
          FROM n GROUP BY 1 ORDER BY keep_id, norm_hash""",
+    "d69_incremental_mv" ->
+      """SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_v, min(value) AS min_v,
+           max(value) AS max_v, round(sum(value) / count(*), 3) AS avg_v
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "d59_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
