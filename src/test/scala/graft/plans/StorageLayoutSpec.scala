@@ -101,6 +101,40 @@ class StorageLayoutSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning: the dim filter prunes fact partitions at runtime") {
+    // the date-partitioned-fact ⋈ filtered-dim shape every backfill/
+    // incremental job runs: the fact side must scan ONLY the partitions
+    // the dim filter selects, discovered at RUNTIME from the broadcast
+    // side (no literal date list in the query). At 100 TB this is the
+    // difference between reading 5 days and reading the whole table.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val n = 20000
+    (0 until n).map(i => (i.toLong, i % 50)).toDF("v", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    // two traps pinned here: the dim must be a REAL scan (a LocalRelation
+    // dim constant-folds its filter away and DPP sees no selective
+    // predicate), and the filter must be a recognized selective SHAPE —
+    // a bare boolean attribute is not in isLikelySelective's pattern
+    // list, an equality is
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    (0 until 50).map(i => (i, i % 10)).toDF("d_day", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.read.parquet(dir)
+        .join(spark.read.parquet(dimDir).filter($"grp" === 0), $"day" === $"d_day")
+        .select($"v", $"day")
+      q.collect()
+      val factScan = q.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .find(_.output.exists(_.name == "v")).get
+      assert(factScan.partitionFilters.mkString(",").contains("dynamicpruning"),
+        s"fact scan has no runtime pruning filter: ${factScan.partitionFilters}")
+      // 5 active days × 400 rows — a scan of 20000 means pruning never ran
+      assert(factScan.metrics("numOutputRows").value == n / 10,
+        s"expected ${n / 10} scanned rows, got ${factScan.metrics("numOutputRows").value}")
+    }
+  }
+
   test("zorder2 is a bijective Morton interleave (scala-mirror + injectivity)") {
     import graft.functions.HashFunctions
     def morton(x: Long, y: Long, bits: Int): Long =
