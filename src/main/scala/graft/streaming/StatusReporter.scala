@@ -21,7 +21,16 @@ class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1") {
       val rows = p.map(_.numInputRows).getOrElse(0L)
       val rps = p.map(_.processedRowsPerSecond).filterNot(d => d.isNaN || d.isInfinite)
         .getOrElse(0.0)
-      s""""${esc(name)}":{"batchId":$batchId,"numInputRows":$rows,"processedRowsPerSecond":$rps}"""
+      // late-data accounting: Spark drops rows older than the watermark
+      // SILENTLY inside stateful operators — the only record is
+      // StateOperatorProgress. Surfacing the counter here makes data loss
+      // an observable metric instead of a mystery row-count gap (the
+      // reference's audit stance: every dropped message is counted
+      // somewhere).
+      val lateDropped = p.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+        .getOrElse(0L)
+      s""""${esc(name)}":{"batchId":$batchId,"numInputRows":$rows,""" +
+        s""""processedRowsPerSecond":$rps,"numRowsDroppedByWatermark":$lateDropped}"""
     }.mkString("{", ",", "}")
     s"""{"version":"${esc(version)}","hostname":"${esc(LogPipeline.hostname)}",""" +
       s""""uptimeMs":${nowMs - startedAtMs},"timestamp":$nowMs,""" +
