@@ -792,6 +792,12 @@ object SparkEntry {
           (col("n_rows") - col("n_non_null")).as("n_null"), col("n_distinct"))
         .orderBy("column_name")
     }),
+    "q57_skew_audit" -> ((s, d) =>
+      // join-key skew diagnosis (SkewGuard.keySkewReport) for the customer
+      // key of orders — the pre-join readout that decides plain shuffle vs
+      // saltedJoin vs AQE skew split; exact integer basis points, one
+      // key-partial aggregation, no global sort
+      graft.operators.SkewGuard.keySkewReport(t(s, d, "orders"), "o_custkey")),
     "q37_lateral_topn" -> ((s, d) => {
       // LATERAL correlated-subquery join (per-customer top-2 orders by
       // price) — the modern SQL-surface twin of q8's window form. Catalyst
@@ -4994,6 +5000,18 @@ object SparkEntry {
              count(DISTINCT l_linestatus) FROM lineitem)
          SELECT column_name, n_rows, n_null, n_distinct
          FROM p ORDER BY column_name""",
+    "q57_skew_audit" ->
+      """WITH freq AS (
+           SELECT o_custkey, count(*)::BIGINT AS f FROM orders GROUP BY 1),
+         t10 AS (SELECT sum(f)::BIGINT AS top10_rows FROM (
+           SELECT f FROM freq ORDER BY f DESC, o_custkey LIMIT 10)),
+         s AS (SELECT count(*)::BIGINT AS n_keys, sum(f)::BIGINT AS n_rows,
+           max(f)::BIGINT AS max_freq FROM freq)
+         SELECT n_rows, n_keys, max_freq,
+           max_freq * 10000 // n_rows AS top1_bp,
+           top10_rows * 10000 // n_rows AS top10_bp,
+           max_freq * n_keys // n_rows AS max_vs_mean
+         FROM s, t10""",
     "q37_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

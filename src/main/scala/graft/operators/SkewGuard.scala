@@ -118,6 +118,32 @@ object SkewGuard {
           .otherwise("dropped"))
   }
 
+  /** Join-key skew audit: the one-row diagnostic to run BEFORE choosing a
+    * join strategy (plain shuffle vs `Joins.saltedJoin` vs AQE skew
+    * splitting). One (key, count) hash aggregation — the shuffle carries
+    * key partials, never rows — then a key-domain stats pass and a
+    * TakeOrderedAndProject top-10; no global sort of the frequency
+    * relation. All shares are exact integer basis points, so the readout
+    * is bit-stable across engines and runs.
+    *
+    * Interpretation: `top1_bp` ≈ the fraction of all rows a single reduce
+    * task receives on an unsalted shuffle of this key — at 10000/32 ≈
+    * 312 bp (local[32]) one task holds more than an even share of the
+    * whole input, and a 1000-executor cluster is no better because the
+    * hot KEY is indivisible without salting. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+    val top10 = freq.orderBy(col("f").desc, col(keyCol))
+      .limit(10).agg(sum(col("f")).as("top10_rows"))
+    val stats = freq.agg(count(lit(1)).as("n_keys"), sum(col("f")).as("n_rows"),
+      max(col("f")).as("max_freq"))
+    stats.crossJoin(top10) // two 1-row frames — broadcast NLJ, not a scale risk
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        expr("max_freq * 10000 div n_rows").as("top1_bp"),
+        expr("top10_rows * 10000 div n_rows").as("top10_bp"),
+        expr("max_freq * n_keys div n_rows").as("max_vs_mean"))
+  }
+
   /** AQE-aware observed-metrics collection: `qe.observedMetrics` returns
     * empty when the CollectMetrics node ends up inside an adaptive query
     * stage (Spark 4.1, AQE on — the default), so walk into

@@ -101,4 +101,19 @@ class SkewGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(m.get.getAs[Long]("collapsed_members") == 348L)
     assert(m.get.getAs[Double]("dropped_buckets") == 0.0)
   }
+
+  test("keySkewReport: planted hot key shows up in exact basis points") {
+    // 1000 rows on key 0, 100 keys with 10 rows each → 2000 rows total
+    val rows = ((0 until 1000).map(_ => 0L) ++
+      (1 to 100).flatMap(k => Seq.fill(10)(k.toLong)))
+      .toDF("k")
+    val r = SkewGuard.keySkewReport(rows, "k").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 2000L)
+    assert(r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("max_freq") == 1000L)
+    assert(r.getAs[Long]("top1_bp") == 5000L)      // hot key holds half the rows
+    // top-10 = hot key + 9 ten-row keys = 1090 rows → 5450 bp
+    assert(r.getAs[Long]("top10_bp") == 5450L)
+    assert(r.getAs[Long]("max_vs_mean") == 50L)    // 1000 / (2000/101) = 50.5 → 50
+  }
 }
