@@ -1075,6 +1075,28 @@ object SparkEntry {
         .option("rowTag", "nation").format("xml").load(out)
         .orderBy("n_nationkey")
     }),
+    "s20_schema_evolution" -> ((s, d) => {
+      // schema evolution on read: two write epochs with DIFFERENT schemas
+      // (the later one adds a `lang` column) unified by mergeSchema — the
+      // long-running-pipeline reality where producers upgrade while years
+      // of old files stay at rest. Old-epoch rows surface the added column
+      // as NULL; the aggregate proves the unified read end-to-end.
+      // mergeSchema costs a footer read per file — at 100 TB pin the
+      // unified schema explicitly (spark.read.schema(...)) and pay nothing;
+      // the oracle's CASE mirror derives the same relation from the base
+      // table.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s20_evo"
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(s"$out/epoch=0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("source", "lang")
+    }),
     "s17_orc_roundtrip" -> ((s, d) => {
       // ORC sink → source round-trip: the other mainstream columnar at-rest
       // format (Spark ships the ORC reader/writer natively). Predicate
@@ -5068,6 +5090,10 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     "s19_xml_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "s20_schema_evolution" ->
+      """SELECT source, CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+           count(*)::BIGINT AS n, min(doc_id) AS min_id
+         FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
     "s17_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'X'
