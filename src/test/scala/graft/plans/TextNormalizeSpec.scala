@@ -44,6 +44,27 @@ class TextNormalizeSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).isNullAt(0) && out(1).getString(0) == "x")
   }
 
+  test("idempotent, and equals the composed-builtin form on arbitrary ASCII") {
+    import spark.implicits._
+    // deterministic pseudo-random ASCII soup: every printable class mixed
+    val rnd = new scala.util.Random(42)
+    val strs = (1 to 300).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val df = strs.toDF("t")
+    // independent in-engine formulation (accent step is identity on ASCII):
+    // lower → digits→0 → collapse non-[a-z0-9] runs → trim
+    val composed = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[0-9]", "0"), "[^a-z0-9]+", " "))
+    val rows = df.select(normalizeText(col("t")).as("native"), composed.as("composed"),
+      normalizeText(normalizeText(col("t"))).as("twice")).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"native vs composed: '${r.getString(0)}'")
+      assert(r.getString(0) == r.getString(2), s"not idempotent: '${r.getString(0)}'")
+    }
+  }
+
   test("normalizedDuplicateGroups collapses what exact dedup cannot") {
     import spark.implicits._
     val docs = Seq(
