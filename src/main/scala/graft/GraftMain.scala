@@ -120,7 +120,19 @@ object GraftMain {
       new RestartSchedule(ms(b), ms(e))
     }
     val mgr = run(spark, confDir, auditDir, emit, restartSchedule = sched)
-    sys.addShutdownHook(mgr.stopAll())
+    // optional admin socket (reference: admin/AdminServer.java — stop/status
+    // over a UID-checked unix socket). GRAFT_ADMIN_SOCKET=/path/admin.sock;
+    // GRAFT_ADMIN_USERS defaults to the launching user.
+    val admin = sys.env.get("GRAFT_ADMIN_SOCKET").map { p =>
+      val users = sys.env.get("GRAFT_ADMIN_USERS")
+        .map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set(System.getProperty("user.name")))
+      val a = new graft.streaming.AdminServer(mgr,
+        new graft.streaming.StatusReporter(mgr), Paths.get(p), users)
+      a.start()
+      a
+    }
+    sys.addShutdownHook { admin.foreach(_.close()); mgr.stopAll() }
     spark.streams.awaitAnyTermination()
   }
 }
