@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.model.PipelineConfig
+import graft.sources.ThriftLogCodec
+import graft.streaming.DataPipelines
+
+/** Operator CLI tools — the reference's `tools/` debugging surface
+  * re-expressed (reference: tools/LogConfigCheckTool.java,
+  * tools/ThriftLogDumper.java). Both are pure functions plus a thin main,
+  * so specs drive the logic directly. */
+object ConfigCheck {
+
+  /** Validate every `*.properties` pipeline definition under `dir`.
+    * Returns (fileName, problem) pairs; empty = all valid. A missing
+    * logDir is reported as a `warn:` (the runtime HOLDS such pipelines
+    * and releases them when the dir appears — MissingDirChecker semantics
+    * — so it is not a config error). Kafka topic existence, which the
+    * reference checks with a live AdminClient, needs the client jar and
+    * is out of scope here (same stance as the writer seams). */
+  def check(dir: Path): Seq[(String, String)] = {
+    if (!Files.isDirectory(dir))
+      return Seq((dir.toString, "error: not a directory"))
+    val s = Files.list(dir)
+    val files =
+      try s.iterator().asScala.filter(_.toString.endsWith(".properties")).toSeq
+      finally s.close()
+    if (files.isEmpty) return Seq((dir.toString, "error: no *.properties files"))
+    files.sortBy(_.getFileName.toString).flatMap { p =>
+      val fn = p.getFileName.toString
+      val name = fn.stripSuffix(".properties")
+      try {
+        val text = Files.readString(p)
+        DataPipelines.fromProperties(text, name) match {
+          case Some(_) => Nil // data-pipeline spec parsed fine
+          case None =>
+            val cfg = PipelineConfig.fromProperties(text, name)
+            if (!Files.isDirectory(Paths.get(cfg.logDir)))
+              Seq((fn, s"warn: logDir '${cfg.logDir}' does not exist (held until it appears)"))
+            else Nil
+        }
+      } catch {
+        case e: Exception =>
+          Seq((fn, s"error: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}"))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get(args.headOption.getOrElse("conf.d"))
+    val problems = check(dir)
+    problems.foreach { case (f, msg) => System.err.println(s"$f: $msg") }
+    if (problems.exists(_._2.startsWith("error"))) sys.exit(1)
+    println(s"ok: ${dir.toString} valid (${problems.count(_._2.startsWith("warn"))} warning(s))")
+  }
+}
+
+/** Dump a framed-thrift log file record by record — the debugging loupe for
+  * ingestion issues (reference: tools/ThriftLogDumper.java). Shows the
+  * offset chain, timestamps, key/payload previews, and whether the stored
+  * CRC32 matches the payload (the same `java.util.zip.CRC32`-parity check
+  * the transform pipeline applies). */
+object ThriftLogDump {
+
+  def dump(path: Path, startOffset: Long = 0L, max: Int = Int.MaxValue): Seq[String] = {
+    val bytes = Files.readAllBytes(path)
+    ThriftLogCodec.decodeFrames(bytes, startOffset).take(max).map { m =>
+      val crc = Option(m.checksum) match {
+        case None => "absent"
+        case Some(c) =>
+          val crc32 = new java.util.zip.CRC32()
+          crc32.update(m.message)
+          if (crc32.getValue == c) "ok" else s"BAD(stored=$c computed=${crc32.getValue})"
+      }
+      val keyPrev = preview(m.key)
+      val msgPrev = preview(m.message)
+      s"offset=${m.nextByteOffset} ts=${Option(m.timestampNanos).getOrElse("-")} " +
+        s"crc=$crc key=$keyPrev len=${m.message.length} payload=$msgPrev"
+    }.toSeq
+  }
+
+  private def preview(b: Array[Byte], n: Int = 40): String = {
+    if (b == null || b.isEmpty) return "<empty>"
+    val slice = b.take(n)
+    val printable = slice.forall(c => c >= 0x20 && c < 0x7F)
+    val s = if (printable) new String(slice, java.nio.charset.StandardCharsets.US_ASCII)
+      else slice.map(x => f"${x & 0xFF}%02x").mkString
+    if (b.length > n) s + "..." else s
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ThriftLogDump <file> [startOffset] [maxRecords]")
+    val out = dump(Paths.get(args(0)),
+      args.lift(1).map(_.toLong).getOrElse(0L),
+      args.lift(2).map(_.toInt).getOrElse(Int.MaxValue))
+    out.foreach(println)
+    System.err.println(s"${out.size} record(s)")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ThriftLogCodec
+
+class OpsToolsSpec extends AnyFunSuite {
+
+  test("ConfigCheck: valid, warned, and broken configs classified per file") {
+    val dir = Files.createTempDirectory("graft-confcheck")
+    val logDir = Files.createTempDirectory("graft-confcheck-logs")
+    Files.writeString(dir.resolve("good.properties"),
+      s"logDir=$logDir\nlogStreamRegex=app\\\\.log.*\nwriter.type=noop\n")
+    Files.writeString(dir.resolve("held.properties"),
+      "logDir=/no/such/dir/graft\nwriter.type=noop\n")
+    Files.writeString(dir.resolve("broken.properties"),
+      "reader.type=thrift\nreader.thrift.maxMessageSize=not-a-number\n" +
+        s"logDir=$logDir\nwriter.type=noop\n")
+    val problems = ConfigCheck.check(dir).toMap
+    assert(!problems.contains("good.properties"))
+    assert(problems("held.properties").startsWith("warn: logDir"))
+    assert(problems("broken.properties").startsWith("error:"))
+  }
+
+  test("ConfigCheck: empty/missing directory is an error") {
+    assert(ConfigCheck.check(java.nio.file.Paths.get("/no/such/graft/dir"))
+      .exists(_._2.startsWith("error")))
+    val empty = Files.createTempDirectory("graft-confcheck-empty")
+    assert(ConfigCheck.check(empty).exists(_._2.contains("no *.properties")))
+  }
+
+  test("ThriftLogDump: offsets chain, crc verdicts, and payload previews") {
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello world".getBytes)
+    val good = ThriftLogCodec.encodeFrame("k1".getBytes, "hello world".getBytes,
+      timestampNanos = Some(123456789L), checksum = Some(crc.getValue))
+    val bad = ThriftLogCodec.encodeFrame("k2".getBytes, "corrupted!!".getBytes,
+      checksum = Some(42L))  // wrong on purpose
+    val plain = ThriftLogCodec.encodeFrame(Array.emptyByteArray, Array[Byte](0, 1, 2))
+    val f = Files.createTempFile("graft-dump", ".log")
+    Files.write(f, good ++ bad ++ plain)
+    val lines = ThriftLogDump.dump(f)
+    assert(lines.size == 3)
+    assert(lines(0).contains("crc=ok") && lines(0).contains("ts=123456789") &&
+      lines(0).contains("payload=hello world"))
+    assert(lines(1).contains("crc=BAD(stored=42"))
+    assert(lines(2).contains("crc=absent") && lines(2).contains("payload=000102"))
+    // resuming from the first record's nextByteOffset yields the remaining two
+    assert(ThriftLogDump.dump(f, startOffset = good.length.toLong).size == 2)
+    // max bounds the output
+    assert(ThriftLogDump.dump(f, max = 1).size == 1)
+  }
+}
