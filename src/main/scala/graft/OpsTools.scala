@@ -99,3 +99,36 @@ object ThriftLogDump {
     System.err.println(s"${out.size} record(s)")
   }
 }
+
+/** Deterministic framed-thrift test-log generator — ThriftLogDump's twin
+  * (reference: tools/ThriftLogGenerator.java): produce `n` checksummed
+  * records for smoke-testing an ingestion pipeline end to end without a
+  * producer. Payloads are seeded by index, so two runs with the same
+  * arguments are byte-identical (reproducible fixtures). */
+object ThriftLogGen {
+
+  def generate(path: Path, n: Int, payloadBytes: Int = 64): Long = {
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(path))
+    try {
+      var written = 0L
+      (0 until n).foreach { i =>
+        val payload = (s"record-$i:" + "x" * payloadBytes).take(payloadBytes)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload)
+        val frame = ThriftLogCodec.encodeFrame(s"key-$i".getBytes, payload,
+          timestampNanos = Some(i.toLong * 1000000L), checksum = Some(crc.getValue))
+        out.write(frame)
+        written += frame.length
+      }
+      written
+    } finally out.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ThriftLogGen <file> <nRecords> [payloadBytes]")
+    val bytes = generate(Paths.get(args(0)), args(1).toInt,
+      args.lift(2).map(_.toInt).getOrElse(64))
+    System.err.println(s"wrote ${args(1)} record(s), $bytes bytes to ${args(0)}")
+  }
+}
