@@ -2657,6 +2657,29 @@ object SparkEntry {
           col("text").cast("binary").as("content")), everyMs = 100L)
         .toDF().select("media_id", "frame_idx", "ts_ms")
         .orderBy("media_id", "frame_idx")),
+    "m11_video_probe" -> ((s, d) => {
+      // REAL video: each doc becomes a deterministic MJPEG/AVI container
+      // (Multimodal.syntheticVideo — real RIFF, real JPEG frames), probed
+      // by MjpegAvi's pure-JVM demuxer. The container header values are
+      // closed-form in doc_id, so the oracle predicts them by arithmetic
+      // while the engine parses actual bytes.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticVideo(id)))
+        .toDF("media_id", "content")
+      Multimodal.probeVideos(media).toDF().orderBy("media_id")
+    }),
+    "m12_video_frames" -> ((s, d) => {
+      // REAL frame sampling: demux every AVI, pick the covering frame per
+      // 250 ms grid point, DECODE it with ImageIO (output carries the
+      // decoded dimensions — a fake frame blob would fail the decode).
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticVideo(id)))
+        .toDF("media_id", "content")
+      Multimodal.sampleVideoFrames(media, everyMs = 250L)
+        .toDF().orderBy("media_id", "sample_idx")
+    }),
     "m3_media_features_ann" -> ((s, d) => {
       // REAL decoded pixels -> luminance-histogram features -> real ANN
       // operator, on the lossless (PNG, even-id) half of the corpus so the
@@ -4708,6 +4731,26 @@ object SparkEntry {
            unnest(range(0, octet_length(encode(text)) * 2 // 100 + 1)) AS u
            FROM documents)
          ORDER BY media_id, frame_idx""",
+    "m11_video_probe" ->
+      """SELECT doc_id AS media_id, (4 + doc_id % 5)::INT AS n_frames,
+           (32 + doc_id % 16)::INT AS width, (24 + doc_id % 12)::INT AS height,
+           (1000000 // (CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 10 ELSE 25 END))::BIGINT
+             AS us_per_frame,
+           ((1000000 // (CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 10 ELSE 25 END))
+             * (4 + doc_id % 5) // 1000)::BIGINT AS duration_ms
+         FROM documents ORDER BY media_id""",
+    "m12_video_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS n,
+             1000000 // (CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 10 ELSE 25 END) AS uspf,
+             32 + doc_id % 16 AS w, 24 + doc_id % 12 AS h
+           FROM documents),
+         g AS (SELECT media_id, n, uspf, w, h,
+             unnest(range(0, (uspf * n // 1000 + 249) // 250)) AS k
+           FROM v)
+         SELECT media_id, k::INT AS sample_idx, (k * 250)::BIGINT AS ts_ms,
+           least(n - 1, k * 250 * 1000 // uspf)::INT AS frame_idx,
+           w::INT AS frame_w, h::INT AS frame_h
+         FROM g ORDER BY media_id, sample_idx""",
     // m3: fixture oracle from the codec-free Python mirror — see
     // FixtureOracles (merged below).
     "w4_interval_join" ->

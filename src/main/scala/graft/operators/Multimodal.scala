@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   * IMAGE DECODE IS REAL: PNG/JPEG payloads are decoded with the JDK's
   * `javax.imageio` (ships in the JRE, no external codecs needed) — metadata,
   * pixel statistics, resize, and feature extraction all operate on actual
-  * decoded rasters. Only VIDEO frame probing remains a clearly-marked stub
-  * (the JDK ships no video codec); its batch/explode plumbing is real.
+  * decoded rasters. VIDEO is real for MJPEG-in-AVI ([[MjpegAvi]]: pure-JVM
+  * RIFF demux; every frame chunk is a JPEG blob ImageIO decodes) —
+  * [[probeVideos]]/[[sampleVideoFrames]] parse actual containers and decode
+  * actual frames. Non-MJPEG codecs (H.264 …) still need an external
+  * decoder; [[sampleFrames]] keeps the codec-agnostic stub plumbing for
+  * that case, clearly marked.
   *
   * Scale notes: media payloads dominate row size, so (1) operators never
   * carry the raw bytes past the stage that needs them (select away), and
@@ -333,10 +337,90 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic MJPEG/AVI video for id — the video twin of
+    * [[syntheticImage]]: frame count, fps, dimensions, and every frame's
+    * raster are closed-form in (id, frame, x, y), so container metadata is
+    * oracle-predictable by pure arithmetic while the payload is a REAL AVI
+    * that [[MjpegAvi.demux]] (or any MJPEG player) parses. fps values all
+    * divide 1e6 exactly, keeping µs-per-frame and duration integer-exact. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val n = 4 + (id % 5).toInt
+    val fps = Array(5, 10, 25)((id % 3).toInt)
+    val w = 32 + (id % 16).toInt
+    val h = 24 + (id % 12).toInt
+    val frames = (0 until n).map { k =>
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 13 + id * 31 + k * 41) % 256).toInt
+          val g = ((x * 3 + y * 5 + id * 17 + k * 29) % 256).toInt
+          val b = ((x * 11 + y * 2 + id * 7 + k * 23) % 256).toInt
+          px(y * w + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, px, 0, w)
+      encodeImage(img, "jpg")
+    }
+    MjpegAvi.mux(frames, w, h, fps)
+  }
+
+  case class VideoProbe(media_id: Long, n_frames: Int, width: Int, height: Int,
+      us_per_frame: Long, duration_ms: Long)
+  case class VideoFrame(media_id: Long, sample_idx: Int, ts_ms: Long,
+      frame_idx: Int, frame_w: Int, frame_h: Int)
+
+  /** REAL video metadata per media row: parse the AVI container headers
+    * (no frame bytes touched — probing a 2-hour video costs a header walk). */
+  def probeVideos(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "content"): Dataset[VideoProbe] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val m = MjpegAvi.probe(bytes)
+            VideoProbe(id, m.nFrames, m.width, m.height, m.usPerFrame, m.durationMs)
+          }
+        }
+      }
+  }
+
+  /** REAL frame sampling over MJPEG/AVI payloads: demux the container, pick
+    * the frame covering each `everyMs` grid point (`ts·1000 / µsPerFrame`,
+    * clamped to the last frame), and DECODE it with ImageIO — the output
+    * carries the decoded dimensions as proof the frame bytes are a real
+    * image, not a tag. Executor-side explode: a long video becomes many
+    * rows on its executor, never on the driver. */
+  def sampleVideoFrames(media: DataFrame, everyMs: Long, idCol: String = "media_id",
+      bytesCol: String = "content"): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (meta, frames) = MjpegAvi.demux(bytes)
+          Iterator.from(0).map(_.toLong * everyMs)
+            .takeWhile(_ < meta.durationMs).zipWithIndex
+            .map { case (ts, sampleIdx) =>
+              val fi = math.min(meta.nFrames - 1L, ts * 1000L / meta.usPerFrame).toInt
+              val (img, _) = decodeImage(frames(fi))
+              VideoFrame(id, sampleIdx, ts, fi, img.getWidth, img.getHeight)
+            }
+        }
+      }
+  }
+
   /** Frame sampling: one output row per `everyMs` of (stub-probed) duration.
-    * Real contract: video bytes in, (media_id, frame_idx, ts_ms, frame) out;
+    * Codec-agnostic STUB plumbing for formats the JVM cannot decode
+    * (H.264 …): video bytes in, (media_id, frame_idx, ts_ms, frame) out;
     * the explode happens executor-side, so a 2-hour video never concentrates
-    * on the driver. */
+    * on the driver. For MJPEG/AVI use the REAL [[sampleVideoFrames]]. */
   def sampleFrames(media: DataFrame, everyMs: Long, idCol: String = "media_id",
       bytesCol: String = "content"): Dataset[Frame] = {
     import media.sparkSession.implicits._

@@ -228,4 +228,66 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert(smp.map(_.toLong).toIndexedSeq == expectedSamples(id))
     }
   }
+
+  test("MjpegAvi: mux/demux round-trips every frame byte-identically") {
+    val frames = (0 until 5).map { k =>
+      val img = new java.awt.image.BufferedImage(20, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 12).foreach(y => (0 until 20).foreach(x =>
+        img.setRGB(x, y, (x * 17 + y * 31 + k * 7) % 0xFFFFFF)))
+      Multimodal.encodeImage(img, "jpg")
+    }
+    val avi = MjpegAvi.mux(frames, 20, 12, fps = 25)
+    val meta = MjpegAvi.probe(avi)
+    assert(meta.nFrames == 5 && meta.width == 20 && meta.height == 12)
+    assert(meta.usPerFrame == 40000L && meta.durationMs == 200L)
+    val (_, back) = MjpegAvi.demux(avi)
+    assert(back.size == 5)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(java.util.Arrays.equals(b, f), "frame bytes must survive the container untouched")
+    }
+    // every demuxed frame is a real decodable JPEG
+    back.foreach(f => assert(Multimodal.isDecodable(f)))
+  }
+
+  test("MjpegAvi: foreign chunks (JUNK, idx1, odd-length padding) are skipped") {
+    val frame = Multimodal.syntheticImage(1) // JPEG (odd id)
+    val avi = MjpegAvi.mux(Seq(frame, frame), 17, 17, fps = 10)
+    // splice a JUNK chunk (odd body length → padded) and an idx1 chunk
+    // between hdrl and movi the way other muxers emit them
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+      val sz = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(body.length).array()
+      cc.getBytes("US-ASCII") ++ sz ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    val moviAt = {
+      // find the movi LIST start (search for "LIST....movi")
+      val pat = "movi".getBytes("US-ASCII")
+      (0 until avi.length - 4).find(i => avi.slice(i, i + 4).sameElements(pat)).get - 8
+    }
+    val junk = chunk("JUNK", Array.fill[Byte](33)(0x55)) ++ chunk("idx1", Array.fill[Byte](16)(1))
+    val spliced = avi.take(moviAt) ++ junk ++ avi.drop(moviAt)
+    // fix the RIFF size field (bytes 4..8)
+    val fixed = spliced.clone()
+    val newSize = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(spliced.length - 8).array()
+    System.arraycopy(newSize, 0, fixed, 4, 4)
+    val (meta, frames) = MjpegAvi.demux(fixed)
+    assert(meta.nFrames == 2 && frames.size == 2)
+    assert(java.util.Arrays.equals(frames(0), frame))
+  }
+
+  test("sampleVideoFrames picks the covering frame per grid point and decodes it") {
+    import spark.implicits._
+    // id 6: n = 4+6%5 = 5 frames, fps = 6%3=0 -> 5 fps -> 200000 us/frame,
+    // duration 1000 ms; every 300 ms -> samples at 0,300,600,900 ->
+    // frame idx 0,1,3,4
+    val media = Seq((6L, Multimodal.syntheticVideo(6L))).toDF("media_id", "content")
+    val out = Multimodal.sampleVideoFrames(media, everyMs = 300L)
+      .collect().sortBy(_.sample_idx)
+    assert(out.map(f => (f.ts_ms, f.frame_idx)).toSeq ==
+      Seq((0L, 0), (300L, 1), (600L, 3), (900L, 4)))
+    assert(out.forall(f => f.frame_w == 32 + 6 % 16 && f.frame_h == 24 + 6 % 12))
+  }
 }
