@@ -155,12 +155,13 @@ object Multimodal {
     try ImageIO.getImageReaders(iis).hasNext finally iis.close()
   }
 
-  // STUB (video only): the JDK ships no video codec, so duration probing is
-  // a deterministic fake — 2 ms per payload byte. The explode/batch plumbing
+  // STUB (non-MJPEG video only — MJPEG/AVI is REAL via MjpegAvi): no JVM
+  // decoder exists for H.264-class codecs, so duration probing here is a
+  // deterministic fake — 2 ms per payload byte. The explode/batch plumbing
   // around it is real; swapping in an ffmpeg binding changes no signatures.
   private[operators] def probeDurationMsStub(bytes: Array[Byte]): Long = bytes.length * 2L
 
-  // STUB (video only): fake frame extraction — frame bytes are a
+  // STUB (non-MJPEG video only): fake frame extraction — frame bytes are a
   // deterministic 16-byte tag; a real impl returns the decoded frame image.
   private[operators] def extractFrameStub(bytes: Array[Byte], tsMs: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(16).putLong(bytes.length.toLong).putLong(tsMs).array()
