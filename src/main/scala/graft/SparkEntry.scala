@@ -2397,6 +2397,37 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")),
+    "e26_mrl_rerank" -> ((s, d) =>
+      // Matryoshka truncated-dim retrieval: coarse cosine over the first
+      // 16 of 64 dims keeps 25 candidates/query, full-dim exact cosine
+      // re-ranks to top-10. Both stages tie-break (score desc, id asc) on
+      // both engines, so the candidate cutoff is cross-engine stable.
+      Similarity.truncatedRerankTopK(t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 5),
+          truncDims = 16, candidates = 25, k = 10)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")),
+    "e22_semantic_decontam" -> ((s, d) => {
+      // embedding-space benchmark decontamination: label-0 vectors stand in
+      // for the eval set; planted x2.0f-scaled copies of its 5 lowest-id
+      // vectors (exact in float; cosine is scale-invariant) are the only
+      // corpus rows whose closest-benchmark cosine clears 0.8 — the corpus
+      // has no natural pair above 0.7 (e5's planting argument), a 0.1
+      // cross-engine margin on both the flag and n_hits.
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(col("label") === 0)
+      val planted = bench.orderBy("vec_id").limit(5)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"))
+      val corpus = emb.filter(col("label") =!= 0)
+        .select(col("vec_id"), col("embedding")).unionByName(planted)
+      Similarity.semanticDecontaminate(corpus, bench, threshold = 0.8)
+        .select(col("id").as("vec_id"),
+          round(col("max_benchmark_cos"), 6).as("max_cos"),
+          col("n_hits"), col("contaminated"))
+        .orderBy("vec_id")
+    }),
     "e24_drift_monitor" -> ((s, d) =>
       // quantizer-drift monitor: per-cell count + assignment SSE of the
       // corpus against the frozen centroids — THE refit signal for the
@@ -4065,6 +4096,50 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // e26: same two-stage shape as e25 with a dim-slice coarse stage; the
+    // candidate cutoff tie-breaks (score desc, id asc) on both engines
+    "e26_mrl_rerank" ->
+      """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM b WHERE vec_id < 5),
+         coarse AS (SELECT q.query_id, c.vec_id AS corpus_id, c.v, q.qv,
+             list_cosine_similarity(list_slice(c.v, 1, 16),
+               list_slice(q.qv, 1, 16)) AS tcos
+           FROM b c, q WHERE c.vec_id <> q.query_id),
+         cand AS (SELECT query_id, corpus_id, v, qv,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY tcos DESC, corpus_id) AS cr
+           FROM coarse),
+         scored AS (SELECT query_id, corpus_id,
+             list_cosine_similarity(v, qv) AS cos
+           FROM cand WHERE cr <= 25),
+         ranked AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rank
+           FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // e22: benchmark = label 0; planted x2-scaled copies of its 5 lowest
+    // ids are the only corpus rows above the 0.8 threshold (corpus max
+    // pairwise cosine < 0.7 — a 0.1 margin on flag and n_hits both ways)
+    "e22_semantic_decontam" ->
+      """WITH bench AS (SELECT vec_id AS bench_id,
+             list_transform(embedding, x -> x::DOUBLE) AS bv
+           FROM embeddings WHERE label = 0),
+         planted AS (SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding, x -> (x * 2.0)::DOUBLE) AS v
+           FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 5),
+         corpus AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings WHERE label <> 0
+           UNION ALL SELECT vec_id, v FROM planted),
+         scored AS (SELECT c.vec_id, b.bench_id,
+             list_cosine_similarity(c.v, b.bv) AS cos
+           FROM corpus c, bench b WHERE c.vec_id <> b.bench_id)
+         SELECT vec_id, round(max(cos), 6) AS max_cos,
+           sum((cos >= 0.8)::INT)::BIGINT AS n_hits,
+           max(cos) >= 0.8 AS contaminated
+         FROM scored GROUP BY vec_id ORDER BY vec_id""",
     "e24_drift_monitor" ->
       """WITH c AS (SELECT vec_id::INT AS cid, embedding::DOUBLE[] AS cv
              FROM embeddings WHERE vec_id < 8),

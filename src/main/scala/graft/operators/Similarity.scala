@@ -581,4 +581,71 @@ object Similarity {
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Matryoshka (MRL) truncated-dimension retrieval: candidate generation
+    * scores only the first `truncDims` components of each vector (MRL-trained
+    * embeddings front-load information, so a prefix is a usable coarse
+    * representation — Kusupati et al. 2022), then the `candidates` survivors
+    * are re-ranked by full-dimension exact cosine.
+    *
+    * Scale shape is [[binarySignTopK]]'s: the coarse pass reads the corpus
+    * once and the only exchange carries ≤ `candidates` rows per (query,
+    * partition); the re-rank joins the tiny candidate relation (broadcast)
+    * back against the corpus scan, never materializing full vectors for
+    * non-candidates. At rest the truncated prefix can be stored as its own
+    * column (truncDims/dim of the vector bytes) so the coarse scan reads a
+    * fraction of the data — the same storage trick as [[pqTopK]] codes. */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame, truncDims: Int,
+      candidates: Int, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(candidates >= k, s"candidate budget $candidates must cover k=$k")
+    val topCand = udaf(new ScoredTopKAggregator(candidates))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val cand = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(slice(col("corpus_vec"), 1, truncDims),
+          slice(col("query_vec"), 1, truncDims)).as("tcos"))
+      .groupBy("query_id").agg(topCand(col("corpus_id"), col("tcos")).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("corpus_id"))
+    val rescored = c
+      .join(broadcast(cand), "corpus_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    explodeRanked(rescored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), col("cosine")).as("top")))
+  }
+
+  /** Semantic decontamination: score every corpus vector against a benchmark
+    * embedding set and report its closest-benchmark cosine — the
+    * embedding-space complement of shingle decontamination
+    * ([[Decontaminate]]), catching paraphrased benchmark leakage that exact
+    * n-gram overlap misses (Yang et al. 2023, "rephrased samples").
+    *
+    * The benchmark side is broadcast — eval suites are thousands of rows
+    * while the corpus is the 100 TB side, so the corpus streams through one
+    * narrow scoring pass and the only exchange carries the per-partition
+    * partial max/count per corpus id. For benchmark sets too large to
+    * broadcast, bucket both sides with [[cosineSelfJoinLsh]]'s hyperplane
+    * sketch and score within buckets (same recall caveats).
+    *
+    * Returns (id, max_benchmark_cos, n_hits, contaminated): the max cosine
+    * over the benchmark, how many benchmark rows clear `threshold`, and the
+    * flag itself. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      benchIdCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("corpus_vec"))
+    val b = benchmark.select(col(benchIdCol).cast("long").as("bench_id"),
+      col(vecCol).as("bench_vec"))
+    c.join(broadcast(b), col("id") =!= col("bench_id"))
+      .select(col("id"),
+        VectorFunctions.cosine(col("corpus_vec"), col("bench_vec")).as("cos"))
+      .groupBy("id")
+      .agg(max(col("cos")).as("max_benchmark_cos"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("max_benchmark_cos") >= threshold)
+  }
 }

@@ -559,6 +559,59 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(tight == Map(0L -> 3L, 1L -> 3L))
   }
 
+  test("truncatedRerankTopK: full candidate budget reproduces brute-force; tight budget gates") {
+    val dim = 24
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    // candidates >= corpus ⇒ the truncated stage prunes nothing and the
+    // full-dim re-rank IS brute force — ids, ranks, cosines all agree
+    val mrl = Similarity.truncatedRerankTopK(vecs, q, truncDims = 6, candidates = 40, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(mrl == exact)
+    // tight budget: the coarse stage actually gates — k rows per query,
+    // each surviving cosine equal to the exact cosine for that pair
+    val tight = Similarity.truncatedRerankTopK(vecs, q, truncDims = 6, candidates = 8, k = 3)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(tight.groupBy(_._1).forall(_._2.size == 3))
+    val exactAll = Similarity.bruteForceTopK(vecs, q, k = 40)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    tight.foreach { case (qid, cid, cos) =>
+      assert(math.abs(cos - exactAll((qid, cid))) < 1e-12)
+    }
+  }
+
+  test("semanticDecontaminate: planted scaled copy flags, unrelated corpus stays clean") {
+    val dim = 12
+    val bench = (0L until 5L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // corpus: one x2-scaled copy of bench 3 (cosine exactly 1 up to fp) and
+    // two orthogonal-ish unrelated vectors
+    val corpus = (bench.filter($"vec_id" === 3L)
+      .select(lit(100L).as("vec_id"),
+        transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding")))
+      .unionByName((10L until 12L).map { i =>
+        (i, Array.tabulate(dim)(j => math.cos(i * 97 + j * 13).toFloat).toSeq)
+      }.toDF("vec_id", "embedding"))
+    val out = Similarity.semanticDecontaminate(corpus, bench, threshold = 0.95)
+      .orderBy("id")
+      .select("id", "max_benchmark_cos", "n_hits", "contaminated")
+      .as[(Long, Double, Long, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(100L)._2 > 0.999999 && byId(100L)._3 == 1L && byId(100L)._4)
+    assert(!byId(10L)._4 && !byId(11L)._4)
+    assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
+  }
+
   test("ivfPqResidualTopK: an exact copy ranks first; residual ADC beats plain PQ fidelity") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>
