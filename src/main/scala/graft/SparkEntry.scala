@@ -1964,6 +1964,37 @@ object SparkEntry {
           round(col("sum_v") / col("n"), 3).as("avg_v"))
         .orderBy("event_type", "day")
     }),
+    "d70_pack_ffd" -> ((s, d) => {
+      // whole-document first-fit-decreasing packing (no doc ever splits —
+      // the SFT/no-cross-doc-attention packing, complementing d18's
+      // concat-and-chunk): id-hash sharded folds, longest-first, bounded
+      // open-bin buffer. Oracle: exact Python replay of the documented
+      // fold (tools/gen_fixtures.py → FixtureOracles), so a drifted hash,
+      // sort order, fit scan, or bin-close rule all break the gate.
+      val docs = t(s, d, "documents")
+      Packing.packDocsFirstFit(docs, TextFunctions.tokenCount(col("text")),
+          budget = 128L, shards = 4, maxOpenBins = 3)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("bin_id"),
+          col("bin_pos").cast("long").as("bin_pos"), col("oversize"))
+        .orderBy("doc_id")
+    }),
+    "d71_blocklist_filter" -> ((s, d) => {
+      // C4-style blocklist ("bad word") audit: per-doc total blocklisted
+      // occurrences + distinct blocklist terms present, flag if any. The
+      // corpus vocabulary stands in for a real blocklist; the operator is
+      // one narrow scan (count-in-set native pass + literal-array
+      // intersect), no joins.
+      val bl = Seq("slow", "stream", "vector")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.blocklistAudit(
+            TextFunctions.tokens(lower(col("text"))), bl).as("a"))
+        .select(col("doc_id"), col("a.n_blocked").as("n_blocked"),
+          col("a.n_blocked_terms").as("n_blocked_terms"))
+        .withColumn("blocked", col("n_blocked") > 0)
+        .orderBy("doc_id")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -3655,6 +3686,21 @@ object SparkEntry {
            round(sum(value), 2) AS sum_v, min(value) AS min_v,
            max(value) AS max_v, round(sum(value) / count(*), 3) AS avg_v
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    // d70: fixture oracle — exact Python replay of the sharded FFD fold
+    // (FixtureOracles, merged below)
+    "d71_blocklist_filter" ->
+      """WITH s AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> length(t) > 0) AS toks
+         FROM documents)
+         SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('slow','stream','vector')))::BIGINT
+             AS n_blocked,
+           len(list_intersect(list_distinct(toks),
+             ['slow','stream','vector']))::BIGINT AS n_blocked_terms,
+           len(list_filter(toks, t -> t IN ('slow','stream','vector'))) > 0
+             AS blocked
+         FROM s ORDER BY doc_id""",
     "d59_zipf_slope" ->
       """WITH toks AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

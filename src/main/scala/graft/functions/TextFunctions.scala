@@ -76,6 +76,20 @@ object TextFunctions {
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
     stopwordRatioOfProfile(textProfile(text, stopwords))
 
+  /** Blocklist audit over a lowercased token array — C4-style "bad word"
+    * filtering: `struct(n_blocked, n_blocked_terms)` = total blocklisted
+    * occurrences (native count-in-set pass) and how many DISTINCT blocklist
+    * terms appear. The blocklist travels inside the expressions (broadcast
+    * by literal), never as a join. */
+  def blocklistAudit(lowerToks: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    struct(
+      graft.plans.SketchExpressions.countInSet(lowerToks, blocklist)
+        .cast("long").as("n_blocked"),
+      size(array_intersect(array_distinct(lowerToks), array(blocklist.map(lit): _*)))
+        .cast("long").as("n_blocked_terms"))
+  }
+
   /** Derivations from a projected [[textProfile]] struct. */
   def stopwordRatioOfProfile(p: Column): Column =
     when(p.getField("n_tokens") === 0, lit(0.0)).otherwise(

@@ -77,4 +77,88 @@ object Packing {
       floor(greatest(col("start_offset") + col("n_tokens") - 1,
         col("start_offset")) / lit(blockSize)).as("block_last"))
   }
+
+  /** Whole-document first-fit-decreasing packing: assign each document to a
+    * `budget`-token bin WITHOUT splitting any document — the packing used
+    * when training sequences must not cross document boundaries (SFT /
+    * cross-doc-attention-free pretraining), complementing [[packSequences]]'
+    * concat-and-chunk stream.
+    *
+    * Exact global FFD is inherently sequential (every placement depends on
+    * all earlier bins), so the scalable contract is SHARDED FFD: documents
+    * hash by id into `shards` independent folds (one shuffle), each fold
+    * processing its documents longest-first with a bounded open-bin buffer:
+    *
+    *  - first-fit scans open bins in creation order, placing the doc in the
+    *    first with `budget - fill >= n`;
+    *  - no fit ⇒ open a new bin; if that exceeds `maxOpenBins`, the open bin
+    *    with the LEAST remaining capacity closes (it is the least likely to
+    *    fit any future doc; ties close the oldest) — per-fold state is
+    *    O(maxOpenBins) regardless of corpus size;
+    *  - docs longer than `budget` emit as singleton oversize bins.
+    *
+    * Every step is deterministic in (count desc, id asc) order, so the
+    * assignment is reproducible across partitionings and engines — the
+    * Python mirror in tools/gen_fixtures.py replays it exactly. Packing
+    * quality vs unbounded global FFD is the standard sharding trade: waste
+    * is bounded per fold, and folds see id-hashed (i.e. representative)
+    * length distributions.
+    *
+    * Returns (idCol, n_tokens, shard, bin_id, bin_pos, oversize) where
+    * `bin_id = shard << 40 | fold-local sequence` and `bin_pos` is the
+    * document's 0-based placement position within its bin. */
+  def packDocsFirstFit(docs: DataFrame, countCol: Column, idCol: String = "doc_id",
+      budget: Long = 2048L, shards: Int = 64, maxOpenBins: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0 && shards <= (1 << 20), "shards must be in 1..2^20")
+    require(maxOpenBins > 0, "maxOpenBins must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val packed = docs
+      .select(col(idCol).cast("long").as("id"), countCol.cast("long").as("n"))
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(shards)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n").desc, col("id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard); the
+        // fold resets at each shard boundary of the (shard, n desc, id) sort
+        var curShard = -1
+        var nextSeq = 0L
+        // open bins in creation order: (seq, fill, count)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        it.map { case (id, n, sh) =>
+          if (sh != curShard) { curShard = sh; nextSeq = 0L; bins.clear() }
+          val binId = (sh.toLong << 40)
+          if (n > budget) {
+            val seq = nextSeq; nextSeq += 1
+            (id, n, sh, binId | seq, 0, true)
+          } else {
+            val i = bins.indexWhere { case (_, fill, _) => fill + n <= budget }
+            if (i >= 0) {
+              val (seq, fill, cnt) = bins(i)
+              bins(i) = (seq, fill + n, cnt + 1)
+              (id, n, sh, binId | seq, cnt, false)
+            } else {
+              val seq = nextSeq; nextSeq += 1
+              bins += ((seq, n, 1))
+              if (bins.size > maxOpenBins) {
+                var j = 0
+                var k = 1
+                while (k < bins.size) {
+                  // least remaining capacity closes; ties close lowest seq
+                  if (bins(k)._2 > bins(j)._2 ||
+                      (bins(k)._2 == bins(j)._2 && bins(k)._1 < bins(j)._1)) j = k
+                  k += 1
+                }
+                bins.remove(j)
+              }
+              (id, n, sh, binId | seq, 0, false)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "n_tokens", "shard", "bin_id", "bin_pos", "oversize")
+    packed
+  }
 }

@@ -31,6 +31,68 @@ class PackingRedactionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packDocsFirstFit: budget respected, oversize singletons, deterministic across partitionings") {
+    // counts spanning under/over budget; ids chosen so multiple shards fill
+    val docs = (0L until 60L).map(i => (i, (i * 13 % 37 + 3))).toDF("doc_id", "n")
+    val out = Packing.packDocsFirstFit(docs, col("n"), budget = 30L,
+        shards = 3, maxOpenBins = 2)
+      .select("doc_id", "n_tokens", "shard", "bin_id", "bin_pos", "oversize")
+      .as[(Long, Long, Int, Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 60)
+    // every doc flagged oversize iff it exceeds the budget
+    out.foreach { case (_, n, _, _, _, ov) => assert(ov == (n > 30L)) }
+    // bin fills: <= budget unless the bin is an oversize singleton
+    out.groupBy(_._4).foreach { case (_, members) =>
+      val fill = members.map(_._2).sum
+      if (!members.exists(_._6)) assert(fill <= 30L)
+      else assert(members.size == 1) // oversize bins hold exactly one doc
+    }
+    // bin_pos is a contiguous 0-based sequence within each bin
+    out.groupBy(_._4).foreach { case (_, members) =>
+      assert(members.map(_._5).sorted == members.indices.toList)
+    }
+    // bin_id encodes the shard
+    out.foreach { case (_, _, sh, bin, _, _) => assert((bin >> 40) == sh.toLong) }
+    // determinism: a differently-partitioned input produces the same packing
+    val out2 = Packing.packDocsFirstFit(docs.repartition(7), col("n"), budget = 30L,
+        shards = 3, maxOpenBins = 2)
+      .select("doc_id", "n_tokens", "shard", "bin_id", "bin_pos", "oversize")
+      .as[(Long, Long, Int, Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == out2)
+  }
+
+  test("packDocsFirstFit: open-bin cap closes the fullest bin, first-fit scans creation order") {
+    // single shard so the fold order is exactly (n desc, id asc):
+    // 20, 18, 15 -> three bins; cap 2 closes the fullest (20) when the
+    // third opens; the next doc of 10 then first-fits into the 18-bin
+    // (12 left) rather than the closed 20-bin (10 left would have fit!)
+    val docs = Seq((0L, 20L), (1L, 18L), (2L, 15L), (3L, 10L))
+      .toDF("doc_id", "n")
+    val out = Packing.packDocsFirstFit(docs, col("n"), budget = 30L,
+        shards = 1, maxOpenBins = 2)
+      .select("doc_id", "bin_id", "bin_pos")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    val binOf = out.map(r => r._1 -> r._2).toMap
+    assert(binOf(0L) != binOf(1L) && binOf(1L) != binOf(2L))
+    assert(binOf(3L) == binOf(1L)) // fullest (bin of doc 0) was closed
+    assert(out.find(_._1 == 3L).get._3 == 1) // second doc in that bin
+  }
+
+  test("blocklistAudit counts total and distinct blocklisted tokens") {
+    val docs = Seq(
+      (1L, "Bad bad word here"),
+      (2L, "clean text only"),
+      (3L, "word BAD word")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.blocklistAudit(
+          graft.functions.TextFunctions.tokens(lower(col("text"))),
+          Seq("bad", "word")).as("a"))
+      .select(col("doc_id"), col("a.n_blocked"), col("a.n_blocked_terms"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 3L, 2L), (2L, 0L, 0L), (3L, 3L, 2L)))
+  }
+
   test("packSequences block spans tile the token stream exactly") {
     val docs = (0L until 200L).map(i => (i, i % 17 + 1)).toDF("doc_id", "n")
     val out = Packing.packSequences(docs, col("n"), blockSize = 64L)

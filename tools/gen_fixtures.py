@@ -1054,6 +1054,55 @@ def main():
             d55_rows.append((a // 1000, a % 1000, b // 1000, b % 1000,
                              round_half_up(m, 64, 4)))
 
+    # ---- d70: sharded FFD whole-doc packing — exact replay of
+    # Packing.packDocsFirstFit (budget 128, 4 shards, 3 open bins):
+    # shard = pmod(xxhash64(id), 4); longest-first (count desc, id asc);
+    # first-fit in bin-creation order; over-cap close = fullest bin
+    # (ties: lowest seq); oversize docs emit as singleton bins.
+    D70_BUDGET, D70_SHARDS, D70_MAXOPEN = 128, 4, 3
+    d70_byshard = {}
+    for i, t in docs:
+        n = len(tokens(t))
+        sh = signed(hash_long(i, 42)) % D70_SHARDS
+        d70_byshard.setdefault(sh, []).append((n, i))
+    d70_rows = []
+    for sh, items in d70_byshard.items():
+        items.sort(key=lambda x: (-x[0], x[1]))
+        bins = []  # [seq, fill, count] in creation order
+        nextseq = 0
+        for n, i in items:
+            if n > D70_BUDGET:
+                seq = nextseq
+                nextseq += 1
+                d70_rows.append((i, n, sh, (sh << 40) | seq, 0, True))
+                continue
+            placed = False
+            for b in bins:
+                if b[1] + n <= D70_BUDGET:
+                    d70_rows.append((i, n, sh, (sh << 40) | b[0], b[2], False))
+                    b[1] += n
+                    b[2] += 1
+                    placed = True
+                    break
+            if not placed:
+                seq = nextseq
+                nextseq += 1
+                bins.append([seq, n, 1])
+                d70_rows.append((i, n, sh, (sh << 40) | seq, 0, False))
+                if len(bins) > D70_MAXOPEN:
+                    j = max(range(len(bins)),
+                            key=lambda k: (bins[k][1], -bins[k][0]))
+                    bins.pop(j)
+    d70_rows.sort()
+    # sanity: every bin's fill respects the budget unless oversize-singleton
+    d70_fill = {}
+    for i, n, sh, b, pos, ov in d70_rows:
+        d70_fill[b] = d70_fill.get(b, 0) + n
+        assert ov == (n > D70_BUDGET), (i, n, ov)
+    for b, f in d70_fill.items():
+        assert f <= D70_BUDGET or any(
+            r[3] == b and r[5] for r in d70_rows), (b, f)
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -1161,6 +1210,12 @@ def main():
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
                        f"{'NULL' if r[2] is None else r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    d70_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_tokens,"
+               " c2::BIGINT AS shard, c3::BIGINT AS bin_id,"
+               " c4::BIGINT AS bin_pos, c5::BOOLEAN AS oversize FROM (VALUES\n"
+               + values(d70_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, "
+                        f"{r[4]}, {str(r[5]).lower()}")
+               + ") AS t(c0, c1, c2, c3, c4, c5) ORDER BY doc_id")
     e4_sql = ("SELECT c0::BIGINT AS centroid_id, c1::BIGINT AS n_assigned,"
               " c2::DOUBLE AS c_norm, c3::DOUBLE AS c_sum,"
               f" {e4_sse!r}::DOUBLE AS sse_final FROM (VALUES\n"
@@ -1225,7 +1280,9 @@ object FixtureOracles {{
     "d62_source_overlap" ->
       \"\"\"{d62_sql}\"\"\",
     "d64_split_leakage" ->
-      \"\"\"{d64_sql}\"\"\")
+      \"\"\"{d64_sql}\"\"\",
+    "d70_pack_ffd" ->
+      \"\"\"{d70_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
