@@ -2459,6 +2459,19 @@ object SparkEntry {
           col("n_hits"), col("contaminated"))
         .orderBy("vec_id")
     }),
+    "e27_mmr_diversify" -> ((s, d) =>
+      // MMR diversified retrieval: top-20 brute-force candidates, then the
+      // greedy lambda-weighted relevance-vs-redundancy selection of 8.
+      // Oracle: independent Python replay (FixtureOracles) with a margin
+      // assert at every greedy argmax and candidate cutoff, so float noise
+      // cannot flip a pick.
+      Similarity.mmrDiversifyTopK(t(s, d, "embeddings"),
+          t(s, d, "embeddings").filter(col("vec_id") < 5),
+          candidates = 20, k = 8, lambda = 0.7)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("mmr_score"), 6).as("mmr_score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")),
     "e24_drift_monitor" -> ((s, d) =>
       // quantizer-drift monitor: per-cell count + assignment SSE of the
       // corpus against the frozen centroids — THE refit signal for the

@@ -618,6 +618,83 @@ object Similarity {
       .agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
+  /** Maximal Marginal Relevance (MMR) diversified top-k (Carbonell &
+    * Goldstein 1998): greedily select `k` of the `candidates` most relevant
+    * corpus vectors, each pick maximizing
+    * `lambda·rel(q,c) − (1−lambda)·max_{s∈selected} cos(c,s)` — relevance
+    * traded against redundancy with what is already selected, the standard
+    * de-duplicating re-rank for retrieval-augmented pipelines.
+    *
+    * The candidate stage is [[bruteForceTopK]]'s distributed scan (swap in
+    * any of the index-backed top-k's at scale); the greedy selection is
+    * inherently sequential in the picks and quadratic in `candidates`, so it
+    * runs on the driver over the CONTRACT-BOUNDED candidate set
+    * (`candidates × |queries|` rows — e23's top-100-collect stance). All
+    * ties resolve to the lowest corpus id, so selection is deterministic
+    * and cross-engine reproducible.
+    *
+    * Returns (query_id, corpus_id, mmr_score, rank) with rank = pick order. */
+  def mmrDiversifyTopK(corpus: DataFrame, queries: DataFrame, candidates: Int,
+      k: Int, lambda: Double = 0.7,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(candidates >= k, s"candidate budget $candidates must cover k=$k")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0,1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topC = udaf(new ScoredTopKAggregator(candidates))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
+    val cand = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("rel"))
+      .groupBy("query_id").agg(topC(col("corpus_id"), col("rel")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"), col("s.score").as("rel"))
+    // re-attach candidate vectors: the tiny candidate relation broadcasts
+    // against one more corpus scan, then ≤ candidates×|queries| rows collect
+    val rows = c.join(broadcast(cand), "corpus_id")
+      .select(col("query_id"), col("corpus_id"), col("rel"), col("corpus_vec"))
+      .collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = rows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
+      // (id, rel, vec) sorted (rel desc, id asc) — the candidate order
+      val cands = rs.map { r =>
+        (r.getLong(1), r.getDouble(2),
+          r.getSeq[Any](3).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      }.sortBy(t => (-t._2, t._1))
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+      while (selected.size < k && remaining.nonEmpty) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < remaining.size) {
+          val (id, rel, vec) = remaining(i)
+          // redundancy term: true max over selected (can be negative);
+          // 0 only for the first pick (empty selected set)
+          var maxSim = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+          selected.foreach { case (_, _, sv) => val s = cos(vec, sv); if (s > maxSim) maxSim = s }
+          val score = lambda * rel - (1 - lambda) * maxSim
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestIdx = i; bestScore = score; bestId = id
+          }
+          i += 1
+        }
+        val pick = remaining.remove(bestIdx)
+        selected += pick
+        picks += ((qid, pick._1, bestScore, selected.size))
+      }
+      picks
+    }
+    out.toDF("query_id", "corpus_id", "mmr_score", "rank")
+  }
+
   /** Semantic decontamination: score every corpus vector against a benchmark
     * embedding set and report its closest-benchmark cosine — the
     * embedding-space complement of shingle decontamination

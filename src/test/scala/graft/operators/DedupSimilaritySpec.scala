@@ -612,6 +612,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
   }
 
+  test("mmrDiversifyTopK: lambda=1 is pure relevance; lower lambda skips a planted near-duplicate") {
+    val dim = 16
+    val base = (0L until 30L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }
+    // vector 1 := query 0 lightly perturbed (cos ≈ 0.999 ≫ any sin-noise
+    // pair), and 100 := exact copy of 1 — so relevance ranks {1, 100} as
+    // the top-2 for query 0 deterministically
+    val near = base(0)._2.zipWithIndex.map { case (x, j) =>
+      (x + (if (j == 0) 0.01f else 0.0f)) }
+    val vecs = (base.updated(1, (1L, near)) :+ ((100L, near)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    // lambda=1: MMR degenerates to relevance order == brute-force top-k
+    val pure = Similarity.mmrDiversifyTopK(vecs, q, candidates = 31, k = 5, lambda = 1.0)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(pure == exact)
+    // diversity: 1 and 100 are identical, so whichever is picked first, the
+    // other must NOT be picked second (redundancy term 1.0 kills it) —
+    // while pure relevance would rank them adjacently
+    assert(exact.map(_._1).take(2).toSet == Set(1L, 100L))
+    val div = Similarity.mmrDiversifyTopK(vecs, q, candidates = 31, k = 5, lambda = 0.5)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+      .map(_._1)
+    assert(Set(1L, 100L).contains(div.head))
+    assert(!Set(1L, 100L).contains(div(1)))
+    // ranks are the pick order 1..k
+    assert(pure.map(_._2) == (1 to 5))
+  }
+
   test("ivfPqResidualTopK: an exact copy ranks first; residual ADC beats plain PQ fidelity") {
     val dim = 8
     val vecs = (0L until 60L).map { i =>

@@ -14,6 +14,7 @@ SQL keyed by query name (merged into SparkEntry.oracleSql).
 Validated against the public xxh64 test vectors before use (see selftest).
 """
 import hashlib
+import math
 import re
 import sys
 import zlib
@@ -595,6 +596,59 @@ def opq_ivfpq_refine_fixture(ids, rotated, d, m=8, k=5, k_coarse=20, n_probe=2):
     return rows
 
 
+def mmr_fixture(sf, candidates=20, k=8, lam=0.7, nq=5):
+    """INDEPENDENT replay of Similarity.mmrDiversifyTopK: brute-force
+    full-cosine top-`candidates` per query (score desc, id asc cutoff),
+    then greedy MMR picks maximizing lam*rel - (1-lam)*maxSimToSelected
+    (first pick: redundancy term 0, ties -> lowest id). Margin asserts at
+    the candidate cutoff and EVERY greedy argmax, plus rounding-boundary
+    asserts on each emitted score, so cross-language float-order noise
+    (~1e-15) cannot flip a pick or a rounded digit."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+    def cos(a, b):
+        # mirror CosineSimExpr: left-to-right doubles, sqrt(sa)*sqrt(sb)
+        dot = sa = sb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            sa += x * x
+            sb += y * y
+        d = math.sqrt(sa) * math.sqrt(sb)
+        return 0.0 if d == 0.0 else dot / d
+
+    out = []
+    for q in sorted(i for i in vecs if i < nq):
+        qv = vecs[q]
+        rels = [(i, cos(qv, vecs[i])) for i in sorted(vecs) if i != q]
+        rels.sort(key=lambda t: (-t[1], t[0]))
+        cand = rels[:candidates]
+        if len(rels) > candidates:
+            gap = cand[-1][1] - rels[candidates][1]
+            assert gap > 1e-9, f"q{q}: candidate cutoff margin {gap}"
+        remaining = list(cand)
+        selected = []
+        while len(selected) < k and remaining:
+            scored = []
+            for i, r in remaining:
+                ms = max(cos(vecs[i], vecs[s]) for s, _ in selected) \
+                    if selected else 0.0
+                scored.append((lam * r - (1 - lam) * ms, i, r))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            if len(scored) > 1:
+                gap = scored[0][0] - scored[1][0]
+                assert gap > 1e-9, f"q{q} pick {len(selected)+1}: argmax margin {gap}"
+            best_score, best_id, best_rel = scored[0]
+            assert_rounding_safe(best_score, 6, 1e-9,
+                                 f"mmr q{q} pick {len(selected)+1}")
+            remaining = [(i, r) for i, r in remaining if i != best_id]
+            selected.append((best_id, best_rel))
+            out.append((q, best_id, rnd(best_score, 6), len(selected)))
+    return out
+
+
 def shingle_hash_set(tok_list, n):
     """Mirror ShingleHashesExpr as a SET: chained xxh64 token hashes per
     n-gram window; zero tokens yield {xxh64('', 42)} (the whole-doc
@@ -861,6 +915,9 @@ def main():
 
     # ---- e15: PCA projection — independent numpy/LAPACK eigensolve
     e15_rows = pca_fixture(sf)
+
+    # ---- e27: MMR diversified retrieval — independent greedy replay
+    e27_rows = mmr_fixture(sf)
 
     # ---- e18/e19: OPQ chain (rotation → PQ/ADC; rotation → residual
     # IVF-PQ) — one independent numpy front half feeds both oracles
@@ -1210,6 +1267,10 @@ def main():
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
                        f"{'NULL' if r[2] is None else r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    e27_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
+               " c2::DOUBLE AS mmr_score, c3::BIGINT AS rank FROM (VALUES\n"
+               + values(e27_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
     d70_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_tokens,"
                " c2::BIGINT AS shard, c3::BIGINT AS bin_id,"
                " c4::BIGINT AS bin_pos, c5::BOOLEAN AS oversize FROM (VALUES\n"
@@ -1282,7 +1343,9 @@ object FixtureOracles {{
     "d64_split_leakage" ->
       \"\"\"{d64_sql}\"\"\",
     "d70_pack_ffd" ->
-      \"\"\"{d70_sql}\"\"\")
+      \"\"\"{d70_sql}\"\"\",
+    "e27_mmr_diversify" ->
+      \"\"\"{e27_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
