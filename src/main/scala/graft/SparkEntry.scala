@@ -2755,6 +2755,32 @@ object SparkEntry {
       Multimodal.sampleVideoFrames(media, everyMs = 250L)
         .toDF().orderBy("media_id", "sample_idx")
     }),
+    "m13_video_dup_pairs" -> ((s, d) => {
+      // video near-dup via shared-frame counting over REAL demuxed
+      // containers: planted full copies (+10000, ids < 10) share every
+      // frame, head-trimmed re-muxes (+20000, ids 10-19, first n-1
+      // frames) share all but one. The oracle is codec-free arithmetic:
+      // two generator frames are byte-equal iff dims and the three
+      // per-channel mod-256 offsets coincide (the wrap sawtooth makes any
+      // other pair differ grossly), so the Python fixture derives every
+      // shared count from (id, k) congruences alone — no JPEG in the
+      // oracle, while the engine demuxes and hashes actual bytes.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val v = Multimodal.syntheticVideo(id)
+          val planted =
+            if (id < 10) Seq((id + 10000, v))
+            else if (id < 20) {
+              val (meta, frames) = graft.operators.MjpegAvi.demux(v)
+              Seq((id + 20000, graft.operators.MjpegAvi.mux(frames.init,
+                meta.width, meta.height, (1000000L / meta.usPerFrame).toInt)))
+            } else Seq.empty
+          (id, v) +: planted
+        }.toDF("media_id", "content")
+      Multimodal.videoDupPairs(media, minShared = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "m3_media_features_ann" -> ((s, d) => {
       // REAL decoded pixels -> luminance-histogram features -> real ANN
       // operator, on the lossless (PNG, even-id) half of the corpus so the

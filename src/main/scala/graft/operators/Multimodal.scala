@@ -438,6 +438,59 @@ object Multimodal {
       }
   }
 
+  /** Per-frame content hashes of REAL MJPEG/AVI videos: demux each
+    * container executor-side and hash every frame's encoded bytes
+    * (xxhash64) — 8 bytes per frame to any downstream join, the raw
+    * payload never leaves its scan stage. Exact frame-level identity:
+    * equal frame bytes ⟺ equal hash (mod the 2⁻⁶⁴ collision caveat). */
+  def videoFrameHashes(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "content"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (_, frames) = MjpegAvi.demux(bytes)
+          frames.iterator.zipWithIndex.map { case (fb, i) => (id, i, fb) }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame")
+      .select(col("media_id"), col("frame_idx"), xxhash64(col("frame")).as("fh"))
+  }
+
+  /** Video near-duplicate pairs by shared-frame counting — the video twin
+    * of [[imageDupPairs]]: two videos are near-dups when they share at
+    * least `minShared` distinct frames (full re-uploads share all frames,
+    * trims/edits share most). Candidates come from an inverted index on
+    * the frame hash, so the join shuffles 8-byte keys, never frames; a
+    * frame shared by more than `maxDf` videos (intro cards, black frames)
+    * is dropped from candidate generation with the count observable in the
+    * plan metrics — the d35 hot-shingle stance, bounding pair generation
+    * at Σdf² instead of quadratic blowup.
+    *
+    * Returns (id_a, id_b, n_shared, n_frames_a, n_frames_b) with
+    * id_a < id_b; frame counts are DISTINCT-frame counts, the denominator
+    * for any downstream containment/Jaccard score. */
+  def videoDupPairs(media: DataFrame, minShared: Int = 3, maxDf: Int = 64,
+      idCol: String = "media_id", bytesCol: String = "content"): DataFrame = {
+    val fhs = videoFrameHashes(media, idCol, bytesCol)
+      .select(col("media_id"), col("fh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFrames = fhs.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val kept = fhs.join(
+      fhs.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fh"), "fh")
+    val a = kept.select(col("fh"), col("media_id").as("id_a"))
+    val b = kept.select(col("fh"), col("media_id").as("id_b"))
+    a.join(b, Seq("fh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nFrames.select(col("media_id").as("id_a"), col("nf").as("n_frames_a")), "id_a")
+      .join(nFrames.select(col("media_id").as("id_b"), col("nf").as("n_frames_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n_frames_a"), col("n_frames_b"))
+  }
+
   /** Perceptual difference-hash (dHash) over the REAL decoded raster — the
     * standard near-duplicate signature for images (a resized/re-encoded/
     * slightly-edited copy keeps the same gradient signs): integer-luma

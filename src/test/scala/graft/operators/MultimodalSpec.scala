@@ -290,4 +290,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Seq((0L, 0), (300L, 1), (600L, 3), (900L, 4)))
     assert(out.forall(f => f.frame_w == 32 + 6 % 16 && f.frame_h == 24 + 6 % 12))
   }
+
+  test("videoDupPairs: copy shares all frames, trim all but one, hot frames capped") {
+    import spark.implicits._
+    val v6 = Multimodal.syntheticVideo(6L) // 5 frames
+    val (meta, frames) = MjpegAvi.demux(v6)
+    val fps = (1000000L / meta.usPerFrame).toInt
+    val media = Seq(
+      (6L, v6),
+      (100L, v6), // exact copy
+      (101L, MjpegAvi.mux(frames.init, meta.width, meta.height, fps)), // trimmed
+      (7L, Multimodal.syntheticVideo(7L)) // unrelated
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.videoDupPairs(media, minShared = 3)
+      .select("id_a", "id_b", "n_shared", "n_frames_a", "n_frames_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(pairs == Set(
+      (6L, 100L, 5L, 5L, 5L),
+      (6L, 101L, 4L, 5L, 4L),
+      (100L, 101L, 4L, 5L, 4L)))
+    // df cap: with maxDf=2 every frame of the copy-triple is over-shared
+    // (df=3 for the first 4 frames) and drops from candidate generation —
+    // only the df-2 last frame survives, below minShared
+    val capped = Multimodal.videoDupPairs(media, minShared = 1, maxDf = 2)
+      .select("id_a", "id_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((6L, 100L, 1L)))
+  }
 }

@@ -919,6 +919,42 @@ def main():
     # ---- e27: MMR diversified retrieval — independent greedy replay
     e27_rows = mmr_fixture(sf)
 
+    # ---- m13: video near-dup pairs — codec-free arithmetic oracle.
+    # A generator frame's raster is fully determined by (w, h) and the
+    # three per-channel offsets (31i+41k, 17i+29k, 7i+23k) mod 256; any
+    # offset difference produces a mod-256 wrap sawtooth (gross pixel
+    # differences), so byte equality of encoded frames ⟺ key equality.
+    # Mirrors the m13 planting: full copies +10000 (ids<10), head-trimmed
+    # +20000 (ids 10-19).
+    m13_videos = {}
+    for i, _ in docs:
+        n = 4 + i % 5
+        keys = [(32 + i % 16, 24 + i % 12, (31 * i + 41 * k) % 256,
+                 (17 * i + 29 * k) % 256, (7 * i + 23 * k) % 256)
+                for k in range(n)]
+        m13_videos[i] = keys
+        if i < 10:
+            m13_videos[i + 10000] = list(keys)
+        elif i < 20:
+            m13_videos[i + 20000] = keys[:-1]
+    for v, ks in m13_videos.items():
+        assert len(set(ks)) == len(ks), f"video {v}: repeated frame key"
+    m13_inv = {}
+    for v, ks in m13_videos.items():
+        for kk in ks:
+            m13_inv.setdefault(kk, []).append(v)
+    m13_pairs = {}
+    for kk, vs in m13_inv.items():
+        assert len(vs) <= 64, f"frame df {len(vs)} exceeds the m13 cap"
+        vs.sort()
+        for x in range(len(vs)):
+            for y in range(x + 1, len(vs)):
+                p = (vs[x], vs[y])
+                m13_pairs[p] = m13_pairs.get(p, 0) + 1
+    m13_rows = [(a, b, c, len(m13_videos[a]), len(m13_videos[b]))
+                for (a, b), c in sorted(m13_pairs.items()) if c >= 3]
+    assert len(m13_rows) >= 20, f"m13: only {len(m13_rows)} pairs"
+
     # ---- e18/e19: OPQ chain (rotation → PQ/ADC; rotation → residual
     # IVF-PQ) — one independent numpy front half feeds both oracles
     opq_ids, opq_rot, opq_d = opq_rotated_corpus(sf)
@@ -1267,6 +1303,11 @@ def main():
               + values(w7_rows, lambda r: f"{r[0]}, {r[1]!r}, "
                        f"{'NULL' if r[2] is None else r[2]}")
               + ") AS t(c0, c1, c2) ORDER BY doc_id")
+    m13_sql = ("SELECT c0::BIGINT AS id_a, c1::BIGINT AS id_b,"
+               " c2::BIGINT AS n_shared, c3::BIGINT AS n_frames_a,"
+               " c4::BIGINT AS n_frames_b FROM (VALUES\n"
+               + values(m13_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}")
+               + ") AS t(c0, c1, c2, c3, c4) ORDER BY id_a, id_b")
     e27_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
                " c2::DOUBLE AS mmr_score, c3::BIGINT AS rank FROM (VALUES\n"
                + values(e27_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
@@ -1345,7 +1386,9 @@ object FixtureOracles {{
     "d70_pack_ffd" ->
       \"\"\"{d70_sql}\"\"\",
     "e27_mmr_diversify" ->
-      \"\"\"{e27_sql}\"\"\")
+      \"\"\"{e27_sql}\"\"\",
+    "m13_video_dup_pairs" ->
+      \"\"\"{m13_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
