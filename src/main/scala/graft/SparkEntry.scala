@@ -1995,6 +1995,38 @@ object SparkEntry {
         .withColumn("blocked", col("n_blocked") > 0)
         .orderBy("doc_id")
     }),
+    "d72_script_profile" -> ((s, d) => {
+      // unicode script detection (one native char pass, range-based counts
+      // so DuckDB's character-class regex mirrors them exactly): the
+      // corpus is ASCII, so the query plants script-pure Cyrillic / CJK /
+      // Arabic rows; dominant-script ties resolve by the fixed
+      // latin > cyrillic > cjk > arabic precedence on both engines.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 25)
+      val corpus = docs
+        .unionAll(planted.select((col("doc_id") + 10000).as("doc_id"),
+          lit("Привет мир труд май").as("text")))
+        .unionAll(planted.select((col("doc_id") + 20000).as("doc_id"),
+          lit("你好世界 机器 学习").as("text")))
+        .unionAll(planted.select((col("doc_id") + 30000).as("doc_id"),
+          lit("مرحبا بالعالم").as("text")))
+      corpus.select(col("doc_id"), TextFunctions.scriptProfile(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("p.n_latin").cast("long").as("n_latin"),
+          col("p.n_cyrillic").cast("long").as("n_cyrillic"),
+          col("p.n_cjk").cast("long").as("n_cjk"),
+          col("p.n_arabic").cast("long").as("n_arabic"))
+        .withColumn("dominant",
+          when(col("n_latin") + col("n_cyrillic") + col("n_cjk") +
+            col("n_arabic") === 0, lit("unknown"))
+          .when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_cjk"),
+            col("n_arabic")), lit("latin"))
+          .when(col("n_cyrillic") >= greatest(col("n_cjk"), col("n_arabic")),
+            lit("cyrillic"))
+          .when(col("n_cjk") >= col("n_arabic"), lit("cjk"))
+          .otherwise(lit("arabic")))
+        .orderBy("doc_id")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -3727,6 +3759,28 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     // d70: fixture oracle — exact Python replay of the sharded FFD fold
     // (FixtureOracles, merged below)
+    "d72_script_profile" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 10000, 'Привет мир труд май'
+             FROM documents WHERE doc_id < 25
+           UNION ALL SELECT doc_id + 20000, '你好世界 机器 学习'
+             FROM documents WHERE doc_id < 25
+           UNION ALL SELECT doc_id + 30000, 'مرحبا بالعالم'
+             FROM documents WHERE doc_id < 25),
+         c AS (SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]'))::BIGINT AS n_latin,
+           len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]'))::BIGINT AS n_cyrillic,
+           len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::BIGINT AS n_cjk,
+           len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]'))::BIGINT AS n_arabic
+         FROM corpus)
+         SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+           CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0 THEN 'unknown'
+                WHEN n_latin >= greatest(n_cyrillic, n_cjk, n_arabic) THEN 'latin'
+                WHEN n_cyrillic >= greatest(n_cjk, n_arabic) THEN 'cyrillic'
+                WHEN n_cjk >= n_arabic THEN 'cjk'
+                ELSE 'arabic' END AS dominant
+         FROM c ORDER BY doc_id""",
     "d71_blocklist_filter" ->
       """WITH s AS (SELECT doc_id,
            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

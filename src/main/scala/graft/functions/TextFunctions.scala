@@ -76,6 +76,13 @@ object TextFunctions {
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
     stopwordRatioOfProfile(textProfile(text, stopwords))
 
+  /** Per-script character counts (latin/cyrillic/cjk/arabic) in one native
+    * pass — multilingual routing and mixed-script spam detection. Counts
+    * are codepoint-RANGE-based so a character-class regex reproduces them
+    * on any engine; see [[graft.plans.ScriptProfileExpr]]. */
+  def scriptProfile(text: Column): Column =
+    graft.plans.ScriptProfileExpr.scriptProfile(text)
+
   /** Blocklist audit over a lowercased token array — C4-style "bad word"
     * filtering: `struct(n_blocked, n_blocked_terms)` = total blocklisted
     * occurrences (native count-in-set pass) and how many DISTINCT blocklist

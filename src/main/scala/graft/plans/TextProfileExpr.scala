@@ -86,6 +86,57 @@ object TextProfileExpr {
     ColumnBridge.column(TextProfileExpr(ColumnBridge.expression(text), stopwords))
 }
 
+/** `script_profile(text)`: struct(n_latin, n_cyrillic, n_cjk, n_arabic) —
+  * per-script character counts for multilingual corpus curation (script
+  * routing, mixed-script spam detection, the pre-filter before per-language
+  * quality models). One char pass, no regex.
+  *
+  * Counts are RANGE-based, not Unicode-property-based, so any engine
+  * counting the same codepoint ranges with a character-class regex
+  * reproduces them exactly (property tables drift across ICU versions;
+  * ranges cannot): latin = A-Z a-z U+00C0-U+024F, cyrillic =
+  * U+0400-U+04FF, cjk = U+4E00-U+9FFF (BMP unified block), arabic =
+  * U+0600-U+06FF. All ranges are BMP, surrogate-free, so UTF-16 char
+  * iteration counts codepoints correctly. */
+case class ScriptProfileExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ScriptProfileExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "script_profile"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var latin = 0; var cyr = 0; var cjk = 0; var ar = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= 0x00C0 && c <= 0x024F)) latin += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x0600 && c <= 0x06FF) ar += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](latin, cyr, cjk, ar))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScriptProfileExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_latin", IntegerType, nullable = false),
+    StructField("n_cyrillic", IntegerType, nullable = false),
+    StructField("n_cjk", IntegerType, nullable = false),
+    StructField("n_arabic", IntegerType, nullable = false)))
+
+  def scriptProfile(text: Column): Column =
+    ColumnBridge.column(ScriptProfileExpr(ColumnBridge.expression(text)))
+}
+
 /** `char_entropy(text)`: struct(entropy, n_distinct) — Shannon entropy in
   * bits per character of the text's character distribution, and the
   * distinct-character count. Low entropy flags degenerate content

@@ -122,4 +122,29 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs(HashFunctions.shingleHashes(col("text"), 3)) ==
       pairs(HashFunctions.wordShingles(col("text"), 3)))
   }
+
+  test("scriptProfile: range-based per-script counts, boundary codepoints, mixed text") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Hello мир 你好 سلام"),       // mixed: 5 latin, 3 cyr, 2 cjk, 4 arabic
+      (2L, "café"),                      // é (U+00E9) counts latin by range
+      (3L, "×÷"),              // × ÷ inside the latin RANGE — counted
+                                         // (range-based contract, not isLetter)
+      (4L, "ɏɐ"),              // last-in vs first-out of the latin range
+      (5L, "一鿿ꀀ"),        // CJK block edges in, next block out
+      (6L, "12345 .,;")                  // no letters at all
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        graft.functions.TextFunctions.scriptProfile(col("text")).as("p"))
+      .select(col("id"), col("p.n_latin"), col("p.n_cyrillic"),
+        col("p.n_cjk"), col("p.n_arabic"))
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 5, 3, 2, 4),
+      (2L, 4, 0, 0, 0),
+      (3L, 2, 0, 0, 0),
+      (4L, 1, 0, 0, 0),
+      (5L, 0, 0, 2, 0),
+      (6L, 0, 0, 0, 0)))
+  }
 }
