@@ -44,13 +44,27 @@ object SparkEntry {
     * ids) / JPEG (odd ids) per document id, encoded on executors — see
     * [[Multimodal.syntheticImage]] for the closed-form pixel generator the
     * DuckDB oracles recompute. */
+  /** The doc-id relation spread across the cluster BEFORE a media encode/
+    * decode map: the test corpora are single-row-group parquet (one task),
+    * and per-row codec work is ms-scale — exactly the case where the
+    * exchange of a bare id column costs less than the serial codec time it
+    * parallelizes (measured sf0.1: m12 video sampling 5.7s → sub-second;
+    * the cheap-metric counterexample is the NOTE below). */
+  private def fannedIds(s: SparkSession, dir: String) =
+    t(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+
   private def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    fannedIds(s, dir).as[Long]
       .map(id => (id, Multimodal.syntheticImage(id)))
       .toDF("media_id", "content")
   }
 
+  // audio stays UN-fanned: syntheticWav is raw PCM assembly (no codec),
+  // cheap enough that the exchange + task overhead LOSES (measured sf0.1:
+  // 0.5s single-task vs 1.5-1.7s fanned for m5/m6/m9) — the same measured
+  // line the NOTE below draws for cheap text metrics
   private def syntheticAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -2771,7 +2785,7 @@ object SparkEntry {
       // closed-form in doc_id, so the oracle predicts them by arithmetic
       // while the engine parses actual bytes.
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = fannedIds(s, d).as[Long]
         .map(id => (id, Multimodal.syntheticVideo(id)))
         .toDF("media_id", "content")
       Multimodal.probeVideos(media).toDF().orderBy("media_id")
@@ -2781,7 +2795,7 @@ object SparkEntry {
       // 250 ms grid point, DECODE it with ImageIO (output carries the
       // decoded dimensions — a fake frame blob would fail the decode).
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = fannedIds(s, d).as[Long]
         .map(id => (id, Multimodal.syntheticVideo(id)))
         .toDF("media_id", "content")
       Multimodal.sampleVideoFrames(media, everyMs = 250L)
@@ -2798,7 +2812,7 @@ object SparkEntry {
       // shared count from (id, k) congruences alone — no JPEG in the
       // oracle, while the engine demuxes and hashes actual bytes.
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = fannedIds(s, d).as[Long]
         .flatMap { id =>
           val v = Multimodal.syntheticVideo(id)
           val planted =
