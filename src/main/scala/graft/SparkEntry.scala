@@ -2041,6 +2041,46 @@ object SparkEntry {
           .otherwise(lit("arabic")))
         .orderBy("doc_id")
     }),
+    "d73_dedup_threshold_sweep" -> ((s, d) => {
+      // dedup-threshold tuning curve: the LSH-verified exact-Jaccard pairs
+      // (d37's scale path) swept over candidate thresholds in ONE pass —
+      // per threshold, how many pairs fire, how many docs are touched, and
+      // how many the keep-lowest-id rule would remove. The natural corpus
+      // only has j >= 0.9 pairs, so the query plants suffix variants
+      // (1-4 nonsense tokens on >= 40-token docs → j ~ 0.90-0.98, spread
+      // across the swept thresholds) — every pair stays above j 0.9, where
+      // the 16x4 banding's miss probability is < 1e-7, keeping the exact
+      // inverted-index oracle sound (the d37 argument). The pair relation
+      // computes once; the sweep is an explode + re-aggregation of the
+      // pairs-sized (not corpus-sized) relation. Threshold compares happen
+      // in double on both engines (bp/100.0 parses/computes to the same
+      // IEEE value), so boundary pairs cannot flip cross-engine.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") < 40 &&
+          TextFunctions.tokenCount(col("text")) >= 40)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), element_at(array(
+            lit(" zq1x"), lit(" zq1x zq2x"), lit(" zq1x zq2x zq3x"),
+            lit(" zq1x zq2x zq3x zq4x")),
+            (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+      val pairs = Dedup.ngramJaccardPairs(docs.unionAll(planted), threshold = 0.85)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val swept = pairs
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          explode(array(Seq(85, 92, 95, 98, 100).map(lit): _*)).as("threshold_bp"))
+        .filter(col("jaccard") >= col("threshold_bp").cast("double") / 100.0)
+      val pairStats = swept.groupBy("threshold_bp")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_removed"))
+      val docStats = swept
+        .select(col("threshold_bp"), explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("threshold_bp").agg(countDistinct(col("id")).as("n_docs_affected"))
+      pairStats.join(docStats, "threshold_bp")
+        .select(col("threshold_bp").cast("long").as("threshold_bp"),
+          col("n_pairs"), col("n_docs_affected"), col("n_removed"))
+        .orderBy("threshold_bp")
+    }),
     "d63_negative_sampling" -> ((s, d) => {
       // contrastive-training negatives: per anchor, the 5 corpus docs that
       // rank first under a deterministic per-(anchor,candidate) md5 —
@@ -2249,6 +2289,19 @@ object SparkEntry {
         .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
       Similarity.ivfRecallAtK(emb, emb.filter(col("vec_id") < 5), cents, k = 10, nProbe = 2)
         .orderBy("query_id")
+    }),
+    "e28_nprobe_sweep" -> ((s, d) => {
+      // the recall-vs-nProbe tuning table (e12 swept over budgets 1/2/4):
+      // what a user reads to pick the smallest probe budget meeting a
+      // recall target. Set-membership recall per budget — rank tie-breaks
+      // cannot move it.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.ivfRecallSweep(emb, emb.filter(col("vec_id") < 5), cents,
+          k = 10, probes = Seq(1, 2, 4))
+        .orderBy("n_probe", "query_id")
     }),
     "e7_quantize" -> ((s, d) => {
       // symmetric int8 quantization of embeddings — the at-rest scale path
@@ -3773,6 +3826,44 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     // d70: fixture oracle — exact Python replay of the sharded FFD fold
     // (FixtureOracles, merged below)
+    "d73_dedup_threshold_sweep" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000,
+             text || CASE (doc_id % 4) WHEN 0 THEN ' zq1x'
+               WHEN 1 THEN ' zq1x zq2x' WHEN 2 THEN ' zq1x zq2x zq3x'
+               ELSE ' zq1x zq2x zq3x zq4x' END
+           FROM documents WHERE doc_id < 40
+             AND len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> length(t) > 0)) >= 40),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END)),
+             i -> toks[i] || CASE WHEN i+1 <= len(toks) THEN ' ' || toks[i+1] ELSE '' END
+               || CASE WHEN i+2 <= len(toks) THEN ' ' || toks[i+2] ELSE '' END)) AS sh
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> length(t) > 0) AS toks
+             FROM corpus)),
+           inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+           p AS (SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) END AS j
+             FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b),
+           fired AS (SELECT t.bp, id_a, id_b FROM p
+             CROSS JOIN (SELECT unnest([85, 92, 95, 98, 100]) AS bp) t
+             WHERE j >= 0.85 AND j >= bp::DOUBLE / 100.0),
+           ps AS (SELECT bp, count(*) AS n_pairs,
+               count(DISTINCT id_b) AS n_removed FROM fired GROUP BY bp),
+           ds AS (SELECT bp, count(DISTINCT id) AS n_docs_affected FROM (
+               SELECT bp, id_a AS id FROM fired
+               UNION ALL SELECT bp, id_b FROM fired) GROUP BY bp)
+         SELECT ps.bp::BIGINT AS threshold_bp, n_pairs::BIGINT AS n_pairs,
+           n_docs_affected::BIGINT AS n_docs_affected, n_removed::BIGINT AS n_removed
+         FROM ps JOIN ds ON ds.bp = ps.bp ORDER BY threshold_bp""",
     "d72_script_profile" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -4668,6 +4759,53 @@ object SparkEntry {
            round(coalesce(any_value(f.n_found), 0)::DOUBLE / count(*), 4) AS recall
          FROM exact x LEFT JOIN f ON f.query_id = x.query_id
          GROUP BY x.query_id ORDER BY x.query_id""",
+    // e28: e12's oracle with the probe budget as a swept dimension
+    "e28_nprobe_sweep" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           probes AS (SELECT unnest([1, 2, 4]) AS np),
+           exact AS (
+             SELECT query_id, corpus_id FROM (
+               SELECT q.vec_id AS query_id, e.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                     q.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+               FROM embeddings e, embeddings q
+               WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rank <= 10),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell, r FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 4),
+           approx AS (
+             SELECT np, query_id, corpus_id FROM (
+               SELECT p.np, qc.query_id, cc.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY p.np, qc.query_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                     q.embedding::DOUBLE[]) DESC, cc.vec_id) AS rank
+               FROM probes p JOIN query_cells qc ON qc.r <= p.np
+               JOIN corpus_cell cc ON cc.cell = qc.cell
+               JOIN embeddings e ON e.vec_id = cc.vec_id
+               JOIN embeddings q ON q.vec_id = qc.query_id
+               WHERE cc.vec_id <> qc.query_id) WHERE rank <= 10),
+           f AS (SELECT a.np, x.query_id, count(*) AS n_found
+             FROM exact x JOIN approx a
+               ON a.query_id = x.query_id AND a.corpus_id = x.corpus_id
+             GROUP BY 1, 2)
+         SELECT p.np::BIGINT AS n_probe, x.query_id AS query_id,
+           count(*) AS n_exact,
+           coalesce(any_value(f.n_found), 0) AS n_found,
+           round(coalesce(any_value(f.n_found), 0)::DOUBLE / count(*), 4) AS recall
+         FROM probes p CROSS JOIN exact x
+         LEFT JOIN f ON f.np = p.np AND f.query_id = x.query_id
+         GROUP BY p.np, x.query_id ORDER BY n_probe, query_id""",
     "j1_range_join" ->
       """SELECT o.o_orderkey, count(*) AS n_events, round(sum(e.value), 2) AS total_value
          FROM (SELECT event_id, user_id, value,

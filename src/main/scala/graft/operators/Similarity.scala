@@ -485,6 +485,26 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Recall-vs-nProbe tuning curve: [[ivfRecallAtK]] swept over probe
+    * budgets — the table a user reads to pick the smallest nProbe meeting
+    * their recall target before freezing index parameters. An audit-time
+    * operator (run on a query sample, not per-request): each budget
+    * re-probes because the dominant cost — candidate scoring — differs per
+    * budget anyway; sharing the one cell-rank pass would save only
+    * metadata-scale work. Returns (n_probe, query_id, n_exact, n_found,
+    * recall), one row per budget per query. */
+  def ivfRecallSweep(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, probes: Seq[Int], vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(probes.nonEmpty, "probes must not be empty")
+    probes.map { p =>
+      ivfRecallAtK(corpus, queries, centroids, k, p, vecCol, idCol)
+        .withColumn("n_probe", lit(p).cast("long"))
+    }.reduce(_.unionByName(_))
+      .select(col("n_probe"), col("query_id"), col("n_exact"),
+        col("n_found"), col("recall"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster the corpus by nearest
     * centroid (one zero-shuffle native argmin pass), then drop any vector
     * that has a same-cell neighbor with cosine ≥ `threshold` and a smaller

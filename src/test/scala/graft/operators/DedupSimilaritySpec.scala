@@ -612,6 +612,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
   }
 
+  test("ivfRecallSweep: recall non-decreasing in probe budget, 1.0 at full probing") {
+    val dim = 12
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    val q = vecs.filter($"vec_id" < 3)
+    val sweep = Similarity.ivfRecallSweep(vecs, q, cents, k = 5, probes = Seq(1, 2, 4))
+      .select("n_probe", "query_id", "recall")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sweep.size == 9) // 3 budgets x 3 queries
+    // per query, recall is non-decreasing in the budget
+    sweep.groupBy(_._2).foreach { case (_, rows) =>
+      val byProbe = rows.sortBy(_._1).map(_._3)
+      assert(byProbe == byProbe.sorted)
+    }
+    // probing every cell IS brute force: recall exactly 1.0
+    assert(sweep.filter(_._1 == 4L).forall(_._3 == 1.0))
+  }
+
   test("mmrDiversifyTopK: lambda=1 is pure relevance; lower lambda skips a planted near-duplicate") {
     val dim = 16
     val base = (0L until 30L).map { i =>
