@@ -60,23 +60,41 @@ object BenchScale {
       name -> secs
     }
 
+    // optional prefix subset (same contract as Bench/Verify) for adding a
+    // single scale measurement without re-running the whole family
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSeq)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.startsWith))
+
     val docFamily = Seq("d7_minhash_pairs", "d17_dup_clusters",
       "d36_containment_pairs", "d37_jaccard_verified", "d40_curation_pipeline",
       "w7_stream_curation", "d54_bm25", "d55_chunk_neardup",
       "w8_stream_ivf", "e21_opq_ivfpq_refine")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    docFamily.foreach { q =>
+    docFamily.filter(wanted).foreach { q =>
       results += time(q) {
         SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count()
       }
     }
-    results += time("e10_semantic_dedup_scaledcells") {
-      Similarity.semanticDedup(emb, cents, threshold = 0.95)
-        .queryExecution.toRdd.count()
-    }
-    results += time("e17_knn_graph_scaledcells") {
-      Similarity.knnGraph(emb, cents, k = 3)
-        .queryExecution.toRdd.count()
+    if (wanted("e10_semantic_dedup_scaledcells"))
+      results += time("e10_semantic_dedup_scaledcells") {
+        Similarity.semanticDedup(emb, cents, threshold = 0.95)
+          .queryExecution.toRdd.count()
+      }
+    if (wanted("e17_knn_graph_scaledcells"))
+      results += time("e17_knn_graph_scaledcells") {
+        Similarity.knnGraph(emb, cents, k = 3)
+          .queryExecution.toRdd.count()
+      }
+    // e22 with the benchmark held at a FIXED size (eval suites do not grow
+    // with the corpus): the gate query ties benchmark size to the corpus
+    // (label 0 ≈ 10% of rows), which squares the pair work at 10× — this is
+    // the deployment shape, linear in the corpus
+    if (wanted("e22_semantic_decontam_fixedbench")) {
+      val bench = emb.filter(col("label") === 0).orderBy("vec_id").limit(200)
+      results += time("e22_semantic_decontam_fixedbench") {
+        Similarity.semanticDecontaminate(emb, bench, threshold = 0.8)
+          .queryExecution.toRdd.count()
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

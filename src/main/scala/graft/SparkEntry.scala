@@ -2303,6 +2303,24 @@ object SparkEntry {
           k = 10, probes = Seq(1, 2, 4))
         .orderBy("n_probe", "query_id")
     }),
+    "e29_filtered_ann" -> ((s, d) => {
+      // attribute-filtered vector search (the RAG-serving shape: top-k
+      // among rows passing a metadata predicate): the predicate applies
+      // BEFORE cell scoring — cell assignment is per-vector, so filtering
+      // first equals filtering the at-rest cell-partitioned layout, and
+      // the probe scans predicate-pruned row groups of the probed cells
+      // only. The standard trade vs post-filtering: probe more cells when
+      // selectivity is low (e28's sweep is the tuning table for that).
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity.ivfTopK(emb.filter(col("label").isin(1, 3, 5, 7, 9)),
+          emb.filter(col("vec_id") < 3), cents, k = 10, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e7_quantize" -> ((s, d) => {
       // symmetric int8 quantization of embeddings — the at-rest scale path
       // (4× smaller vectors for a 100 TB embedding store): scale =
@@ -2703,6 +2721,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "a4_asof_tolerance" -> ((s, d) => {
+      // tolerance-bounded backward as-of (pandas merge_asof tolerance):
+      // a1's join, but matches older than 45 days null back out — the
+      // stale-snapshot guard of dimension lookups. Same single sort-merge;
+      // the tolerance is a post-predicate, not a join-shape change.
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"),
+          pmod(col("event_id"), lit(2400)).cast("int"))).as("edate"))
+      val o = t(s, d, "orders")
+      graft.operators.Joins.asofBackwardTolerance(e, o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("edate"), rightTime = col("o_orderdate"),
+          rightId = col("o_orderkey"),
+          rightCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+          within = datediff(col("edate"), col("o_orderdate")) <= 45)
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
     "a2_asof_forward" -> ((s, d) => {
       // forward as-of: each event joined to the user's NEXT order at-or-
       // after the event date (ties: smallest orderkey) — a1's time-mirror,
@@ -4759,6 +4795,36 @@ object SparkEntry {
            round(coalesce(any_value(f.n_found), 0)::DOUBLE / count(*), 4) AS recall
          FROM exact x LEFT JOIN f ON f.query_id = x.query_id
          GROUP BY x.query_id ORDER BY x.query_id""",
+    // e29: e6's probe oracle with the metadata predicate on the corpus side
+    "e29_filtered_ann" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c
+               WHERE e.label IN (1, 3, 5, 7, 9)) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 3) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // e28: e12's oracle with the probe budget as a swept dimension
     "e28_nprobe_sweep" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
@@ -4833,6 +4899,20 @@ object SparkEntry {
            SELECT o_orderkey, o_totalprice FROM orders o
            WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.edate
            ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) ord ON true
+         ORDER BY event_id""",
+    "a4_asof_tolerance" ->
+      """SELECT e.event_id,
+           CASE WHEN date_diff('day', ord.o_orderdate::DATE, e.edate::DATE) <= 45
+             THEN ord.o_orderkey END AS o_orderkey,
+           CASE WHEN date_diff('day', ord.o_orderdate::DATE, e.edate::DATE) <= 45
+             THEN ord.o_totalprice END AS o_totalprice
+         FROM (SELECT event_id, user_id,
+             (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
+           FROM events) e
+         LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.edate
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) ord ON true
          ORDER BY event_id""",
     "a3_asof_nearest" ->
       """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice, ord.asof_dir

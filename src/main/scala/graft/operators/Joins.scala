@@ -41,6 +41,22 @@ object Joins {
     asofImpl(left, right, leftKey, rightKey, leftTime, rightTime, rightId,
       rightCols, forward = true)
 
+  /** Tolerance-bounded backward as-of (pandas `merge_asof(tolerance=...)`):
+    * the same single sort-merge as [[asofBackward]], then matches farther
+    * than the tolerance are nulled back out — the left row survives with
+    * null right columns, exactly like a key with no match at all. `within`
+    * is a caller-supplied predicate over the JOINED row (left time vs the
+    * matched right time, which must be carried in `rightCols` to be
+    * visible), e.g. `datediff(col("edate"), col("o_orderdate")) <= 45`.
+    * A null predicate (no match ⇒ null right time) keeps the nulls. */
+  def asofBackwardTolerance(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
+      rightId: Column, rightCols: Seq[String], within: Column): DataFrame = {
+    val joined = asofBackward(left, right, leftKey, rightKey, leftTime,
+      rightTime, rightId, rightCols)
+    rightCols.foldLeft(joined)((df, c) => df.withColumn(c, when(within, col(c))))
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column, leftTime: Column, rightTime: Column,
       rightId: Column, rightCols: Seq[String], forward: Boolean): DataFrame = {

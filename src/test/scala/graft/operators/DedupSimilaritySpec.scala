@@ -612,6 +612,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
   }
 
+  test("filtered ANN: pre-filter IVF at full probe equals brute force over the filtered corpus") {
+    val dim = 12
+    val vecs = (0L until 50L).map { i =>
+      (i, i % 3, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("centroid_vec"))
+    val q = vecs.filter($"vec_id" < 2).select($"vec_id", $"embedding")
+    val filtered = vecs.filter($"label" === 1).select($"vec_id", $"embedding")
+    val ivf = Similarity.ivfTopK(filtered, q, cents, k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val exact = Similarity.bruteForceTopK(filtered, q, k = 5)
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(ivf == exact)
+    // every returned id satisfies the predicate (labels are id % 3)
+    assert(ivf.forall(_._2 % 3 == 1))
+  }
+
   test("ivfRecallSweep: recall non-decreasing in probe budget, 1.0 at full probing") {
     val dim = 12
     val vecs = (0L until 50L).map { i =>

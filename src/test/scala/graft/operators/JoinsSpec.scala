@@ -27,6 +27,25 @@ class JoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("e3") == null)   // no snapshots for uid 2
   }
 
+  test("asofBackwardTolerance nulls out matches beyond the tolerance, keeps the rest") {
+    val events = Seq(
+      (1L, 10L, "fresh"),   // snap at t=8: age 2, within
+      (1L, 50L, "stale"),   // latest snap t=20: age 30, beyond
+      (2L, 9L, "none")      // no snaps
+    ).toDF("uid", "ets", "ename")
+    val snapshots = Seq(
+      (1L, 8L, 100L, "v8"), (1L, 20L, 101L, "v20")).toDF("suid", "sts", "sid", "sval")
+    val out = Joins.asofBackwardTolerance(events, snapshots,
+        leftKey = col("uid"), rightKey = col("suid"),
+        leftTime = col("ets"), rightTime = col("sts"),
+        rightId = col("sid"), rightCols = Seq("sval", "sts"),
+        within = col("ets") - col("sts") <= 10L)
+      .select("ename", "sval").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("fresh") == "v8")   // age 2 <= 10 survives
+    assert(out("stale") == null)   // matched v20 but age 30 nulled out
+    assert(out("none") == null)    // no-match nulls untouched
+  }
+
   test("rangeJoin is pair-equivalent to the naive theta join (incl. multi-bin spans)") {
     val rnd = new scala.util.Random(7)
     // points and intervals across ~40 bins (binWidth 10); interval widths
