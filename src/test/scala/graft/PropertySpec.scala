@@ -175,6 +175,60 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("packDocsFirstFit: invariants hold and a sequential replay agrees on random inputs") {
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.zip(Gen.chooseNum(1, 5),
+      Gen.listOfN(30, Gen.chooseNum(0, 40))), trials = 8) {
+      case (parts: Int, counts: List[Int]) =>
+        val budget = 25L
+        val docs = counts.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+          .toDF("doc_id", "n").repartition(parts)
+        val got = graft.operators.Packing
+          .packDocsFirstFit(docs, col("n"), budget = budget, shards = 3, maxOpenBins = 2)
+          .select("doc_id", "n_tokens", "shard", "bin_id", "bin_pos", "oversize")
+          .as[(Long, Long, Int, Long, Int, Boolean)].collect().toSeq
+        // every doc emitted exactly once
+        assert(got.map(_._1).sorted == counts.indices.map(_.toLong))
+        // budget respected except oversize singletons; oversize flag exact
+        got.groupBy(_._4).foreach { case (_, ms) =>
+          if (ms.exists(_._6)) assert(ms.size == 1 && ms.head._2 > budget)
+          else assert(ms.map(_._2).sum <= budget)
+        }
+        // sequential replay of the documented fold agrees bin-for-bin
+        val byShard = got.groupBy(_._3)
+        byShard.foreach { case (sh, ms) =>
+          val ordered = ms.sortBy(m => (-m._2, m._1)) // (n desc, id asc)
+          var nextSeq = 0L
+          val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          ordered.foreach { case (_, n, _, binId, pos, ov) =>
+            if (n > budget) {
+              assert(ov && binId == (sh.toLong << 40 | nextSeq) && pos == 0)
+              nextSeq += 1
+            } else {
+              val i = bins.indexWhere { case (_, fill, _) => fill + n <= budget }
+              if (i >= 0) {
+                val (seq, fill, cnt) = bins(i)
+                assert(binId == (sh.toLong << 40 | seq) && pos == cnt)
+                bins(i) = (seq, fill + n, cnt + 1)
+              } else {
+                assert(binId == (sh.toLong << 40 | nextSeq) && pos == 0)
+                bins += ((nextSeq, n, 1)); nextSeq += 1
+                if (bins.size > 2) {
+                  var j = 0; var k = 1
+                  while (k < bins.size) {
+                    if (bins(k)._2 > bins(j)._2 ||
+                        (bins(k)._2 == bins(j)._2 && bins(k)._1 < bins(j)._1)) j = k
+                    k += 1
+                  }
+                  bins.remove(j)
+                }
+              }
+            }
+          }
+        }
+    }
+  }
+
   test("chunkTokens: chunks tile the token stream with exact overlap") {
     forAll(Gen.zip(Gen.chooseNum(0, 60), Gen.chooseNum(2, 12)), trials = 15) {
       case (nToks: Int, chunkSize: Int) =>
