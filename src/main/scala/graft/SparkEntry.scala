@@ -1993,6 +1993,23 @@ object SparkEntry {
           col("bin_pos").cast("long").as("bin_pos"), col("oversize"))
         .orderBy("doc_id")
     }),
+    "w21_stream_packing" -> ((s, d) => {
+      // STANDING whole-doc packing (StreamingPacking.packFold — the exact
+      // per-trigger semantics of the foreachBatch runner): three arrival
+      // epochs (pmod(doc_id, 3)) fold longest-first into per-shard open
+      // bins carried ACROSS epochs, so a bin part-filled in epoch 0 keeps
+      // filling in epoch 1 and bin sequences never collide. Oracle: exact
+      // epoch-aware Python replay (FixtureOracles) — a green row proves
+      // the fold rules AND the cross-epoch state carry.
+      graft.streaming.StreamingPacking.packFold(
+          t(s, d, "documents"), TextFunctions.tokenCount(col("text")),
+          budget = 128L, shards = 4, maxOpenBins = 3, nBatches = 3)
+        .select(col("doc_id"), col("n_tokens"),
+          col("shard").cast("long").as("shard"), col("bin_id"),
+          col("bin_pos").cast("long").as("bin_pos"), col("oversize"),
+          col("epoch"))
+        .orderBy("doc_id")
+    }),
     "d71_blocklist_filter" -> ((s, d) => {
       // C4-style blocklist ("bad word") audit: per-doc total blocklisted
       // occurrences + distinct blocklist terms present, flag if any. The

@@ -1196,6 +1196,55 @@ def main():
         assert f <= D70_BUDGET or any(
             r[3] == b and r[5] for r in d70_rows), (b, f)
 
+    # ---- w21: STANDING packing — the d70 fold with 3 arrival epochs
+    # (doc_id % 3), per-shard open bins and sequences carried ACROSS epochs
+    # (mirror StreamingPacking.packFold with the d70 parameters).
+    w21_state = {}  # shard -> [next_seq, bins]; bins = [seq, fill, count]
+    w21_rows = []
+    for ep in range(3):
+        ep_byshard = {}
+        for i, t in docs:
+            if i % 3 != ep:
+                continue
+            sh = signed(hash_long(i, 42)) % D70_SHARDS
+            ep_byshard.setdefault(sh, []).append((len(tokens(t)), i))
+        for sh, items in ep_byshard.items():
+            items.sort(key=lambda x: (-x[0], x[1]))
+            st = w21_state.setdefault(sh, [0, []])
+            bins = st[1]
+            for n, i in items:
+                if n > D70_BUDGET:
+                    seq = st[0]
+                    st[0] += 1
+                    w21_rows.append((i, n, sh, (sh << 40) | seq, 0, True, ep))
+                    continue
+                placed = False
+                for b in bins:
+                    if b[1] + n <= D70_BUDGET:
+                        w21_rows.append((i, n, sh, (sh << 40) | b[0], b[2],
+                                         False, ep))
+                        b[1] += n
+                        b[2] += 1
+                        placed = True
+                        break
+                if not placed:
+                    seq = st[0]
+                    st[0] += 1
+                    bins.append([seq, n, 1])
+                    w21_rows.append((i, n, sh, (sh << 40) | seq, 0, False, ep))
+                    if len(bins) > D70_MAXOPEN:
+                        j = max(range(len(bins)),
+                                key=lambda k: (bins[k][1], -bins[k][0]))
+                        bins.pop(j)
+    w21_rows.sort()
+    # the carry must actually happen: some doc lands in a bin opened in an
+    # EARLIER epoch, or the fixture is not exercising the standing state
+    w21_first_epoch = {}
+    for i, n, sh, b, pos, ov, ep in w21_rows:
+        w21_first_epoch.setdefault(b, ep)
+    assert any(ep > w21_first_epoch[b]
+               for _, _, _, b, _, _, ep in w21_rows), "no cross-epoch carry"
+
     print(f"s7={len(s7_rows)} d7={len(d7_rows)} d8={len(d8_rows)} "
           f"e4={len(e4_rows)} s14={len(s14_rows)} m3={len(m3_rows)} "
           f"d17={len(d17_rows)} d27={len(d27_rows)} "
@@ -1308,6 +1357,13 @@ def main():
                " c4::BIGINT AS n_frames_b FROM (VALUES\n"
                + values(m13_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}")
                + ") AS t(c0, c1, c2, c3, c4) ORDER BY id_a, id_b")
+    w21_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_tokens,"
+               " c2::BIGINT AS shard, c3::BIGINT AS bin_id,"
+               " c4::BIGINT AS bin_pos, c5::BOOLEAN AS oversize,"
+               " c6::BIGINT AS epoch FROM (VALUES\n"
+               + values(w21_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, "
+                        f"{r[4]}, {str(r[5]).lower()}, {r[6]}")
+               + ") AS t(c0, c1, c2, c3, c4, c5, c6) ORDER BY doc_id")
     e27_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
                " c2::DOUBLE AS mmr_score, c3::BIGINT AS rank FROM (VALUES\n"
                + values(e27_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
@@ -1388,7 +1444,9 @@ object FixtureOracles {{
     "e27_mmr_diversify" ->
       \"\"\"{e27_sql}\"\"\",
     "m13_video_dup_pairs" ->
-      \"\"\"{m13_sql}\"\"\")
+      \"\"\"{m13_sql}\"\"\",
+    "w21_stream_packing" ->
+      \"\"\"{w21_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
