@@ -2081,8 +2081,13 @@ object SparkEntry {
             lit(" zq1x"), lit(" zq1x zq2x"), lit(" zq1x zq2x zq3x"),
             lit(" zq1x zq2x zq3x zq4x")),
             (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+      // persisted: the pairs relation is ~100 rows but its lineage is the
+      // full LSH+verify pass — without the persist BOTH aggregation
+      // branches below recompute it (observed: 12 parquet scans in the
+      // plan, 4.7s; with it the corpus is read once)
       val pairs = Dedup.ngramJaccardPairs(docs.unionAll(planted), threshold = 0.85)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val swept = pairs
         .select(col("id_a"), col("id_b"), col("jaccard"),
           explode(array(Seq(85, 92, 95, 98, 100).map(lit): _*)).as("threshold_bp"))
