@@ -4437,7 +4437,7 @@ object SparkEntry {
            UNION ALL SELECT vec_id, v FROM planted),
          scored AS (SELECT c.vec_id, b.bench_id,
              list_cosine_similarity(c.v, b.bv) AS cos
-           FROM corpus c, bench b WHERE c.vec_id <> b.bench_id)
+           FROM corpus c, bench b)
          SELECT vec_id, round(max(cos), 6) AS max_cos,
            sum((cos >= 0.8)::INT)::BIGINT AS n_hits,
            max(cos) >= 0.8 AS contaminated

@@ -93,7 +93,8 @@ object TextFunctions {
     struct(
       graft.plans.SketchExpressions.countInSet(lowerToks, blocklist)
         .cast("long").as("n_blocked"),
-      size(array_intersect(array_distinct(lowerToks), array(blocklist.map(lit): _*)))
+      // array_intersect already returns distinct elements — no pre-distinct
+      size(array_intersect(lowerToks, array(blocklist.map(lit): _*)))
         .cast("long").as("n_blocked_terms"))
   }
 

@@ -473,6 +473,11 @@ object Multimodal {
     * for any downstream containment/Jaccard score. */
   def videoDupPairs(media: DataFrame, minShared: Int = 3, maxDf: Int = 64,
       idCol: String = "media_id", bytesCol: String = "content"): DataFrame = {
+    // persisted for the three consumers below (frame counts, df cap,
+    // candidate join); lives until the session's next clearCache — callers
+    // embedding this in a long-lived service should unpersist the returned
+    // plan's source after materializing (the repo-wide persist convention,
+    // e.g. cosineSelfJoinLsh)
     val fhs = videoFrameHashes(media, idCol, bytesCol)
       .select(col("media_id"), col("fh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -737,7 +737,13 @@ object Similarity {
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("corpus_vec"))
     val b = benchmark.select(col(benchIdCol).cast("long").as("bench_id"),
       col(vecCol).as("bench_vec"))
-    c.join(broadcast(b), col("id") =!= col("bench_id"))
+    // every corpus row scores against EVERY benchmark row — corpus and
+    // benchmark are independent datasets, so a shared numeric id is a
+    // coincidence, never a self-match to exclude (an id-inequality join
+    // here would silently skip real comparisons when both sides number
+    // from 0). Broadcast nested-loop by construction; the benchmark side
+    // is the small one.
+    c.crossJoin(broadcast(b))
       .select(col("id"),
         VectorFunctions.cosine(col("corpus_vec"), col("bench_vec")).as("cos"))
       .groupBy("id")

@@ -192,10 +192,27 @@ object StreamingPacking {
 
   /** All assignments written by [[run]] so far. */
   def assignments(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = Option(new java.io.File(s"$stateDir/assignments").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getAbsolutePath)
+    val dirs = listBatchDirs(spark, s"$stateDir/assignments").map(_._2)
     require(dirs.nonEmpty, s"no assignments under $stateDir")
     spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** `batch=N` subdirectories under `dir` via the Hadoop FS layer (the
+    * SAME layer the writes go through — a local `java.io.File` listing
+    * would silently see nothing for hdfs://, s3a://, or a transient mount
+    * error, exactly the failure that must be loud here). A missing parent
+    * directory is a normal empty state; any other listing failure
+    * propagates. */
+  private def listBatchDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toIndexedSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("batch=").toLongOption
+          .map(_ -> st.getPath.toString)
+      }
   }
 
   private def writeState(spark: SparkSession, state: PackState, dir: String): Unit = {
@@ -209,16 +226,19 @@ object StreamingPacking {
   }
 
   /** Latest snapshot with batch index strictly below `epoch` (replay reads
-    * the same seed it saw originally); empty state before the first. */
+    * the same seed it saw originally); empty state before the first.
+    * Checkpointed foreachBatch epochs are sequential from 0, so an
+    * `epoch > 0` with NO earlier snapshot means the state directory was
+    * lost or detached — failing loudly here is what keeps the
+    * bin-sequences-never-collide contract from silently breaking (a fresh
+    * `nextSeq = 0` would reuse every earlier epoch's bin ids). */
   private[streaming] def readStateBefore(spark: SparkSession, dir: String,
       epoch: Long): PackState = {
     import spark.implicits._
-    val candidates = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .flatMap { f =>
-        f.getName.stripPrefix("batch=").toLongOption
-          .filter(_ < epoch).map(_ -> f.getAbsolutePath)
-      }
+    val candidates = listBatchDirs(spark, dir).filter(_._1 < epoch)
+    require(epoch == 0 || candidates.nonEmpty,
+      s"epoch $epoch has no earlier open-bin snapshot under $dir — state " +
+        "directory lost/detached? Seeding empty would reuse earlier bin ids")
     if (candidates.isEmpty) emptyState
     else {
       val latest = candidates.maxBy(_._1)._2

@@ -594,11 +594,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     val bench = (0L until 5L).map { i =>
       (i, Array.tabulate(dim)(j => math.sin(i * 31 + j * 7).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    // corpus: one x2-scaled copy of bench 3 (cosine exactly 1 up to fp) and
-    // two orthogonal-ish unrelated vectors
+    // corpus: one x2-scaled copy of bench 3 (cosine exactly 1 up to fp),
+    // two orthogonal-ish unrelated vectors, AND a scaled copy of bench 2
+    // that REUSES id 2 — corpus and benchmark are independent datasets, so
+    // a shared numeric id must still be compared (the id-exclusion
+    // regression: a corpus doc whose closest benchmark neighbor shares its
+    // id would silently pass clean)
     val corpus = (bench.filter($"vec_id" === 3L)
       .select(lit(100L).as("vec_id"),
         transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding")))
+      .unionByName(bench.filter($"vec_id" === 2L)
+        .select(lit(2L).as("vec_id"),
+          transform($"embedding", x => (x * lit(2.0f)).cast("float")).as("embedding")))
       .unionByName((10L until 12L).map { i =>
         (i, Array.tabulate(dim)(j => math.cos(i * 97 + j * 13).toFloat).toSeq)
       }.toDF("vec_id", "embedding"))
@@ -608,6 +615,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Double, Long, Boolean)].collect().toSeq
     val byId = out.map(r => r._1 -> r).toMap
     assert(byId(100L)._2 > 0.999999 && byId(100L)._3 == 1L && byId(100L)._4)
+    assert(byId(2L)._2 > 0.999999 && byId(2L)._4) // same-id comparison NOT skipped
     assert(!byId(10L)._4 && !byId(11L)._4)
     assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
   }

@@ -1238,10 +1238,12 @@ def main():
                         bins.pop(j)
     w21_rows.sort()
     # the carry must actually happen: some doc lands in a bin opened in an
-    # EARLIER epoch, or the fixture is not exercising the standing state
+    # EARLIER epoch, or the fixture is not exercising the standing state.
+    # A bin's opening epoch is the MIN epoch over its members (rows are
+    # sorted by doc_id, not arrival, so "first row seen" would be wrong).
     w21_first_epoch = {}
     for i, n, sh, b, pos, ov, ep in w21_rows:
-        w21_first_epoch.setdefault(b, ep)
+        w21_first_epoch[b] = min(ep, w21_first_epoch.get(b, ep))
     assert any(ep > w21_first_epoch[b]
                for _, _, _, b, _, _, ep in w21_rows), "no cross-epoch carry"
 
