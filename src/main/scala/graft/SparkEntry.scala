@@ -2010,6 +2010,25 @@ object SparkEntry {
           col("epoch"))
         .orderBy("doc_id")
     }),
+    "d74_pack_efficiency" -> ((s, d) => {
+      // packing-efficiency report over d70's bins — THE operational metric
+      // for whole-doc packing (waste = padding tokens a trainer pays for):
+      // per fill-decile bucket, how many bins/docs land there and their
+      // total fill. Oversize singletons clamp into the top bucket. The
+      // aggregation runs over the bins relation (corpus/docs-per-bin
+      // rows), one shuffle after the pack itself.
+      val packed = Packing.packDocsFirstFit(t(s, d, "documents"),
+        TextFunctions.tokenCount(col("text")),
+        budget = 128L, shards = 4, maxOpenBins = 3)
+      packed.groupBy("bin_id")
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+        .select(least(floor(col("fill") * 10 / 128L), lit(10L)).as("fill_decile"),
+          col("fill"), col("n_docs"))
+        .groupBy("fill_decile")
+        .agg(count(lit(1)).as("n_bins"), sum("n_docs").as("n_docs"),
+          sum("fill").as("sum_fill"))
+        .orderBy("fill_decile")
+    }),
     "d71_blocklist_filter" -> ((s, d) => {
       // C4-style blocklist ("bad word") audit: per-doc total blocklisted
       // occurrences + distinct blocklist terms present, flag if any. The

@@ -1196,6 +1196,19 @@ def main():
         assert f <= D70_BUDGET or any(
             r[3] == b and r[5] for r in d70_rows), (b, f)
 
+    # ---- d74: packing-efficiency report derived from the d70 bins
+    d74_bins = {}
+    for i, n, sh, b, pos, ov in d70_rows:
+        f, c = d74_bins.get(b, (0, 0))
+        d74_bins[b] = (f + n, c + 1)
+    d74_agg = {}
+    for b, (fill, ndocs) in d74_bins.items():
+        dec = min(fill * 10 // D70_BUDGET, 10)
+        nb, nd, sf_ = d74_agg.get(dec, (0, 0, 0))
+        d74_agg[dec] = (nb + 1, nd + ndocs, sf_ + fill)
+    d74_rows = [(dec, nb, nd, sf_)
+                for dec, (nb, nd, sf_) in sorted(d74_agg.items())]
+
     # ---- w21: STANDING packing — the d70 fold with 3 arrival epochs
     # (doc_id % 3), per-shard open bins and sequences carried ACROSS epochs
     # (mirror StreamingPacking.packFold with the d70 parameters).
@@ -1359,6 +1372,10 @@ def main():
                " c4::BIGINT AS n_frames_b FROM (VALUES\n"
                + values(m13_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}")
                + ") AS t(c0, c1, c2, c3, c4) ORDER BY id_a, id_b")
+    d74_sql = ("SELECT c0::BIGINT AS fill_decile, c1::BIGINT AS n_bins,"
+               " c2::BIGINT AS n_docs, c3::BIGINT AS sum_fill FROM (VALUES\n"
+               + values(d74_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY fill_decile")
     w21_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_tokens,"
                " c2::BIGINT AS shard, c3::BIGINT AS bin_id,"
                " c4::BIGINT AS bin_pos, c5::BOOLEAN AS oversize,"
@@ -1448,7 +1465,9 @@ object FixtureOracles {{
     "m13_video_dup_pairs" ->
       \"\"\"{m13_sql}\"\"\",
     "w21_stream_packing" ->
-      \"\"\"{w21_sql}\"\"\")
+      \"\"\"{w21_sql}\"\"\",
+    "d74_pack_efficiency" ->
+      \"\"\"{d74_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
