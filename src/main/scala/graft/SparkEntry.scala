@@ -427,12 +427,20 @@ object SparkEntry {
       val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
       val n = t(s, d, "nation").select("n_nationkey", "n_name")
       val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      // Profit is summed in DECIMAL, not DOUBLE: a double sum is
+      // summation-order-dependent, so Spark's partial-agg order vs DuckDB's
+      // scan order produced last-cent drift (r7: 2/175 rows off by $0.01).
+      // price/discount carry <=2 decimals, so the per-row product is exact
+      // in DECIMAL(25,4); the sum is then order-independent, and the final
+      // cast back to DOUBLE is deterministic on both engines.
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(12,2)")
       l.join(p, col("l_partkey") === col("p_partkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("profit"))
+        .agg(round(sum(price * (lit(1) - disc)), 2).cast("double").as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
     "q40_returned_items" -> ((s, d) => {
@@ -3798,7 +3806,7 @@ object SparkEntry {
          r AS (SELECT anchor_id, corpus_id,
              row_number() OVER (PARTITION BY anchor_id ORDER BY h, corpus_id) AS rank
            FROM s)
-         SELECT anchor_id, corpus_id, rank FROM r WHERE rank <= 5
+         SELECT anchor_id, corpus_id, rank::INT AS rank FROM r WHERE rank <= 5
          ORDER BY anchor_id, rank""",
     "d60_scd2_merge" ->
       """WITH cur AS (SELECT c_custkey, c_acctbal, c_nationkey FROM customer),
@@ -3844,7 +3852,7 @@ object SparkEntry {
          first_seen AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY 1)
          SELECT g.doc_id,
            count(*) AS n_grams,
-           sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel,
+           sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
            round(sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 4) AS novelty
          FROM grams g JOIN first_seen f ON f.g = g.g
@@ -4415,7 +4423,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cos DESC, corpus_id) AS rank
            FROM scored)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // e26: same two-stage shape as e25 with a dim-slice coarse stage; the
     // candidate cutoff tie-breaks (score desc, id asc) on both engines
@@ -4520,7 +4528,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, adc_raw,
                row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
              FROM adc)
-         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank::INT AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // e11: e9's code/LUT CTEs + e6's fixed-cell CTEs; ADC restricted to
     // each query's 2 probed cells.
@@ -4565,7 +4573,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, adc_raw,
                row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
              FROM adc)
-         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank::INT AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // e14: SQ8 search — e7's exact quantization rule (floor(x/scale+0.5),
     // scale = max|x|/127 floored at 1e-30), dequantize, cosine, top-10.
@@ -4584,7 +4592,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, cos,
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
              FROM scored)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     // e13: residual IVF-PQ — e11's oracle with PQ argmins over residuals
     // v − c(cell(v)) and the query LUT keyed by probed cell. Same fixed
@@ -4636,7 +4644,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, adc_raw,
                row_number() OVER (PARTITION BY query_id ORDER BY adc_raw, corpus_id) AS rank
              FROM adc)
-         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank
+         SELECT query_id, corpus_id, round(adc_raw, 6) AS adc_dist, rank::INT AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "e20_ivfpq_rerank" ->
       """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
@@ -4694,7 +4702,7 @@ object SparkEntry {
            rr AS (SELECT query_id, corpus_id, l2sq,
                row_number() OVER (PARTITION BY query_id ORDER BY l2sq, corpus_id) AS rank
              FROM refine)
-         SELECT query_id, corpus_id, round(l2sq, 6) AS l2sq, rank
+         SELECT query_id, corpus_id, round(l2sq, 6) AS l2sq, rank::INT AS rank
          FROM rr WHERE rank <= 5 ORDER BY query_id, rank""",
     // e10: planted exact copies are the only pairs at cosine ≥ 0.95 and
     // inherit their original's cell bit-exactly, so cells, dup links and
@@ -4733,7 +4741,7 @@ object SparkEntry {
     // threshold (corpus max pairwise cosine < 0.7), and sign sketches are
     // scale-invariant, so the exact result is derivable without the sketch
     "e5_cosine_lsh_dup" ->
-      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0::DOUBLE AS cosine
          FROM embeddings WHERE vec_id < 20 ORDER BY id_a, id_b""",
     // e4: fixture oracle from an independent Python Lloyd's — see
     // FixtureOracles (merged below). e6: the probe with fixed centroids is
@@ -4763,7 +4771,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
              FROM scored)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // w8: the at-rest epoch-union search must equal the in-memory probe —
     // e6's oracle verbatim (same fixed centroids, same ranking contract)
@@ -4792,7 +4800,7 @@ object SparkEntry {
            ranked AS (SELECT query_id, corpus_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
              FROM scored)
-         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank::INT AS rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "e12_ann_recall" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
@@ -5294,7 +5302,7 @@ object SparkEntry {
     // corpus are checked by tools/check_entropy_margin.py.
     "q32_window_suite" ->
       """SELECT o_custkey, o_orderkey,
-           ntile(4) OVER w AS quartile,
+           (ntile(4) OVER w)::INT AS quartile,
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist() OVER w, 6) AS cd,
            lag(o_totalprice, 1) OVER w AS prev_price,
@@ -5345,8 +5353,9 @@ object SparkEntry {
              WHERE ps2.l_partkey = p.p_partkey)
          ORDER BY s_acctbal DESC, s_name, p_partkey""",
     "q39_product_profit" ->
-      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+      """SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+           round(sum(l.l_extendedprice::DECIMAL(12,2)
+             * (1 - l.l_discount::DECIMAL(12,2))), 2)::DOUBLE AS profit
          FROM lineitem l
          JOIN part p ON p.p_partkey = l.l_partkey
          JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -5461,7 +5470,7 @@ object SparkEntry {
            FROM lineitem WHERE l_orderkey < 2000),
          b AS (SELECT *, ntile(16) OVER (ORDER BY zkey, l_orderkey, l_linenumber)
              AS bucket FROM z)
-         SELECT bucket, min(l_partkey) AS min_p, max(l_partkey) AS max_p,
+         SELECT bucket::INT AS bucket, min(l_partkey) AS min_p, max(l_partkey) AS max_p,
            min(l_suppkey) AS min_s, max(l_suppkey) AS max_s, count(*) AS n
          FROM b GROUP BY 1 ORDER BY bucket"""
     },
@@ -5472,7 +5481,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY c_mktsegment""",
     "q51_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
+           year(l.l_shipdate)::INT AS l_year,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
          FROM lineitem l
          JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -5486,7 +5495,7 @@ object SparkEntry {
              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q52_market_share" ->
-      """WITH f AS (SELECT year(o.o_orderdate) AS o_year,
+      """WITH f AS (SELECT year(o.o_orderdate)::INT AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
              n2.n_name AS supp_nation
            FROM lineitem l
@@ -5528,9 +5537,9 @@ object SparkEntry {
                THEN '16-45'
              ELSE '46+' END AS latency_bucket,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-             THEN 1 ELSE 0 END) AS high_line_count,
+             THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-             THEN 0 ELSE 1 END) AS low_line_count
+             THEN 0 ELSE 1 END)::BIGINT AS low_line_count
          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
            AND l.l_shipdate < TIMESTAMP '1997-01-01'

@@ -99,6 +99,38 @@ object Similarity {
     picked.toDF("centroid_id", "centroid_vec")
   }
 
+  /** Scale rule for the IVF cell count: grow cells with the corpus so the
+    * EXPECTED CELL SIZE stays bounded (~256 vectors), per published IVF
+    * practice (FAISS guidelines, SemDeDup §3). A FIXED cell count makes
+    * within-cell pair work quadratic in the corpus — measured 23-26× time
+    * at 10× data with 8 pinned cells vs 2.8-4.4× under this rule
+    * (BENCH_sf1.json). Callers that pass explicit centroids own this
+    * choice; the no-centroids overloads below apply the rule so the
+    * DEFAULT shape is never the quadratic one. */
+  def defaultCellCount(nVectors: Long): Int = math.max(8, (nVectors / 256).toInt)
+
+  /** Centroid relation under the scale rule — one count + one sampled seed
+    * pass. Shared by the no-centroids overloads. */
+  def defaultCentroids(corpus: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    sampledCentroids(corpus, defaultCellCount(corpus.count()), vecCol, idCol)
+
+  /** [[semanticDedup]] with centroids derived under the scale rule. */
+  def semanticDedup(vectors: DataFrame, threshold: Double): DataFrame =
+    semanticDedup(vectors, defaultCentroids(vectors), threshold)
+
+  /** [[knnGraph]] with centroids derived under the scale rule. */
+  def knnGraph(vectors: DataFrame, k: Int): DataFrame =
+    knnGraph(vectors, defaultCentroids(vectors), k)
+
+  /** [[ivfTopK]] with centroids derived under the scale rule and a
+    * proportional probe budget (~1/16 of cells, ≥1). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cents = defaultCentroids(corpus)
+    val nCells = cents.count().toInt
+    ivfTopK(corpus, queries, cents, k, nProbe = math.max(1, nCells / 16))
+  }
+
   /** Product-quantization codebooks from a centroid relation: the `dim`-d
     * vectors are cut into `m` equal subspaces; codebook `j` holds every
     * centroid's j-th slice. Centroid tables are k rows by design, so the

@@ -126,6 +126,47 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
     assert(v.exists(_.contains("documents.lang: MISSING")))
   }
 
+  // ------------------------------------- check_oracle.py driver-faithful mode
+
+  /** Round-7 postmortem: the local tolerance gate claimed "218 all green"
+    * while the driver's typed-value hash FAILed 3 queries (HUGEINT-vs-BIGINT
+    * result types; last-cent float drift). `--exact` mode must see BOTH
+    * failure classes so the local gate can never again disagree with the
+    * driver. Shells out to the real script; skipped when python3+duckdb or
+    * the testdata dir is absent (e.g. bare CI). */
+  test("check_oracle --exact FAILs type-mismatch and float-drift dumps that tolerance mode passes") {
+    import scala.sys.process._
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, "testdata not present")
+    assume(Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => ())) == 0, "python3+duckdb not available")
+    val out = tmp("gate-exact")
+    // t1: Spark dumps BIGINT 30; DuckDB types sum(INTEGER) as HUGEINT 30 —
+    // equal values, different types: the d58/q55 failure class.
+    spark.range(1).selectExpr("30L AS n")
+      .coalesce(1).write.parquet(out.resolve("t1").toString)
+    // t2: last-bit float difference — the q39 failure class.
+    spark.range(1).selectExpr("CAST(0.30000000000000004 AS DOUBLE) AS v")
+      .coalesce(1).write.parquet(out.resolve("t2").toString)
+    Files.writeString(out.resolve("oracle_sql.json"),
+      """{"t1": "SELECT sum(x) AS n FROM (VALUES (30)) t(x)",
+         | "t2": "SELECT 0.3::DOUBLE AS v"}""".stripMargin)
+    val buf = new StringBuilder
+    val logger = ProcessLogger(l => buf.append(l).append('\n'), _ => ())
+    val tol = Process(Seq("python3", "tools/check_oracle.py",
+      sfDir, out.toString)).!(logger)
+    assert(tol == 0, s"tolerance mode must pass both dumps:\n$buf")
+    buf.clear()
+    val exact = Process(Seq("python3", "tools/check_oracle.py", "--exact",
+      sfDir, out.toString)).!(logger)
+    assert(exact != 0, "exact mode must FAIL")
+    val report = buf.toString
+    assert(report.contains("t1") && report.contains("result type mismatch")
+      && report.contains("HUGEINT"), s"expected a t1 type-mismatch row:\n$report")
+    assert(report.contains("t2") && report.contains("float mismatch (exact)"),
+      s"expected a t2 exact-float row:\n$report")
+  }
+
   // ------------------------------------------------- events ts adaptivity
 
   test("SparkEntry.events normalizes BIGINT-nanos and timestamp[us] ts identically") {

@@ -187,6 +187,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out(0)._2 == 0 && out(2)._2 == 1)        // cells follow the clusters
   }
 
+  test("defaultCellCount follows the bounded-cell-size scale rule") {
+    // a FIXED cell count goes quadratic at scale; the default must grow
+    // with the corpus (expected cell size ~256) and never drop below 8
+    assert(Similarity.defaultCellCount(0L) == 8)
+    assert(Similarity.defaultCellCount(2048L) == 8)
+    assert(Similarity.defaultCellCount(256L * 64) == 64)
+    assert(Similarity.defaultCellCount(20000L) == 78)   // sf1 embeddings
+    assert(Similarity.defaultCellCount(100000000L) == 390625)
+  }
+
+  test("no-centroids overloads equal explicit calls under the scale rule") {
+    val data = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.14f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.97f, 0.24f)),
+      (4L, Array(1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.defaultCentroids(data)
+    assert(cents.count() == 5) // min(n, max(8, n/256)) seeds available
+    val explicit = Similarity.semanticDedup(data, cents, threshold = 0.95)
+      .orderBy("vec_id").collect().toSeq
+    val defaulted = Similarity.semanticDedup(data, threshold = 0.95)
+      .orderBy("vec_id").collect().toSeq
+    assert(defaulted == explicit)
+    val g1 = Similarity.knnGraph(data, cents, k = 2).orderBy("id", "rank").collect().toSeq
+    val g2 = Similarity.knnGraph(data, k = 2).orderBy("id", "rank").collect().toSeq
+    assert(g2 == g1)
+  }
+
   test("text functions: tokens, quality, lang id") {
     val df = Seq(
       "The cat sat on the mat and it was a good day for everyone involved.",

@@ -1,13 +1,22 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py [--exact] <sfDir> <verifyOutDir>
 
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle_sql.json SQL in DuckDB over <sfDir>/*.parquet, sorts columns by name
-and rows by all columns, and compares values (exact for non-floats, 1e-9
-tolerance report for floats so float-risk is visible before the driver's
-hash compare).
+and rows by all columns, and compares values.
+
+Two modes:
+  default (tolerance) — floats compared at 1e-6 abs/rel; good for
+    iteration, but BLIND to what the driver's hash gate sees (round-7
+    postmortem: d58/q55 passed here with HUGEINT-vs-BIGINT result types
+    and q39 passed with a last-cent float delta, then all three FAILed
+    the driver's typed-value hash).
+  --exact (or GRAFT_EXACT=1) — driver-faithful: FAILs on any result-type
+    mismatch between the DuckDB oracle result (DESCRIBE) and the dumped
+    Spark parquet schema (DuckDB's view of it), and on any float whose
+    exact repr differs. Run THIS mode before claiming a query green.
 """
 import json
 import math
@@ -32,7 +41,7 @@ def norm(rows):
     return sorted(out, key=lambda t: tuple(("" if x is None else str(x)) for x in t))
 
 
-def cmp_rows(a, b):
+def cmp_rows(a, b, exact=False):
     if len(a) != len(b):
         return f"row count {len(a)} vs {len(b)}"
     worst = 0.0
@@ -42,6 +51,12 @@ def cmp_rows(a, b):
         for va, vb in zip(ra, rb):
             if isinstance(va, float) and isinstance(vb, float):
                 if math.isnan(va) and math.isnan(vb):
+                    continue
+                if exact:
+                    # The driver hashes the value itself; any bit-level
+                    # difference (e.g. summation-order rounding) FAILs there.
+                    if va != vb:
+                        return f"float mismatch (exact) {va!r} vs {vb!r}"
                     continue
                 d = abs(va - vb)
                 rel = d / max(abs(va), abs(vb), 1e-12)
@@ -53,8 +68,29 @@ def cmp_rows(a, b):
     return f"OK (worst float delta {worst:.2e})" if worst > 0 else "OK"
 
 
+def result_types(con, sql):
+    """column -> DuckDB type string for a query's result schema."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
+def type_mismatches(spark_types, duck_types):
+    """Driver-faithful type identity: the driver hashes TYPED values, so
+    DuckDB HUGEINT 30 != the BIGINT 30 Spark dumped even though the
+    tolerance compare (python ints) can't tell them apart. Compare the
+    DuckDB-read parquet schema against the DuckDB oracle result schema
+    verbatim — any difference is a driver-hash FAIL."""
+    bad = []
+    for c in sorted(set(spark_types) | set(duck_types)):
+        st, dt = spark_types.get(c), duck_types.get(c)
+        if st != dt:
+            bad.append(f"{c}: spark={st} oracle={dt}")
+    return bad
+
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv or os.environ.get("GRAFT_EXACT") == "1"
+    sf_dir, out_dir = argv[0], argv[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -110,14 +146,28 @@ def main():
             print(f"FAIL  {name}: columns {spark_cols} vs oracle {cols}")
             n_bad += 1
             continue
-        verdict = cmp_rows(spark_rows, duck_rows)
+        if exact:
+            try:
+                st = result_types(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                dt = result_types(con, f"SELECT * FROM ({oracle[name]}) oq")
+            except Exception as e:
+                print(f"FAIL  {name}: DESCRIBE error: {e}")
+                n_bad += 1
+                continue
+            bad = type_mismatches(st, dt)
+            if bad:
+                print(f"FAIL  {name}: result type mismatch [{'; '.join(bad)}]")
+                n_bad += 1
+                continue
+        verdict = cmp_rows(spark_rows, duck_rows, exact=exact)
         if verdict.startswith("OK"):
             print(f"ok    {name}: {len(spark_rows)} rows  {verdict[3:]}")
             n_ok += 1
         else:
             print(f"FAIL  {name}: {verdict}")
             n_bad += 1
-    print(f"\n{n_ok} ok, {n_bad} fail, {n_rowsonly} rows-only")
+    mode = "exact (driver-faithful)" if exact else "tolerance (iteration only)"
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_rowsonly} rows-only  [mode: {mode}]")
     sys.exit(1 if n_bad else 0)
 
 
