@@ -472,12 +472,18 @@ object Multimodal {
     * id_a < id_b; frame counts are DISTINCT-frame counts, the denominator
     * for any downstream containment/Jaccard score. */
   def videoDupPairs(media: DataFrame, minShared: Int = 3, maxDf: Int = 64,
-      idCol: String = "media_id", bytesCol: String = "content"): DataFrame = {
+      idCol: String = "media_id", bytesCol: String = "content"): DataFrame =
+    videoDupPairsWithRelease(media, minShared, maxDf, idCol, bytesCol)._1
+
+  /** [[videoDupPairs]] plus a release hook for the persisted frame-hash
+    * relation (the packEpoch convention): long-lived sessions call the
+    * hook after materializing the result so repeated invocations don't
+    * accumulate cache entries until a clearCache. The no-hook overload
+    * keeps the one-shot/gate ergonomics. */
+  def videoDupPairsWithRelease(media: DataFrame, minShared: Int = 3, maxDf: Int = 64,
+      idCol: String = "media_id", bytesCol: String = "content"): (DataFrame, () => Unit) = {
     // persisted for the three consumers below (frame counts, df cap,
-    // candidate join); lives until the session's next clearCache — callers
-    // embedding this in a long-lived service should unpersist the returned
-    // plan's source after materializing (the repo-wide persist convention,
-    // e.g. cosineSelfJoinLsh)
+    // candidate join)
     val fhs = videoFrameHashes(media, idCol, bytesCol)
       .select(col("media_id"), col("fh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -487,13 +493,14 @@ object Multimodal {
         .filter(col("df") <= maxDf).select("fh"), "fh")
     val a = kept.select(col("fh"), col("media_id").as("id_a"))
     val b = kept.select(col("fh"), col("media_id").as("id_b"))
-    a.join(b, Seq("fh")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("fh")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(nFrames.select(col("media_id").as("id_a"), col("nf").as("n_frames_a")), "id_a")
       .join(nFrames.select(col("media_id").as("id_b"), col("nf").as("n_frames_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_shared"),
         col("n_frames_a"), col("n_frames_b"))
+    (pairs, () => { fhs.unpersist(); () })
   }
 
   /** Perceptual difference-hash (dHash) over the REAL decoded raster — the

@@ -769,6 +769,14 @@ object Similarity {
     val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("corpus_vec"))
     val b = benchmark.select(col(benchIdCol).cast("long").as("bench_id"),
       col(vecCol).as("bench_vec"))
+    // SAFETY GATE: an empty benchmark would make the crossJoin drop every
+    // corpus row, and "no output" reads as "nothing contaminated" — an
+    // accidentally-empty eval set must fail LOUDLY, not pass silently.
+    // The one-row existence probe is negligible next to the scoring pass.
+    require(!b.isEmpty,
+      "semanticDecontaminate: benchmark relation is EMPTY — refusing to " +
+        "certify a corpus clean against no benchmark (check the benchmark " +
+        "load/filter)")
     // every corpus row scores against EVERY benchmark row — corpus and
     // benchmark are independent datasets, so a shared numeric id is a
     // coincidence, never a self-match to exclude (an id-inequality join

@@ -157,12 +157,18 @@ object StreamingPacking {
     var state = emptyState
     (0 until nBatches).map { epoch =>
       val batch = docs.filter(pmod(col(idCol), lit(nBatches)) === epoch)
-      // the per-epoch cache stays live: the folds are consumed once more by
-      // the caller's union (corpus-sized once across all epochs, not per)
-      val (assignments, next, _) =
+      val (assignments, next, release) =
         packEpoch(batch, countCol, state, budget, shards, maxOpenBins, idCol)
       state = next
-      assignments.withColumn("epoch", lit(epoch.toLong))
+      // eagerly materialize this epoch's assignments (lineage truncated),
+      // then release the epoch's fold cache immediately: at most ONE
+      // epoch's fold is live at any time, instead of nBatches leaked
+      // corpus-scale cache entries accumulating until a clearCache. The
+      // checkpointed epoch slices sum to one corpus across all epochs.
+      val materialized =
+        assignments.withColumn("epoch", lit(epoch.toLong)).localCheckpoint(true)
+      release()
+      materialized
     }.reduce(_.unionByName(_))
   }
 
@@ -185,9 +191,31 @@ object StreamingPacking {
         assignments.write.mode("overwrite")
           .parquet(s"$stateDir/assignments/batch=$epoch")
         writeState(spark, next, s"$stateDir/bins/batch=$epoch")
+        // snapshot retention: only the latest strictly-earlier snapshot is
+        // ever read (epoch e replays read e-1), so everything below e-1 is
+        // dead weight — without pruning, a genuinely standing query's
+        // readStateBefore listing grows linearly in epoch count
+        pruneStateBefore(spark, s"$stateDir/bins", epoch - 1)
         release()
       }
       .start()
+  }
+
+  /** Delete `batch=<i>` snapshot dirs with i < `keepFrom`. Replay safety:
+    * a checkpointed foreachBatch only ever re-runs the latest uncommitted
+    * epoch, and epoch e's seed is the latest snapshot < e — so when epoch
+    * e completes, e-1 must survive (e may still replay) and anything
+    * earlier is unreachable. Assignments are DATA, not state, and are
+    * never pruned. */
+  private[streaming] def pruneStateBefore(spark: SparkSession, dir: String,
+      keepFrom: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listBatchDirs(spark, dir)
+      .filter(_._1 < keepFrom)
+      .foreach { case (_, p) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
   }
 
   /** All assignments written by [[run]] so far. */

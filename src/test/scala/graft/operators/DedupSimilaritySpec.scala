@@ -646,6 +646,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byId(2L)._2 > 0.999999 && byId(2L)._4) // same-id comparison NOT skipped
     assert(!byId(10L)._4 && !byId(11L)._4)
     assert(byId(10L)._3 == 0L && byId(11L)._3 == 0L)
+
+    // SAFETY: an accidentally-empty benchmark must refuse loudly, never
+    // return an empty frame that reads as "nothing contaminated"
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, bench.limit(0), threshold = 0.95)
+    }
+    assert(err.getMessage.contains("EMPTY"))
   }
 
   test("filtered ANN: pre-filter IVF at full probe equals brute force over the filtered corpus") {

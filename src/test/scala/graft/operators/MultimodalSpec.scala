@@ -316,5 +316,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b", "n_shared")
       .as[(Long, Long, Long)].collect().toSet
     assert(capped == Set((6L, 100L, 1L)))
+
+    // long-lived sessions: the WithRelease overload frees the persisted
+    // frame-hash relation instead of leaking one cache entry per call
+    // a distinct input plan: the CacheManager dedupes identical plans, so
+    // reusing `media` would piggyback on the cache the calls above left
+    val media2 = media.filter($"media_id" =!= 7L)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (rel, release) = Multimodal.videoDupPairsWithRelease(media2, minShared = 3)
+    assert(rel.count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release hook must unpersist the frame-hash cache")
   }
 }

@@ -81,5 +81,30 @@ class StreamingPackingSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "n_tokens", "shard", "bin_id", "bin_pos", "oversize")
       .as[(Long, Long, Int, Long, Int, Boolean)].collect().toSeq.sortBy(_._1)
     assert(streamed == fold) // no loss, no dupes, identical bins across restart
+
+    // snapshot retention: a standing query must not accumulate one bins/
+    // snapshot per epoch forever — after epoch e only e and e-1 (the
+    // replay seed) survive; assignments (data) are never pruned
+    val binDirs = new java.io.File(s"$stateDir/bins").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(binDirs == Seq("batch=1", "batch=2"),
+      s"expected pruned snapshots, got $binDirs")
+    val assignDirs = new java.io.File(s"$stateDir/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(assignDirs == Seq("batch=0", "batch=1", "batch=2"))
+  }
+
+  test("pruneStateBefore removes only strictly-older snapshots") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    (0L to 3L).foreach { i =>
+      Seq((1, 0L, 1L, 1, 1L)).toDF("shard", "seq", "fill", "count", "next_seq")
+        .write.parquet(s"$dir/batch=$i")
+    }
+    StreamingPacking.pruneStateBefore(spark, dir, keepFrom = 2L)
+    val left = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(left == Seq("batch=2", "batch=3"))
+    // pruning an empty/missing dir is a no-op, not an error
+    StreamingPacking.pruneStateBefore(spark, s"$dir-missing", keepFrom = 5L)
   }
 }
