@@ -1,6 +1,26 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "singerspark"
+
+// Explicit root so the adapter-check subproject below is NOT aggregated
+// into the default compile/test path (it is an on-demand bit-rot check).
+lazy val root = (project in file("."))
+
+// `sbt adapterStubCompile` typechecks tools/adapters (the live
+// kafka/pulsar client seam half, unbuildable here: zero egress, no client
+// jars) against embedded public-API stubs in tools/adapter-stubs — so a
+// signature drift in the seams (EpochProducer, BrokerAdmin, …) or a stale
+// client call is caught without network. Runtime use of the stubs is
+// impossible (every body throws).
+lazy val adapterCheck = (project in file("tools/adapter-check"))
+  .dependsOn(root)
+  .settings(
+    unmanagedBase := file("/opt/spark/jars"),
+    Compile / unmanagedSourceDirectories := Seq(
+      (ThisBuild / baseDirectory).value / "tools" / "adapters",
+      (ThisBuild / baseDirectory).value / "tools" / "adapter-stubs"),
+  )
+addCommandAlias("adapterStubCompile", "adapterCheck/compile")
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -24,6 +24,10 @@
 // Everything protocol-level (begin/send/barrier/commit-or-abort, leaderless
 // skip, refresh/stale-on-failure) already lives, tested, behind the seams —
 // these classes only translate the seam's narrow API onto the client jars.
+//
+// Bit-rot guard: `sbt adapterStubCompile` typechecks this file against
+// embedded public-API stubs (tools/adapter-stubs/ClientApiStubs.scala), so
+// seam-signature drift is caught in CI without the client jars.
 
 package graft.adapters
 
