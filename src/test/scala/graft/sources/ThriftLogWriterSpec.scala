@@ -50,4 +50,40 @@ class ThriftLogWriterSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close() }
     assert(files == Seq("app.log"), s"rotated files must be reaped: $files")
   }
+
+  test("python producer writes byte-identical frames the engine codec round-trips") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "--version"))
+      .!(ProcessLogger(_ => ())) == 0, "python3 not available")
+    val dir = Files.createTempDirectory("graft-tlw-py")
+    val rc = Process(Seq("python3", "tools/thrift_log_writer.py",
+      "--selftest", dir.toString, "py")).!(ProcessLogger(_ => ()))
+    assert(rc == 0, "python selftest writer failed")
+    val bytes = Files.readAllBytes(dir.resolve("py.log"))
+
+    // 1) the engine codec decodes every record with verifying CRCs
+    val recs = ThriftLogCodec.decodeFrames(bytes).toSeq
+    assert(recs.length == 5)
+    val expected = Seq[(Array[Byte], Array[Byte], Long)](
+      ("k0".getBytes, "hello from python".getBytes, 1000000001L),
+      ("key-1".getBytes, "snowman ☃ payload".getBytes("UTF-8"), 2000000002L),
+      ("k2".getBytes, Array.emptyByteArray, 3000000003L),
+      (Array.emptyByteArray, "no key record".getBytes, 4000000004L),
+      ("binary".getBytes, Array.tabulate(256)(_.toByte), 5000000005L))
+    recs.zip(expected).foreach { case (r, (k, m, ts)) =>
+      assert(r.key.toSeq == k.toSeq && r.message.toSeq == m.toSeq)
+      assert(r.timestampNanos == ts)
+      val crc = new java.util.zip.CRC32(); crc.update(m)
+      assert(r.checksum == crc.getValue, "python CRC32 must verify in the engine")
+    }
+
+    // 2) re-encoding with the Scala codec reproduces the file byte for byte
+    val reencoded = expected.flatMap { case (k, m, ts) =>
+      val crc = new java.util.zip.CRC32(); crc.update(m)
+      ThriftLogCodec.encodeFrame(k, m,
+        timestampNanos = Some(ts), checksum = Some(crc.getValue)).toSeq
+    }
+    assert(reencoded == bytes.toSeq,
+      "python and Scala producers must agree on every frame byte")
+  }
 }
