@@ -85,6 +85,19 @@ object BenchScale {
         Similarity.knnGraph(emb, cents, k = 3)
           .queryExecution.toRdd.count()
       }
+    // the NO-CENTROIDS overloads (scale-rule cells derived internally,
+    // including the count + sampled-seed passes): what a caller gets when
+    // they DON'T choose a cell count — must match the scaledcells shape
+    if (wanted("e10_semantic_dedup_default"))
+      results += time("e10_semantic_dedup_default") {
+        Similarity.semanticDedup(emb, threshold = 0.95)
+          .queryExecution.toRdd.count()
+      }
+    if (wanted("e17_knn_graph_default"))
+      results += time("e17_knn_graph_default") {
+        Similarity.knnGraph(emb, k = 3)
+          .queryExecution.toRdd.count()
+      }
     // e22 with the benchmark held at a FIXED size (eval suites do not grow
     // with the corpus): the gate query ties benchmark size to the corpus
     // (label 0 ≈ 10% of rows), which squares the pair work at 10× — this is

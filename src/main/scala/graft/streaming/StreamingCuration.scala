@@ -62,6 +62,14 @@ object StreamingCuration {
       .select(col(idCol), col(textCol),
         TextFunctions.qualityScoreOfProfile(TextFunctions.textProfile(col(textCol))).as("q"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE the five verdict branches fan out:
+    // when the caller triggers the union, AQE launches the branches (and
+    // their broadcast-subquery jobs) concurrently, and every one of them
+    // races to compute the not-yet-populated cache — profiled at sf0.01 as
+    // ten uniform ~1.1 s single-task stages per epoch, all re-running the
+    // scan+profile upstream (w7 event-log breakdown, PLANS.md). One eager
+    // pass makes the branches cache readers.
+    scored.count()
     val qualityDrop = scored.filter(col("q") < minQuality)
       .select(col(idCol), lit("quality").as("stage"), nullShard)
     val s1 = scored.filter(col("q") >= minQuality)
@@ -163,7 +171,21 @@ object StreamingCuration {
     var sigs = emptySigs(spark)
     var verdicts = List.empty[DataFrame]
     (0 until nBatches).foreach { b =>
-      val batch = docs.filter(col(idCol) >= lo + b * span && col(idCol) < lo + (b + 1) * span)
+      // the batch slice is checkpointed BEFORE entering curateBatch, and
+      // the state is compacted to ONE checkpointed relation per epoch —
+      // both so every epoch's curation plan is TEXTUALLY IDENTICAL (same
+      // shape, no epoch-varying literals, single-relation state instead of
+      // a growing union): Spark's codegen cache is keyed on generated
+      // source, and profiled at sf0.01 the epoch loop spent ~1.4 s/stage
+      // × 10 stages × epoch re-Janino-compiling fragments that differed
+      // only in the inlined id-range bounds (PLANS.md w7 breakdown; this
+      // change measured 33.7 → 27.1 s end-to-end at sf0.01, 16.7 → 15.3 s
+      // isolated best-of-2 at sf0.1). This also matches true streaming,
+      // where each micro-batch arrives as a materialized relation, not a
+      // filtered view of the corpus.
+      val batch = docs
+        .filter(col(idCol) >= lo + b * span && col(idCol) < lo + (b + 1) * span)
+        .localCheckpoint(true)
       val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
         minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
       val vc = v.localCheckpoint(true)
@@ -171,8 +193,8 @@ object StreamingCuration {
       val sdc = sd.localCheckpoint(true)
       release()
       verdicts ::= vc
-      digests = digests.unionByName(ddc)
-      sigs = sigs.unionByName(sdc)
+      digests = digests.unionByName(ddc).localCheckpoint(true)
+      sigs = sigs.unionByName(sdc).localCheckpoint(true)
     }
     probeH.unpersist(false)
     verdicts.reduce(_ unionByName _)
