@@ -2018,6 +2018,74 @@ object SparkEntry {
           col("epoch"))
         .orderBy("doc_id")
     }),
+    "d76_gopher_quality" -> ((s, d) =>
+      // Gopher rule battery (Rae et al. 2021 appendix A): the standard
+      // pretraining pre-filter, one projection over the shared token array
+      // (see TextFunctions.gopherRules for the determinism contract — all
+      // integer arithmetic and integer-over-integer divisions, so the
+      // oracle reproduces every field exactly, no rounding anywhere).
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.n_required_stop").as("n_required_stop"),
+          col("g.passes").as("passes"))
+        .orderBy("doc_id")),
+    "d77_cdc_compact" -> ((s, d) => {
+      // changelog compaction (Debezium-style I/U/D stream → current
+      // snapshot): the ingest side of a metadata/dimension maintenance
+      // loop. The changelog is synthesized deterministically from orders
+      // (every row inserts; %7 keys update the price at seq 2; %13 keys
+      // delete at seq 3), so the compacted state is SQL-predictable. ONE
+      // key shuffle: window rank by seq desc, keep latest, drop deletes.
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val ins = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("seq"), lit("I").as("op"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val del = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit(3L).as("seq"), lit("D").as("op"))
+      graft.operators.Cdc.compactChangelog(
+          ins.unionByName(upd).unionByName(del), Seq("o_orderkey"), "seq", "op")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("op").as("last_op"))
+        .orderBy("o_orderkey")
+    }),
+    "d78_snapshot_diff" -> ((s, d) => {
+      // keyed snapshot diff — the refresh audit before promoting a new
+      // table version: added/removed/changed per key with the sorted list
+      // of differing columns. The "after" snapshot applies deterministic
+      // mutations (%13 removed, %7 price bump, %11 status flip, %17
+      // re-keyed copies added), so every change row is SQL-predictable.
+      // Unchanged keys drop — the diff output is the small relation.
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val after = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      graft.operators.Cdc.snapshotDiff(o, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "d80_soft_dedup_weights" -> ((s, d) =>
+      // soft dedup: down-weight duplicates (weight = 1/group size) instead
+      // of dropping them — a group of n copies carries one doc's worth of
+      // mixture mass. Digest-only aggregation + digest join back.
+      Dedup.softDedupWeights(t(s, d, "documents")).orderBy("doc_id")),
     "d74_pack_efficiency" -> ((s, d) => {
       // packing-efficiency report over d70's bins — THE operational metric
       // for whole-doc packing (waste = padding tokens a trainer pays for):
@@ -3911,6 +3979,91 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     // d70: fixture oracle — exact Python replay of the sharded FFD fold
     // (FixtureOracles, merged below)
+    "d76_gopher_quality" ->
+      """WITH s AS (SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> length(t) > 0) AS toks
+           FROM documents),
+         m AS (SELECT doc_id, text, toks, len(toks) AS n,
+           (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '…', '')))
+             + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+           FROM s),
+         r AS (SELECT doc_id,
+           n::BIGINT AS n_words,
+           CASE WHEN n = 0 THEN 0.0
+             ELSE list_sum(list_transform(toks, t -> length(t)))::DOUBLE / n
+           END AS mean_word_len,
+           CASE WHEN n = 0 THEN 0.0 ELSE n_sym::DOUBLE / n END AS symbol_ratio,
+           CASE WHEN n = 0 THEN 0.0
+             ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / n
+           END AS alpha_word_frac,
+           coalesce(len(list_intersect(
+             list_transform(toks, t -> lower(t)),
+             ['the','be','to','of','and','that','have','with'])), 0)::BIGINT
+             AS n_required_stop
+           FROM m)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_required_stop,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND n_required_stop >= 2) AS passes
+         FROM r ORDER BY doc_id""",
+    "d77_cdc_compact" ->
+      """WITH log AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             1::BIGINT AS seq, 'I' AS op FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1,
+             2::BIGINT, 'U' FROM orders WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             3::BIGINT, 'D' FROM orders WHERE o_orderkey % 13 = 0),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+           FROM log)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           op AS last_op
+         FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""",
+    "d78_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+         a AS (SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 13 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice
+           FROM orders WHERE o_orderkey % 17 = 0),
+         j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             b.o_orderkey IS NOT NULL AS in_b,
+             a.o_orderkey IS NOT NULL AS in_a,
+             list_sort(list_filter([
+               CASE WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey)
+                 THEN 'o_custkey' END,
+               CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+                 THEN 'o_orderstatus' END,
+               CASE WHEN NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+                 THEN 'o_totalprice' END], x -> x IS NOT NULL)) AS diffs
+           FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+         SELECT o_orderkey,
+           CASE WHEN NOT in_b THEN 'added'
+             WHEN NOT in_a THEN 'removed' ELSE 'changed' END AS change_type,
+           CASE WHEN in_b AND in_a THEN diffs ELSE []::VARCHAR[] END
+             AS changed_cols
+         FROM j
+         WHERE NOT in_b OR NOT in_a OR len(diffs) > 0
+         ORDER BY o_orderkey""",
+    "d80_soft_dedup_weights" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS group_size
+           FROM documents GROUP BY 1)
+         SELECT doc_id, group_size, 1.0::DOUBLE / group_size AS weight
+         FROM documents d JOIN g ON md5(d.text) = g.h
+         ORDER BY doc_id""",
     "d73_dedup_threshold_sweep" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

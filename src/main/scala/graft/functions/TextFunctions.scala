@@ -118,6 +118,59 @@ object TextFunctions {
     round(lenScore * 0.25 + punctScore * 0.25 + swScore * 0.25 + wordScore * 0.25, 4)
   }
 
+  /** The required-stopword set of the Gopher quality rules (Rae et al.
+    * 2021, appendix A — public paper): a natural-language English document
+    * should contain at least 2 of these. */
+  val gopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule struct (Rae et al. 2021, appendix A) — the
+    * standard pretraining pre-filter battery, computed in ONE projection
+    * over the token array so every metric shares the tokenization:
+    *
+    *   - `n_words`, `mean_word_len` (rule: 50 ≤ n ≤ 100k, 3 ≤ mean ≤ 10)
+    *   - `symbol_ratio`: (`#` chars + `…` chars + literal `...` runs) per
+    *     word (rule: < 0.1)
+    *   - `alpha_word_frac`: fraction of words containing a latin letter
+    *     (rule: > 0.8)
+    *   - `n_required_stop`: distinct hits in [[gopherRequiredStopwords]]
+    *     (rule: ≥ 2)
+    *   - `passes`: the conjunction.
+    *
+    * The paper's LINE-based rules (bullet-start / ellipsis-end fractions)
+    * are omitted: they need a line structure this engine treats as a
+    * presentation concern (a caller with multi-line text can explode on
+    * `\n` and aggregate the same way). Every field is integer arithmetic or
+    * an integer-over-integer division, so the struct is exactly
+    * reproducible on any SQL engine — no float accumulation order anywhere.
+    * `...` counting uses non-overlapping left-to-right replace semantics,
+    * identical across engines. */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nd = n.cast("double")
+    val sumLen = length(concat_ws("", toks))
+    val meanLen = when(n === 0, lit(0.0)).otherwise(sumLen.cast("double") / nd)
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsisChar = length(text) - length(replace(text, lit("…"), lit("")))
+    val nEllipsisRun = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val symbolRatio = when(n === 0, lit(0.0)).otherwise(
+      (nHash + nEllipsisChar + nEllipsisRun).cast("double") / nd)
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nd)
+    val nStop = size(array_intersect(
+      transform(toks, t => lower(t)),
+      array(gopherRequiredStopwords.map(lit): _*)))
+    struct(
+      n.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      nStop.cast("long").as("n_required_stop"),
+      (n >= 50 && n <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio < 0.1 && alphaFrac > 0.8 && nStop >= 2).as("passes"))
+  }
+
   /** Mean token length over a precomputed token array — sum of token lengths
     * is `length(concat_ws("", toks))`, all codegen'd. */
   def meanTokenLengthOf(toks: Column): Column =

@@ -33,6 +33,31 @@ object Dedup {
     docs.join(keep, idCol)   // keep-set is small relative to docs ⇒ AQE broadcasts when it fits
   }
 
+  /** Soft dedup: instead of DROPPING duplicates, down-WEIGHT them — each
+    * document gets sampling weight `1 / |its exact-duplicate group|`, so a
+    * group of n copies contributes one document's worth of probability mass
+    * to the training mixture (the "soft" alternative to survivor-only
+    * dedup: repeated content is de-emphasized, not erased, preserving the
+    * signal that popular content carries while killing the n× gradient
+    * boost raw duplication gives it).
+    *
+    * Scale shape: same digest-only aggregation as
+    * [[exactDuplicateGroups]] (shuffle carries (16-byte md5, id)), then the
+    * small group relation joins back on the digest — a second key shuffle,
+    * no row texts move twice, and the join is AQE-broadcastable when the
+    * duplicate-group relation is small (the common case: most groups are
+    * singletons and collapse in the map-side partial aggregation).
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val groups = docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"))
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(groups, "content_hash")
+      .select(col(idCol), col("group_size"),
+        (lit(1.0) / col("group_size").cast("double")).as("weight"))
+  }
+
   /** Normalization-aware exact dedup (CCNet-style): documents identical up
     * to case, accents, digit values, punctuation, and whitespace fall into
     * one group — the standard pre-hash canonicalization of web-corpus
