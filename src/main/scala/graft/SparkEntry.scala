@@ -2856,6 +2856,41 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("event_id")
     }),
+    "a5_asof_stream" -> ((s, d) => {
+      // STREAM-STREAM as-of: a1's join replayed through the streaming
+      // operator's epoch fold (StreamingAsof.asofFold — the exact
+      // per-trigger semantics of flatMapGroupsWithState). Rows arrive in 3
+      // time-ordered epochs (800-day slices of the shared date axis; rights
+      // beyond the axis clamp into the last epoch), the watermark advances
+      // to each slice boundary, and a final flush drains state. Because
+      // the slicing respects the watermark (nothing late), fold ≡ batch
+      // asofBackward EXACTLY — so a1's LATERAL oracle gates the streaming
+      // fold rules and the cross-epoch state carry, including the
+      // dominated-right pruning (only the latest right at-or-before the
+      // watermark survives an epoch).
+      val day0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay * 86400000L
+      val epochOf = (dayCol: org.apache.spark.sql.Column) =>
+        least(greatest(floor(dayCol / 800).cast("int"), lit(0)), lit(2))
+      val lefts = events(s, d).select(
+        col("user_id").as("key"), lit(true).as("is_left"),
+        (lit(day0) + pmod(col("event_id"), lit(2400)) * 86400000L).as("t"),
+        col("event_id").as("id"), lit(0.0).as("v"),
+        epochOf(pmod(col("event_id"), lit(2400))).as("_epoch"))
+      val rights = t(s, d, "orders").select(
+        col("o_custkey").as("key"), lit(false).as("is_left"),
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+        // cast is a relabel, not a shift
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey").as("id"), col("o_totalprice").as("v"),
+        epochOf(datediff(col("o_orderdate"),
+          lit("1995-01-01").cast("date"))).as("_epoch"))
+      graft.streaming.StreamingAsof.asofFold(
+          lefts.unionByName(rights), nEpochs = 3,
+          e => day0 + (e + 1) * 800L * 86400000L - 1)
+        .select(col("left_id").as("event_id"),
+          col("right_id").as("o_orderkey"), col("rval").as("o_totalprice"))
+        .orderBy("event_id")
+    }),
     "a2_asof_forward" -> ((s, d) => {
       // forward as-of: each event joined to the user's NEXT order at-or-
       // after the event date (ties: smallest orderkey) — a1's time-mirror,
@@ -5083,6 +5118,18 @@ object SparkEntry {
            AND e.edate <= o.o_orderdate::DATE + 30
          GROUP BY 1 ORDER BY o_orderkey""",
     "a1_asof_join" ->
+      """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
+         FROM (SELECT event_id, user_id,
+             (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
+           FROM events) e
+         LEFT JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.edate
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) ord ON true
+         ORDER BY event_id""",
+    "a5_asof_stream" ->
+      // the streaming fold is exactly batch asofBackward under watermark-
+      // respecting arrival order, so a1's LATERAL oracle applies verbatim
       """SELECT e.event_id, ord.o_orderkey, ord.o_totalprice
          FROM (SELECT event_id, user_id,
              (DATE '1995-01-01' + (event_id % 2400)::INT)::TIMESTAMP AS edate
