@@ -2081,6 +2081,30 @@ object SparkEntry {
       graft.operators.Cdc.snapshotDiff(o, after, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    "d75_unigram_encode" -> ((s, d) => {
+      // unigram (SentencePiece-style) tokenizer: learned piece vocab +
+      // INTEGER-weight Viterbi segmentation (see Unigram.scala for why the
+      // objective is integer — engine-independent argmax, no float ties).
+      // total_weight pins the DP maximization; the oracle is an exact
+      // independent Python replay (FixtureOracles).
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.learnVocab(docs, maxLen = 4, topV = 200)
+      graft.operators.Unigram.encode(docs, model).orderBy("doc_id")
+    }),
+    "d79_nb_classify" -> ((s, d) => {
+      // multinomial Naive Bayes language classifier (the trained routing/
+      // quality-gating model class): integer-count fit in two bounded
+      // aggregations, scan-speed scoring. Output carries only the discrete
+      // decision (label + correctness) — the float scores stay internal,
+      // and the fixture generator margin-asserts every decision.
+      val docs = t(s, d, "documents")
+      val model = graft.operators.NaiveBayes.fit(docs, "lang")
+      graft.operators.NaiveBayes.predict(docs, model)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("pred") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
     "d80_soft_dedup_weights" -> ((s, d) =>
       // soft dedup: down-weight duplicates (weight = 1/group size) instead
       // of dropping them — a group of n copies carries one doc's worth of

@@ -1266,6 +1266,99 @@ def main():
           f"d27_flagged={sum(1 for r in d27_rows if r[1] is not None)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
 
+    # ---- d75: unigram tokenizer — INTEGER-weight Viterbi (see
+    # operators/Unigram.scala determinism contract). Vocab = all single
+    # chars + top-200 2..4-grams by (count desc, gram asc); segmentation
+    # maximizes summed piece counts, ties -> smallest split start.
+    gram_counts = {}
+    for i, _t in docs:
+        for w in toks[i]:
+            L = len(w)
+            for a in range(L):
+                for n in range(1, min(4, L - a) + 1):
+                    g = w[a:a + n]
+                    gram_counts[g] = gram_counts.get(g, 0) + 1
+    uni_w = {g: c for g, c in gram_counts.items() if len(g) == 1}
+    uni_w.update(dict(sorted(
+        ((g, c) for g, c in gram_counts.items() if len(g) > 1),
+        key=lambda kv: (-kv[1], kv[0]))[:200]))
+
+    def uni_segment(w):
+        n = len(w)
+        best = [0] + [None] * n
+        back = [-1] * (n + 1)
+        for i2 in range(1, n + 1):
+            bs, bj = None, -1
+            for j in range(max(0, i2 - 4), i2):
+                piece = w[j:i2]
+                if len(piece) == 1:
+                    pw = uni_w.get(piece, 0)
+                else:
+                    pw = uni_w.get(piece)
+                    if pw is None:
+                        continue
+                cand = best[j] + pw
+                if bs is None or cand > bs:   # strict >: smallest j wins ties
+                    bs, bj = cand, j
+            best[i2], back[i2] = bs, bj
+        out, k = [], n
+        while k > 0:
+            out.append(w[back[k]:k])
+            k = back[k]
+        return out[::-1]
+
+    uni_memo = {}
+    d75_rows = []
+    for i, _t in docs:
+        n_p, n_u, wt, first = 0, 0, 0, []
+        for w in toks[i]:
+            if w not in uni_memo:
+                uni_memo[w] = uni_segment(w)
+            for p in uni_memo[w]:
+                n_p += 1
+                pw = uni_w.get(p, 0)
+                if pw == 0 and len(p) == 1 and p not in uni_w:
+                    n_u += 1
+                wt += pw
+                if len(first) < 8:
+                    first.append(p)
+        d75_rows.append((i, n_p, n_u, wt, " ".join(first)))
+
+    # ---- d79: multinomial Naive Bayes lang classifier — integer counts,
+    # add-one smoothing, doc-token-order log sums, argmax with ties to the
+    # lexicographically smallest label. The margin assert makes a
+    # float-fragile decision fail HERE, not flakily in the gate.
+    doc_lang = dict(duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf}/documents.parquet'").fetchall())
+    nb_dc = {}
+    nb_tc = {}
+    for i, _t in docs:
+        l = doc_lang[i]
+        nb_dc[l] = nb_dc.get(l, 0) + 1
+        cls = nb_tc.setdefault(l, {})
+        for w in toks[i]:
+            cls[w] = cls.get(w, 0) + 1
+    nb_labels = sorted(nb_dc)
+    nb_vocab = len({w for m in nb_tc.values() for w in m})
+    nb_totals = {l: sum(m.values()) for l, m in nb_tc.items()}
+    nb_ndocs = sum(nb_dc.values())
+    d79_rows = []
+    for i, _t in docs:
+        best_l, best_s, second = "", None, None
+        for l in nb_labels:
+            counts = nb_tc.get(l, {})
+            denom = float(nb_totals.get(l, 0) + nb_vocab)
+            s = math.log(nb_dc[l] / nb_ndocs)
+            for w in toks[i]:
+                s += math.log((counts.get(w, 0) + 1) / denom)
+            if best_s is None or s > best_s:
+                second, best_s, best_l = best_s, s, l
+            elif second is None or s > second:
+                second = s
+        assert best_s - second > 1e-6 * max(1.0, abs(best_s)), \
+            f"d79: fragile NB margin on doc {i}: {best_s} vs {second}"
+        d79_rows.append((i, doc_lang[i], best_l, best_l == doc_lang[i]))
+
     def values(rows, fmt):
         return ",\n".join("      (" + fmt(r) + ")" for r in rows)
 
@@ -1399,6 +1492,18 @@ def main():
               + values(e4_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]!r}")
               + ") AS t(c0, c1, c2, c3) ORDER BY centroid_id")
 
+    d75_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_pieces,"
+               " c2::BIGINT AS n_unk, c3::BIGINT AS total_weight,"
+               " c4 AS first_pieces FROM (VALUES\n"
+               + values(d75_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]}, "
+                        f"{r[4]!r}")
+               + ") AS t(c0, c1, c2, c3, c4) ORDER BY doc_id")
+    d79_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS lang, c2 AS pred,"
+               " c3::BOOLEAN AS correct FROM (VALUES\n"
+               + values(d79_rows, lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, "
+                        f"{str(r[3]).lower()}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY doc_id")
+
     out = f'''package graft
 
 /** GENERATED by tools/gen_fixtures.py — DuckDB fixture oracles for sketch
@@ -1467,7 +1572,11 @@ object FixtureOracles {{
     "w21_stream_packing" ->
       \"\"\"{w21_sql}\"\"\",
     "d74_pack_efficiency" ->
-      \"\"\"{d74_sql}\"\"\")
+      \"\"\"{d74_sql}\"\"\",
+    "d75_unigram_encode" ->
+      \"\"\"{d75_sql}\"\"\",
+    "d79_nb_classify" ->
+      \"\"\"{d79_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
