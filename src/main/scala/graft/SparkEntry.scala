@@ -2977,6 +2977,15 @@ object SparkEntry {
           syntheticMedia(s, d).filter(col("media_id") % 2 === 0),
           maxHamming = 10)
         .orderBy("id_a", "id_b")),
+    "m14_image_phash" -> ((s, d) =>
+      // DCT perceptual hash over the real decoded raster — the frequency-
+      // domain near-dup signature next to m8's gradient dHash. PNG (even
+      // ids) only: lossless, so the fixture's closed-form pixel replay
+      // predicts every coefficient; margin-asserted bits (see
+      // Multimodal.imagePHash determinism contract).
+      Multimodal.imagePHash(
+          syntheticMedia(s, d).filter(col("media_id") % 2 === 0))
+        .toDF().orderBy("media_id")),
     "m8_image_dhash" -> ((s, d) =>
       // perceptual dHash over the real decoded raster — integer luma,
       // 9×8 floor block means, gradient-sign bits in two 32-bit halves.

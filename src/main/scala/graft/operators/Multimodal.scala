@@ -49,6 +49,7 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
   case class Feature(media_id: Long, feature: Array[Float])
   case class DHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
+  case class PHash(media_id: Long, phash: Long, n_bits: Long)
 
   // ----------------------------------------------------- synthetic corpus
   /** Deterministic synthetic image for id: dimensions and every RGB pixel
@@ -618,6 +619,93 @@ object Multimodal {
               cy += 1
             }
             DHash(id, hi, lo)
+          }
+        }
+      }
+  }
+
+  /** DCT perceptual hash (pHash) over the REAL decoded raster — the
+    * frequency-domain near-duplicate signature: where dHash signs local
+    * gradients, pHash signs the image's low-frequency STRUCTURE, so it
+    * survives blur/noise/re-encode edits that flip individual gradient
+    * bits. Pipeline: integer luma, nearest-neighbor floor-sample to a
+    * 32×32 grid (exact integers — no float resize, no empty-cell handling
+    * at any input size), unscaled 2-D DCT-II cosine sums over the grid,
+    * top-left 8×8 coefficient block minus DC = 63 AC coefficients, one bit
+    * each for coefficient > median (the 32nd order statistic of the 63).
+    *
+    * Determinism contract: the grid is exact integer arithmetic; the DCT
+    * accumulates `g * C(u,x) * C(v,y)` left-to-right with y outer / x
+    * inner, so an independent replay using the same order agrees to float
+    * noise, and the fixture generator asserts every coefficient clears the
+    * median by a margin — a bit that could flip under last-ulp cosine
+    * drift fails at generation time. The median element itself compares
+    * `> median` false in any implementation (it IS the median), so its bit
+    * is stably 0. Orthonormal DCT scaling is deliberately omitted: bits
+    * only compare coefficients to their median, and the unscaled sums keep
+    * the replay contract free of per-coefficient factors.
+    *
+    * Scale shape: one decode pass, 8 bytes/image downstream — banding +
+    * verify reuse [[Dedup.simHashPairs]] machinery exactly like dHash. */
+  def imagePHash(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "content"): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    // cosine tables are per-JVM constants (pi*(2x+1)*u/64 over exact ints)
+    val cosT = Array.tabulate(8, 32) { (u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / 64.0)
+    }
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val (img, _) = decodeImage(bytes)
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val g = Array.ofDim[Long](32, 32)
+            var cy = 0
+            while (cy < 32) {
+              val y = cy * h / 32
+              var cx = 0
+              while (cx < 32) {
+                val x = cx * w / 32
+                val p = px(y * w + x)
+                g(cy)(cx) = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                  (p & 0xff) * 114) / 1000
+                cx += 1
+              }
+              cy += 1
+            }
+            val coefs = new Array[Double](64)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var s = 0.0
+                var y = 0
+                while (y < 32) {
+                  var x = 0
+                  while (x < 32) {
+                    s += g(y)(x) * cosT(u)(x) * cosT(v)(y)
+                    x += 1
+                  }
+                  y += 1
+                }
+                coefs(v * 8 + u) = s
+                u += 1
+              }
+              v += 1
+            }
+            val ac = coefs.drop(1) // 63 AC coefficients, (v*8+u) order
+            val median = ac.sorted.apply(31)
+            var bits = 0L
+            var nBits = 0L
+            var k = 0
+            while (k < 63) {
+              if (ac(k) > median) { bits |= 1L << k; nBits += 1 }
+              k += 1
+            }
+            PHash(id, bits, nBits)
           }
         }
       }

@@ -160,6 +160,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L).dhash_hi == 0xFFFFFFFFL && out(1L).dhash_lo == 0xFFFFFFFFL)
   }
 
+  test("imagePHash: mild noise keeps the low-freq signature, a different " +
+      "image is far, and 63 AC bits split near-evenly around the median") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int, w: Int = 48, h: Int = 40): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      Multimodal.encodeImage(img, "png")
+    }
+    val base = (x: Int, y: Int) => (x * 4 + y * 3) % 251
+    val noisy = (x: Int, y: Int) => base(x, y) + ((x * 13 + y * 7) % 5) - 2
+    val other = (x: Int, y: Int) => ((x / 8 + y / 8) % 2) * 255 // checkerboard
+    val d = Seq((1L, png(base)), (2L, png(noisy)), (3L, png(other)))
+      .toDF("media_id", "content")
+    val out = Multimodal.imagePHash(d).collect().map(r => r.media_id -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(1L).phash, out(2L).phash) <= 8,
+      s"noise moved the pHash ${ham(out(1L).phash, out(2L).phash)} bits")
+    assert(ham(out(1L).phash, out(3L).phash) >= 16,
+      s"different structure too close: ${ham(out(1L).phash, out(3L).phash)}")
+    // median split: of 63 AC coefficients, at most 31 are strictly above
+    // their median, and not degenerate-few
+    out.values.foreach { p =>
+      assert(p.n_bits <= 31 && p.n_bits >= 10, s"odd bit balance: ${p.n_bits}")
+    }
+  }
+
   test("imageDHash: images smaller than the 9x8 grid hash without error") {
     import java.awt.image.BufferedImage
     def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {

@@ -1359,6 +1359,47 @@ def main():
             f"d79: fragile NB margin on doc {i}: {best_s} vs {second}"
         d79_rows.append((i, doc_lang[i], best_l, best_l == doc_lang[i]))
 
+    # ---- m14: DCT perceptual hash over the PNG (even-id, lossless)
+    # synthetic rasters — independent replay of the closed-form pixels,
+    # the 32x32 floor-sample, and the y-outer/x-inner DCT accumulation
+    # order (operators/Multimodal.imagePHash). The margin assert kills any
+    # bit that could flip under last-ulp cosine differences between libms.
+    cosT = [[math.cos(math.pi * (2 * x + 1) * u / 64.0) for x in range(32)]
+            for u in range(8)]
+    m14_rows = []
+    for i, _t in docs:
+        if i % 2 != 0:
+            continue
+        w = 16 + (i % 48)
+        h = 16 + ((i // 7) % 40)
+        g = [[0] * 32 for _ in range(32)]
+        for cy in range(32):
+            y = cy * h // 32
+            for cx in range(32):
+                x = cx * w // 32
+                r = (x * 7 + y * 13 + i * 31) % 256
+                gg = (x * 3 + y * 5 + i * 17) % 256
+                b = (x * 11 + y * 2 + i * 7) % 256
+                g[cy][cx] = (r * 299 + gg * 587 + b * 114) // 1000
+        coefs = []
+        for v in range(8):
+            for u in range(8):
+                s = 0.0
+                for y in range(32):
+                    for x in range(32):
+                        s += g[y][x] * cosT[u][x] * cosT[v][y]
+                coefs.append(s)
+        ac = coefs[1:]
+        median = sorted(ac)[31]
+        diffs = sorted(abs(c - median) for c in ac)
+        assert diffs[0] == 0.0 and diffs[1] > 1e-6 * max(1.0, abs(median)), \
+            f"m14: fragile pHash bit on image {i}: margin {diffs[1]}"
+        bits = 0
+        for k, c in enumerate(ac):
+            if c > median:
+                bits |= 1 << k
+        m14_rows.append((i, bits, bin(bits).count("1")))
+
     def values(rows, fmt):
         return ",\n".join("      (" + fmt(r) + ")" for r in rows)
 
@@ -1504,6 +1545,11 @@ def main():
                         f"{str(r[3]).lower()}")
                + ") AS t(c0, c1, c2, c3) ORDER BY doc_id")
 
+    m14_sql = ("SELECT c0::BIGINT AS media_id, c1::BIGINT AS phash,"
+               " c2::BIGINT AS n_bits FROM (VALUES\n"
+               + values(m14_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
+               + ") AS t(c0, c1, c2) ORDER BY media_id")
+
     out = f'''package graft
 
 /** GENERATED by tools/gen_fixtures.py — DuckDB fixture oracles for sketch
@@ -1576,7 +1622,9 @@ object FixtureOracles {{
     "d75_unigram_encode" ->
       \"\"\"{d75_sql}\"\"\",
     "d79_nb_classify" ->
-      \"\"\"{d79_sql}\"\"\")
+      \"\"\"{d79_sql}\"\"\",
+    "m14_image_phash" ->
+      \"\"\"{m14_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
