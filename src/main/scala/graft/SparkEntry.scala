@@ -2105,6 +2105,48 @@ object SparkEntry {
           (col("pred") === col("lang")).as("correct"))
         .orderBy("doc_id")
     }),
+    "d81_k_anonymity" -> ((s, d) =>
+      // k-anonymity audit over event quasi-identifiers (type, day, value
+      // band): per-equivalence-class size + release verdict at k=5 — the
+      // re-identification risk check before a dataset ships. One hash
+      // aggregation on the quasi tuple; enforcement (suppression) is
+      // spec-pinned in PrivacySpec.
+      graft.operators.Privacy.kAnonymityAudit(events(s, d),
+          Seq(col("event_type"), col("ts").cast("date"),
+            floor(col("value") / 100).cast("long")),
+          Seq("event_type", "day", "band"), k = 5)
+        .orderBy("event_type", "day", "band")),
+    "d82_dataset_card" -> ((s, d) => {
+      // dataset-card report: the one-relation "datasheet" summary a corpus
+      // release carries (volume, source/language breadth, token stats,
+      // exact-dup rate). Two bounded aggregations (one scan each), stacked
+      // into a tall (metric, value) relation — every value is a count or
+      // an exact-integer division, so the oracle reproduces it bit-for-bit.
+      val docs = t(s, d, "documents")
+      val toks = TextFunctions.tokenCount(col("text"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(toks).as("total_tokens"),
+        max(toks).as("max_tokens"),
+        min(toks).as("min_tokens"))
+      val dup = docs.agg(
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        count(lit(1)).as("n"))
+      base.crossJoin(broadcast(dup)).selectExpr(
+        """stack(8,
+           'exact_dup_fraction', 1.0d - cast(n_distinct_texts as double) / cast(n as double),
+           'max_tokens', cast(max_tokens as double),
+           'mean_tokens', cast(total_tokens as double) / cast(n_docs as double),
+           'min_tokens', cast(min_tokens as double),
+           'n_docs', cast(n_docs as double),
+           'n_langs', cast(n_langs as double),
+           'n_sources', cast(n_sources as double),
+           'total_chars', cast(total_chars as double)) AS (metric, value)""")
+        .orderBy("metric")
+    }),
     "d80_soft_dedup_weights" -> ((s, d) =>
       // soft dedup: down-weight duplicates (weight = 1/group size) instead
       // of dropping them — a group of n copies carries one doc's worth of
@@ -4126,6 +4168,37 @@ object SparkEntry {
          FROM j
          WHERE NOT in_b OR NOT in_a OR len(diffs) > 0
          ORDER BY o_orderkey""",
+    "d81_k_anonymity" ->
+      """SELECT event_type, ts::DATE AS day,
+           floor(value / 100)::BIGINT AS band, count(*)::BIGINT AS n,
+           (count(*) >= 5) AS anonymous
+         FROM events GROUP BY 1, 2, 3
+         ORDER BY event_type, day, band""",
+    "d82_dataset_card" ->
+      """WITH s AS (SELECT *,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> length(t) > 0)) AS nt
+           FROM documents),
+         b AS (SELECT count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           sum(n_chars) AS total_chars,
+           sum(nt) AS total_tokens, max(nt) AS max_tokens,
+           min(nt) AS min_tokens,
+           count(DISTINCT md5(text)) AS n_distinct_texts
+           FROM s)
+         SELECT metric, value FROM (
+           SELECT 'exact_dup_fraction' AS metric,
+             1.0::DOUBLE - n_distinct_texts::DOUBLE / n_docs::DOUBLE AS value FROM b
+           UNION ALL SELECT 'max_tokens', max_tokens::DOUBLE FROM b
+           UNION ALL SELECT 'mean_tokens',
+             total_tokens::DOUBLE / n_docs::DOUBLE FROM b
+           UNION ALL SELECT 'min_tokens', min_tokens::DOUBLE FROM b
+           UNION ALL SELECT 'n_docs', n_docs::DOUBLE FROM b
+           UNION ALL SELECT 'n_langs', n_langs::DOUBLE FROM b
+           UNION ALL SELECT 'n_sources', n_sources::DOUBLE FROM b
+           UNION ALL SELECT 'total_chars', total_chars::DOUBLE FROM b)
+         ORDER BY metric""",
     "d80_soft_dedup_weights" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS group_size
            FROM documents GROUP BY 1)
