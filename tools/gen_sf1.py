@@ -32,6 +32,19 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
     n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+
+    # SAFETY: refuse to write through a symlink. Running as root ignores
+    # read-only file bits, so a symlinked table name here would silently
+    # overwrite its TARGET (this bit /root/testdata/sf0.1 once — round-8
+    # incident, see ROADMAP.md). Only region/nation may be symlinked into
+    # the output dir; everything this script writes must be a fresh file.
+    import os
+    for t in ("documents", "embeddings", "events", "orders", "lineitem",
+              "customer", "part", "supplier"):
+        p = f"{outdir}/{t}.parquet"
+        if os.path.islink(p):
+            sys.exit(f"refusing to overwrite symlink {p} -> "
+                     f"{os.path.realpath(p)}; remove it first")
     rng = np.random.default_rng(4242)
 
     import os
