@@ -68,7 +68,13 @@ object BenchScale {
     val docFamily = Seq("d7_minhash_pairs", "d17_dup_clusters",
       "d36_containment_pairs", "d37_jaccard_verified", "d40_curation_pipeline",
       "w7_stream_curation", "d54_bm25", "d55_chunk_neardup",
-      "w8_stream_ivf", "e21_opq_ivfpq_refine")
+      "w8_stream_ivf", "e21_opq_ivfpq_refine",
+      // round-8 additions: CDC maintenance, streaming as-of fold, unigram
+      // viterbi, NB classifier, gopher rules, pHash, k-anonymity, soft dedup
+      "d75_unigram_encode", "d76_gopher_quality", "d77_cdc_compact",
+      "d78_snapshot_diff", "d79_nb_classify", "d80_soft_dedup_weights",
+      "d81_k_anonymity", "d82_dataset_card", "a5_asof_stream",
+      "m14_image_phash")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.filter(wanted).foreach { q =>
       results += time(q) {
