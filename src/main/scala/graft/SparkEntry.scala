@@ -2001,6 +2001,27 @@ object SparkEntry {
           col("bin_pos").cast("long").as("bin_pos"), col("oversize"))
         .orderBy("doc_id")
     }),
+    "w23_stream_heavy_hitters" -> ((s, d) => {
+      // STANDING top contributors per event type via the Space-Saving
+      // sketch epoch fold (StreamingHeavyHitters — the exact per-trigger
+      // semantics of the Update-mode stream). Gate parameters make the
+      // sketch EXACT (capacity 4096 >= distinct users), so plain SQL
+      // counts oracle the fold + cross-epoch carry; the bounded-capacity
+      // eviction path is spec-pinned where SQL cannot follow.
+      val ev = events(s, d).select(col("event_type").as("group"),
+        col("user_id").as("item"), lit(1L).as("weight"),
+        pmod(col("event_id"), lit(3)).cast("int").as("_epoch"))
+      val sk = graft.streaming.StreamingHeavyHitters.sketchFold(
+        ev, capacity = 4096, nEpochs = 3)
+      import org.apache.spark.sql.expressions.{Window => W}
+      sk.withColumn("rank", row_number().over(
+          W.partitionBy(col("group")).orderBy(col("count").desc, col("item")))
+          .cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("group").as("event_type"), col("item").as("user_id"),
+          col("count").as("n"), col("rank"))
+        .orderBy("event_type", "rank")
+    }),
     "w21_stream_packing" -> ((s, d) => {
       // STANDING whole-doc packing (StreamingPacking.packFold — the exact
       // per-trigger semantics of the foreachBatch runner): three arrival
@@ -6112,6 +6133,16 @@ object SparkEntry {
          SELECT hour, event_type, n, round((n - mu) / sd, 3) AS z
          FROM scored WHERE sd IS NOT NULL AND sd > 0 AND abs((n - mu) / sd) > 2
          ORDER BY hour, event_type""",
+    "w23_stream_heavy_hitters" ->
+      // capacity >= distinct items makes space-saving exact, so the fold
+      // must reproduce plain GROUP BY counts
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+           FROM c)
+         SELECT event_type, user_id, n, rank FROM r
+         WHERE rank <= 10 ORDER BY event_type, rank""",
     "w2_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
          FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
