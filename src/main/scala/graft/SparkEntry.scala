@@ -2099,7 +2099,13 @@ object SparkEntry {
         .unionByName(o.filter(col("o_orderkey") % 17 === 0)
           .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
             col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      // changed_cols is array<string> in the operator API; the oracled
+      // projection serializes it (comma-join of the already-sorted list)
+      // because the driver's pandas harness cannot sort array columns —
+      // oracled query outputs must be scalar-only (HarnessGateSpec pins
+      // this for every queries() entry).
       graft.operators.Cdc.snapshotDiff(o, after, Seq("o_orderkey"))
+        .withColumn("changed_cols", concat_ws(",", col("changed_cols")))
         .orderBy("o_orderkey")
     }),
     "d75_unigram_encode" -> ((s, d) => {
@@ -4184,8 +4190,9 @@ object SparkEntry {
          SELECT o_orderkey,
            CASE WHEN NOT in_b THEN 'added'
              WHEN NOT in_a THEN 'removed' ELSE 'changed' END AS change_type,
-           CASE WHEN in_b AND in_a THEN diffs ELSE []::VARCHAR[] END
-             AS changed_cols
+           array_to_string(
+             CASE WHEN in_b AND in_a THEN diffs ELSE []::VARCHAR[] END,
+             ',') AS changed_cols
          FROM j
          WHERE NOT in_b OR NOT in_a OR len(diffs) > 0
          ORDER BY o_orderkey""",

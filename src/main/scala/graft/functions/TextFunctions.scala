@@ -13,13 +13,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. Blank text ⇒ empty array. `split(trim(s), "\s+")`
-    * cannot emit empty tokens except for the all-whitespace case, which the
-    * `when` handles — no per-token filter lambda needed. */
-  def tokens(text: Column): Column = {
-    val t = trim(text)
-    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
-  }
+  /** Whitespace tokens. Blank text ⇒ empty array. Spark's `trim` strips
+    * SPACES only, so tab/newline-bounded text makes `split` emit empty edge
+    * tokens — `array_remove(_, "")` (native, codegen'd, no lambda) drops
+    * them, which also covers the all-whitespace case. This is the ONE
+    * tokenization contract: the JVM-side mirror is [[tokensJvm]], and every
+    * model-fitting and scoring path must use one of the two so fit and
+    * predict can never tokenize differently. */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), "\\s+"), "")
+
+  /** JVM mirror of [[tokens]] for `mapPartitions` scorers (NaiveBayes
+    * predict, Unigram encode): same split regex, same empty-drop. Java's
+    * `split("\\s+")` never emits trailing empties and only a leading one —
+    * filtering "" makes it value-identical to the column version. */
+  def tokensJvm(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
 
   /** One-pass text statistics struct (n_chars, n_punct, n_letters, n_upper,
     * n_tokens, sum_token_len, stopword_hits) — see

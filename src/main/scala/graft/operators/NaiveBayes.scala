@@ -34,18 +34,42 @@ object NaiveBayes {
   }
 
   /** Fit from (label, lowercased whitespace tokens). Two aggregations, both
-    * with class/vocab-bounded output. */
-  def fit(docs: DataFrame, labelCol: String,
-      textCol: String = "text"): Model = {
+    * with class/vocab-bounded output.
+    *
+    * The driver materializes only the PRUNED (class, token) relation: a
+    * web-scale corpus has an unbounded unique-token tail (noise, ids,
+    * typos), so without `minCount`/`topV` the collect is a driver OOM at
+    * 100×. `minCount` drops tokens whose corpus-wide occurrence count is
+    * below the floor; `topV` keeps only the most frequent `topV` tokens
+    * (ties toward the lexicographically smaller token — deterministic).
+    * The defaults are passthrough (no pruning) for small labeled sets;
+    * corpus-scale callers MUST set a cap, and the smoothing vocabulary
+    * becomes the kept vocabulary (out-of-vocab tokens then score as unseen,
+    * the standard NB treatment). */
+  def fit(docs: DataFrame, labelCol: String, textCol: String = "text",
+      minCount: Long = 1L, topV: Int = Int.MaxValue): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col(labelCol).as("label"),
       graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
     val docCount = toks.groupBy("label").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
-    val tokCounts = toks
+    val perClass = toks
       .select(col("label"), explode(col("toks")).as("tok"))
       .groupBy("label", "tok").agg(count(lit(1)).as("n"))
+    // prune BEFORE the collect: corpus-wide token totals, floor + top-V.
+    // The top-V sort touches only the distinct-token relation (already a
+    // bounded-output aggregate), not the corpus.
+    val floored = perClass.groupBy("tok").agg(sum("n").as("tot"))
+      .filter(col("tot") >= minCount)
+    val keptVocab =
+      if (topV == Int.MaxValue) floored.select("tok")
+      else floored.orderBy(col("tot").desc, col("tok")).limit(topV)
+        .select("tok")
+    val pruned =
+      if (minCount <= 1L && topV == Int.MaxValue) perClass
+      else perClass.join(keptVocab, Seq("tok"))
+    val tokCounts = pruned.select("label", "tok", "n")
       .as[(String, String, Long)].collect()
     val byClass = tokCounts.groupBy(_._1).map { case (l, rows) =>
       l -> rows.map(r => r._2 -> r._3).toMap
@@ -68,10 +92,9 @@ object NaiveBayes {
       .mapPartitions { it =>
         val labels = model.labels
         it.map { case (id, text) =>
-          val words = text.trim match {
-            case "" => Array.empty[String]
-            case t => t.split("\\s+")
-          }
+          // same tokenization as fit (TextFunctions.tokens' JVM mirror) —
+          // fit and predict must never split differently
+          val words = graft.functions.TextFunctions.tokensJvm(text)
           var bestLabel = ""
           var bestScore = Double.NegativeInfinity
           var second = Double.NegativeInfinity

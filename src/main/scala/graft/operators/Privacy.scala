@@ -30,12 +30,23 @@ object Privacy {
 
   /** Enforcement by suppression: drop every row whose quasi-identifier
     * class has fewer than `k` members (the release-safe subset). The
-    * violating-class relation is the join's small side. */
+    * violating-class relation is the join's small side.
+    *
+    * The anti-join condition is NULL-SAFE (`<=>` per quasi column): a
+    * sub-k class keyed by a null QI value must still be suppressed — with
+    * plain `=` the null key never matches and violating rows silently
+    * survive, which for a privacy-enforcement operator is a safety defect,
+    * not a semantics nit. The helper columns are prefixed `_qi_` so a
+    * caller-supplied `names` entry equal to an existing data column is
+    * never overwritten or dropped from the output. */
   def kAnonymize(df: DataFrame, quasiCols: Seq[Column],
       names: Seq[String], k: Long): DataFrame = {
-    val keyed = df.withColumns(names.zip(quasiCols).toMap)
+    val qi = names.map(n => s"_qi_$n")
+    val keyed = df.withColumns(qi.zip(quasiCols).toMap)
     val bad = kAnonymityAudit(df, quasiCols, names, k)
-      .filter(!col("anonymous")).select(names.map(col): _*)
-    keyed.join(bad, names, "left_anti").drop(names: _*)
+      .filter(!col("anonymous"))
+      .select(names.zip(qi).map { case (n, q) => col(n).as(q) }: _*)
+    val cond = qi.map(q => keyed(q) <=> bad(q)).reduce(_ && _)
+    keyed.join(bad, cond, "left_anti").drop(qi: _*)
   }
 }

@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * maximal munch), exercising the Viterbi decomposition those two cannot.
   *
   * DETERMINISM CONTRACT (the fixture oracle replays this exactly):
-  * the classic unigram LM maximizes a sum of float log-probs, whose ties
-  * and ulps are engine-dependent; this implementation maximizes the sum of
-  * INTEGER corpus counts of the chosen pieces (the same argmax whenever
-  * piece probabilities are count-proportional and the comparison is between
-  * covers of one word), with ties broken toward the EARLIEST split point
-  * (smallest start index of the last piece, applied at every DP cell). All
-  * arithmetic is integer, so Scala and the independent Python replay agree
-  * bit-for-bit.
+  * the classic unigram LM maximizes a sum of float log-probs
+  * Σ(log count(p) − log T) = Σ log count(p) − n·log T — an objective that
+  * PENALIZES piece count (each extra piece costs log T) and whose float
+  * ties/ulps are engine-dependent. This implementation keeps the same
+  * shape with all-integer arithmetic: lexicographically MINIMIZE the piece
+  * count, then MAXIMIZE the summed integer corpus counts of the chosen
+  * pieces, then break remaining ties toward the EARLIEST split point
+  * (smallest start index of the last piece, applied at every DP cell).
+  * The earlier round-8 objective (maximize count-sum alone) was degenerate:
+  * every substring's count is ≥ its superstring's, so an all-single-char
+  * split always won and the multi-gram vocab was dead weight — the
+  * piece-count-first objective is what makes the learned n-grams actually
+  * segment. All arithmetic is integer, so Scala and the independent Python
+  * replay agree bit-for-bit.
   *
   * Scale shape: learning is one explode over tokens + one n-gram count
   * shuffle capped by `topV` (the model is metadata-sized by contract);
@@ -60,22 +66,24 @@ object Unigram {
     Model(maxLen, weights)
   }
 
-  /** Integer-weight Viterbi segmentation of one word: maximize the summed
-    * piece weights; at equal score the SMALLEST split start wins (longest
-    * final piece). A codepoint absent from the vocab scores 0 and counts
-    * as unk. Shared by the operator and (re-implemented independently) the
-    * fixture generator. */
+  /** Integer Viterbi segmentation of one word under the lexicographic
+    * objective (FEWEST pieces, then LARGEST summed piece weight, then the
+    * SMALLEST split start — longest final piece). A codepoint absent from
+    * the vocab scores 0 and counts as unk. Shared by the operator and
+    * (re-implemented independently) the fixture generator. */
   private[graft] def segmentWord(w: String, m: Model): Vector[String] = {
     val n = w.length
     if (n == 0) return Vector.empty
-    val best = new Array[Long](n + 1)
+    val bestCnt = new Array[Int](n + 1)    // min pieces to cover w[0,i)
+    val bestWt = new Array[Long](n + 1)    // max weight at that min count
     val back = new Array[Int](n + 1)
     java.util.Arrays.fill(back, -1)
     var i = 1
     while (i <= n) {
       var j = math.max(0, i - m.maxLen)
-      var bestScore = Long.MinValue
-      var bestJ = -1
+      var bc = Int.MaxValue
+      var bw = Long.MinValue
+      var bj = -1
       while (j < i) {
         val piece = w.substring(j, i)
         // single chars always form a (possibly unk, weight-0) piece; longer
@@ -84,13 +92,17 @@ object Unigram {
           if (piece.length == 1) Some(m.weights.getOrElse(piece, 0L))
           else m.weights.get(piece)
         wOpt.foreach { pw =>
-          val cand = best(j) + pw
-          if (cand > bestScore) { bestScore = cand; bestJ = j }
+          val cc = bestCnt(j) + 1
+          val cw = bestWt(j) + pw
+          // strict improvement only: j ascends, so the smallest j holding
+          // the best (count, weight) pair wins ties
+          if (cc < bc || (cc == bc && cw > bw)) { bc = cc; bw = cw; bj = j }
         }
         j += 1
       }
-      best(i) = bestScore
-      back(i) = bestJ
+      bestCnt(i) = bc
+      bestWt(i) = bw
+      back(i) = bj
       i += 1
     }
     var out = List.empty[String]
@@ -111,10 +123,9 @@ object Unigram {
       .mapPartitions { it =>
         val memo = scala.collection.mutable.HashMap.empty[String, Vector[String]]
         it.map { case (id, text) =>
-          val words = text.trim match {
-            case "" => Array.empty[String]
-            case t => t.split("\\s+")
-          }
+          // same tokenization as learnVocab (TextFunctions.tokens' JVM
+          // mirror) — vocab learn and encode must never split differently
+          val words = graft.functions.TextFunctions.tokensJvm(text)
           var nPieces = 0L
           var nUnk = 0L
           var weight = 0L

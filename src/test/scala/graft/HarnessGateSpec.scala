@@ -167,6 +167,40 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
       s"expected a t2 exact-float row:\n$report")
   }
 
+  // ------------------------- driver harness output-schema compatibility
+
+  /** Round-8 postmortem (third local-vs-driver gate divergence in three
+    * rounds): d78 dumped a top-level `array<string>` column and the
+    * driver's pandas canonicalization crashed sorting it (`unhashable
+    * type: numpy.ndarray`) — rows/schema/hash were never evaluated, while
+    * the local gate's list-aware comparator passed it. The output contract
+    * is therefore structural: EVERY SparkEntry.queries entry must emit
+    * scalar-only top-level columns (serialize collections with
+    * concat_ws/to_json in the query projection — the operator API can keep
+    * the nested type). check_oracle.py --exact enforces the same rule on
+    * the dumped parquet; this spec catches it before a dump exists.
+    * Authoring rule documented in tutorial/README.md ("Authoring oracled
+    * queries"). */
+  test("every queries() output schema is scalar-only (driver pandas-sortable)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, "testdata not present")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"top-level nested columns crash the driver's pandas sort " +
+        s"(see tutorial/README.md 'Authoring oracled queries'); serialize " +
+        s"them in the query projection: ${offenders.mkString("; ")}")
+  }
+
   // ------------------------------------------------- events ts adaptivity
 
   test("SparkEntry.events normalizes BIGINT-nanos and timestamp[us] ts identically") {

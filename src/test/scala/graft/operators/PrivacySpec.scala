@@ -42,4 +42,30 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       Seq(col("zip")), Seq("q_zip"), k = 1)
     assert(out.columns.toSeq == Seq("zip", "age", "id"))
   }
+
+  test("sub-k classes keyed by a NULL quasi value are still suppressed") {
+    // two null-zip rows + one (null, B): with k=3 every null-keyed class is
+    // sub-k and must go — a null-unsafe anti-join would retain all three.
+    val withNulls = rows.unionByName(Seq(
+      (Option.empty[String], "A", 7L), (Option.empty[String], "A", 8L),
+      (Option.empty[String], "B", 9L)).toDF("zip", "age", "id"))
+    val kept = Privacy.kAnonymize(withNulls,
+        Seq(col("zip"), col("age")), Seq("zip", "age"), k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // audit and enforcement agree on the null class verdict
+    val audited = Privacy.kAnonymityAudit(withNulls,
+        Seq(col("zip"), col("age")), Seq("zip", "age"), k = 3)
+      .filter(col("anonymous")).count()
+    assert(audited == 1L)
+  }
+
+  test("a quasi name colliding with an existing column never clobbers it") {
+    // names = Seq("age") while `age` is a data column: output must keep the
+    // ORIGINAL age values and column set.
+    val out = Privacy.kAnonymize(rows,
+      Seq(upper(col("age"))), Seq("age"), k = 1)
+    assert(out.columns.toSeq == Seq("zip", "age", "id"))
+    assert(out.select("age").as[String].collect().toSet == Set("A", "B"))
+  }
 }

@@ -8,19 +8,26 @@ import graft.SparkTestBase
 class UnigramNbSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  test("unigram viterbi picks the max-weight cover; ties go to the " +
-      "earliest split (longest final piece)") {
+  test("unigram viterbi picks the fewest-piece cover, then max weight, " +
+      "then the earliest split (longest final piece)") {
     val m = Unigram.Model(4, Map(
       "a" -> 1L, "b" -> 1L, "c" -> 1L,
       "ab" -> 10L, "bc" -> 10L, "abc" -> 11L))
-    // covers of "abc": a+b+c=3, ab+c=11, a+bc=11, abc=11 — three ties at
-    // 11; the DP keeps the smallest split start at the last cell → "abc"
+    // one piece beats every split
     assert(Unigram.segmentWord("abc", m) == Vector("abc"))
-    // remove abc: ab+c vs a+bc tie at 11 → last piece longer wins ("bc")
+    // remove abc: two-piece covers ab+c and a+bc tie on (count=2, wt=11)
+    // → smallest last-piece start wins ("bc" over "c")
     val m2 = Unigram.Model(4, m.weights - "abc")
     assert(Unigram.segmentWord("abc", m2) == Vector("a", "bc"))
-    // strictly better long piece wins over char sum
     assert(Unigram.segmentWord("ab", m) == Vector("ab"))
+    // piece count dominates weight: a+b sums 200 but "ab" is ONE piece —
+    // the round-8 count-sum objective degenerated to chars here
+    val m3 = Unigram.Model(4, Map("a" -> 100L, "b" -> 100L, "ab" -> 1L))
+    assert(Unigram.segmentWord("ab", m3) == Vector("ab"))
+    // at equal piece count the larger summed weight wins: ab+c=6 < a+bc=10
+    val m4 = Unigram.Model(4, Map(
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 5L, "bc" -> 9L))
+    assert(Unigram.segmentWord("abc", m4) == Vector("a", "bc"))
   }
 
   test("unknown codepoints segment as weight-0 singletons and count as unk") {
@@ -68,5 +75,54 @@ class UnigramNbSpec extends AnyFunSuite with SparkTestBase {
     val rows = NaiveBayes.predict(docs, model)
       .select("score", "runner_up").as[(Double, Double)].collect()
     assert(rows.forall { case (s, r) => s >= r && !s.isNaN })
+  }
+
+  test("naive bayes fit caps the driver-side vocabulary (topV/minCount)") {
+    // synthetic high-cardinality vocab: 500 unique noise tokens + 2 signal
+    // tokens per class — uncapped fit would collect 500+ (label, tok) rows
+    val noise = (0 until 500).map(i => s"tok$i").grouped(10)
+      .zipWithIndex.map { case (g, i) =>
+        (i.toLong, g.mkString(" ") + " signal_x signal_x", "x") }.toSeq
+    val other = Seq((900L, "signal_y signal_y signal_y", "y"))
+    val docs = (noise ++ other).toDF("doc_id", "text", "label")
+    val capped = NaiveBayes.fit(docs, "label", topV = 10)
+    // the model holds at most topV distinct tokens across every class
+    val distinctToks = capped.tokenCounts.values.flatMap(_.keys).toSet
+    assert(distinctToks.size <= 10 && capped.vocabSize <= 10L)
+    // signal_x occurs 100x (most frequent) — it must survive the cap
+    assert(distinctToks.contains("signal_x"))
+    // minCount floor: each noise token occurs once → floor 2 drops them all
+    val floored = NaiveBayes.fit(docs, "label", minCount = 2L)
+    val flooredToks = floored.tokenCounts.values.flatMap(_.keys).toSet
+    assert(flooredToks == Set("signal_x", "signal_y"))
+    // capped model still classifies clean signal docs (noise-heavy docs
+    // legitimately drift toward the small class whose OOV penalty is lower)
+    val probe = Seq(
+      (1000L, "signal_x signal_x"),
+      (1001L, "signal_y signal_y signal_y")).toDF("doc_id", "text")
+    val preds = NaiveBayes.predict(probe, capped)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(1000L -> "x", 1001L -> "y"))
+  }
+
+  test("fit and predict tokenize identically on tab/newline-bounded text") {
+    // "\tspam\nspam " would split differently under naive trim/split —
+    // the shared tokensJvm/tokens contract keeps fit and predict aligned
+    val docs = Seq((1L, "\tspam\nspam ", "bad"), (2L, " ham\tham\n", "good"))
+      .toDF("doc_id", "text", "label")
+    val model = NaiveBayes.fit(docs, "label")
+    assert(model.tokenCounts("bad") == Map("spam" -> 2L))
+    assert(model.tokenCounts("good") == Map("ham" -> 2L))
+    val preds = NaiveBayes.predict(docs, model)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(1L -> "bad", 2L -> "good"))
+    // unigram: tab-bounded text encodes the same as space-bounded
+    val m = Unigram.Model(4, Map("a" -> 5L, "b" -> 3L, "ab" -> 2L))
+    val enc = Unigram.encode(
+        Seq((1L, "\tab\nab "), (2L, "ab ab")).toDF("doc_id", "text"), m)
+      .select("doc_id", "n_pieces", "total_weight")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(enc(1L) == enc(2L))
   }
 }

@@ -87,6 +87,21 @@ def type_mismatches(spark_types, duck_types):
     return bad
 
 
+def nested_cols(types):
+    """Columns whose type the driver's pandas canonicalization cannot sort
+    (round-8 postmortem: d78's array<string> crashed the driver harness with
+    'unhashable type: numpy.ndarray' — rows/hash never evaluated). Any
+    nested DuckDB type at the TOP level of an oracled dump is a gate
+    incompatibility regardless of value correctness; serialize it
+    (concat_ws / to_json) in the query projection instead."""
+    bad = []
+    for c, t in sorted(types.items()):
+        tu = t.upper()
+        if "[]" in tu or tu.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            bad.append(f"{c}: {t}")
+    return bad
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--exact"]
     exact = "--exact" in sys.argv or os.environ.get("GRAFT_EXACT") == "1"
@@ -152,6 +167,14 @@ def main():
                 dt = result_types(con, f"SELECT * FROM ({oracle[name]}) oq")
             except Exception as e:
                 print(f"FAIL  {name}: DESCRIBE error: {e}")
+                n_bad += 1
+                continue
+            unsortable = nested_cols(st)
+            if unsortable:
+                print(f"FAIL  {name}: harness-incompatible nested column "
+                      f"[{'; '.join(unsortable)}] — the driver's pandas "
+                      "sort crashes on nested values; serialize in the "
+                      "query projection (see tutorial/OPERATIONS.md)")
                 n_bad += 1
                 continue
             bad = type_mismatches(st, dt)

@@ -1266,10 +1266,12 @@ def main():
           f"d27_flagged={sum(1 for r in d27_rows if r[1] is not None)} "
           f"(candidates d7={len(cand)} d8={len(scand)})")
 
-    # ---- d75: unigram tokenizer — INTEGER-weight Viterbi (see
+    # ---- d75: unigram tokenizer — INTEGER Viterbi (see
     # operators/Unigram.scala determinism contract). Vocab = all single
     # chars + top-200 2..4-grams by (count desc, gram asc); segmentation
-    # maximizes summed piece counts, ties -> smallest split start.
+    # lexicographically MINIMIZES piece count, then MAXIMIZES summed piece
+    # counts, ties -> smallest split start (mirrors the unigram-LM
+    # objective's -n*logT piece penalty with integer arithmetic).
     gram_counts = {}
     for i, _t in docs:
         for w in toks[i]:
@@ -1285,10 +1287,11 @@ def main():
 
     def uni_segment(w):
         n = len(w)
-        best = [0] + [None] * n
+        best_cnt = [0] + [None] * n    # min pieces covering w[0:i]
+        best_wt = [0] + [None] * n     # max weight at that min count
         back = [-1] * (n + 1)
         for i2 in range(1, n + 1):
-            bs, bj = None, -1
+            bc, bw, bj = None, None, -1
             for j in range(max(0, i2 - 4), i2):
                 piece = w[j:i2]
                 if len(piece) == 1:
@@ -1297,10 +1300,11 @@ def main():
                     pw = uni_w.get(piece)
                     if pw is None:
                         continue
-                cand = best[j] + pw
-                if bs is None or cand > bs:   # strict >: smallest j wins ties
-                    bs, bj = cand, j
-            best[i2], back[i2] = bs, bj
+                cc, cw = best_cnt[j] + 1, best_wt[j] + pw
+                # strict improvement only: j ascends, smallest j wins ties
+                if bc is None or cc < bc or (cc == bc and cw > bw):
+                    bc, bw, bj = cc, cw, j
+            best_cnt[i2], best_wt[i2], back[i2] = bc, bw, bj
         out, k = [], n
         while k > 0:
             out.append(w[back[k]:k])
