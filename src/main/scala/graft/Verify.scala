@@ -39,6 +39,10 @@ object Verify {
       // harmless no-op when events.ts is a real timestamp column; keeps
       // BIGINT-nanos testdata readable (SparkEntry.events normalizes both)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the 229-query surface generates far more than the default 100
+      // cached codegen entries; the default thrashes (measured: w7 alone
+      // re-Janino-compiled 1024 fragments per run, PLANS.md w7 breakdown)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.SkewGuard.registerMetricsLogger(spark) // no-silent-cap logging

@@ -76,12 +76,17 @@ object StreamingCuration {
       .select(col(idCol), col(textCol), md5(col(textCol)).as("digest"))
 
     // stage 2: exact dedup — drop if the digest is already at rest, or a
-    // lower-id doc in THIS batch carries it (min-id-keeps, the batch rule)
+    // lower-id doc in THIS batch carries it (min-id-keeps, the batch rule).
+    // The at-rest digest relation is UNIQUE BY DIGEST by construction — a
+    // digest only enters state when no prior copy existed (prior_id null
+    // && batch-min winner), so later epochs can never re-add it — which
+    // makes the state side joinable directly, no per-epoch re-aggregation
+    // shuffle.
     val seen = digests.select(col("digest"), col("id").as("prior_id"))
     val batchMin = s1.groupBy("digest").agg(min(col(idCol)).as("batch_min"))
     val s1j = s1
       .join(broadcast(batchMin), Seq("digest"))
-      .join(seen.groupBy("digest").agg(min("prior_id").as("prior_id")), Seq("digest"), "left")
+      .join(seen, Seq("digest"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactDrop = s1j
       .filter(col("prior_id").isNotNull || col(idCol) =!= col("batch_min"))
@@ -113,7 +118,10 @@ object StreamingCuration {
       .join(idxOk.select(col("id").as("idx_id"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("idx_id") < col("new_id"))
       .select("new_id", "idx_id").distinct()
-    val idxSigs = combined.select(col("id"), col("sig")).dropDuplicates("id")
+    // one (id, sig) row per doc WITHOUT a dedup shuffle: signatureIndex
+    // explodes every signature into bands 0..bands-1, so the band-0 slice
+    // is exactly one row per id (a narrow filter, not a dropDuplicates)
+    val idxSigs = combined.filter(col("band") === 0).select(col("id"), col("sig"))
     val nearIds = candIds
       .join(idxSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
       .join(idxSigs.select(col("id").as("idx_id"), col("sig").as("sig_i")), "idx_id")
@@ -167,8 +175,26 @@ object StreamingCuration {
     if (bounds.isNullAt(0)) { probeH.unpersist(false); return emptyVerdict(spark, idCol) }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = (hi - lo) / nBatches + 1
-    var digests = emptyDigests(spark)
-    var sigs = emptySigs(spark)
+    // AQE is DISABLED for the duration of the fold (restored after): a
+    // micro-batch's curation DAG is bounded-small by the streaming
+    // contract (one batch of arrivals, never the corpus), so AQE's
+    // per-exchange stage materialization buys nothing — and costs a 7×
+    // driver job fan-out (measured at sf0.1: 361 jobs/fold with AQE vs 51
+    // without, 8.5 → 6.6 s wall) plus replan-churned generated sources
+    // that defeat the codegen cache (78 fresh Janino compiles per
+    // repeated fold with AQE, 0 without). One-shot corpus operators keep
+    // AQE; this is a micro-batch-loop-only stance.
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+    // the EMPTY state is checkpointed too: epoch 0's plans then scan an
+    // ExistingRDD exactly like epochs 1+ (whose state is a checkpointed
+    // union), so ALL epochs share one generated-source set instead of
+    // epoch 0 compiling a LocalRelation-shaped variant of every fragment
+    // (measured: 447 → fewer distinct sources per fold, see PLANS.md w7)
+    var digests = emptyDigests(spark).localCheckpoint(true)
+    var sigs = emptySigs(spark).localCheckpoint(true)
     var verdicts = List.empty[DataFrame]
     (0 until nBatches).foreach { b =>
       // the batch slice is checkpointed BEFORE entering curateBatch, and
@@ -186,6 +212,14 @@ object StreamingCuration {
       val batch = docs
         .filter(col(idCol) >= lo + b * span && col(idCol) < lo + (b + 1) * span)
         .localCheckpoint(true)
+      // with AQE off, shuffle width = spark.sql.shuffle.partitions; track
+      // the wider of (batch, at-rest state) — the coalescing decision AQE
+      // would have made, taken once per epoch instead of per exchange.
+      // The session value is restored after the fold.
+      val width = math.max(4,
+        math.max(batch.rdd.getNumPartitions, sigs.rdd.getNumPartitions))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(width, priorShuffle.toInt))
       val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
         minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
       val vc = v.localCheckpoint(true)
@@ -198,6 +232,10 @@ object StreamingCuration {
     }
     probeH.unpersist(false)
     verdicts.reduce(_ unionByName _)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+    }
   }
 
   private def emptyVerdict(spark: SparkSession, idCol: String): DataFrame = {
