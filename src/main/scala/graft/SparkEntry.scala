@@ -2132,6 +2132,27 @@ object SparkEntry {
           (col("pred") === col("lang")).as("correct"))
         .orderBy("doc_id")
     }),
+    "d84_nb_capped" -> ((s, d) => {
+      // d79's CAPPED twin: fit prunes the (class, token) relation BEFORE
+      // the driver collect (minCount floor + top-V vocab, ties to the
+      // smaller token) — the path a web-scale corpus MUST run or the
+      // unbounded unique-token tail OOMs the driver. The fixture replays
+      // the pruning independently, so a green row proves the cap
+      // end-to-end under the driver gate, not only in a spec.
+      val docs = t(s, d, "documents")
+      // caps sized to this corpus's 31-token vocabulary: the floor drops
+      // the one tail token (count 26 vs >=840 for the rest) and the top-V
+      // limit path runs at the boundary — the lang signal here lives in
+      // rare-ish tokens, so harder caps destroy the classifier (the
+      // generator's accuracy-vs-majority assert enforces that tradeoff)
+      val model = graft.operators.NaiveBayes.fit(docs, "lang",
+        minCount = 27L, topV = 30)
+      graft.operators.NaiveBayes.predict(docs, model)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("pred") === col("lang")).as("correct"))
+        .orderBy("doc_id")
+    }),
     "d81_k_anonymity" -> ((s, d) =>
       // k-anonymity audit over event quasi-identifiers (type, day, value
       // band): per-equivalence-class size + release verdict at k=5 — the
@@ -2389,6 +2410,33 @@ object SparkEntry {
             (col("c_custkey") * 1.5).as("c_acctbal"),
             pmod(col("c_custkey"), lit(25)).as("c_nationkey")))
       graft.operators.ScdMerge.merge(current, updates, "c_custkey",
+          changeCols = Seq("c_acctbal"), batchTs = lit("2024-06-01").cast("timestamp"))
+        .orderBy(col("c_custkey"), col("version"))
+    }),
+    "d83_scd2_evolve" -> ((s, d) => {
+      // SCHEMA-EVOLVED type-2 merge (ScdMerge.mergeEvolved): the update
+      // feed ADDED c_mktsegment and DROPPED c_nationkey relative to the
+      // at-rest dimension. Added column: only rows (re)opened by this
+      // batch carry it — SCD2 rows are immutable, no retro-fill; dropped
+      // column: carried forward on reopen, NULL for pure inserts. The
+      // oracle is CASE-ENUMERATED per key class (changed / unchanged /
+      // inserted), independent of the merge implementation.
+      val cust = t(s, d, "customer")
+      val current = cust
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+        .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("version", lit(1L))
+      val updates = cust
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") < 30)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            (col("c_custkey") * 1.5).as("c_acctbal"),
+            col("c_mktsegment")))
+      graft.operators.ScdMerge.mergeEvolved(current, updates, "c_custkey",
           changeCols = Seq("c_acctbal"), batchTs = lit("2024-06-01").cast("timestamp"))
         .orderBy(col("c_custkey"), col("version"))
     }),
@@ -4042,6 +4090,27 @@ object SparkEntry {
          SELECT u.c_custkey, u.c_acctbal, u.c_nationkey,
            TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
          FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+         ORDER BY c_custkey, version""",
+    "d83_scd2_evolve" ->
+      """WITH cur AS (SELECT c_custkey, c_acctbal, c_nationkey FROM customer)
+         SELECT c.c_custkey, c.c_acctbal, c.c_nationkey,
+           NULL AS c_mktsegment,
+           TIMESTAMP '2020-01-01' AS valid_from,
+           TIMESTAMP '2024-06-01' AS valid_to,
+           1::BIGINT AS version, 'closed' AS change_status
+         FROM cur c WHERE c.c_custkey % 7 = 0
+         UNION ALL
+         SELECT c.c_custkey, c.c_acctbal + 100, c.c_nationkey, k.c_mktsegment,
+           TIMESTAMP '2024-06-01', NULL, 2::BIGINT, 'updated'
+         FROM cur c JOIN customer k USING (c_custkey) WHERE c.c_custkey % 7 = 0
+         UNION ALL
+         SELECT c.c_custkey, c.c_acctbal, c.c_nationkey, NULL,
+           TIMESTAMP '2020-01-01', NULL, 1::BIGINT, 'unchanged'
+         FROM cur c WHERE c.c_custkey % 7 <> 0
+         UNION ALL
+         SELECT c_custkey + 100000, c_custkey * 1.5, NULL, c_mktsegment,
+           TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
+         FROM customer WHERE c_custkey < 30
          ORDER BY c_custkey, version""",
     "d58_ngram_novelty" ->
       """WITH toks AS (

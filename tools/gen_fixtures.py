@@ -799,6 +799,18 @@ def main():
         for v in members:
             d17_rows.append((v, root, len(members)))
     d17_rows.sort()
+    # BEHAVIORAL SANITY (the d75 lesson: a fixture that replays a degenerate
+    # algorithm is green for the wrong reason — assert the behavior the
+    # operator CLAIMS at generation time, so a degenerate operator fails
+    # here instead of shipping): clusters must be non-trivial — some real
+    # grouping, more than one cluster, and no everything-is-one-cluster
+    # collapse.
+    n_corpus = len(docs)
+    assert d17_rows, "d17: no duplicate clusters at all"
+    assert len(comp) > 1, "d17: a single cluster swallowed every duplicate"
+    assert max(len(m) for m in comp.values()) >= 2, "d17: no cluster of size >= 2"
+    assert max(len(m) for m in comp.values()) < n_corpus // 2, \
+        "d17: degenerate mega-cluster (over half the corpus)"
 
     # ---- w5: streaming near-dup flags batch twin — min earlier qualifying
     # partner per flagged doc, derived from the same independent d7 pairs
@@ -806,6 +818,10 @@ def main():
     for a, b, _ in d7_rows:
         w5[b] = min(w5.get(b, a), a)
     w5_rows = sorted(w5.items())
+    # behavioral sanity: flags non-empty (there ARE planted near-dups) and
+    # non-total (a flag-everything bug must not look like coverage)
+    assert 0 < len(w5_rows) < n_corpus // 2, \
+        f"w5: degenerate flag count {len(w5_rows)} of {n_corpus}"
 
     # ---- d61: PageRank over the d7 pair graph (Graph.pageRank mirror:
     # symmetrized edges, uniform init, teleport (1-d)/N, NO dangling
@@ -833,6 +849,17 @@ def main():
         millis = rank[v] * 1000
         assert_rounding_safe(millis, 6, 1e-9, f"d61 pr_millis doc {v}")
         d61_rows.append((v, rnd(millis, 6)))
+    # behavioral sanity: the dup graph is non-trivial (some nodes, not the
+    # whole corpus) and the ranks prove edges actually carried mass —
+    # every connected node must sit STRICTLY above the teleport-only
+    # floor an isolated node would have. (Flat ranks alone are NOT
+    # degenerate here: disjoint regular components — 2-cliques, triangles
+    # — have the uniform 1/N fixed point by construction.)
+    assert d61_rows and 1 < len(d61_rows) < n_corpus // 2, \
+        f"d61: degenerate dup graph with {len(d61_rows)} nodes"
+    d61_floor = pr_tele * 1000  # isolated-node (teleport-only) pr_millis
+    assert all(r[1] > d61_floor * 1.5 for r in d61_rows), \
+        "d61: some connected node sits at the teleport floor — edges carried no mass"
 
     # ---- d62: cross-source near-dup overlap matrix — the d7 pair set
     # grouped by the (unordered) source pair of its endpoints; pure
@@ -954,6 +981,11 @@ def main():
     m13_rows = [(a, b, c, len(m13_videos[a]), len(m13_videos[b]))
                 for (a, b), c in sorted(m13_pairs.items()) if c >= 3]
     assert len(m13_rows) >= 20, f"m13: only {len(m13_rows)} pairs"
+    # behavioral sanity: near-dup pairs must be non-TOTAL too — a
+    # collapse-everything hash would pair every video with every other
+    nv = len(m13_videos)
+    assert len(m13_rows) < nv * (nv - 1) // 4, \
+        f"m13: {len(m13_rows)} pairs is near-total for {nv} videos"
 
     # ---- e18/e19: OPQ chain (rotation → PQ/ADC; rotation → residual
     # IVF-PQ) — one independent numpy front half feeds both oracles
@@ -1083,6 +1115,26 @@ def main():
         shard = int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16) % 16
         w7_verdict[i] = ("kept", shard)
     w7_rows = sorted((i, st, sh) for i, (st, sh) in w7_verdict.items())
+    # behavioral sanity: every curation stage must actually fire on this
+    # corpus, and the kept share must be a real filter (neither
+    # pass-everything nor drop-everything)
+    w7_stage_counts = {}
+    for _i, st, _sh in w7_rows:
+        w7_stage_counts[st] = w7_stage_counts.get(st, 0) + 1
+    for st in ("quality", "near_dup", "contaminated", "kept"):
+        assert w7_stage_counts.get(st, 0) > 0, \
+            f"w7: stage {st} never fires — pipeline stage is dead code"
+    # exact_dup is corpus-dependent (this corpus plants NEAR dups, not
+    # byte-identical ones): assert the verdict AGREES with an independent
+    # set-arithmetic restatement — exact_dup fires iff the quality-passing
+    # slice contains a repeated text
+    w7_surv = [t for i, t in docs if i % 31 != 0 and qmap[i] >= 0.9]
+    assert (w7_stage_counts.get("exact_dup", 0) > 0) == \
+        (len(w7_surv) != len(set(w7_surv))), \
+        "w7: exact_dup verdicts disagree with the corpus's repeated-text facts"
+    w7_kept_share = w7_stage_counts["kept"] / len(w7_rows)
+    assert 0.05 < w7_kept_share < 0.98, \
+        f"w7: degenerate kept share {w7_kept_share:.3f}"
 
     # ---- d53: sketch-quality audit — every bucket-colliding pair with
     # est >= 0.1 scored by BOTH the MinHash estimate (m/64, exact rational,
@@ -1327,6 +1379,23 @@ def main():
                 if len(first) < 8:
                     first.append(p)
         d75_rows.append((i, n_p, n_u, wt, " ".join(first)))
+    # behavioral sanity (the round-8 lesson itself): a real unigram
+    # segmentation USES its multi-char vocabulary. The degenerate
+    # maximize-summed-counts objective split every word to single chars
+    # and this fixture replayed it green — now a char-splitter fails
+    # generation. Both rates are ~1.0 for the fixed objective; the floors
+    # only need to kill the degenerate case (rate 0.0).
+    d75_multi = sum(
+        1 for r in d75_rows if any(len(p) > 1 for p in r[4].split()))
+    assert d75_multi / max(1, len(d75_rows)) > 0.3, \
+        f"d75: only {d75_multi}/{len(d75_rows)} docs use a multi-char piece" \
+        " in their first pieces — degenerate char-splitter segmentation"
+    d75_compressing = sum(
+        1 for (i, n_p, _u, _w, _f) in d75_rows
+        if n_p < sum(len(w) for w in toks[i]))
+    assert d75_compressing / max(1, len(d75_rows)) > 0.3, \
+        "d75: piece counts equal character counts corpus-wide — the" \
+        " segmentation is not compressing anything"
 
     # ---- d79: multinomial Naive Bayes lang classifier — integer counts,
     # add-one smoothing, doc-token-order log sums, argmax with ties to the
@@ -1362,6 +1431,63 @@ def main():
         assert best_s - second > 1e-6 * max(1.0, abs(best_s)), \
             f"d79: fragile NB margin on doc {i}: {best_s} vs {second}"
         d79_rows.append((i, doc_lang[i], best_l, best_l == doc_lang[i]))
+    # behavioral sanity: a degenerate model predicting one label for
+    # everything scores exactly the majority share with a constant pred
+    # column — require strictly-above-majority accuracy AND a non-constant
+    # prediction. (The margin is small: this synthetic corpus draws all
+    # langs from one shared vocabulary, so lang is only weakly encoded in
+    # the text and ~0.47 vs 0.436 majority is the honest ceiling.)
+    d79_acc = sum(1 for r in d79_rows if r[3]) / len(d79_rows)
+    d79_majority = max(nb_dc.values()) / nb_ndocs
+    assert d79_acc > d79_majority + 0.01, \
+        f"d79: accuracy {d79_acc:.3f} does not beat majority baseline " \
+        f"{d79_majority:.3f} — degenerate classifier"
+    assert len({r[2] for r in d79_rows}) >= 2, \
+        "d79: constant prediction — degenerate classifier"
+
+    # ---- d84: the CAPPED NaiveBayes fit (minCount floor + top-V vocab)
+    # replayed END-TO-END — the scale path a 100-TB fit must run (the
+    # unbounded unique-token tail would otherwise OOM the driver collect).
+    # Replays the pruning exactly: corpus-wide token totals -> floor at
+    # minCount -> top-V by (total desc, token asc) -> per-class counts
+    # filtered to the kept vocab; smoothing vocab = kept vocab; dropped
+    # tokens score as unseen (add-one over the kept denominator).
+    D84_MIN_COUNT, D84_TOP_V = 27, 30
+    d84_tot = {}
+    for i, _t in docs:
+        for w in toks[i]:
+            d84_tot[w] = d84_tot.get(w, 0) + 1
+    d84_floored = {w: c for w, c in d84_tot.items() if c >= D84_MIN_COUNT}
+    d84_kept = set(sorted(d84_floored,
+                          key=lambda w: (-d84_floored[w], w))[:D84_TOP_V])
+    assert 0 < len(d84_kept) < len(d84_tot), \
+        "d84: the cap prunes nothing (or everything) — pick harder caps"
+    d84_tc = {l: {w: c for w, c in m.items() if w in d84_kept}
+              for l, m in nb_tc.items()}
+    d84_vocab = len({w for m in d84_tc.values() for w in m})
+    d84_totals = {l: sum(m.values()) for l, m in d84_tc.items()}
+    d84_rows = []
+    for i, _t in docs:
+        best_l, best_s, second = "", None, None
+        for l in nb_labels:
+            counts = d84_tc.get(l, {})
+            denom = float(d84_totals.get(l, 0) + d84_vocab)
+            s = math.log(nb_dc[l] / nb_ndocs)
+            for w in toks[i]:
+                s += math.log((counts.get(w, 0) + 1) / denom)
+            if best_s is None or s > best_s:
+                second, best_s, best_l = best_s, s, l
+            elif second is None or s > second:
+                second = s
+        assert best_s - second > 1e-6 * max(1.0, abs(best_s)), \
+            f"d84: fragile capped-NB margin on doc {i}: {best_s} vs {second}"
+        d84_rows.append((i, doc_lang[i], best_l, best_l == doc_lang[i]))
+    d84_acc = sum(1 for r in d84_rows if r[3]) / len(d84_rows)
+    assert d84_acc > d79_majority + 0.01, \
+        f"d84: capped accuracy {d84_acc:.3f} does not beat majority " \
+        f"baseline {d79_majority:.3f} — pruning destroyed the classifier"
+    assert len({r[2] for r in d84_rows}) >= 2, \
+        "d84: constant prediction under the cap — degenerate classifier"
 
     # ---- m14: DCT perceptual hash over the PNG (even-id, lossless)
     # synthetic rasters — independent replay of the closed-form pixels,
@@ -1403,6 +1529,14 @@ def main():
             if c > median:
                 bits |= 1 << k
         m14_rows.append((i, bits, bin(bits).count("1")))
+    # behavioral sanity: pHashes must discriminate — distinct images map to
+    # distinct hashes (a constant/degenerate DCT would collapse them), and
+    # the bit counts sit near the median-split's designed ~31/63
+    m14_distinct = len({r[1] for r in m14_rows})
+    assert m14_distinct > len(m14_rows) // 2, \
+        f"m14: only {m14_distinct} distinct hashes for {len(m14_rows)} images"
+    assert all(20 <= r[2] <= 44 for r in m14_rows), \
+        "m14: bit count far from the median split — DCT/median path broken"
 
     def values(rows, fmt):
         return ",\n".join("      (" + fmt(r) + ")" for r in rows)
@@ -1548,6 +1682,11 @@ def main():
                + values(d79_rows, lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, "
                         f"{str(r[3]).lower()}")
                + ") AS t(c0, c1, c2, c3) ORDER BY doc_id")
+    d84_sql = ("SELECT c0::BIGINT AS doc_id, c1 AS lang, c2 AS pred,"
+               " c3::BOOLEAN AS correct FROM (VALUES\n"
+               + values(d84_rows, lambda r: f"{r[0]}, {r[1]!r}, {r[2]!r}, "
+                        f"{str(r[3]).lower()}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY doc_id")
 
     m14_sql = ("SELECT c0::BIGINT AS media_id, c1::BIGINT AS phash,"
                " c2::BIGINT AS n_bits FROM (VALUES\n"
@@ -1627,6 +1766,8 @@ object FixtureOracles {{
       \"\"\"{d75_sql}\"\"\",
     "d79_nb_classify" ->
       \"\"\"{d79_sql}\"\"\",
+    "d84_nb_capped" ->
+      \"\"\"{d84_sql}\"\"\",
     "m14_image_phash" ->
       \"\"\"{m14_sql}\"\"\")
 }}
