@@ -115,7 +115,14 @@ case class PipelineConfig(
       * seconds after their last modification (reference:
       * logRetentionInSeconds, DefaultLogStreamProcessor.java:252-254).
       * None = never delete. */
-    logRetentionSeconds: Option[Long] = None)
+    logRetentionSeconds: Option[Long] = None,
+    /** Streaming state-store provider for this pipeline's stateful
+      * operators: "rocksdb", "hdfs"/"default", or a provider FQCN
+      * (see [[graft.streaming.StateStores]]). None = the session's
+      * setting (Spark's in-heap default). Pipelines with unbounded key
+      * domains should set "rocksdb" — the in-heap store is the first
+      * thing to fall over at 100-TB key scale. */
+    stateStoreProvider: Option[String] = None)
 
 object PipelineConfig {
   /** Parse a singer-style `.properties` pipeline definition
@@ -194,6 +201,7 @@ object PipelineConfig {
       tailMode = opt("reader.tailMode").exists(_.toBoolean),
       instanceDecider = opt("logDecider"),
       maxRestarts = opt("processor.maxRestarts").map(_.toInt).getOrElse(0),
-      logRetentionSeconds = opt("processor.logRetentionInSeconds").map(_.toLong))
+      logRetentionSeconds = opt("processor.logRetentionInSeconds").map(_.toLong),
+      stateStoreProvider = opt("processor.stateStoreProvider"))
   }
 }

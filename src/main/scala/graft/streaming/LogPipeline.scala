@@ -199,18 +199,20 @@ object LogPipeline {
     val transformed = applyTransforms(src, cfg)
     val checkpoint = cfg.checkpointDir.getOrElse(
       s"/tmp/graft-checkpoints/${cfg.name}")
-    transformed.writeStream
-      .queryName(cfg.name)
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = writeBatch(
-          if (batch.columns.contains("topic")) batch
-          else batch.withColumn("topic", lit(cfg.name)), cfg, batchId)
-        audit.foreach(_.record(cfg.name, batchId, n))
-        ()
-      }
-      .start()
+    StateStores.withProvider(spark, cfg.stateStoreProvider) {
+      transformed.writeStream
+        .queryName(cfg.name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val n = writeBatch(
+            if (batch.columns.contains("topic")) batch
+            else batch.withColumn("topic", lit(cfg.name)), cfg, batchId)
+          audit.foreach(_.record(cfg.name, batchId, n))
+          ()
+        }
+        .start()
+    }
   }
 
 

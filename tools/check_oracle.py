@@ -174,7 +174,8 @@ def main():
                 print(f"FAIL  {name}: harness-incompatible nested column "
                       f"[{'; '.join(unsortable)}] — the driver's pandas "
                       "sort crashes on nested values; serialize in the "
-                      "query projection (see tutorial/OPERATIONS.md)")
+                      "query projection (see tutorial/README.md, "
+                      "'Authoring oracled queries')")
                 n_bad += 1
                 continue
             bad = type_mismatches(st, dt)
