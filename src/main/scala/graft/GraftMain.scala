@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.PipelineConfig
-import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager, RestartSchedule}
+import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager, RestartSchedule, WriteLatencyListener, WriteMetricsRegistry}
 
 /** Agent entry point — the reference's `SingerMain` re-expressed: load every
   * `*.properties` pipeline definition from a conf directory, start one
@@ -19,6 +19,13 @@ import graft.streaming.{AuditWriter, HeartbeatListener, PipelineManager, Restart
   * Usage: graft.GraftMain <confDir> [auditDir] [heartbeatFile]
   */
 object GraftMain {
+
+  /** Process-wide write-metrics registry: [[run]] wires a
+    * [[WriteLatencyListener]] feeding it, and the admin status endpoint
+    * reports it (reference: the OpenTSDB counters every Singer process
+    * exports — here one JSON heartbeat body). */
+  val writeMetrics = new WriteMetricsRegistry
+
 
   /** Parse + start everything; returned manager owns the queries (separated
     * from main for tests). `startAll` applies instance deciders and HOLDS
@@ -37,6 +44,9 @@ object GraftMain {
     require(confs.nonEmpty || dataSpecs.nonEmpty,
       s"no *.properties pipeline configs under $confDir")
     heartbeat.foreach(emit => spark.streams.addListener(new HeartbeatListener(emit)))
+    // per-batch write latency/row counters for every managed query, the
+    // reference's per-task WRITER_*/BROKER_* accounting (see WriteMetrics)
+    spark.streams.addListener(new WriteLatencyListener(writeMetrics))
     val audit = auditDir.map(new AuditWriter(spark, _))
     val mgr = new PipelineManager(spark, audit = audit, restartSchedule = restartSchedule)
     mgr.startAll(confs, trigger = trigger)
@@ -128,7 +138,8 @@ object GraftMain {
         .map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set(System.getProperty("user.name")))
       val a = new graft.streaming.AdminServer(mgr,
-        new graft.streaming.StatusReporter(mgr), Paths.get(p), users)
+        new graft.streaming.StatusReporter(mgr, writeMetrics = Some(writeMetrics)),
+        Paths.get(p), users)
       a.start()
       a
     }

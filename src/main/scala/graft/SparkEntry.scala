@@ -1119,6 +1119,73 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source", "lang")
     }),
+    "s21_rotation_replay" -> ((s, d) => {
+      // the reference's rotate-mid-stream + crash + resume race under the
+      // DRIVER GATE (reference: DefaultLogStreamProcessorTest.java:162-286
+      // — write, rotate 3x while writing, crash between batches, resume
+      // from the committed watermark, assert every message exactly once):
+      // documents become thrift frames written across THREE head-file
+      // generations with rename-rotation between ingest passes, each pass
+      // a fresh graft-tail stream resuming from the SAME checkpoint (the
+      // stop between passes IS the crash). The exactly-once file sink +
+      // inode-keyed offsets must yield each doc exactly once with its
+      // full text — n_copies counts dups, the row count catches loss, and
+      // n_chars catches torn/truncated frames.
+      import java.nio.file.{Files => JFiles, Paths => JPaths, StandardOpenOption}
+      val base = JPaths.get(System.getProperty("java.io.tmpdir"),
+        "graft_s21_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rmrf(p: java.nio.file.Path): Unit = if (JFiles.exists(p))
+        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { JFiles.deleteIfExists(f); () })
+      rmrf(base) // bench runs the query twice — each run starts clean
+      val logDir = base.resolve("logs"); val cp = base.resolve("cp")
+      val outDir = base.resolve("out")
+      JFiles.createDirectories(logDir)
+      val docs = t(s, d, "documents")
+      val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (idLo, idHi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = (idHi - idLo) / 3 + 1
+      val cut1 = idLo + span; val cut2 = idLo + 2 * span
+      val head = logDir.resolve("app.log")
+      def writeRange(lo: Long, hi: Long): Unit = {
+        val it = docs.select(col("doc_id"), col("text"))
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .orderBy("doc_id").toLocalIterator() // streamed, never bulk-collected
+        val out = new java.io.ByteArrayOutputStream(1 << 20)
+        while (it.hasNext) {
+          val r = it.next()
+          out.write(graft.sources.ThriftLogCodec.encodeFrame(
+            r.getLong(0).toString.getBytes("UTF-8"),
+            r.getString(1).getBytes("UTF-8"), Some(r.getLong(0)), None))
+        }
+        JFiles.write(head, out.toByteArray,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft-tail")
+          .option("path", logDir.toString).option("format", "thrift")
+          .load()
+          .selectExpr("CAST(key AS STRING) AS doc_key",
+            "CAST(value AS STRING) AS text")
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"))
+          .start()
+        q.processAllAvailable(); q.stop() // the crash point
+      }
+      def rotate(gen: Int): Unit =
+        JFiles.move(head, logDir.resolve(s"app.log.$gen"))
+      writeRange(idLo, cut1); drainOnce()
+      rotate(1); writeRange(cut1, cut2); drainOnce()
+      rotate(2); writeRange(cut2, Long.MaxValue); drainOnce()
+      s.read.parquet(outDir.toString)
+        .groupBy(col("doc_key").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "s17_orc_roundtrip" -> ((s, d) => {
       // ORC sink → source round-trip: the other mainstream columnar at-rest
       // format (Spark ships the ORC reader/writer natively). Predicate
@@ -6036,6 +6103,9 @@ object SparkEntry {
       """SELECT source, CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
            count(*)::BIGINT AS n, min(doc_id) AS min_id
          FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
+    "s21_rotation_replay" ->
+      """SELECT doc_id, 1::BIGINT AS n_copies, length(text)::BIGINT AS n_chars
+         FROM documents ORDER BY doc_id""",
     "s17_orc_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
          FROM lineitem WHERE l_orderkey < 500 AND l_returnflag <> 'X'

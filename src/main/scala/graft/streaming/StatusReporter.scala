@@ -6,11 +6,12 @@ package graft.streaming
   * write/latency counters), sourced from the PipelineManager registry and
   * each query's `lastProgress` instead of a hand-rolled metrics registry.
   */
-class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1") {
+class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1",
+    writeMetrics: Option[WriteMetricsRegistry] = None) {
 
   private val startedAtMs = System.currentTimeMillis()
 
-  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def esc(s: String): String = StatusReporter.esc(s)
 
   def statusJson(nowMs: Long = System.currentTimeMillis()): String = {
     val active = mgr.active
@@ -35,6 +36,15 @@ class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1") {
     s"""{"version":"${esc(version)}","hostname":"${esc(LogPipeline.hostname)}",""" +
       s""""uptimeMs":${nowMs - startedAtMs},"timestamp":$nowMs,""" +
       s""""numPipelines":${active.size},"numStuckPipelines":${stuck.size},""" +
-      s""""pipelines":$perPipeline}"""
+      s""""pipelines":$perPipeline""" +
+      writeMetrics.map(m =>
+        s""","writeMetrics":${m.pipelinesJson},"brokerWrites":${m.brokersJson}""")
+        .getOrElse("") +
+      "}"
   }
+}
+
+object StatusReporter {
+  private[streaming] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 }
