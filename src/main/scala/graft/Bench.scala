@@ -143,31 +143,41 @@ object Bench {
     // in the artifact as `isolated_rechecks`. The final kept value is the
     // min, so a noise-poisoned in-run number is replaced by evidence, and
     // a genuine regression survives the recheck and is visibly confirmed.
-    val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val cands = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
-      if (cands.nonEmpty) Some(cands.maxBy(_._1)._2)
-      else Option(new java.io.File("BENCH_full.json")).filter(_.exists).map(_.getPath)
-    }
-    val prev = prevPath.flatMap { p =>
+    // Previous-round source of truth: BENCH_full.json, the complete line
+    // this main wrote LAST round (committed; read here BEFORE this run
+    // overwrites it). The driver's BENCH_r{N}.json wrapper is the
+    // fallback — its `parsed` field holds the same object but has been
+    // observed null when the captured stdout was truncated, so a file
+    // only counts if a queries map is actually recoverable from it.
+    def extract(p: String): Option[(Map[String, Double], Double, Double)] =
       try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root0 = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(p))
-        val qs = Option(root.get("queries")).map { qn =>
-          val it = qn.fields()
+        val root = if (root0.has("queries")) root0
+          else Option(root0.get("parsed")).filter(_.isObject).orNull
+        if (root == null || !root.has("queries")) None
+        else {
+          val it = root.get("queries").fields()
           val m = scala.collection.mutable.Map.empty[String, Double]
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble }
-          m.toMap
-        }.getOrElse(Map.empty[String, Double])
-        val ing = Option(root.get("ingestion"))
-        val txt = ing.flatMap(n => Option(n.get("text_mbps"))).map(_.asDouble).getOrElse(0.0)
-        val thr = ing.flatMap(n => Option(n.get("thrift_mbps"))).map(_.asDouble).getOrElse(0.0)
-        Some((qs, txt, thr))
+          val ing = Option(root.get("ingestion"))
+          val txt = ing.flatMap(n => Option(n.get("text_mbps"))).map(_.asDouble).getOrElse(0.0)
+          val thr = ing.flatMap(n => Option(n.get("thrift_mbps"))).map(_.asDouble).getOrElse(0.0)
+          Some((m.toMap, txt, thr))
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not parse prev bench $p: $e"); None }
-    }
+    val rx = "BENCH_r(\\d+)\\.json".r
+    val candidates = sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
+      Seq("BENCH_full.json").filter(f => new java.io.File(f).exists) ++
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
+        .sortBy(-_._1).map(_._2).toSeq
+    val (prevPath, prev) = candidates.iterator
+      .map(p => (Option(p), extract(p)))
+      .collectFirst { case (path, Some(found)) => (path, Some(found)) }
+      .getOrElse((None, None))
     val rechecks = scala.collection.mutable.LinkedHashMap.empty[String, String]
     prev.foreach { case (prevQs, prevText, prevThrift) =>
       val suspects = selected.filter { case (name, _) =>
