@@ -4326,9 +4326,9 @@ object SparkEntry {
          SELECT o_orderkey,
            CASE WHEN NOT in_b THEN 'added'
              WHEN NOT in_a THEN 'removed' ELSE 'changed' END AS change_type,
-           array_to_string(
+           coalesce(array_to_string(
              CASE WHEN in_b AND in_a THEN diffs ELSE []::VARCHAR[] END,
-             ',') AS changed_cols
+             ','), '') AS changed_cols
          FROM j
          WHERE NOT in_b OR NOT in_a OR len(diffs) > 0
          ORDER BY o_orderkey""",
