@@ -183,9 +183,12 @@ object Bench {
       val suspects = selected.filter { case (name, _) =>
         (for { cur <- results.get(name); old <- prevQs.get(name) }
           yield cur > 2 * old && cur >= 0.5).getOrElse(false) }
+      // ingestion runs best-of-3 twice per bench, so its noise band is
+      // tighter than a query's best-of-2 — adjudicate at 1.5× (queries
+      // stay at the 2× contract)
       val ingSuspect = !subsetRun &&
-        ((prevText > 0 && textBest < prevText / 2) ||
-          (prevThrift > 0 && thriftBest < prevThrift / 2))
+        ((prevText > 0 && textBest * 1.5 < prevText) ||
+          (prevThrift > 0 && thriftBest * 1.5 < prevThrift))
       if (suspects.nonEmpty || ingSuspect) {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
