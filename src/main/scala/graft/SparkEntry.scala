@@ -1982,6 +1982,40 @@ object SparkEntry {
       graft.streaming.StreamingDimension.snapshot(s, dir)
         .orderBy("c_custkey", "version")
     }),
+    "d85_scd2_evolve_fold" -> ((s, d) => {
+      // d65's standing fold WITH a mid-stream producer upgrade: epoch 1
+      // arrives on the original schema, epoch 2's feed ADDED c_mktsegment
+      // and DROPPED c_nationkey (StreamingDimension.applyEpochEvolved →
+      // ScdMerge.mergeEvolved). The at-rest snapshot widens on the swap:
+      // only rows epoch 2 (re)opened carry the added column, the dropped
+      // column carries forward, history keeps NULLs. Oracle is
+      // CASE-ENUMERATED over the four key classes, independent of the
+      // merge implementation.
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val current = dim
+        .withColumn("valid_from", lit("2020-01-01").cast("timestamp"))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("version", lit(1L))
+      val feed1 = dim.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      val feed2 = feed1
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(5)) === 0, col("c_acctbal") + 50)
+            .otherwise(col("c_acctbal")))
+        .drop("c_nationkey")
+        .join(t(s, d, "customer").select("c_custkey", "c_mktsegment"), "c_custkey")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_d85_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingDimension.init(current, dir)
+      graft.streaming.StreamingDimension.applyEpoch(feed1, dir, "c_custkey",
+        Seq("c_acctbal"), lit("2024-06-01").cast("timestamp"))
+      graft.streaming.StreamingDimension.applyEpochEvolved(feed2, dir,
+        "c_custkey", Seq("c_acctbal"), lit("2024-07-01").cast("timestamp"))
+      graft.streaming.StreamingDimension.snapshot(s, dir)
+        .orderBy("c_custkey", "version")
+    }),
     "d66_dsir_select" -> ((s, d) => {
       // DSIR (Xie et al. '23): rank the non-English pile by how English it
       // looks under the hashed-unigram importance model fit on the lang=en
@@ -2514,6 +2548,15 @@ object SparkEntry {
       Dedup.ngramNovelty(t(s, d, "documents"))
         .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
         .orderBy("doc_id")),
+    "d86_shared_spans" -> ((s, d) =>
+      // exact shared-substring spans >= 10 tokens (the Lee et al. 2021
+      // exact-substring dup family — verbatim overlap MinHash misses),
+      // suffix-array-free: anchor-gram inverted index + diagonal
+      // gaps-and-islands runs, df-capped before the pair join. See
+      // Dedup.sharedSpans for the two-keyed-shuffle scale shape.
+      Dedup.sharedSpans(t(s, d, "documents"), minSpan = 10, anchor = 8,
+          maxDf = 64)
+        .orderBy("doc_a", "doc_b", "start_a")),
     "d59_zipf_slope" -> ((s, d) => {
       // corpus token-frequency power-law audit: log-log regression slope
       // over the top-1000 tokens. Frequency is a combinable count; the
@@ -4116,6 +4159,32 @@ object SparkEntry {
            UNION ALL SELECT k, b, n, '2020-01-01', NULL,
              1, 'unchanged' FROM c WHERE k % 5 <> 0 AND k % 7 <> 0)
          ORDER BY c_custkey, version""",
+    "d85_scd2_evolve_fold" ->
+      """WITH c AS (SELECT c_custkey AS k, c_acctbal AS b, c_nationkey AS n,
+             c_mktsegment AS m FROM customer)
+         SELECT k AS c_custkey, bal AS c_acctbal, nat AS c_nationkey,
+           mkt AS c_mktsegment,
+           vf::TIMESTAMP AS valid_from, vt::TIMESTAMP AS valid_to,
+           ver::BIGINT AS version, st AS change_status
+         FROM (
+           SELECT k, b AS bal, n AS nat, NULL AS mkt, '2020-01-01' AS vf,
+             '2024-06-01' AS vt, 1 AS ver, 'history' AS st
+           FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b + 100, n, NULL, '2024-06-01', '2024-07-01',
+             2, 'closed' FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b + 150, n, m, '2024-07-01', NULL,
+             3, 'updated' FROM c WHERE k % 35 = 0
+           UNION ALL SELECT k, b, n, NULL, '2020-01-01', '2024-06-01',
+             1, 'history' FROM c WHERE k % 7 = 0 AND k % 5 <> 0
+           UNION ALL SELECT k, b + 100, n, NULL, '2024-06-01', NULL,
+             2, 'unchanged' FROM c WHERE k % 7 = 0 AND k % 5 <> 0
+           UNION ALL SELECT k, b, n, NULL, '2020-01-01', '2024-07-01',
+             1, 'closed' FROM c WHERE k % 5 = 0 AND k % 7 <> 0
+           UNION ALL SELECT k, b + 50, n, m, '2024-07-01', NULL,
+             2, 'updated' FROM c WHERE k % 5 = 0 AND k % 7 <> 0
+           UNION ALL SELECT k, b, n, NULL, '2020-01-01', NULL,
+             1, 'unchanged' FROM c WHERE k % 5 <> 0 AND k % 7 <> 0)
+         ORDER BY c_custkey, version""",
     "d63_negative_sampling" ->
       """WITH a AS (SELECT doc_id AS anchor_id, text AS atext
              FROM documents WHERE doc_id < 10),
@@ -4179,6 +4248,31 @@ object SparkEntry {
            TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
          FROM customer WHERE c_custkey < 30
          ORDER BY c_custkey, version""",
+    "d86_shared_spans" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS w
+           FROM documents),
+         anch AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8),
+         a2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM anch),
+         keep AS (SELECT gram FROM a2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         ok AS (SELECT a2.* FROM a2 JOIN keep USING (gram)),
+         m AS (SELECT x.id AS doc_a, y.id AS doc_b, x.pos - y.pos AS diag,
+             x.pos AS pa
+           FROM ok x JOIN ok y ON x.gram = y.gram AND x.id < y.id),
+         r AS (SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+           FROM m),
+         sp AS (SELECT doc_a, doc_b, diag, run, min(pa) AS start_a,
+             count(*) AS n FROM r GROUP BY 1, 2, 3, 4)
+         SELECT doc_a, doc_b, start_a::BIGINT AS start_a,
+           (start_a - diag)::BIGINT AS start_b, (n + 7)::BIGINT AS span_tokens
+         FROM sp WHERE n + 7 >= 10
+         ORDER BY doc_a, doc_b, start_a""",
     "d58_ngram_novelty" ->
       """WITH toks AS (
            SELECT doc_id,

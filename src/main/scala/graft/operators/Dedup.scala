@@ -587,4 +587,65 @@ object Dedup {
       .select((-col("best.negid")).as(idCol))
     docs.join(clusters.select(col(idCol)).except(survivors), Seq(idCol), "left_anti")
   }
+
+  /** EXACT shared-substring spans: every maximal verbatim token run of at
+    * least `minSpan` tokens shared between two documents — the
+    * exact-substring duplication family of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"), which
+    * catches verbatim boilerplate/quotation overlap that whole-document
+    * MinHash misses. The paper's single-node tool builds a suffix array;
+    * the Spark-first shape replaces it with two keyed shuffles:
+    *
+    *  1. ANCHOR INDEX: every `anchor`-token window becomes an inverted-
+    *     index row (gram, doc, pos) — any shared span of length >= anchor
+    *     contains at least one shared anchor, and a span of length
+    *     s >= anchor contains exactly s - anchor + 1 consecutive anchors.
+    *  2. DIAGONAL RUNS: anchor matches between a doc pair at offset
+    *     difference d = pos_a - pos_b lie on one "diagonal"; a maximal
+    *     verbatim span is a maximal consecutive run on a diagonal
+    *     (gaps-and-islands: pos - row_number is constant within a run).
+    *     span_tokens = run_length + anchor - 1.
+    *
+    * Shuffle 1 keys on the gram text, shuffle 2 on (doc_a, doc_b,
+    * diagonal) — candidate pairs only, never all pairs. Grams present in
+    * more than `maxDf` documents are excluded BEFORE the pair join (the
+    * d36 df-cap stance: a corpus-wide boilerplate gram would otherwise
+    * quadratically explode the join; the cap splits any span crossing the
+    * hot gram, deterministically on both engines). At 100 TB, replace the
+    * gram text with its 8-byte hash in shuffle 1 and verify survivors —
+    * kept as text here so the result is bit-exact against the SQL oracle. */
+  def sharedSpans(docs: DataFrame, minSpan: Int = 10, anchor: Int = 8,
+      maxDf: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(anchor >= 2 && minSpan >= anchor,
+      s"need anchor >= 2 and minSpan ($minSpan) >= anchor ($anchor)")
+    val toks = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val anchors = toks.filter(size(col("tk")) >= anchor)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - anchor),
+        i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(anchor))))))
+      .toDF("id", "pos", "gram")
+    val hot = anchors.groupBy("gram")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") > maxDf).select("gram")
+    val ok = anchors.join(hot, Seq("gram"), "left_anti")
+    val matches = ok.select(col("gram"), col("id").as("doc_a"), col("pos").as("pa"))
+      .join(ok.select(col("gram"), col("id").as("doc_b"), col("pos").as("pb")),
+        Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
+        col("pa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    matches
+      .withColumn("run", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "run")
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("n_anchors"))
+      .withColumn("span_tokens", col("n_anchors") + lit(anchor - 1))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a").cast("long").as("start_a"),
+        (col("start_a") - col("diag")).cast("long").as("start_b"),
+        col("span_tokens"))
+  }
 }

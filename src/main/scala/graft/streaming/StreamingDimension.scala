@@ -43,14 +43,32 @@ object StreamingDimension {
 
   /** Merge one update feed into the at-rest snapshot and swap. */
   def applyEpoch(feed: DataFrame, dir: String, key: String,
-      changeCols: Seq[String], batchTs: Column): Unit = {
+      changeCols: Seq[String], batchTs: Column): Unit =
+    applyWith(feed, dir)(cur =>
+      ScdMerge.merge(cur, feed, key, changeCols, batchTs))
+
+  /** [[applyEpoch]] tolerating SCHEMA DRIFT between the at-rest snapshot
+    * and the feed ([[ScdMerge.mergeEvolved]]): a producer upgrade that
+    * adds or drops feed columns flows through the standing fold without
+    * an operator change — the at-rest snapshot widens in place on the
+    * next swap, history rows carry NULL for post-evolution columns, and
+    * dropped columns follow the carry-forward policy. */
+  def applyEpochEvolved(feed: DataFrame, dir: String, key: String,
+      changeCols: Seq[String], batchTs: Column,
+      carryForwardDropped: Boolean = true): Unit =
+    applyWith(feed, dir)(cur =>
+      ScdMerge.mergeEvolved(cur, feed, key, changeCols, batchTs,
+        carryForwardDropped))
+
+  private def applyWith(feed: DataFrame, dir: String)
+      (merge: DataFrame => DataFrame): Unit = {
     recover(dir)
     val spark = feed.sparkSession
     val cur = {
       val s = spark.read.parquet(dir)
       if (s.columns.contains("change_status")) s.drop("change_status") else s
     }
-    val merged = ScdMerge.merge(cur, feed, key, changeCols, batchTs)
+    val merged = merge(cur)
     // the merge READS dir, so the new history must land elsewhere first:
     // stage, then delete + atomic rename (recover() completes a crashed swap)
     val staging = new File(dir + ".merging")

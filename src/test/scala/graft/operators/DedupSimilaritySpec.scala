@@ -874,4 +874,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(byId(4L) == ((4L, 2L, 1L, 0.5)))
     // case-insensitivity: "NEW" lowercased, so a later "new" is not novel
   }
+
+  private def w(n: Int, prefix: String = "w"): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  test("sharedSpans finds a maximal verbatim run with both start offsets") {
+    // doc 1: 5 unique + 12 shared + 3 unique; doc 2: 2 unique + same 12 + 4 unique
+    val shared = w(12, "s")
+    val d = Seq(
+      (1L, (w(5, "a") ++ shared ++ w(3, "b")).mkString(" ")),
+      (2L, (w(2, "c") ++ shared ++ w(4, "d")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(d, minSpan = 10, anchor = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 5L, 2L, 12L))) // maximal, not per-anchor
+  }
+
+  test("sharedSpans drops runs below minSpan and splits on a mismatch") {
+    val s1 = w(11, "x"); val s2 = w(11, "y")
+    // doc 2 carries s1, ONE divergent token, then s2 — two separate spans
+    // on the same diagonal; a 6-token overlap elsewhere stays below minSpan
+    val d = Seq(
+      (1L, (s1 ++ Seq("only1") ++ s2).mkString(" ")),
+      (2L, (s1 ++ Seq("only2") ++ s2).mkString(" ")),
+      (3L, (w(6, "x") ++ w(10, "z")).mkString(" ")) // 6 shared with doc 1 < 10
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpans(d, minSpan = 10, anchor = 4)
+      .orderBy("doc_a", "doc_b", "start_a")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L, 0L, 11L), (1L, 2L, 12L, 12L, 11L)))
+  }
+
+  test("sharedSpans df cap excludes corpus-wide boilerplate grams") {
+    val boiler = w(12, "b")
+    val d = (1L to 6L).map(i => (i, (Seq(s"u$i") ++ boiler).mkString(" ")))
+      .toDF("doc_id", "text")
+    // df of every boilerplate anchor = 6 > maxDf=4: no pairs at all
+    assert(Dedup.sharedSpans(d, minSpan = 10, anchor = 4, maxDf = 4).count() == 0)
+    // with the cap open, all 15 pairs report the 12-token span
+    assert(Dedup.sharedSpans(d, minSpan = 10, anchor = 4, maxDf = 64).count() == 15)
+  }
 }

@@ -60,4 +60,33 @@ class StreamingDimensionSpec extends AnyFunSuite with SparkTestBase {
     assert(open == Seq(11.0))
     assert(!staging.exists())
   }
+
+  test("applyEpochEvolved widens the at-rest snapshot mid-fold") {
+    // epoch 1 on the original schema; epoch 2's feed added `tier` and
+    // dropped `region` — the standing fold must widen the snapshot in
+    // place, NULL-fill history, and carry the dropped column forward
+    val dir = tmp()
+    val current = Seq((1L, 10.0, "eu"), (2L, 20.0, "us"))
+      .toDF("id", "bal", "region")
+      .withColumn("valid_from", lit(ts("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("version", lit(1L))
+    StreamingDimension.init(current, dir)
+    StreamingDimension.applyEpoch(Seq((1L, 11.0, "eu"), (2L, 20.0, "us"))
+        .toDF("id", "bal", "region"),
+      dir, "id", Seq("bal"), lit(ts("2024-06-01")))
+    StreamingDimension.applyEpochEvolved(
+      Seq((1L, 12.0, "gold"), (2L, 20.0, "silver")).toDF("id", "bal", "tier"),
+      dir, "id", Seq("bal"), lit(ts("2024-07-01")))
+    val out = StreamingDimension.snapshot(spark, dir)
+      .orderBy("id", "version")
+      .select("id", "bal", "region", "tier", "version", "change_status")
+      .as[(Long, Double, Option[String], Option[String], Long, String)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 10.0, Some("eu"), None, 1L, "history"),
+      (1L, 11.0, Some("eu"), None, 2L, "closed"),
+      (1L, 12.0, Some("eu"), Some("gold"), 3L, "updated"), // region carried
+      (2L, 20.0, Some("us"), None, 1L, "unchanged")))      // untouched: no tier
+  }
 }
