@@ -2557,6 +2557,19 @@ object SparkEntry {
       Dedup.sharedSpans(t(s, d, "documents"), minSpan = 10, anchor = 8,
           maxDf = 64)
         .orderBy("doc_a", "doc_b", "start_a")),
+    "d87_span_decontam" -> ((s, d) => {
+      // verbatim-PASSAGE decontamination (Decontaminate.spanOverlap):
+      // one verdict per corpus doc with the longest exact token run it
+      // shares with any probe doc — catches a verbatim quoted benchmark
+      // question that d14's n-gram set overlap under threshold would
+      // pass. Probes: doc_id%31==0 (the d27/w7 split).
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.spanOverlap(
+          docs.filter(pmod(col("doc_id"), lit(31)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(31)) === 0),
+          minSpan = 10, anchor = 8, maxDf = 64)
+        .orderBy("doc_id")
+    }),
     "d59_zipf_slope" -> ((s, d) => {
       // corpus token-frequency power-law audit: log-log regression slope
       // over the top-1000 tokens. Frequency is a combinable count; the
@@ -4248,6 +4261,41 @@ object SparkEntry {
            TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
          FROM customer WHERE c_custkey < 30
          ORDER BY c_custkey, version""",
+    "d87_span_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS w
+           FROM documents),
+         ca AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8 AND doc_id % 31 <> 0),
+         pr AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8 AND doc_id % 31 = 0),
+         c2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM ca),
+         p2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM pr),
+         ck AS (SELECT gram FROM c2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         pk AS (SELECT gram FROM p2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         c3 AS (SELECT c2.* FROM c2 JOIN ck USING (gram)),
+         p3 AS (SELECT p2.* FROM p2 JOIN pk USING (gram)),
+         m AS (SELECT c3.id AS a, p3.id AS b, c3.pos - p3.pos AS diag,
+             c3.pos AS px
+           FROM c3 JOIN p3 USING (gram)),
+         r AS (SELECT a, b, diag, px, px - row_number() OVER (
+             PARTITION BY a, b, diag ORDER BY px) AS run
+           FROM m),
+         sp AS (SELECT a, count(*) + 7 AS span FROM r GROUP BY a, b, diag, run),
+         per AS (SELECT a, count(*)::BIGINT AS n_spans,
+             max(span)::BIGINT AS max_span
+           FROM sp WHERE span >= 10 GROUP BY a)
+         SELECT d.doc_id, coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(per.max_span, 0)::BIGINT AS max_span,
+           coalesce(per.max_span, 0) >= 10 AS contaminated
+         FROM documents d LEFT JOIN per ON per.a = d.doc_id
+         WHERE d.doc_id % 31 <> 0
+         ORDER BY d.doc_id""",
     "d86_shared_spans" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

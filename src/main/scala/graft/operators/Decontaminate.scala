@@ -48,4 +48,35 @@ object Decontaminate {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** VERBATIM-SPAN decontamination: one verdict row per corpus doc with
+    * the longest exact token run it shares with ANY probe/benchmark doc
+    * (`max_span`, 0 when clean) and the number of such runs of at least
+    * `minSpan` tokens. Set-overlap decontamination ([[bloomPruned]], the
+    * n-gram family) flags SHARED VOCABULARY; this flags SHARED PASSAGES —
+    * the "exact substring is memorizable" stance of the Lee et al. 2021
+    * dedup line applied to benchmark leakage, catching a verbatim quoted
+    * question that n-gram Jaccard under its threshold would pass.
+    *
+    * Scale shape = [[Dedup.sharedSpans]]'s bipartite half: anchor-gram
+    * inverted index on each side (df-capped), equi-join on the gram,
+    * diagonal gaps-and-islands runs, then one aggregation per corpus doc.
+    * The probe side is benchmark-sized (small); the corpus side streams
+    * through the gram shuffle once. */
+  def spanOverlap(corpus: DataFrame, probe: DataFrame, minSpan: Int = 10,
+      anchor: Int = 8, maxDf: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val corpusIdx = Dedup.cappedAnchorIndex(corpus, anchor, maxDf, textCol, idCol)
+    val probeIdx = Dedup.cappedAnchorIndex(probe, anchor, maxDf, textCol, idCol)
+    val spans = Dedup.diagonalSpans(corpusIdx, probeIdx, samePool = false,
+      anchor, minSpan)
+    val perDoc = spans.groupBy(col("doc_a").as(idCol))
+      .agg(count(lit(1)).as("n_spans"), max(col("span_tokens")).as("max_span"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        (coalesce(col("max_span"), lit(0L)) >= minSpan).as("contaminated"))
+  }
 }

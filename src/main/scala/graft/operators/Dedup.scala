@@ -617,8 +617,15 @@ object Dedup {
   def sharedSpans(docs: DataFrame, minSpan: Int = 10, anchor: Int = 8,
       maxDf: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(anchor >= 2 && minSpan >= anchor,
-      s"need anchor >= 2 and minSpan ($minSpan) >= anchor ($anchor)")
+    val ok = cappedAnchorIndex(docs, anchor, maxDf, textCol, idCol)
+    diagonalSpans(ok, ok, samePool = true, anchor, minSpan)
+  }
+
+  /** (id, pos, gram) anchor-window inverted index with grams present in
+    * more than `maxDf` docs excluded (see [[sharedSpans]]). */
+  private[operators] def cappedAnchorIndex(docs: DataFrame, anchor: Int,
+      maxDf: Int, textCol: String, idCol: String): DataFrame = {
+    require(anchor >= 2, s"need anchor >= 2: $anchor")
     val toks = docs.select(col(idCol).as("id"),
       graft.functions.TextFunctions.tokens(lower(col(textCol))).as("tk"))
     val anchors = toks.filter(size(col("tk")) >= anchor)
@@ -629,11 +636,22 @@ object Dedup {
     val hot = anchors.groupBy("gram")
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") > maxDf).select("gram")
-    val ok = anchors.join(hot, Seq("gram"), "left_anti")
-    val matches = ok.select(col("gram"), col("id").as("doc_a"), col("pos").as("pa"))
-      .join(ok.select(col("gram"), col("id").as("doc_b"), col("pos").as("pb")),
+    anchors.join(hot, Seq("gram"), "left_anti")
+  }
+
+  /** Maximal diagonal anchor runs between two anchor indexes →
+    * (doc_a, doc_b, start_a, start_b, span_tokens). `samePool = true`
+    * keeps one row per unordered pair (doc_a < doc_b); false joins two
+    * DISJOINT id pools bipartitely (every cross pair). */
+  private[operators] def diagonalSpans(left: DataFrame, right: DataFrame,
+      samePool: Boolean, anchor: Int, minSpan: Int): DataFrame = {
+    require(minSpan >= anchor, s"minSpan ($minSpan) >= anchor ($anchor)")
+    val joined = left
+      .select(col("gram"), col("id").as("doc_a"), col("pos").as("pa"))
+      .join(right.select(col("gram"), col("id").as("doc_b"), col("pos").as("pb")),
         Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
+    val matches = (if (samePool) joined.filter(col("doc_a") < col("doc_b"))
+      else joined)
       .select(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"),
         col("pa"))
     val w = org.apache.spark.sql.expressions.Window

@@ -905,6 +905,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, 2L, 0L, 0L, 11L), (1L, 2L, 12L, 12L, 11L)))
   }
 
+  test("spanOverlap: per-corpus-doc verdict with longest probe passage") {
+    val passage = w(15, "p")
+    val corpus = Seq(
+      (1L, (w(3, "a") ++ passage ++ w(2, "b")).mkString(" ")), // contains it
+      (2L, (w(3, "a") ++ passage.take(8) ++ w(9, "c")).mkString(" ")), // 8 < 10
+      (3L, w(12, "z").mkString(" "))                            // clean
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, (w(2, "q") ++ passage).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.spanOverlap(corpus, probe, minSpan = 10, anchor = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 15L, true),
+      (2L, 0L, 0L, false), // 8-token overlap is sub-threshold
+      (3L, 0L, 0L, false)))
+  }
+
   test("sharedSpans df cap excludes corpus-wide boilerplate grams") {
     val boiler = w(12, "b")
     val d = (1L to 6L).map(i => (i, (Seq(s"u$i") ++ boiler).mkString(" ")))
