@@ -2557,6 +2557,16 @@ object SparkEntry {
       Dedup.sharedSpans(t(s, d, "documents"), minSpan = 10, anchor = 8,
           maxDf = 64)
         .orderBy("doc_a", "doc_b", "start_a")),
+    "d88_span_dedup_clean" -> ((s, d) =>
+      // the REMOVAL half of d86 (Lee et al. cut the duplicated substring,
+      // keeping one copy): spans shared with an earlier doc are deleted
+      // from the later doc's token stream, overlapping intervals merged
+      // first. clean_md5 pins the exact cleaned token stream, so the
+      // interval merge and indexed deletion are bit-checked, not just
+      // counted.
+      Dedup.removeSharedSpans(t(s, d, "documents"), minSpan = 10,
+          anchor = 8, maxDf = 64)
+        .orderBy("doc_id")),
     "d87_span_decontam" -> ((s, d) => {
       // verbatim-PASSAGE decontamination (Decontaminate.spanOverlap):
       // one verdict per corpus doc with the longest exact token run it
@@ -4261,6 +4271,55 @@ object SparkEntry {
            TIMESTAMP '2024-06-01', NULL, 1::BIGINT, 'inserted'
          FROM customer WHERE c_custkey < 30
          ORDER BY c_custkey, version""",
+    "d88_span_dedup_clean" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS w
+           FROM documents),
+         anch AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8),
+         a2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM anch),
+         kp AS (SELECT gram FROM a2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         ok AS (SELECT a2.* FROM a2 JOIN kp USING (gram)),
+         m AS (SELECT x.id AS doc_a, y.id AS doc_b, x.pos - y.pos AS diag,
+             x.pos AS pa
+           FROM ok x JOIN ok y ON x.gram = y.gram AND x.id < y.id),
+         r AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER (
+             PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+           FROM m),
+         spn AS (SELECT doc_a, doc_b, diag, run, min(pa) AS start_a,
+             count(*) AS n FROM r GROUP BY 1, 2, 3, 4),
+         spans AS (SELECT doc_b, start_a - diag AS s,
+             start_a - diag + n + 7 AS e
+           FROM spn WHERE n + 7 >= 10),
+         mx AS (SELECT doc_b AS id, s, e, max(e) OVER (
+             PARTITION BY doc_b ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM spans),
+         isl AS (SELECT id, s, e, sum(
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+             PARTITION BY id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+           FROM mx),
+         mrg AS (SELECT id, min(s) AS s, max(e) AS e FROM isl GROUP BY id, g),
+         tp AS (SELECT doc_id, u[1] AS tok, u[2] AS pos
+           FROM (SELECT doc_id,
+               unnest(list_zip(w, range(0, len(w)))) AS u
+             FROM toks)),
+         keep_toks AS (SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+           LEFT JOIN mrg ON mrg.id = tp.doc_id
+             AND tp.pos >= mrg.s AND tp.pos < mrg.e
+           WHERE mrg.id IS NULL),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_after,
+             md5(array_to_string(list(tok ORDER BY pos), ' ')) AS clean_md5
+           FROM keep_toks GROUP BY doc_id)
+         SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens_before,
+           coalesce(agg.n_after, 0)::BIGINT AS n_tokens_after,
+           coalesce(agg.clean_md5, md5('')) AS clean_md5
+         FROM toks t LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "d87_span_decontam" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

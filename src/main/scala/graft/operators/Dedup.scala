@@ -639,6 +639,54 @@ object Dedup {
     anchors.join(hot, Seq("gram"), "left_anti")
   }
 
+  /** The REMOVAL half of [[sharedSpans]] (Lee et al. cut the duplicated
+    * substring, keeping one copy): every span of `minSpan`+ tokens a doc
+    * shares with an EARLIER doc (smaller id — min-id-keeps, the exact-
+    * dedup stance) is deleted from the later doc's token stream. Returns
+    * one row per doc: token counts before/after and the md5 of the
+    * cleaned token stream rejoined with single spaces (the canonical
+    * tokenized form — cleaning operates on tokens, not raw bytes).
+    *
+    * Span intervals on a doc may overlap (spans against different earlier
+    * partners): they are merged per doc with a running-max-end window
+    * (gaps-and-islands) before deletion, so each token is deleted at most
+    * once. Scale shape: [[sharedSpans]]'s two keyed shuffles, then one
+    * window + one aggregation over the SPAN relation (small — pairs with
+    * long verbatim overlap), and one broadcast-friendly left join back to
+    * the corpus; interval lists ride per-row, bounded by spans per doc. */
+  def removeSharedSpans(docs: DataFrame, minSpan: Int = 10, anchor: Int = 8,
+      maxDf: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = sharedSpans(docs, minSpan, anchor, maxDf, textCol, idCol)
+    val iv = spans.select(col("doc_b").as("id"), col("start_b").as("s"),
+      (col("start_b") + col("span_tokens")).as("e"))
+    val ord = Window.partitionBy("id").orderBy("s", "e")
+    val prevMax = max(col("e")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("newIsland",
+        (prevMax.isNull || col("s") > prevMax).cast("int"))
+      .withColumn("island", sum(col("newIsland")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "island")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivArr = islands.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    val toks = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    val ivOrEmpty = coalesce(col("iv"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(col("tk"), (_, i) =>
+      !exists(ivOrEmpty, v =>
+        i.cast("long") >= v.getField("s") && i.cast("long") < v.getField("e")))
+    toks.join(ivArr, toks(idCol) === ivArr("id"), "left")
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_after"),
+        md5(concat_ws(" ", kept)).as("clean_md5"))
+  }
+
   /** Maximal diagonal anchor runs between two anchor indexes →
     * (doc_a, doc_b, start_a, start_b, span_tokens). `samePool = true`
     * keeps one row per unordered pair (doc_a < doc_b); false joins two

@@ -923,6 +923,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       (3L, 0L, 0L, false)))
   }
 
+  test("removeSharedSpans deletes merged overlapping spans from the later doc only") {
+    val run = w(14, "r")
+    val d = Seq(
+      (1L, (run.take(12) ++ w(4, "a")).mkString(" ")),      // earlier: keeps all
+      (2L, (w(2, "q") ++ run ++ w(3, "z")).mkString(" ")),  // overlapping spans vs 1 & 3
+      (3L, (run.drop(2) ++ w(5, "y")).mkString(" "))        // earlier than... no: id 3 later than 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(d, minSpan = 10, anchor = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 (earliest) untouched: md5 of its rejoined tokens
+    val doc1 = (run.take(12) ++ w(4, "a")).mkString(" ")
+    assert(out.head == ((1L, 16L, 16L,
+      java.security.MessageDigest.getInstance("MD5").digest(doc1.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    // doc 2 shares r0..r11 with doc 1 and r2..r13 with... doc 3 is LATER
+    // (3 > 2), so doc 2 only loses its span vs doc 1: tokens q0 q1 [r0..r11
+    // cut] r12 r13 z0 z1 z2 remain
+    val (id2, before2, after2, _) = out(1)
+    assert((id2, before2, after2) == ((2L, 19L, 7L)))
+    // doc 3 loses r2..r13 (12 tokens vs doc 2's copy at matching offsets
+    // and r2..r11 vs doc 1) — merged: all 12 run-tokens go
+    val (id3, before3, after3, _) = out(2)
+    assert((id3, before3, after3) == ((3L, 17L, 5L)))
+  }
+
   test("sharedSpans df cap excludes corpus-wide boilerplate grams") {
     val boiler = w(12, "b")
     val d = (1L to 6L).map(i => (i, (Seq(s"u$i") ++ boiler).mkString(" ")))
