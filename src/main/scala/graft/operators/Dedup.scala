@@ -611,9 +611,11 @@ object Dedup {
     * more than `maxDf` documents are excluded BEFORE the pair join (the
     * d36 df-cap stance: a corpus-wide boilerplate gram would otherwise
     * quadratically explode the join; the cap splits any span crossing the
-    * hot gram, deterministically on both engines). At 100 TB, replace the
-    * gram text with its 8-byte hash in shuffle 1 and verify survivors —
-    * kept as text here so the result is bit-exact against the SQL oracle. */
+    * hot gram, deterministically on both engines). Anchors join on the
+    * gram's 8-byte xxhash64, not its text — see [[cappedAnchorIndex]] for
+    * the shuffle-volume/collision trade (the SQL oracle still matches
+    * exactly: hashing changes the join key, not the result, absent a
+    * 64-bit collision). */
   def sharedSpans(docs: DataFrame, minSpan: Int = 10, anchor: Int = 8,
       maxDf: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -622,7 +624,16 @@ object Dedup {
   }
 
   /** (id, pos, gram) anchor-window inverted index with grams present in
-    * more than `maxDf` docs excluded (see [[sharedSpans]]). */
+    * more than `maxDf` docs excluded (see [[sharedSpans]]). `gram` is the
+    * window's xxhash64, NOT its text: the index is what shuffles (twice —
+    * the df-cap aggregation and the pair join), and 8-byte keys cut that
+    * volume ~8x vs the `anchor`-token strings (measured 10x-data ratios
+    * 6-7x with text keys). A 64-bit collision would fabricate an anchor
+    * match — probability ~n²/2^65 across the corpus's distinct grams
+    * (~5e-7 at 4.5M grams), and a fabricated single anchor only becomes a
+    * reported span if `minSpan - anchor` consecutive neighbors collide
+    * too; exact-match-critical callers can verify reported spans against
+    * the token streams. */
   private[operators] def cappedAnchorIndex(docs: DataFrame, anchor: Int,
       maxDf: Int, textCol: String, idCol: String): DataFrame = {
     require(anchor >= 2, s"need anchor >= 2: $anchor")
@@ -631,7 +642,7 @@ object Dedup {
     val anchors = toks.filter(size(col("tk")) >= anchor)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("tk")) - anchor),
-        i => concat_ws(" ", slice(col("tk"), i + lit(1), lit(anchor))))))
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(anchor)))))))
       .toDF("id", "pos", "gram")
     val hot = anchors.groupBy("gram")
       .agg(countDistinct(col("id")).as("df"))
