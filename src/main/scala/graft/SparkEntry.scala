@@ -3393,6 +3393,21 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(31)) === 0), nBatches = 4)
         .orderBy("doc_id")
     }),
+    "w24_stream_span_decontam" -> ((s, d) => {
+      // STANDING verbatim-passage decontamination: probes signed ONCE into
+      // an at-rest anchor index (StreamingSpanDecontam.init), then THREE
+      // sequential id-range corpus batches judged against it. Oracle =
+      // d87's one-shot SQL verbatim, so a green row proves the at-rest
+      // index path (write -> read -> join) AND batch invariance.
+      val docs = t(s, d, "documents")
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_w24_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingSpanDecontam.init(
+        docs.filter(pmod(col("doc_id"), lit(31)) === 0), dir)
+      graft.streaming.StreamingSpanDecontam.judgeFold(
+          docs.filter(pmod(col("doc_id"), lit(31)) =!= 0), dir, nBatches = 3)
+        .orderBy("doc_id")
+    }),
     "w8_stream_ivf" -> ((s, d) => {
       // standing ANN-index maintenance (StreamingIvf): embeddings arrive in
       // THREE id-range epochs, each cell-routed by the frozen first-8
@@ -3636,6 +3651,44 @@ object SparkEntry {
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared by d87 (one-shot) and w24 (standing fold against the
+    * at-rest probe anchor index): both must equal this relation. */
+  private val spanDecontamOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> length(t) > 0) AS w
+           FROM documents),
+         ca AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8 AND doc_id % 31 <> 0),
+         pr AS (SELECT doc_id AS id,
+             unnest(list_transform(range(1, len(w) - 6),
+               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+           FROM toks WHERE len(w) >= 8 AND doc_id % 31 = 0),
+         c2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM ca),
+         p2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM pr),
+         ck AS (SELECT gram FROM c2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         pk AS (SELECT gram FROM p2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
+         c3 AS (SELECT c2.* FROM c2 JOIN ck USING (gram)),
+         p3 AS (SELECT p2.* FROM p2 JOIN pk USING (gram)),
+         m AS (SELECT c3.id AS a, p3.id AS b, c3.pos - p3.pos AS diag,
+             c3.pos AS px
+           FROM c3 JOIN p3 USING (gram)),
+         r AS (SELECT a, b, diag, px, px - row_number() OVER (
+             PARTITION BY a, b, diag ORDER BY px) AS run
+           FROM m),
+         sp AS (SELECT a, count(*) + 7 AS span FROM r GROUP BY a, b, diag, run),
+         per AS (SELECT a, count(*)::BIGINT AS n_spans,
+             max(span)::BIGINT AS max_span
+           FROM sp WHERE span >= 10 GROUP BY a)
+         SELECT d.doc_id, coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(per.max_span, 0)::BIGINT AS max_span,
+           coalesce(per.max_span, 0) >= 10 AS contaminated
+         FROM documents d LEFT JOIN per ON per.a = d.doc_id
+         WHERE d.doc_id % 31 <> 0
+         ORDER BY d.doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -4320,41 +4373,8 @@ object SparkEntry {
            coalesce(agg.clean_md5, md5('')) AS clean_md5
          FROM toks t LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id""",
-    "d87_span_decontam" ->
-      """WITH toks AS (SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-               t -> length(t) > 0) AS w
-           FROM documents),
-         ca AS (SELECT doc_id AS id,
-             unnest(list_transform(range(1, len(w) - 6),
-               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
-           FROM toks WHERE len(w) >= 8 AND doc_id % 31 <> 0),
-         pr AS (SELECT doc_id AS id,
-             unnest(list_transform(range(1, len(w) - 6),
-               i -> {'pos': i - 1, 'g': array_to_string(w[i:i+7], ' ')})) AS u
-           FROM toks WHERE len(w) >= 8 AND doc_id % 31 = 0),
-         c2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM ca),
-         p2 AS (SELECT id, u.pos AS pos, u.g AS gram FROM pr),
-         ck AS (SELECT gram FROM c2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
-         pk AS (SELECT gram FROM p2 GROUP BY 1 HAVING count(DISTINCT id) <= 64),
-         c3 AS (SELECT c2.* FROM c2 JOIN ck USING (gram)),
-         p3 AS (SELECT p2.* FROM p2 JOIN pk USING (gram)),
-         m AS (SELECT c3.id AS a, p3.id AS b, c3.pos - p3.pos AS diag,
-             c3.pos AS px
-           FROM c3 JOIN p3 USING (gram)),
-         r AS (SELECT a, b, diag, px, px - row_number() OVER (
-             PARTITION BY a, b, diag ORDER BY px) AS run
-           FROM m),
-         sp AS (SELECT a, count(*) + 7 AS span FROM r GROUP BY a, b, diag, run),
-         per AS (SELECT a, count(*)::BIGINT AS n_spans,
-             max(span)::BIGINT AS max_span
-           FROM sp WHERE span >= 10 GROUP BY a)
-         SELECT d.doc_id, coalesce(per.n_spans, 0)::BIGINT AS n_spans,
-           coalesce(per.max_span, 0)::BIGINT AS max_span,
-           coalesce(per.max_span, 0) >= 10 AS contaminated
-         FROM documents d LEFT JOIN per ON per.a = d.doc_id
-         WHERE d.doc_id % 31 <> 0
-         ORDER BY d.doc_id""",
+    "d87_span_decontam" -> spanDecontamOracleSql,
+    "w24_stream_span_decontam" -> spanDecontamOracleSql,
     "d86_shared_spans" ->
       """WITH toks AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

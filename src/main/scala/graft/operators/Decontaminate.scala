@@ -65,9 +65,19 @@ object Decontaminate {
     * through the gram shuffle once. */
   def spanOverlap(corpus: DataFrame, probe: DataFrame, minSpan: Int = 10,
       anchor: Int = 8, maxDf: Int = 64, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    spanOverlapWithIndex(corpus,
+      Dedup.cappedAnchorIndex(probe, anchor, maxDf, textCol, idCol),
+      minSpan, anchor, maxDf, textCol, idCol)
+
+  /** [[spanOverlap]] against a PRE-BUILT probe anchor index (the at-rest
+    * form [[graft.streaming.StreamingSpanDecontam]] maintains: benchmark
+    * sets change rarely, so a standing pipeline signs them once and every
+    * arriving batch joins the stored index instead of re-deriving it). */
+  def spanOverlapWithIndex(corpus: DataFrame, probeIdx: DataFrame,
+      minSpan: Int = 10, anchor: Int = 8, maxDf: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val corpusIdx = Dedup.cappedAnchorIndex(corpus, anchor, maxDf, textCol, idCol)
-    val probeIdx = Dedup.cappedAnchorIndex(probe, anchor, maxDf, textCol, idCol)
     val spans = Dedup.diagonalSpans(corpusIdx, probeIdx, samePool = false,
       anchor, minSpan)
     val perDoc = spans.groupBy(col("doc_a").as(idCol))

@@ -634,7 +634,7 @@ object Dedup {
     * reported span if `minSpan - anchor` consecutive neighbors collide
     * too; exact-match-critical callers can verify reported spans against
     * the token streams. */
-  private[operators] def cappedAnchorIndex(docs: DataFrame, anchor: Int,
+  private[graft] def cappedAnchorIndex(docs: DataFrame, anchor: Int,
       maxDf: Int, textCol: String, idCol: String): DataFrame = {
     require(anchor >= 2, s"need anchor >= 2: $anchor")
     val toks = docs.select(col(idCol).as("id"),
@@ -702,7 +702,7 @@ object Dedup {
     * (doc_a, doc_b, start_a, start_b, span_tokens). `samePool = true`
     * keeps one row per unordered pair (doc_a < doc_b); false joins two
     * DISJOINT id pools bipartitely (every cross pair). */
-  private[operators] def diagonalSpans(left: DataFrame, right: DataFrame,
+  private[graft] def diagonalSpans(left: DataFrame, right: DataFrame,
       samePool: Boolean, anchor: Int, minSpan: Int): DataFrame = {
     require(minSpan >= anchor, s"minSpan ($minSpan) >= anchor ($anchor)")
     val joined = left
