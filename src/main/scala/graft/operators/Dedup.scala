@@ -593,7 +593,13 @@ object Dedup {
     * exact-substring duplication family of Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better"), which
     * catches verbatim boilerplate/quotation overlap that whole-document
-    * MinHash misses. The paper's single-node tool builds a suffix array;
+    * MinHash misses. Complementary to [[dupSpanStats]]/[[removeDupSpans]]
+    * (corpus-FREQUENCY gram semantics: any n-gram in >= minDocs docs is
+    * duplicated, wherever it sits, and removal cuts EVERY copy): this is
+    * the PAIRWISE form — maximal runs with positions and partner
+    * attribution, and [[removeSharedSpans]] keeps the earliest copy
+    * intact, the paper's keep-one-copy policy. The paper's single-node
+    * tool builds a suffix array;
     * the Spark-first shape replaces it with two keyed shuffles:
     *
     *  1. ANCHOR INDEX: every `anchor`-token window becomes an inverted-
@@ -653,7 +659,10 @@ object Dedup {
   /** The REMOVAL half of [[sharedSpans]] (Lee et al. cut the duplicated
     * substring, keeping one copy): every span of `minSpan`+ tokens a doc
     * shares with an EARLIER doc (smaller id — min-id-keeps, the exact-
-    * dedup stance) is deleted from the later doc's token stream. Returns
+    * dedup stance) is deleted from the later doc's token stream. Contrast
+    * [[removeDupSpans]], which deletes every covered position of any
+    * corpus-frequent n-gram from ALL copies — that form de-boilerplates,
+    * this form deduplicates (exactly one verbatim copy survives). Returns
     * one row per doc: token counts before/after and the md5 of the
     * cleaned token stream rejoined with single spaces (the canonical
     * tokenized form — cleaning operates on tokens, not raw bytes).
