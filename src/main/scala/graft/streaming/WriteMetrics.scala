@@ -93,8 +93,15 @@ class WriteMetricsRegistry {
 class WriteLatencyListener(registry: WriteMetricsRegistry)
     extends StreamingQueryListener {
 
+  // id -> name so a termination-with-exception (whose event carries no
+  // name) lands under the same pipeline key as its progress rows
+  private val names = TrieMap.empty[java.util.UUID, String]
+
   override def onQueryStarted(
-      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      e: StreamingQueryListener.QueryStartedEvent): Unit = {
+    Option(e.name).foreach(n => names.put(e.id, n))
+    ()
+  }
 
   override def onQueryProgress(
       e: StreamingQueryListener.QueryProgressEvent): Unit = {
@@ -108,6 +115,7 @@ class WriteLatencyListener(registry: WriteMetricsRegistry)
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit =
     e.exception.foreach { _ =>
-      registry.recordBatch(e.id.toString, 0, 0, 0, success = false)
+      registry.recordBatch(names.getOrElse(e.id, e.id.toString),
+        0, 0, 0, success = false)
     }
 }
