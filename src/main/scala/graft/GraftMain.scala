@@ -38,7 +38,8 @@ object GraftMain {
       heartbeat: Option[String => Unit] = None,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       restartSchedule: Option[RestartSchedule] = None,
-      monitorIntervalMs: Long = 10000L): PipelineManager = {
+      monitorIntervalMs: Long = 10000L,
+      podDiscovery: Option[graft.streaming.PodDiscovery] = None): PipelineManager = {
     val confs = loadConfigs(Paths.get(confDir))
     val dataSpecs = loadDataConfigs(Paths.get(confDir))
     require(confs.nonEmpty || dataSpecs.nonEmpty,
@@ -66,6 +67,9 @@ object GraftMain {
           if (restarted.nonEmpty) log.info(s"daily restart relaunched: $restarted")
           val st = mgr.stuck()
           if (st.nonEmpty) log.warn(s"stuck streams (no recent progress): $st")
+          // kube mode: pod creation from the filesystem, deletion from the
+          // kubelet metadata diff — each tick is one reconciliation pass
+          podDiscovery.foreach { pd => pd.scanFileSystem(); pd.pollMetadata() }
         } catch { case e: Exception => log.warn(s"monitor tick failed: ${e.getMessage}") }
       } catch { case _: InterruptedException => () }
     }, "graft-log-monitor")
@@ -129,7 +133,31 @@ object GraftMain {
       }
       new RestartSchedule(ms(b), ms(e))
     }
-    val mgr = run(spark, confDir, auditDir, emit, restartSchedule = sched)
+    // kube mode (reference: SingerMain starts KubeService when
+    // kubernetesEnabled): GRAFT_POD_LOG_DIR turns on pod-directory
+    // discovery; the kubelet binding reads GRAFT_KUBELET_PORT (default
+    // 10255) and an optional GRAFT_KUBELET_TOKEN_FILE for the service-
+    // account bearer token. Each discovered pod starts the FIRST loaded
+    // config templated into its pod directory; pod deletion drains it.
+    val podDiscovery = sys.env.get("GRAFT_POD_LOG_DIR").map { podDir =>
+      val port = sys.env.get("GRAFT_KUBELET_PORT").map(_.toInt).getOrElse(10255)
+      val token = sys.env.get("GRAFT_KUBELET_TOKEN_FILE")
+        .map(p => Files.readString(Paths.get(p)).trim)
+      new graft.streaming.PodDiscovery(podDir,
+        new graft.streaming.KubeletPodsSource(podDir, port,
+          serviceAccountToken = token))
+    }
+    val mgr = run(spark, confDir, auditDir, emit, restartSchedule = sched,
+      podDiscovery = podDiscovery)
+    podDiscovery.foreach { pd =>
+      val template = loadConfigs(Paths.get(confDir)).headOption
+      template.foreach { base =>
+        pd.register(new graft.streaming.PodPipelineCoordinator(mgr,
+          sys.env("GRAFT_POD_LOG_DIR"),
+          podName => base.copy(name = s"${base.name}.$podName",
+            logDir = s"${sys.env("GRAFT_POD_LOG_DIR")}/$podName")))
+      }
+    }
     // optional admin socket (reference: admin/AdminServer.java — stop/status
     // over a UID-checked unix socket). GRAFT_ADMIN_SOCKET=/path/admin.sock;
     // GRAFT_ADMIN_USERS defaults to the launching user.
