@@ -158,6 +158,51 @@ object Demo {
       println("DEMO standing curation verdicts (doc 3 exact-dups doc 1 across epochs):")
       StreamingCuration.verdicts(spark, stateDir).orderBy(col("doc_id")).show(false)
     }
+    // exact-substring span family: detect maximal verbatim overlap, then
+    // cut it keeping the earliest copy (Lee et al. 2021 semantics)
+    {
+      import graft.operators.Dedup
+      import spark.implicits._
+      val boiler = "terms of service apply to all content on this site always"
+      val docs = Seq(
+        (1L, s"first article body $boiler and some original reporting here"),
+        (2L, s"second unrelated piece $boiler with different conclusions drawn"),
+        (3L, "a document with no shared passages at all in its body text")
+      ).toDF("doc_id", "text")
+      println("DEMO shared verbatim spans (>= 10 tokens):")
+      Dedup.sharedSpans(docs, minSpan = 10, anchor = 4)
+        .orderBy("doc_a", "doc_b").show(false)
+      println("DEMO span removal (doc 2 loses the boilerplate, doc 1 keeps it):")
+      Dedup.removeSharedSpans(docs, minSpan = 10, anchor = 4)
+        .orderBy("doc_id").show(false)
+    }
+
+    // per-pipeline RocksDB state store: the same sessionizer under the
+    // off-heap provider (the 100-TB key-domain configuration)
+    {
+      import graft.streaming.{EventAnalytics, StateStores}
+      import graft.streaming.EventAnalytics.Ev
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[Ev]
+      val q3 = StateStores.withProvider(spark, Some("rocksdb")) {
+        EventAnalytics.sessionize(in.toDS(), gapMs = 60000, watermark = "1 minute")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("demo_rocks").trigger(Trigger.ProcessingTime("200 milliseconds"))
+          .start()
+      }
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 11:$min%02d:00")
+      in.addData(Ev(1, ts(0), "click", 1.0), Ev(9, ts(30), "click", 0.0))
+      q3.processAllAvailable()
+      val engaged = Option(q3.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        .exists(_.toLowerCase.contains("rocksdb"))
+      q3.stop()
+      println(s"DEMO sessionizer ran under RocksDB state store: engaged=$engaged")
+    }
+
     spark.streams.removeListener(listener)
     spark.stop()
   }
