@@ -342,4 +342,64 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(recs.forall(_.startsWith("I")))
     }
   }
+
+  test("sharedSpans reports exactly the maximal verbatim runs (brute-force cross-check)") {
+    // random small-vocab corpora produce plenty of accidental overlap;
+    // every reported span must be a true verbatim match AND maximal, and
+    // no maximal run >= minSpan may be missed (uncapped df so the
+    // reference computation is exact)
+    val anchor = 3; val minSpan = 4
+    val docGen = Gen.listOfN(4,
+      Gen.listOfN(18, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAll(docGen, trials = 12) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .sharedSpans(docs, minSpan = minSpan, anchor = anchor, maxDf = 1000)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+      // brute-force reference: all maximal shared runs >= minSpan
+      val toks = texts.map(_.split(" ").toVector)
+      val expect = Set.newBuilder[(Long, Long, Long, Long, Long)]
+      for (a <- toks.indices; b <- toks.indices if a < b) {
+        val (ta, tb) = (toks(a), toks(b))
+        for (sa <- ta.indices; sb <- tb.indices) {
+          val isStart = sa == 0 || sb == 0 || ta(sa - 1) != tb(sb - 1)
+          if (isStart && ta(sa) == tb(sb)) {
+            var len = 0
+            while (sa + len < ta.length && sb + len < tb.length &&
+              ta(sa + len) == tb(sb + len)) len += 1
+            if (len >= minSpan)
+              expect += ((a.toLong, b.toLong, sa.toLong, sb.toLong, len.toLong))
+          }
+        }
+      }
+      assert(got == expect.result(),
+        s"spans mismatch for corpus ${texts.mkString(" | ")}")
+    }
+  }
+
+  test("removeSharedSpans never deletes from the earliest doc and counts add up") {
+    val docGen = Gen.listOfN(3,
+      Gen.listOfN(14, Gen.oneOf("x", "y", "z")).map(_.mkString(" ")))
+    forAll(docGen, trials = 12) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .removeSharedSpans(docs, minSpan = 4, anchor = 3, maxDf = 1000)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      // doc 0 has no earlier partner: untouched
+      assert(out.head._2 == out.head._3)
+      // counts: 0 <= after <= before, and md5 of full rejoin when untouched
+      out.foreach { case (id, before, after, h) =>
+        assert(after >= 0 && after <= before)
+        if (after == before) {
+          val full = texts(id.toInt).split(" ").mkString(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          assert(h == md)
+        }
+      }
+    }
+  }
 }
