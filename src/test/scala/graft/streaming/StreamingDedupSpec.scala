@@ -130,4 +130,33 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed == (1L until 30L).map(i => i -> 0L).toMap)
     } finally q.stop()
   }
+
+  test("near-dup flags under the RocksDB provider match the in-heap run") {
+    // the LSH band-bucket state carries (id, 64-long signature) lists —
+    // a heavier per-key payload than the sessionizer StateStoreProviderSpec
+    // pins; this generalizes the provider contract to the dedup family
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingDedup.bandedSigs(input.toDF().toDF("doc_id", "text"))
+    val q = StateStores.withProvider(spark, Some("rocksdb")) {
+      StreamingDedup.nearDupFlags(banded, threshold = 0.5)
+        .writeStream.outputMode("append").format("memory").queryName("ndf_rocks")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    }
+    try {
+      input.addData(docs.take(3))
+      q.processAllAvailable()
+      input.addData(docs.drop(3))
+      q.processAllAvailable()
+      val engaged = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        .exists(_.toLowerCase.contains("rocksdb"))
+      assert(engaged, "RocksDB provider did not engage for the dedup state")
+      val streamed = spark.table("ndf_rocks")
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batchTwin)
+    } finally q.stop()
+  }
 }
