@@ -343,6 +343,38 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofBackward/Forward match the brute-force definition on random data") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Joins
+    // dense key/time collisions: keys 0..2, times 0..9 — plenty of ties,
+    // missing partners, and equal-time rows to stress the tie rules
+    val rowGen = Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 9L))
+    val caseGen = Gen.zip(Gen.listOfN(12, rowGen), Gen.listOfN(10, rowGen))
+    forAll(caseGen, trials = 15) { case (leftRows, rightRowsRaw) =>
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+      val rightRows = rightRowsRaw.zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, t, s"p$i") }
+      val right = rightRows.toDF("rid", "rk", "rt", "payload")
+
+      val back = Joins.asofBackward(left, right, col("k"), col("rk"),
+          col("t"), col("rt"), col("rid"), Seq("payload"))
+        .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+      val fwd = Joins.asofForward(left, right, col("k"), col("rk"),
+          col("t"), col("rt"), col("rid"), Seq("payload"))
+        .select("lid", "payload").as[(Long, Option[String])].collect().toMap
+
+      leftRows.zipWithIndex.foreach { case ((k, t), i) =>
+        val expBack = rightRows.filter(r => r._2 == k && r._3 <= t)
+          .sortBy(r => (r._3, r._1)).lastOption.map(_._4)
+        val expFwd = rightRows.filter(r => r._2 == k && r._3 >= t)
+          .sortBy(r => (r._3, r._1)).headOption.map(_._4)
+        assert(back(i.toLong) == expBack, s"backward lid=$i k=$k t=$t")
+        assert(fwd(i.toLong) == expFwd, s"forward lid=$i k=$k t=$t")
+      }
+    }
+  }
+
   test("sharedSpans reports exactly the maximal verbatim runs (brute-force cross-check)") {
     // random small-vocab corpora produce plenty of accidental overlap;
     // every reported span must be a true verbatim match AND maximal, and
