@@ -2567,6 +2567,22 @@ object SparkEntry {
       Dedup.removeSharedSpans(t(s, d, "documents"), minSpan = 10,
           anchor = 8, maxDf = 64)
         .orderBy("doc_id")),
+    "d89_line_dedup" -> ((s, d) => {
+      // CCNet line/paragraph-granularity corpus dedup (Wenzek et al.
+      // 2020): exactly one copy of every distinct line survives
+      // corpus-wide, keep-first by (doc_id, pos). The corpus is
+      // single-line, so 8-token chunks stand in for paragraphs (the d55
+      // chunking stance); the operator itself splits on the delimiter.
+      // clean_md5 pins the surviving text bit-exactly. See
+      // LineDedup.dedupLines for the one-keyed-shuffle scale shape.
+      val tk = split(trim(col("text")), " ")
+      val lines = transform(
+        sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lit(8) + 1, lit(8))))
+      val pseudo = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", lines).as("text"))
+      graft.operators.LineDedup.dedupLines(pseudo).orderBy("doc_id")
+    }),
     "d87_span_decontam" -> ((s, d) => {
       // verbatim-PASSAGE decontamination (Decontaminate.spanOverlap):
       // one verdict per corpus doc with the longest exact token run it
@@ -4419,6 +4435,22 @@ object SparkEntry {
              / count(*), 4) AS novelty
          FROM grams g JOIN first_seen f ON f.g = g.g
          GROUP BY 1 ORDER BY doc_id""",
+    "d89_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+           FROM documents),
+         lns AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+               i -> {'pos': i, 'line': array_to_string(tk[i*8+1 : i*8+8], ' ')})) AS u
+           FROM toks),
+         l2 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lns),
+         mk AS (SELECT doc_id, pos, line, row_number() OVER (
+             PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep FROM l2)
+         SELECT doc_id,
+           count(*)::BIGINT AS n_lines_before,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_lines_after,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+             ORDER BY pos), '')) AS clean_md5
+         FROM mk GROUP BY doc_id ORDER BY doc_id""",
     "d66_dsir_select" ->
       """WITH tok AS (SELECT doc_id, lang,
              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
