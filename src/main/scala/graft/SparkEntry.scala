@@ -2583,6 +2583,19 @@ object SparkEntry {
         concat_ws("\n", lines).as("text"))
       graft.operators.LineDedup.dedupLines(pseudo).orderBy("doc_id")
     }),
+    "d90_token_budget" -> ((s, d) => {
+      // budgeted subset selection: best-quality-first documents until a
+      // 6000-token budget is exhausted (quality = distinct-token ratio —
+      // engine-mirrorable; prefix semantics, no knapsack backfill). See
+      // Sampling.selectUnderTokenBudget for the distributed-prefix-sum
+      // scale shape (the naive form is a single-partition window).
+      val tk = split(trim(col("text")), " ")
+      val q = size(array_distinct(tk)).cast("double") /
+        size(tk).cast("double")
+      graft.operators.Sampling.selectUnderTokenBudget(
+          t(s, d, "documents"), 6000L, q, size(tk).cast("long"))
+        .orderBy("doc_id")
+    }),
     "d87_span_decontam" -> ((s, d) => {
       // verbatim-PASSAGE decontamination (Decontaminate.spanOverlap):
       // one verdict per corpus doc with the longest exact token run it
@@ -4451,6 +4464,20 @@ object SparkEntry {
            md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
              ORDER BY pos), '')) AS clean_md5
          FROM mk GROUP BY doc_id ORDER BY doc_id""",
+    "d90_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+             len(tk)::BIGINT AS n_tokens,
+             len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE AS q
+           FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                 FROM documents)),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cum_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, cum_tokens,
+           cum_tokens + n_tokens <= 6000 AS selected
+         FROM c ORDER BY doc_id""",
     "d66_dsir_select" ->
       """WITH tok AS (SELECT doc_id, lang,
              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

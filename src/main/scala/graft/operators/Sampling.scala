@@ -131,6 +131,70 @@ object Sampling {
       .limit(k)
   }
 
+  /** Token-budget corpus selection: take documents best-quality-first
+    * until the token budget is exhausted — "give me the best N-billion
+    * tokens" (data mixing / budgeted pretraining subset selection).
+    * Greedy prefix semantics: documents are ordered by (`quality` DESC,
+    * `idCol` ASC) and a document is selected iff the running token total
+    * BEFORE it plus its own count fits the budget — the first document
+    * that overflows is dropped and so is everything after it (no
+    * knapsack backfill; deterministic and engine-mirrorable).
+    *
+    * Returns one row per input document:
+    * (idCol, n_tokens, cum_tokens, selected) where `cum_tokens` is the
+    * exclusive running sum in selection order.
+    *
+    * Scale shape: the naive `sum(n) over (order by q desc)` is a
+    * single-partition window — the whole corpus through one task.
+    * This is instead [[Packing.packSequences]]' distributed prefix sum
+    * re-keyed on quality: range-partition by (q desc, id), sort within
+    * partitions (the operator's ONE shuffle, on (id, n, q) triples —
+    * never text), per-partition totals to the driver (numPartitions
+    * longs), broadcast exclusive bases, one running-sum pass. */
+  def selectUnderTokenBudget(docs: DataFrame, budget: Long, quality: Column,
+      countCol: Column, idCol: String = "doc_id",
+      numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val scored = docs
+      .select(col(idCol).cast("long"), countCol.cast("long"),
+        quality.cast("double"))
+      .toDF("id", "n", "q")
+      .as[(Long, Long, Double)]
+      .repartitionByRange(parts, col("q").desc, col("id"))
+      .sortWithinPartitions(col("q").desc, col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition token totals — metadata-sized at any scale
+    val totals = scored.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((pid, s))
+      }
+      .collect()
+      .sortBy(_._1)
+    val bases = new Array[Long](totals.length)
+    var acc = 0L
+    totals.foreach { case (pid, s) => bases(pid) = acc; acc += s }
+    val basesB = spark.sparkContext.broadcast(bases)
+    // pass 2: within-partition running sum seeded from the broadcast base
+    scored
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var off = basesB.value(pid)
+        it.map { case (id, n, _) =>
+          val start = off
+          off += n
+          (id, n, start, start + n <= budget)
+        }
+      }
+      .toDF(idCol, "n_tokens", "cum_tokens", "selected")
+  }
+
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")
