@@ -2102,6 +2102,63 @@ object SparkEntry {
           col("bin_pos").cast("long").as("bin_pos"), col("oversize"))
         .orderBy("doc_id")
     }),
+    "w25_rocksdb_dedup" -> ((s, d) => {
+      // the RocksDB state-store path under the DRIVER GATE: a REAL
+      // Structured Streaming aggregation (not an epoch fold) over three
+      // micro-batches with its keyed state in RocksDB
+      // (StateStores.withProvider) — per-digest copy counts and keeper
+      // ids, deterministic under any arrival order. The query REQUIRES
+      // RocksDB artifacts (per-version .zip / .changelog) in the
+      // checkpoint and the absence of the in-heap provider's .delta
+      // files, so a silently-defaulted provider fails the row instead of
+      // passing hollow. At deployment scale the same plan reads
+      // readStream'd arrivals; RocksDB keeps resident digests off-heap
+      // (see StateStores' 100-TB note).
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      val base = JPaths.get(System.getProperty("java.io.tmpdir"),
+        "graft_w25_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rmrf(p: java.nio.file.Path): Unit = if (JFiles.exists(p))
+        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { JFiles.deleteIfExists(f); () })
+      rmrf(base) // bench runs the query twice — each run starts clean
+      val inDir = base.resolve("in"); val cp = base.resolve("cp")
+      // three arrival files -> three micro-batches (maxFilesPerTrigger=1)
+      t(s, d, "documents").select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3)).as("arrival"))
+        .repartition(1)
+        .write.partitionBy("arrival").parquet(inDir.toString)
+      val src = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString + "/arrival=*")
+      // key on the 8-token PREFIX digest (the corpus has no byte-exact
+      // dups — whole-text md5 would make every group a singleton and the
+      // cross-batch state merge would never fire; near-dup edits share
+      // prefixes, so ~5% of groups genuinely merge across batches)
+      val agg = src
+        .groupBy(md5(concat_ws(" ",
+          slice(split(trim(col("text")), " "), 1, 8))).as("digest"))
+        .agg(count(lit(1L)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      val sinkName = "w25_sink_" + math.abs(d.hashCode).toString
+      val q = graft.streaming.StateStores.withProvider(s, Some("rocksdb")) {
+        agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination(); q.stop()
+      val stateFiles = JFiles.walk(cp.resolve("state")).iterator()
+      var sawRocks = false; var sawDelta = false
+      stateFiles.forEachRemaining { f =>
+        val n = f.getFileName.toString
+        if (n.endsWith(".zip") || n.endsWith(".changelog")) sawRocks = true
+        if (n.endsWith(".delta")) sawDelta = true
+      }
+      require(sawRocks && !sawDelta,
+        s"RocksDB provider did not engage (rocks=$sawRocks delta=$sawDelta)")
+      s.table(sinkName).orderBy("keeper_id")
+    }),
     "w23_stream_heavy_hitters" -> ((s, d) => {
       // STANDING top contributors per event type via the Space-Saving
       // sketch epoch fold (StreamingHeavyHitters — the exact per-trigger
@@ -6572,6 +6629,11 @@ object SparkEntry {
     "w2_dedup_events" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id
          FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+    "w25_rocksdb_dedup" ->
+      """SELECT md5(array_to_string(string_split(trim(text), ' ')[1:8], ' '))
+             AS digest,
+           count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
+         FROM documents GROUP BY 1 ORDER BY keeper_id""",
     "w3_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts, value,
