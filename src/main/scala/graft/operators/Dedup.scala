@@ -470,6 +470,32 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // The loop is SERIAL eager jobs (each round localCheckpoints), so its
+    // cost is rounds x per-job overhead x shuffle width — and the label
+    // relation is usually orders of magnitude smaller than the corpus
+    // (only docs with a near-dup edge). Right-size the loop's shuffle
+    // width from the measured edge count (the count reads the relation
+    // just persisted, and the first groupBy was going to materialize it
+    // anyway) instead of paying session width per round: the same
+    // measured fix as the w7 fold-scoped width (PLANS.md round 10). In
+    // the small regime AQE is disabled too — its per-exchange stage
+    // materialization costs driver jobs on bounded-tiny rounds for zero
+    // replanning benefit. At real corpus scale (edges >> 10^5 x session
+    // width) both settings stay untouched.
+    val spark = pairs.sparkSession
+    val sessionWidth = spark.sessionState.conf.numShufflePartitions
+    val nEdges = edges.count()
+    val loopWidth = math.max(4L, math.min(sessionWidth.toLong,
+      nEdges / 100000L + 1L)).toInt
+    val scoped = loopWidth < sessionWidth
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    if (scoped) {
+      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+    var labels: DataFrame = null
+    try {
     // round 0 fused into init: label = min(self, direct neighbors) is one
     // groupBy over the (bidirectional) edge list — no join against an
     // identity label map. Near-cliques then finish in a single verify round.
@@ -477,7 +503,7 @@ object Dedup {
       .agg(min("dst").as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("label"))
       .localCheckpoint(true)
-    var labels = store
+    labels = store
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -510,6 +536,12 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters iterations")
+    } finally if (scoped) {
+      spark.conf.set("spark.sql.shuffle.partitions", priorWidth)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+    // the final size join runs OUTSIDE the scope (lazy, consumer-planned)
+    // over the checkpointed label relation
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
