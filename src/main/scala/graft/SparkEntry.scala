@@ -1587,6 +1587,18 @@ object SparkEntry {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    "d91_ppl_buckets" -> ((s, d) => {
+      // CCNet head/middle/tail (Wenzek et al. 2020): per-language
+      // count-tertiles by LM cross-entropy — head is the slice CCNet
+      // ships. Rounded sort key = the cross-engine tie contract (raw
+      // avg CE differs below 1e-12 by summation order). This exact
+      // ntile form is the gate/report path; the 100-TB path is
+      // Lm.perplexityBucketsAtScale (approx thresholds, no per-language
+      // single-partition funnel), spec-pinned to agree off-threshold.
+      val docs = t(s, d, "documents")
+      val lm = Lm.unigramLm(docs, vocabSize = 64)
+      Lm.perplexityBuckets(docs, lm).orderBy("doc_id")
+    }),
     "d46_source_report" -> ((s, d) => {
       // corpus composition accounting — the report every mixture decision
       // (d29/temperature reweighting) reads: per-source doc/token counts,
@@ -4924,6 +4936,25 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
            round(-avg(lp), 4) AS cross_entropy, round(exp(-avg(lp)), 2) AS ppl
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "d91_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)) AS token FROM documents),
+           cnt AS (SELECT token, count(*)::DOUBLE AS c FROM tok GROUP BY token),
+           tot AS (SELECT sum(c) AS n FROM cnt),
+           voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 64),
+           sc AS (SELECT t.doc_id, ln(coalesce(v.c, 1.0) / tot.n) AS lp
+             FROM tok t LEFT JOIN voc v USING (token) CROSS JOIN tot),
+           ce AS (SELECT doc_id, round(-avg(lp), 4) AS ce
+             FROM sc GROUP BY doc_id),
+           b AS (SELECT d.doc_id, d.lang, ce.ce,
+               ntile(3) OVER (PARTITION BY d.lang ORDER BY ce.ce, d.doc_id)
+                 AS nt
+             FROM documents d JOIN ce ON ce.doc_id = d.doc_id)
+         SELECT doc_id, lang, ce AS cross_entropy,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM b ORDER BY doc_id""",
     "d39_edit_distance" ->
       """WITH toks AS (SELECT doc_id, text,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

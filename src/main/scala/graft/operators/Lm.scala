@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -202,4 +202,68 @@ object Lm {
         sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
         (-avg(col("lp"))).as("cross_entropy"))
       .withColumn("ppl", exp(col("cross_entropy")))
+
+  /** CCNet head/middle/tail split (Wenzek et al. 2020): per language,
+    * rank documents by LM cross-entropy and cut into `buckets` equal-count
+    * groups — head (lowest perplexity) is the highest-quality third that
+    * CCNet ships as its primary training slice. Count-based `ntile`, not
+    * value thresholds: deterministic, engine-mirrorable, and insensitive
+    * to the CE distribution's shape. Ordering is (CE rounded to
+    * `roundDigits`, id): the rounding is the cross-engine tie contract —
+    * raw double CE is an `avg` whose summation order is
+    * partitioning-dependent, so two engines can disagree below ~1e-12 and
+    * flip near-tied ranks; rounding makes the sort key reproducible and
+    * id breaks the remaining ties.
+    *
+    * SCALE CAVEAT (by design): `ntile` per language funnels each
+    * language's docs through ONE window partition. Exact count-tertiles
+    * are inherently a global sort per language — correct for gates,
+    * reports, and mid-size corpora. At 100 TB use
+    * [[perplexityBucketsAtScale]]: same semantics up to threshold
+    * approximation, no single-partition funnel. */
+  def perplexityBuckets(docs: DataFrame, model: UnigramModel,
+      langCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 3,
+      roundDigits: Int = 4): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val ce = perplexity(docs, model, textCol, idCol)
+      .select(col(idCol), round(col("cross_entropy"), roundDigits).as("ce"))
+    val withLang = docs.select(col(idCol), col(langCol)).join(ce, Seq(idCol))
+    val nt = ntile(buckets).over(
+      Window.partitionBy(langCol).orderBy(col("ce"), col(idCol)))
+    withLang.select(col(idCol), col(langCol), col("ce").as("cross_entropy"),
+      bucketName(nt, buckets).as("bucket"))
+  }
+
+  /** The 100-TB form of [[perplexityBuckets]]: per-language CE thresholds
+    * from `approx_percentile` (one combinable aggregation — sketches
+    * merge map-side, no per-language funnel), broadcast back, bucket by
+    * comparison. Threshold placement is approximate (quantile sketch
+    * accuracy), bucket SEMANTICS match: head = below the first cut.
+    * `accuracy` is Spark's approx_percentile knob (10000 ≈ 0.01%%). */
+  def perplexityBucketsAtScale(docs: DataFrame, model: UnigramModel,
+      langCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id", buckets: Int = 3, roundDigits: Int = 4,
+      accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    val ce = perplexity(docs, model, textCol, idCol)
+      .select(col(idCol), round(col("cross_entropy"), roundDigits).as("ce"))
+    val withLang = docs.select(col(idCol), col(langCol)).join(ce, Seq(idCol))
+    val probs = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val cuts = withLang.groupBy(langCol)
+      .agg(percentile_approx(col("ce"), probs, lit(accuracy)).as("cuts"))
+    val joined = withLang.join(broadcast(cuts), Seq(langCol))
+    // bucket index = number of cuts strictly below this CE (ties stay in
+    // the lower bucket, matching ntile's earlier-groups-first fill)
+    val idx = (size(filter(col("cuts"), c => c < col("ce"))) + 1)
+    joined.select(col(idCol), col(langCol), col("ce").as("cross_entropy"),
+      bucketName(idx, buckets).as("bucket"))
+  }
+
+  private def bucketName(n: Column, buckets: Int): Column =
+    if (buckets == 3)
+      when(n === 1, "head").when(n === 2, "middle").otherwise("tail")
+    else concat(lit("b"), n.cast("string"))
 }

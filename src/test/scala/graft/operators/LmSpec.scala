@@ -111,4 +111,46 @@ class LmSpec extends AnyFunSuite with SparkTestBase {
     // the seen bigram is the most probable of the three
     assert(out(10L)._4 < out(11L)._4 && out(10L)._4 < out(12L)._4)
   }
+
+  // corpus for bucket tests: per-lang CE separates cleanly (distinct token
+  // mixes); 6 docs per lang -> tertiles of 2
+  private def bucketDocs = Seq(
+    // lang en: increasing OOV share -> increasing CE
+    (1L, "en", "a a a a"), (2L, "en", "a a a b"), (3L, "en", "a a b b"),
+    (4L, "en", "a b b x1"), (5L, "en", "b b x1 x2"), (6L, "en", "x1 x2 x3 x4"),
+    // lang fr: same construction, its own ranking
+    (11L, "fr", "a a a a"), (12L, "fr", "a a a b"), (13L, "fr", "a a b b"),
+    (14L, "fr", "a b b y1"), (15L, "fr", "b b y1 y2"), (16L, "fr", "y1 y2 y3 y4")
+  ).toDF("doc_id", "lang", "text")
+
+  test("perplexityBuckets: per-lang count-tertiles by CE, head = lowest") {
+    val lm = Lm.unigramLm(bucketDocs, vocabSize = 2) // vocab {a, b}
+    val got = Lm.perplexityBuckets(bucketDocs, lm)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got(1L) == "head" && got(2L) == "head")
+    assert(got(3L) == "middle" && got(4L) == "middle")
+    assert(got(5L) == "tail" && got(6L) == "tail")
+    assert(got(11L) == "head" && got(13L) == "middle" && got(16L) == "tail")
+    // brute-force cross-check: rank by (rounded CE, id) within lang
+    val ce = Lm.perplexity(bucketDocs, lm)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    for (langIds <- Seq(Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq(11L, 12L, 13L, 14L, 15L, 16L))) {
+      val ranked = langIds.sortBy(id => (math.round(ce(id) * 1e4), id))
+      val expect = ranked.zipWithIndex.map { case (id, i) =>
+        id -> Seq("head", "middle", "tail")(i / 2) }.toMap
+      langIds.foreach(id => assert(got(id) == expect(id), s"doc $id"))
+    }
+  }
+
+  test("perplexityBucketsAtScale agrees with the exact form off-threshold") {
+    val lm = Lm.unigramLm(bucketDocs, vocabSize = 2)
+    val exact = Lm.perplexityBuckets(bucketDocs, lm)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = Lm.perplexityBucketsAtScale(bucketDocs, lm)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    // CE values here are well separated, so the approximate thresholds
+    // cannot land between a doc and its exact bucket boundary partner —
+    // full agreement expected
+    assert(approx === exact)
+  }
 }
