@@ -2114,6 +2114,25 @@ object SparkEntry {
           col("bin_pos").cast("long").as("bin_pos"), col("oversize"))
         .orderBy("doc_id")
     }),
+    "w26_stream_line_dedup" -> ((s, d) => {
+      // STANDING line-granularity dedup (StreamingLineDedup.dedupFold —
+      // the exact per-trigger semantics of the flatMapGroupsWithState
+      // path): three arrival epochs (pmod(doc_id, 3)); a line is owned by
+      // its EARLIEST ARRIVAL (epoch first, (id, pos) within), so an
+      // epoch-0 doc with a high id owns lines that lower-id later-epoch
+      // docs lose — the oracle orders by arrival, which makes the
+      // cross-epoch seen-key carry visible in the green row. Pseudo-lines
+      // are d89's 8-token chunks.
+      val tk = split(trim(col("text")), " ")
+      val lines = transform(
+        sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lit(8) + 1, lit(8))))
+      val pseudo = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", lines).as("text"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("_epoch"))
+      graft.streaming.StreamingLineDedup.dedupFold(pseudo, nEpochs = 3)
+        .orderBy("doc_id")
+    }),
     "w25_rocksdb_dedup" -> ((s, d) => {
       // the RocksDB state-store path under the DRIVER GATE: a REAL
       // Structured Streaming aggregation (not an epoch fold) over three
@@ -6665,6 +6684,23 @@ object SparkEntry {
              AS digest,
            count(*)::BIGINT AS n_copies, min(doc_id) AS keeper_id
          FROM documents GROUP BY 1 ORDER BY keeper_id""",
+    "w26_stream_line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+           FROM documents),
+         lns AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)),
+               i -> {'pos': i, 'line': array_to_string(tk[i*8+1 : i*8+8], ' ')})) AS u
+           FROM toks),
+         l2 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lns),
+         mk AS (SELECT doc_id, pos, line, row_number() OVER (
+             PARTITION BY line ORDER BY doc_id % 3, doc_id, pos) = 1
+             AS keep FROM l2)
+         SELECT doc_id, (doc_id % 3)::INT AS epoch,
+           count(*)::BIGINT AS n_lines_before,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_lines_after,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+             ORDER BY pos), '')) AS clean_md5
+         FROM mk GROUP BY doc_id ORDER BY doc_id""",
     "w3_sessionize" ->
       """WITH x AS (
            SELECT user_id, ts, value,
