@@ -203,6 +203,33 @@ object Demo {
       println(s"DEMO sessionizer ran under RocksDB state store: engaged=$engaged")
     }
 
+    // line-granularity dedup (CCNet paragraph step), token-budget
+    // selection, and head/middle/tail perplexity bucketing — the
+    // curation steps between whole-document and span-level dedup
+    {
+      import graft.operators.{LineDedup, Lm, Sampling}
+      import org.apache.spark.sql.functions.{col, size, split, trim}
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "en", "breaking news headline\nunique first story body"),
+        (2L, "en", "breaking news headline\nanother distinct article"),
+        (3L, "en", "subscribe to our newsletter\nbreaking news headline"),
+        (4L, "en", "a wholly original document with no repeated lines")
+      ).toDF("doc_id", "lang", "text")
+      println("DEMO line dedup (docs 2 and 3 lose the repeated header):")
+      LineDedup.dedupLines(docs).orderBy("doc_id").show(false)
+      println("DEMO token-budget selection (best distinct-token ratio first, 14-token budget):")
+      val tk = split(trim(col("text")), "\\s+")
+      Sampling.selectUnderTokenBudget(docs, budget = 14L,
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_distinct(tk)).cast("double") /
+          size(tk).cast("double"), size(tk).cast("long"))
+        .orderBy("doc_id").show(false)
+      println("DEMO CCNet head/middle/tail by LM perplexity:")
+      val lm = Lm.unigramLm(docs, vocabSize = 8)
+      Lm.perplexityBuckets(docs, lm).orderBy("doc_id").show(false)
+    }
+
     spark.streams.removeListener(listener)
     spark.stop()
   }
