@@ -434,4 +434,55 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("lineDedup keep-first matches a brute-force reference on random corpora") {
+    // small line alphabet forces heavy cross-doc collisions
+    val docGen = Gen.listOfN(4, Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString("\n"))))
+    forAll(docGen, trials = 12) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.LineDedup
+        .dedupLines(rows.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // brute force: first (id, pos) copy of each line survives
+      val all = rows.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) } }
+      val owners = all.groupBy(_._3).values.map(_.minBy(r => (r._1, r._2)))
+        .map(r => (r._1, r._2)).toSet
+      rows.foreach { case (id, t) =>
+        val ls = t.split("\n", -1).zipWithIndex
+        val kept = ls.filter { case (_, p) => owners((id, p)) }.map(_._1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got(id) == ((ls.length.toLong, kept.length.toLong, md)),
+          s"doc $id of corpus ${texts.mkString(" | ")}")
+      }
+    }
+  }
+
+  test("selectUnderTokenBudget: prefix semantics hold for arbitrary budgets") {
+    val gen = Gen.zip(
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(1L, 50L), Gen.chooseNum(1, 10))),
+      Gen.chooseNum(0L, 300L))
+    forAll(gen, trials = 12) { case (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((n, q), i) => (i.toLong, n, q.toDouble) }
+        .toDF("doc_id", "n", "q")
+      val got = graft.operators.Sampling
+        .selectUnderTokenBudget(df, budget,
+          org.apache.spark.sql.functions.col("q"),
+          org.apache.spark.sql.functions.col("n"))
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      var cum = 0L
+      rows.zipWithIndex.sortBy { case ((_, q), i) => (-q, i) }.foreach {
+        case ((n, _), i) =>
+          assert(got(i.toLong) == ((n, cum, cum + n <= budget)),
+            s"doc $i budget $budget")
+          cum += n
+      }
+    }
+  }
 }
