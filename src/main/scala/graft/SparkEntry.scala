@@ -1720,6 +1720,22 @@ object SparkEntry {
           round(col("jaccard_est"), 4).as("jaccard_est"))
         .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
     }),
+    "e30_bm25_topk" -> ((s, d) => {
+      // multi-query batch retrieval (RAG candidate generation): top-10
+      // per query for a whole query table in ONE shared inverted pass —
+      // corpus tokens semi-joined to the broadcast query vocabulary, df
+      // as a joined relation (no driver map), top-k via the bounded
+      // ScoredTopKAggregator (no per-query window funnel). Queries =
+      // every doc_id % 97 == 0 doc's first 6 tokens; score rounded to 4
+      // digits BEFORE ranking (the tie contract — see Bm25.topK).
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      graft.operators.Bm25.topK(docs, qs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "d54_bm25" -> ((s, d) =>
       // Okapi BM25 ranked retrieval for a fixed query — the lexical
       // scorer behind corpus search / RAG candidate generation and the
@@ -6001,6 +6017,31 @@ object SparkEntry {
          FROM documents a JOIN documents b
            ON substr(a.text, 1, 80) = substr(b.text, 1, 80) AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e30_bm25_topk" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "m4_pixel_stats" ->
       """SELECT d.doc_id AS media_id,
          (16 + (d.doc_id % 48))::BIGINT AS width,

@@ -59,4 +59,73 @@ object Bm25 {
     hits.unpersist(false)
     out
   }
+
+  /** Multi-query batch retrieval — the RAG candidate-generation shape:
+    * top-`k` documents per query for a whole QUERY TABLE at once, one
+    * shared inverted pass over the corpus instead of one [[score]] call
+    * per query. Query term sets are DISTINCT per query (standard bag-of-
+    * words BM25 treats repeated query terms as weight; the distinct-set
+    * form is the common retrieval convention and is the documented
+    * contract here). Returns (queryIdCol, rank, idCol, score), rank 1 =
+    * best, score rounded to `roundDigits` BEFORE ranking — the rounded
+    * value is the tie contract (a raw double BM25 sum is summation-order
+    * dependent below ~1e-12; rounding makes cross-engine/cross-run ranks
+    * reproducible, ids break remaining ties ascending).
+    *
+    * Scale shape: one scalar corpus aggregate (N, avgdl); one corpus
+    * tokens-explode semi-joined to the BROADCAST distinct query-term set
+    * before the (doc, term) tf aggregation (query vocabulary is small by
+    * construction — the corpus never shuffles unfiltered tokens); df as a
+    * term-keyed relation joined back broadcast (terms-cardinality — no
+    * driver-side map, unlike single-query [[score]]); per-(query, doc)
+    * scoring via one equi-join on term; and top-k per query through
+    * [[graft.functions.ScoredTopKAggregator]] — partial aggregation
+    * bounds every partition's contribution to k rows per query BEFORE
+    * the exchange, no per-query window funnel. */
+  def topK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id", queryIdCol: String = "query_id",
+      queryTextCol: String = "text", roundDigits: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("toks")).cast("double")).as("avgdl")).head()
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
+      .persist(MEMORY_AND_DISK)
+    val termSet = qTerms.select("term").distinct()
+    val tf = toks
+      .select(col(idCol), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(MEMORY_AND_DISK)
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = qTerms
+      .join(tf.join(broadcast(dfRel), "term"), "term")
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("contrib"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum("contrib"), roundDigits).as("score"))
+    val topk = udaf(new graft.functions.ScoredTopKAggregator(k))
+    val out = scored
+      .groupBy("query_id")
+      .agg(topk(col(idCol), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.score").as("score"))
+      .localCheckpoint(true) // ≤ |queries| x k rows — eager + small
+    Seq(qTerms, tf).foreach(_.unpersist(false))
+    out
+  }
 }

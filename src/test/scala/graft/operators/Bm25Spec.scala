@@ -33,4 +33,36 @@ class Bm25Spec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(s(10L) > 2 * s(1L))
   }
+
+  test("topK agrees with per-query score() ranking and caps at k") {
+    val docs = Seq(
+      (1L, "a a b"), (2L, "b c"), (3L, "d"), (4L, "a b c d"),
+      (5L, "c c c"), (6L, "a"), (7L, "b b a")).toDF("doc_id", "text")
+    val queries = Seq((100L, "a b"), (200L, "c"), (300L, "zzz"))
+      .toDF("query_id", "text")
+    val got = Bm25.topK(docs, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // per query: same top-3 as the single-query operator ranked by
+    // (rounded score desc, id asc)
+    for ((qid, terms) <- Seq(100L -> Seq("a", "b"), 200L -> Seq("c"))) {
+      val single = Bm25.score(docs, terms).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(2) * 1e4) / 1e4))
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      val batch = got(qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(batch == single.toSeq, s"query $qid")
+      assert(got(qid).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    // a query with no matching terms returns no rows
+    assert(!got.contains(300L))
+  }
+
+  test("topK: duplicated query terms do not double-count (distinct-set contract)") {
+    val docs = Seq((1L, "a b"), (2L, "a a")).toDF("doc_id", "text")
+    val once = Bm25.topK(docs, Seq((1L, "a")).toDF("query_id", "text"), k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val twice = Bm25.topK(docs, Seq((1L, "a a")).toDF("query_id", "text"), k = 5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(once == twice)
+  }
 }
