@@ -1736,6 +1736,22 @@ object SparkEntry {
       graft.operators.Bm25.topK(docs, qs, k = 10)
         .orderBy("query_id", "rank")
     }),
+    "e31_rrf_hybrid" -> ((s, d) => {
+      // hybrid retrieval: reciprocal-rank fusion of the BM25 top-10
+      // (e30) with a token-set-Jaccard top-10 over the same query table
+      // — only RANKS cross the fusion boundary (no score calibration),
+      // the standard RAG hybrid. Fusion work is rank-list-sized at any
+      // corpus scale (see Hybrid.rrfFuse).
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val bm = graft.operators.Bm25.topK(docs, qs, k = 10)
+      val jc = graft.operators.Hybrid.jaccardTopK(docs, qs, k = 10)
+      graft.operators.Hybrid.rrfFuse(Seq(bm, jc), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
     "d54_bm25" -> ((s, d) =>
       // Okapi BM25 ranked retrieval for a fixed query — the lexical
       // scorer behind corpus search / RAG candidate generation and the
@@ -6041,6 +6057,51 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
            FROM sc)
          SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "e31_rrf_hybrid" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         bsc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         btop AS (SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             FROM bsc) WHERE rank <= 10),
+         qs AS (SELECT query_id, count(*)::DOUBLE AS qsize FROM qt GROUP BY 1),
+         dd AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM dt),
+         ds AS (SELECT doc_id, count(*)::DOUBLE AS dsize FROM dd GROUP BY 1),
+         ij AS (SELECT q.query_id, d.doc_id, count(*)::DOUBLE AS i
+           FROM qt q JOIN dd d USING (term) GROUP BY 1, 2),
+         jsc AS (SELECT ij.query_id, ij.doc_id,
+             round(i / (qs.qsize + ds.dsize - i), 6) AS score
+           FROM ij JOIN qs USING (query_id) JOIN ds USING (doc_id)),
+         jtop AS (SELECT query_id, doc_id, rank FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             FROM jsc) WHERE rank <= 10),
+         u AS (SELECT * FROM btop UNION ALL SELECT * FROM jtop),
+         fus AS (SELECT query_id, doc_id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM fus)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
          WHERE rank <= 10 ORDER BY query_id, rank""",
     "m4_pixel_stats" ->
       """SELECT d.doc_id AS media_id,
