@@ -1587,6 +1587,18 @@ object SparkEntry {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    "d92_exact_split" -> ((s, d) =>
+      // EXACT-count stratified split (80/10/10 per language): rank by
+      // (md5(id), id) within the stratum, cut at floor boundaries — a
+      // 10-row stratum yields exactly 8/1/1 where d24's hashSplit is
+      // proportional only in expectation. Per-stratum window funnel is
+      // the documented trade (see Sampling.exactSplit; hashSplit remains
+      // the huge-uniform-strata path).
+      graft.operators.Sampling.exactSplit(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          Seq("lang"), col("doc_id"),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")),
     "d91_ppl_buckets" -> ((s, d) => {
       // CCNet head/middle/tail (Wenzek et al. 2020): per-language
       // count-tertiles by LM cross-entropy — head is the slice CCNet
@@ -4994,6 +5006,17 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(oov)::BIGINT AS n_oov,
            round(-avg(lp), 4) AS cross_entropy, round(exp(-avg(lp)), 2) AS ppl
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "d92_exact_split" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN rn <= (n * 80) // 100 THEN 'train'
+                WHEN rn <= (n * 90) // 100 THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
     "d91_ppl_buckets" ->
       """WITH tok AS (SELECT doc_id,
              unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

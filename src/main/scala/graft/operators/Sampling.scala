@@ -195,6 +195,43 @@ object Sampling {
       .toDF(idCol, "n_tokens", "cum_tokens", "selected")
   }
 
+  /** EXACT-count stratified split: within every group (stratum), rows are
+    * ordered by (md5(id), id) — a reproducible pseudo-random order — and
+    * cut at exact floor boundaries, so a 10-row stratum under 80/10/10
+    * yields exactly 8/1/1 regardless of hash luck. [[hashSplit]] is
+    * proportional only IN EXPECTATION (a 10-row stratum can easily land
+    * 10/0/0), which breaks per-language eval sets on small strata; this
+    * is the exact-count complement. Split `i` takes rows with rank in
+    * (floor(n·cum_{i-1}/100), floor(n·cum_i/100)] — the LAST split always
+    * absorbs the remainder (cum = 100 ⇒ boundary = n).
+    *
+    * SCALE CAVEAT (by design): rank-within-stratum is a per-group window
+    * — each stratum funnels through one partition. Strata are small-
+    * cardinality dimensions (language, source) whose per-group row count
+    * is the reason exactness matters; for huge uniform strata where the
+    * funnel would hurt, [[hashSplit]]'s law-of-large-numbers
+    * proportionality is already exact enough and stays shuffle-light. */
+  def exactSplit(df: DataFrame, groupCols: Seq[String], id: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("_rn", row_number().over(
+        w.orderBy(md5(id.cast("string")), id)).cast("long"))
+      .withColumn("_n", count(lit(1)).over(w))
+    val cum = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    def boundary(c: Int): Column =
+      floor(col("_n") * c / lit(100.0)).cast("long")
+    val first = when(col("_rn") <= boundary(cum.head), lit(splits.head._1))
+    val label = splits.zip(cum).tail.foldLeft(first) {
+      case (acc, ((name, _), hi)) => acc.when(col("_rn") <= boundary(hi), lit(name))
+    }
+    ranked.withColumn("split", label).drop("_rn", "_n")
+  }
+
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")

@@ -55,4 +55,41 @@ class BudgetSelectSpec extends AnyFunSuite with SparkTestBase {
   test("result is invariant to input partitioning") {
     assert(run(150L, parts = 1) === run(150L, parts = 7))
   }
+
+  test("exactSplit: exact floor counts per stratum, deterministic order") {
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 10)
+      yield (g, (if (g == "a") i else 100 + i).toLong)).toDF("lang", "doc_id")
+    val got = Sampling.exactSplit(df.repartition(5), Seq("lang"),
+        col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // 10 rows per stratum under 80/10/10 -> exactly 8/1/1, no hash luck
+    for (g <- Seq("a", "b")) {
+      val counts = got.filter(_._1 == g).groupBy(_._3).view.mapValues(_.length).toMap
+      assert(counts === Map("train" -> 8, "val" -> 1, "test" -> 1), s"stratum $g")
+    }
+    // brute-force label check: rank by (md5(id), id) within stratum
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (g <- Seq("a", "b")) {
+      val ids = got.filter(_._1 == g).map(_._2).sortBy(id => (md5hex(id.toString), id))
+      val expect = ids.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < 8) "train" else if (i == 8) "val" else "test") }.toMap
+      got.filter(_._1 == g).foreach { case (_, id, sp) =>
+        assert(sp === expect(id), s"doc $id") }
+    }
+    // determinism under partitioning
+    val again = Sampling.exactSplit(df.repartition(2), Seq("lang"),
+        col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._2).toSeq === again.sortBy(_._2).toSeq)
+  }
+
+  test("exactSplit: tiny strata still get the tail splits via the remainder rule") {
+    val df = Seq(("z", 1L), ("z", 2L), ("z", 3L)).toDF("lang", "doc_id")
+    val got = Sampling.exactSplit(df, Seq("lang"), col("doc_id"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getString(2)).groupBy(identity).view.mapValues(_.length).toMap
+    // n=3: boundaries floor(2.4)=2, floor(2.7)=2 -> 2 train, 0 val, 1 test
+    assert(got === Map("train" -> 2, "test" -> 1))
+  }
 }
