@@ -62,6 +62,32 @@ class StreamingLineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L)._1 === 2) // epoch attribution rides along
   }
 
+  test("verdicts under the RocksDB provider match the default provider") {
+    implicit val sq = spark.sqlContext
+    def runWith(provider: Option[String], name: String): Map[(Long, Long), Boolean] = {
+      val input = MemoryStream[(Long, String, Int)]
+      val lines = StreamingLineDedup.lineArrivals(
+        input.toDF().toDF("doc_id", "text", "_epoch"))
+      val q = StateStores.withProvider(spark, provider) {
+        StreamingLineDedup.verdicts(lines)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      }
+      try {
+        for (e <- 0 until 3) {
+          input.addData(docs.filter(_._2 == e).map(d => (d._1, d._3, d._2)))
+          q.processAllAvailable()
+        }
+        spark.table(name).select("doc_id", "pos", "kept")
+          .as[(Long, Long, Boolean)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      } finally q.stop()
+    }
+    val rocks = runWith(Some("rocksdb"), "sld_rocks")
+    assert(rocks === reference)
+    assert(rocks === runWith(None, "sld_default"))
+  }
+
   test("streaming verdicts equal the fold/brute-force across batch splits") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, Int)]
