@@ -1587,6 +1587,20 @@ object SparkEntry {
           round(col("ppl"), 2).as("ppl"))
         .orderBy("doc_id")
     }),
+    "d93_deflate_ratio" -> ((s, d) =>
+      // REAL compression-ratio quality signal (raw DEFLATE level 6 over
+      // UTF-8 bytes): degenerate repetition compresses toward 0, random
+      // bytes toward/above 1 — sees long-range repetition the codec-free
+      // proxies (entropy, short-gram ratios) cannot. One narrow scan;
+      // fixture oracle is CPython zlib, byte-identical to
+      // java.util.zip.Deflater (plans/DeflateExpr.scala contract).
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          TextFunctions.deflateLen(col("text")).as("deflate_bytes"))
+        .withColumn("ratio",
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 4))
+        .orderBy("doc_id")),
     "d92_exact_split" -> ((s, d) =>
       // EXACT-count stratified split (80/10/10 per language): rank by
       // (md5(id), id) within the stratum, cut at floor boundaries — a

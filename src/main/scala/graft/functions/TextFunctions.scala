@@ -55,6 +55,13 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
       .cast("long")
 
+  /** Raw-DEFLATE(level 6) compressed byte count of the UTF-8 text — the
+    * real compression-ratio quality signal; see
+    * [[graft.plans.DeflateExpr]] for the determinism contract. Ratio =
+    * deflateLen / octet_length. */
+  def deflateLen(text: Column): Column =
+    graft.plans.DeflateLenExpr.deflateLen(text)
+
   /** Punctuation chars / total chars, 0.0 for empty text. */
   def punctRatio(text: Column): Column = {
     val n = length(text)

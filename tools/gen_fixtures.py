@@ -754,6 +754,29 @@ def main():
     # ---- s7: crc32 of utf-8 text bytes (zlib is the independent oracle)
     s7_rows = [(i, zlib.crc32(t.encode("utf-8")), 1) for i, t in docs]
 
+    # ---- d93: raw-DEFLATE(6) compression-ratio quality signal. The
+    # INDEPENDENT oracle is CPython's zlib (canonical madler/zlib), which
+    # is byte-identical to java.util.zip.Deflater(6, nowrap) — verified on
+    # this container (see plans/DeflateExpr.scala). Ratio mirrors Spark's
+    # single IEEE double division, then HALF_UP at 4 digits with the
+    # boundary-distance assert.
+    d93_rows = []
+    for i, t in docs:
+        raw = t.encode("utf-8")
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = c.compress(raw) + c.flush()
+        ratio = len(comp) / len(raw)
+        assert_rounding_safe(ratio, 4, 1e-9, f"d93 ratio doc {i}")
+        d93_rows.append((i, len(raw), len(comp), rnd(ratio, 4)))
+    # behavioral sanity: ratios must be a real signal — inside (0, 1.2],
+    # and SPREAD (a constant column means the expression is degenerate;
+    # the planted repetitive docs must compress harder than the median)
+    ratios = sorted(r[3] for r in d93_rows)
+    assert 0 < ratios[0] and ratios[-1] <= 1.2, f"d93 ratio range {ratios[0]}..{ratios[-1]}"
+    assert len(set(ratios)) > 10, "d93: degenerate near-constant ratios"
+    assert ratios[0] < 0.9 * ratios[len(ratios) // 2], \
+        "d93: no doc compresses materially below the median — signal dead"
+
     # ---- d7: minhash LSH pairs, est jaccard >= 0.3
     toks = {i: tokens(t.lower()) for i, t in docs}
     sigs = {i: minhash_sig(tk) for i, tk in toks.items() if tk}
@@ -1693,6 +1716,12 @@ def main():
                + values(m14_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}")
                + ") AS t(c0, c1, c2) ORDER BY media_id")
 
+    d93_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_bytes,"
+               " c2::BIGINT AS deflate_bytes, c3::DOUBLE AS ratio"
+               " FROM (VALUES\n"
+               + values(d93_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]}, {r[3]!r}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY doc_id")
+
     out = f'''package graft
 
 /** GENERATED by tools/gen_fixtures.py — DuckDB fixture oracles for sketch
@@ -1769,7 +1798,9 @@ object FixtureOracles {{
     "d84_nb_capped" ->
       \"\"\"{d84_sql}\"\"\",
     "m14_image_phash" ->
-      \"\"\"{m14_sql}\"\"\")
+      \"\"\"{m14_sql}\"\"\",
+    "d93_deflate_ratio" ->
+      \"\"\"{d93_sql}\"\"\")
 }}
 '''
     path = "src/main/scala/graft/FixtureOracles.scala"
