@@ -2204,24 +2204,42 @@ object SparkEntry {
       // readStream'd arrivals; RocksDB keeps resident digests off-heap
       // (see StateStores' 100-TB note).
       import java.nio.file.{Files => JFiles, Paths => JPaths}
+      // arrival-file cache key = corpus file identity (size + mtime):
+      // a driver-regenerated corpus changes both, so stale arrivals from
+      // a previous corpus can never feed the gate (review finding —
+      // keying on the dataset NAME alone reused them). Distinct keys get
+      // distinct directories; within one key the files are a pure
+      // function of the corpus, so reuse is sound (bench best-of-2 and
+      // rerun discipline would otherwise pay the write per measurement).
+      val srcFile = JPaths.get(d, "documents.parquet")
+      val fp = s"${JFiles.size(srcFile)}_${JFiles.getLastModifiedTime(srcFile).toMillis}"
       val base = JPaths.get(System.getProperty("java.io.tmpdir"),
-        "graft_w25_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rmrf(p: java.nio.file.Path): Unit = if (JFiles.exists(p))
-        JFiles.walk(p).sorted(java.util.Comparator.reverseOrder())
+        "graft_w25_" + (d + "_" + fp).replaceAll("[^A-Za-z0-9._]", "_"))
+      def rmrf(p: java.nio.file.Path): Unit = if (JFiles.exists(p)) {
+        val walk = JFiles.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => { JFiles.deleteIfExists(f); () })
+        finally walk.close()
+      }
       val inDir = base.resolve("in"); val cp = base.resolve("cp")
       rmrf(cp) // the CHECKPOINT must start clean every run (a reused one
-      // would RESUME the stream and skip the arrivals); the arrival
-      // files are a pure function of the corpus and are reused when the
-      // marker directory already exists (bench best-of-2 and rerun
-      // discipline would otherwise pay the write twice per measurement)
+      // would RESUME the stream and skip the arrivals)
       if (!JFiles.exists(inDir.resolve("_SUCCESS"))) {
+        // build into a unique temp dir, then ATOMIC_MOVE into place — a
+        // concurrent builder cannot observe a half-written input dir,
+        // and the loser of the rename race just uses the winner's files
         rmrf(inDir)
+        val tmp = base.resolve("in_build_" + java.util.UUID.randomUUID())
         // three arrival files -> three micro-batches (maxFilesPerTrigger=1)
         t(s, d, "documents").select(col("doc_id"), col("text"),
             pmod(col("doc_id"), lit(3)).as("arrival"))
           .repartition(1)
-          .write.partitionBy("arrival").parquet(inDir.toString)
+          .write.partitionBy("arrival").parquet(tmp.toString)
+        try JFiles.move(tmp, inDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // lost the rename race (target exists) — use the winner's files
+          case _: java.nio.file.FileSystemException => rmrf(tmp)
+        }
       }
       val src = s.readStream
         .schema("doc_id LONG, text STRING")
@@ -2244,13 +2262,13 @@ object SparkEntry {
           .start()
       }
       q.awaitTermination(); q.stop()
-      val stateFiles = JFiles.walk(cp.resolve("state")).iterator()
       var sawRocks = false; var sawDelta = false
-      stateFiles.forEachRemaining { f =>
+      val stateWalk = JFiles.walk(cp.resolve("state"))
+      try stateWalk.iterator().forEachRemaining { f =>
         val n = f.getFileName.toString
         if (n.endsWith(".zip") || n.endsWith(".changelog")) sawRocks = true
         if (n.endsWith(".delta")) sawDelta = true
-      }
+      } finally stateWalk.close()
       require(sawRocks && !sawDelta,
         s"RocksDB provider did not engage (rocks=$sawRocks delta=$sawDelta)")
       s.table(sinkName).orderBy("keeper_id")

@@ -52,3 +52,27 @@ class ScoredTopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
+
+object ScoredTopK {
+
+  /** The shared "top-k per group, exploded with ranks" shape: groupBy
+    * `keyCols`, bounded top-k of (`idCol`, `scoreCol`) by (score desc,
+    * id asc), one output row per hit as (keyCols…, rank, idName,
+    * scoreName) with rank 1 = best. ONE definition so the tie/rank
+    * contract (ids ascending on equal scores, rank = position + 1)
+    * cannot silently diverge between the retrieval operators that share
+    * it (Bm25.topK, Hybrid.jaccardTopK, Hybrid.rrfFuse). */
+  def rankTopK(scored: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      idCol: org.apache.spark.sql.Column, scoreCol: org.apache.spark.sql.Column,
+      k: Int, idName: String,
+      scoreName: String = "score"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val topk = udaf(new ScoredTopKAggregator(k))
+    scored.groupBy(keyCols.map(col): _*)
+      .agg(topk(idCol, scoreCol).as("hits"))
+      .select(keyCols.map(col) :+ posexplode(col("hits")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idName), col("col.score").as(scoreName)): _*)
+  }
+}

@@ -33,6 +33,12 @@ object Bm25 {
     val stats = toks.agg(count(lit(1)).as("n"),
       avg(size(col("toks")).cast("double")).as("avgdl")).head()
     val n = stats.getLong(0).toDouble
+    // empty corpus: avg() is null and getDouble would NPE — nothing
+    // matches, return the empty shape
+    if (stats.isNullAt(1))
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("n_hit_terms"),
+          lit(0.0).as("score"))
     val avgdl = stats.getDouble(1)
 
     val hits = toks
@@ -93,6 +99,12 @@ object Bm25 {
     val stats = toks.agg(count(lit(1)).as("n"),
       avg(size(col("toks")).cast("double")).as("avgdl")).head()
     val n = stats.getLong(0).toDouble
+    // empty corpus: avg() is null and getDouble would NPE (review
+    // finding) — there is nothing to retrieve, return the empty shape
+    if (stats.isNullAt(1))
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          lit(0L).as(idCol), lit(0.0).as("score"))
     val avgdl = stats.getDouble(1)
 
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
@@ -117,13 +129,8 @@ object Bm25 {
           .as("contrib"))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum("contrib"), roundDigits).as("score"))
-    val topk = udaf(new graft.functions.ScoredTopKAggregator(k))
-    val out = scored
-      .groupBy("query_id")
-      .agg(topk(col(idCol), col("score")).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as(idCol), col("col.score").as("score"))
+    val out = graft.functions.ScoredTopK
+      .rankTopK(scored, Seq("query_id"), col(idCol), col("score"), k, idCol)
       .localCheckpoint(true) // ≤ |queries| x k rows — eager + small
     Seq(qTerms, tf).foreach(_.unpersist(false))
     out

@@ -18,6 +18,10 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
+  /** Serializes [[duplicateClusters]]' scoped conf save/restore across
+    * threads (see the concurrency contract in that method). */
+  private val clusterLoopLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Exact dedup: keep the lowest-id row per md5(text). Deterministic (min
     * id), aggregation-based — no window, single shuffle on the digest. */
   def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
@@ -482,12 +486,24 @@ object Dedup {
     // materialization costs driver jobs on bounded-tiny rounds for zero
     // replanning benefit. At real corpus scale (edges >> 10^5 x session
     // width) both settings stay untouched.
+    //
+    // CONCURRENCY CONTRACT (same stance as StreamingCuration's
+    // fold-scoped width): the save/restore mutates SESSION-GLOBAL conf,
+    // so unrelated queries planned on this session DURING the loop see
+    // the scoped width/AQE — don't plan concurrent TB-scale work on the
+    // same session while a small-regime cluster loop runs (the harness
+    // is serial; a multi-tenant session should pass pre-right-sized
+    // pairs or its own session). The JVM-wide lock below makes
+    // save/restore REENTRANT-SAFE: two concurrent duplicateClusters
+    // calls can no longer interleave snapshots and "restore" the scoped
+    // width permanently (review finding).
     val spark = pairs.sparkSession
     val sessionWidth = spark.sessionState.conf.numShufflePartitions
     val nEdges = edges.count()
     val loopWidth = math.max(4L, math.min(sessionWidth.toLong,
       nEdges / 100000L + 1L)).toInt
     val scoped = loopWidth < sessionWidth
+    if (scoped) Dedup.clusterLoopLock.lock()
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
     if (scoped) {
@@ -539,6 +555,7 @@ object Dedup {
     } finally if (scoped) {
       spark.conf.set("spark.sql.shuffle.partitions", priorWidth)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      Dedup.clusterLoopLock.unlock()
     }
     // the final size join runs OUTSIDE the scope (lazy, consumer-planned)
     // over the checkpointed label relation

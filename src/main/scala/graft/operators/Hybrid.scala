@@ -54,12 +54,8 @@ object Hybrid {
       .select(col("query_id"), col(idCol),
         round(col("i") / (col("qsize") + col("dsize") - col("i")),
           roundDigits).as("score"))
-    val topk = udaf(new graft.functions.ScoredTopKAggregator(k))
-    val out = scored.groupBy("query_id")
-      .agg(topk(col(idCol), col("score")).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as(idCol), col("col.score").as("score"))
+    val out = graft.functions.ScoredTopK
+      .rankTopK(scored, Seq("query_id"), col(idCol), col("score"), k, idCol)
       .localCheckpoint(true) // ≤ |queries| x k rows
     Seq(qTerms, dSize).foreach(_.unpersist(false))
     out
@@ -88,11 +84,7 @@ object Hybrid {
       .groupBy(col(queryCol), col(idCol))
       .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("r"))),
         roundDigits).as("score"))
-    val topk = udaf(new graft.functions.ScoredTopKAggregator(topK))
-    fused.groupBy(queryCol)
-      .agg(topk(col(idCol), col("score")).as("hits"))
-      .select(col(queryCol), posexplode(col("hits")))
-      .select(col(queryCol), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as(idCol), col("col.score").as("score"))
+    graft.functions.ScoredTopK
+      .rankTopK(fused, Seq(queryCol), col(idCol), col("score"), topK, idCol)
   }
 }

@@ -160,6 +160,13 @@ object Sampling {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // persisted because BOTH passes must see the identical partition
+    // layout (range partitioning re-samples per computation); never
+    // explicitly unpersisted — the result stays lazily derived from it,
+    // and once the caller drops their reference Spark's ContextCleaner
+    // reclaims the blocks on GC (the CurationPipeline stance; an eager
+    // checkpoint-then-unpersist here would materialize a corpus-sized
+    // relation instead)
     val scored = docs
       .select(col(idCol).cast("long"), countCol.cast("long"),
         quality.cast("double"))
@@ -216,20 +223,26 @@ object Sampling {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")
     require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    // refuse to silently clobber caller data — "split" is a natural
+    // column name in exactly the pipelines that call this (review
+    // finding); the rank/count helpers use a graft-reserved prefix
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — rename it before exactSplit")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
     val ranked = df
-      .withColumn("_rn", row_number().over(
+      .withColumn("_graft_rn", row_number().over(
         w.orderBy(md5(id.cast("string")), id)).cast("long"))
-      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_graft_n", count(lit(1)).over(w))
     val cum = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     def boundary(c: Int): Column =
-      floor(col("_n") * c / lit(100.0)).cast("long")
-    val first = when(col("_rn") <= boundary(cum.head), lit(splits.head._1))
+      floor(col("_graft_n") * c / lit(100.0)).cast("long")
+    val first = when(col("_graft_rn") <= boundary(cum.head), lit(splits.head._1))
     val label = splits.zip(cum).tail.foldLeft(first) {
-      case (acc, ((name, _), hi)) => acc.when(col("_rn") <= boundary(hi), lit(name))
+      case (acc, ((name, _), hi)) =>
+        acc.when(col("_graft_rn") <= boundary(hi), lit(name))
     }
-    ranked.withColumn("split", label).drop("_rn", "_n")
+    ranked.withColumn("split", label).drop("_graft_rn", "_graft_n")
   }
 
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)]): DataFrame = {

@@ -99,6 +99,13 @@ object StreamingLineDedup extends Serializable {
     import spark.implicits._
     val all = lineArrivals(docs, delimiter, idCol, textCol, epochCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an out-of-range epoch would otherwise SILENTLY vanish from every
+    // slice (and from the output via the final join) — fail loudly
+    // instead (review finding); the agg reads the cache just persisted
+    val eb = all.agg(min(col("epoch")), max(col("epoch"))).head()
+    if (!eb.isNullAt(0))
+      require(eb.getInt(0) >= 0 && eb.getInt(1) < nEpochs,
+        s"epochs [${eb.getInt(0)}, ${eb.getInt(1)}] outside [0, $nEpochs)")
     var seen = spark.emptyDataset[Long].toDF("key")
     var verdicts = spark.emptyDataset[(Long, Long, Boolean, String)]
       .toDF("doc_id", "pos", "kept", "line")
