@@ -135,20 +135,27 @@ object Bench {
 
     // ISOLATED RECHECK DISCIPLINE. Round-over-round deltas have twice been
     // adjudicated by hand ("probably contention noise") instead of by the
-    // harness. Now: any query whose kept time exceeds 2× its
-    // previous-round kept value — and the ingestion probes, if either
-    // throughput halved — re-runs in a FRESH SparkSession (old one
-    // stopped: new heap, empty SQL/codegen caches, no block-manager or
-    // code-cache residue from the 229-query loop), and BOTH numbers land
-    // in the artifact as `isolated_rechecks`. The final kept value is the
-    // min, so a noise-poisoned in-run number is replaced by evidence, and
-    // a genuine regression survives the recheck and is visibly confirmed.
-    // Previous-round source of truth: BENCH_full.json, the complete line
-    // this main wrote LAST round (committed; read here BEFORE this run
-    // overwrites it). The driver's BENCH_r{N}.json wrapper is the
-    // fallback — its `parsed` field holds the same object but has been
-    // observed null when the captured stdout was truncated, so a file
-    // only counts if a queries map is actually recoverable from it.
+    // harness. Now: any query whose kept time exceeds 2× its reference
+    // value — and the ingestion probes, if either throughput halved —
+    // re-runs in a FRESH SparkSession (old one stopped: new heap, empty
+    // SQL/codegen caches, no block-manager or code-cache residue from the
+    // 240+-query loop), and all numbers land in the artifact as
+    // `isolated_rechecks`. The final kept value is the min, so a
+    // noise-poisoned in-run number is replaced by evidence, and a genuine
+    // regression survives the recheck and is visibly confirmed.
+    //
+    // TWO references, recheck on EITHER >2× trigger (round-10 verdict:
+    // a2_asof_forward drifted 2.04× across five in-round artifacts in
+    // sub-threshold steps, so previous-ARTIFACT-only comparison never
+    // fired):
+    //  - prev RUN: BENCH_full.json, the complete line this main wrote
+    //    last run (read here BEFORE this run overwrites it) — catches
+    //    regressions introduced since the last bench;
+    //  - prev ROUND: the newest committed BENCH_r{N}.json — anchors the
+    //    whole round, so slow multi-step drift within a round still
+    //    trips. Its `parsed` field has been observed null when captured
+    //    stdout was truncated, so a file only counts if a queries map is
+    //    actually recoverable from it.
     def extract(p: String): Option[(Map[String, Double], Double, Double)] =
       try {
         val root0 = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -168,27 +175,38 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] could not parse prev bench $p: $e"); None }
     val rx = "BENCH_r(\\d+)\\.json".r
-    val candidates = sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
-      Seq("BENCH_full.json").filter(f => new java.io.File(f).exists) ++
+    val runCandidates = sys.env.get("SPARK_GRAFT_PREV_BENCH").toSeq ++
+      Seq("BENCH_full.json").filter(f => new java.io.File(f).exists)
+    val roundCandidates =
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match {
           case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
         .sortBy(-_._1).map(_._2).toSeq
-    val (prevPath, prev) = candidates.iterator
-      .map(p => (Option(p), extract(p)))
-      .collectFirst { case (path, Some(found)) => (path, Some(found)) }
-      .getOrElse((None, None))
+    def firstParseable(cands: Seq[String]) = cands.iterator
+      .map(p => (p, extract(p)))
+      .collectFirst { case (path, Some(found)) => (path, found) }
+    val prevRun = firstParseable(runCandidates)
+    val prevRound = firstParseable(roundCandidates)
+    val prevPath = prevRun.orElse(prevRound).map(_._1)
+    val refs: Seq[(String, (Map[String, Double], Double, Double))] =
+      (prevRun.map { case (p, v) => (s"run:$p", v) } ++
+        prevRound.map { case (p, v) => (s"round:$p", v) }).toSeq
     val rechecks = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    prev.foreach { case (prevQs, prevText, prevThrift) =>
+    if (refs.nonEmpty) {
+      // a query is a suspect if it exceeds 2× EITHER reference
+      def refSecs(name: String): Seq[(String, Double)] =
+        refs.flatMap { case (label, (qs, _, _)) =>
+          qs.get(name).map(label -> _) }
       val suspects = selected.filter { case (name, _) =>
-        (for { cur <- results.get(name); old <- prevQs.get(name) }
-          yield cur > 2 * old && cur >= 0.5).getOrElse(false) }
+        results.get(name).exists(cur =>
+          cur >= 0.5 && refSecs(name).exists { case (_, old) => cur > 2 * old })
+      }
       // ingestion runs best-of-3 twice per bench, so its noise band is
       // tighter than a query's best-of-2 — adjudicate at 1.5× (queries
       // stay at the 2× contract)
-      val ingSuspect = !subsetRun &&
-        ((prevText > 0 && textBest * 1.5 < prevText) ||
-          (prevThrift > 0 && thriftBest * 1.5 < prevThrift))
+      val ingSuspect = !subsetRun && refs.exists { case (_, (_, pt, pth)) =>
+        (pt > 0 && textBest * 1.5 < pt) || (pth > 0 && thriftBest * 1.5 < pth)
+      }
       if (suspects.nonEmpty || ingSuspect) {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -202,15 +220,19 @@ object Bench {
               val iso = isoRuns.min
               val inRun = results(name)
               results(name) = math.min(inRun, iso)
+              val prevJson = refSecs(name)
+                .map { case (l, v) => "\"prev_" + l.takeWhile(_ != ':') + "_sec\":" + v }
+                .mkString(",")
               rechecks(name) =
-                s"""{"prev_round_sec":${prevQs(name)},"in_run_sec":$inRun,"isolated_sec":$iso,"kept_sec":${results(name)}}"""
+                s"""{$prevJson,"in_run_sec":$inRun,"isolated_sec":$iso,"kept_sec":${results(name)}}"""
             case _ => // crashed isolated: keep the in-run number, already errored loudly
           }
         }
         if (ingSuspect) {
+          val (prevText, prevThrift) = refs.head._2 match { case (_, t, th) => (t, th) }
           val (t3, th3) = ingestionBench(spark)
           rechecks("_ingestion") =
-            s"""{"prev_round_text_mbps":$prevText,"prev_round_thrift_mbps":$prevThrift,"in_run_text_mbps":$textBest,"in_run_thrift_mbps":$thriftBest,"isolated_text_mbps":$t3,"isolated_thrift_mbps":$th3}"""
+            s"""{"prev_text_mbps":$prevText,"prev_thrift_mbps":$prevThrift,"in_run_text_mbps":$textBest,"in_run_thrift_mbps":$thriftBest,"isolated_text_mbps":$t3,"isolated_thrift_mbps":$th3}"""
           textBest = math.max(textBest, t3)
           thriftBest = math.max(thriftBest, th3)
         }
@@ -238,8 +260,10 @@ object Bench {
       .mkString("{", ",", "}")
 
     val prevRef = prevPath.map(jstr).getOrElse("null")
+    val refsJson = refs.map { case (label, _) => jstr(label) }
+      .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest},"contention_retries":$rt,"isolated_rechecks":$rechecksJson,"prev_bench":$prevRef,"errors":$errsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","ingestion":{"text_mbps":$textBest,"thrift_mbps":$thriftBest},"contention_retries":$rt,"isolated_rechecks":$rechecksJson,"prev_bench":$prevRef,"recheck_refs":$refsJson,"errors":$errsJson}"""
     println(line)
     // Self-contained artifact: the graded BENCH file is assembled from
     // captured stdout, which has been observed truncated — also write the

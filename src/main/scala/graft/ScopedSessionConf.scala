@@ -1,0 +1,25 @@
+package graft
+
+/** JVM-wide serialization point for every operator that temporarily
+  * rewrites SESSION-GLOBAL SQL conf (shuffle width / AQE) around a bounded
+  * small-regime loop and restores it after — currently
+  * [[graft.operators.Dedup.duplicateClusters]]'s cluster loop and
+  * [[graft.streaming.StreamingCuration]]'s fold-scoped width.
+  *
+  * One shared REENTRANT lock (not one per call site): two different scoped
+  * sites interleaving snapshot/restore on the same session would otherwise
+  * "restore" each other's scoped values permanently, and a site deciding
+  * WHETHER to scope by reading the session width could mistake another
+  * site's temporarily-shrunk width for the real one (review finding). Both
+  * hazards need the read-decide-snapshot-mutate-restore sequence of every
+  * site to be mutually exclusive, which a single lock guarantees.
+  *
+  * Holding the lock for a fold's full duration is deliberate: the confs
+  * are session-global, so two scoped regions genuinely cannot overlap
+  * correctly. At real corpus scale the scoped branch is never taken (the
+  * guards only shrink width in the bounded-tiny regime), so this never
+  * serializes TB-scale work.
+  */
+object ScopedSessionConf {
+  val lock = new java.util.concurrent.locks.ReentrantLock()
+}

@@ -98,6 +98,42 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Entries whose BUILDER is eager — it runs driver-side Spark jobs
+    * before returning the DataFrame (model fits, checkpointed folds,
+    * real micro-batch streams), so deriving just their output schema
+    * costs 0.5-10 s each instead of analysis-only milliseconds.
+    * HarnessGateSpec's scalar-only schema gate skips EXECUTING these
+    * (the same structural rule still gates their dumped output via
+    * tools/check_oracle.py's nested-column check, locally and in the
+    * driver), so `sbt test` wall time no longer grows with every eager
+    * query added. Flag any new eager entry here; the schema gate's wall
+    * time jumping is the tell (graft.SchemaTimer in test scope prints
+    * per-entry builder times). */
+  val eagerQueries: Set[String] = Set(
+    "a1_asof_join", "a2_asof_forward", "a3_asof_nearest", "a4_asof_tolerance",
+    "a5_asof_stream",
+    "d8_simhash_pairs", "d15_tfidf", "d17_dup_clusters", "d18_pack_sequences",
+    "d21_decontaminate_bloom", "d23_vocab_encode", "d27_dedup_incremental",
+    "d32_shuffle_shard", "d33_cluster_survivors", "d34_curriculum_shard",
+    "d37_jaccard_verified", "d39_edit_distance", "d40_curation_pipeline",
+    "d41_lm_perplexity", "d42_heavy_hitters", "d45_bigram_lm",
+    "d47_token_budget", "d53_sketch_quality", "d54_bm25", "d55_chunk_neardup",
+    "d56_vocab_coverage", "d57_kneser_ney", "d61_dup_pagerank",
+    "d64_split_leakage", "d65_scd2_fold", "d73_dedup_threshold_sweep",
+    "d75_unigram_encode", "d79_nb_classify", "d84_nb_capped",
+    "d85_scd2_evolve_fold", "d90_token_budget", "d91_ppl_buckets",
+    "e4_ivf_kmeans", "e5_cosine_lsh_dup", "e10_semantic_dedup", "e11_ivfpq",
+    "e13_ivfpq_residual", "e15_pca_project", "e17_knn_graph", "e18_opq_adc",
+    "e19_opq_ivfpq", "e20_ivfpq_rerank", "e21_opq_ivfpq_refine",
+    "e23_hybrid_rrf", "e27_mmr_diversify", "e28_nprobe_sweep",
+    "e30_bm25_topk", "e31_rrf_hybrid",
+    "m10_image_dup_pairs",
+    "q48_bucketed_join",
+    "s17_orc_roundtrip", "s21_rotation_replay",
+    "w7_stream_curation", "w8_stream_ivf", "w21_stream_packing",
+    "w23_stream_heavy_hitters", "w24_stream_span_decontam",
+    "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
     "q1_pricing_summary" -> ((s, d) => {
@@ -1776,6 +1812,32 @@ object SparkEntry {
       val bm = graft.operators.Bm25.topK(docs, qs, k = 10)
       val jc = graft.operators.Hybrid.jaccardTopK(docs, qs, k = 10)
       graft.operators.Hybrid.rrfFuse(Seq(bm, jc), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "w27_stream_bm25" -> ((s, d) => {
+      // STANDING lexical-retrieval index (StreamingBm25) — the BM25 twin
+      // of w8's StreamingIvf gate: documents arrive in THREE id-range
+      // epochs, each tokenized ONCE into hash-bucketed at-rest postings
+      // plus mergeable (n_docs, sum_dl) stats partials; the search over
+      // the at-rest epoch union must equal Bm25.topK recomputed over the
+      // whole corpus — e30's oracle, verbatim. The equality is real
+      // cross-epoch carry: a query term's df and the corpus N/avgdl span
+      // all three epochs, so per-epoch scoring would rank differently.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w27_bm25_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
         .orderBy("query_id", "rank")
     }),
     "d54_bm25" -> ((s, d) =>
@@ -6096,6 +6158,33 @@ object SparkEntry {
            ON substr(a.text, 1, 80) = substr(b.text, 1, 80) AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "e30_bm25_topk" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w27 = e30's oracle VERBATIM: the standing at-rest index's search
+    // must equal the batch recompute exactly (the w8-vs-e6 stance)
+    "w27_stream_bm25" ->
       """WITH dt AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> length(x) > 0) AS tk

@@ -18,10 +18,6 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
-  /** Serializes [[duplicateClusters]]' scoped conf save/restore across
-    * threads (see the concurrency contract in that method). */
-  private val clusterLoopLock = new java.util.concurrent.locks.ReentrantLock()
-
   /** Exact dedup: keep the lowest-id row per md5(text). Deterministic (min
     * id), aggregation-based — no window, single shuffle on the digest. */
   def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
@@ -498,18 +494,26 @@ object Dedup {
     // calls can no longer interleave snapshots and "restore" the scoped
     // width permanently (review finding).
     val spark = pairs.sparkSession
-    val sessionWidth = spark.sessionState.conf.numShufflePartitions
     val nEdges = edges.count()
+    // the session-width read AND the scoping decision happen UNDER the
+    // shared lock: read outside it, a concurrent scoped site's
+    // temporarily-shrunk width could be mistaken for the session width
+    // (mis-sizing loopWidth or skipping scoping entirely — review
+    // finding). The lock is shared with every other scoped save/restore
+    // site (StreamingCuration's fold) via ScopedSessionConf. If this call
+    // decides NOT to scope (big regime), the lock is released immediately
+    // — unscoped loops mutate nothing and need not serialize.
+    graft.ScopedSessionConf.lock.lock()
+    val sessionWidth = spark.sessionState.conf.numShufflePartitions
     val loopWidth = math.max(4L, math.min(sessionWidth.toLong,
       nEdges / 100000L + 1L)).toInt
     val scoped = loopWidth < sessionWidth
-    if (scoped) Dedup.clusterLoopLock.lock()
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
     if (scoped) {
       spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
+    } else graft.ScopedSessionConf.lock.unlock()
     var labels: DataFrame = null
     try {
     // round 0 fused into init: label = min(self, direct neighbors) is one
@@ -555,7 +559,7 @@ object Dedup {
     } finally if (scoped) {
       spark.conf.set("spark.sql.shuffle.partitions", priorWidth)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
-      Dedup.clusterLoopLock.unlock()
+      graft.ScopedSessionConf.lock.unlock()
     }
     // the final size join runs OUTSIDE the scope (lazy, consumer-planned)
     // over the checkpointed label relation

@@ -79,10 +79,16 @@ object KubeletPodsSource {
       items.forEach { item =>
         val md = item.get("metadata")
         require(md != null, "pod item missing metadata")
-        val name = md.get("name").asText()
-        val namespace = md.get("namespace").asText()
-        val uid = md.get("uid").asText()
-        out += podDirectoryName(podLogDir, namespace, name, uid)
+        // each field must be PRESENT and TEXTUAL: a missing node would NPE
+        // on asText(), a non-text node would asText() to "" and silently
+        // build a malformed directory name (review finding)
+        def text(field: String): String = {
+          require(md.hasNonNull(field) && md.get(field).isTextual,
+            s"pod item metadata.$field missing or not a string")
+          md.get(field).asText()
+        }
+        out += podDirectoryName(podLogDir, text("namespace"), text("name"),
+          text("uid"))
       }
       out.result()
     }

@@ -50,7 +50,17 @@ class PodDiscovery(
   private val active = mutable.SortedSet.empty[String]
   private val watchers = mutable.ArrayBuffer.empty[PodLifecycleWatcher]
 
-  def register(w: PodLifecycleWatcher): Unit = synchronized { watchers += w }
+  /** Registration REPLAYS the current active set to the new watcher: a pod
+    * directory discovered between the monitor thread's first tick and the
+    * coordinator's registration (GraftMain registers after run() returns)
+    * would otherwise sit in `active` with podCreated never re-firing — its
+    * pipeline silently never started (review finding). Replay makes
+    * registration order immaterial; coordinators are idempotent on
+    * podCreated so a racing scan cannot double-start. */
+  def register(w: PodLifecycleWatcher): Unit = synchronized {
+    watchers += w
+    active.foreach(p => try w.podCreated(p) catch { case _: Exception => })
+  }
 
   def activePodSet: Set[String] = synchronized { active.toSet }
 

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions
+
+/** STANDING lexical-retrieval index — the BM25 twin of [[StreamingIvf]]:
+  * where `Bm25.topK` re-derives the whole inverted pass (tokenize + tf +
+  * df + corpus stats) from the corpus on every call, this maintains the
+  * same relations AT REST, incrementally per micro-batch, and searches
+  * over the index. A RAG data pipeline runs this continuously: documents
+  * arrive once, tokenize once, and every later query batch pays only
+  * index-probe cost.
+  *
+  * At-rest layout under `path/`:
+  *  - `postings/epoch=<n>/bucket=<m>/` — the per-(doc, term) tf relation
+  *    (term, doc_id, tf, dl), hash-BUCKETED by term into `nBuckets`
+  *    partition directories. The bucket is to a term probe what the IVF
+  *    cell is to a vector probe: a query's terms resolve to a literal
+  *    bucket set driver-side, so the search scan is partition-pruned to
+  *    the touched buckets (`PartitionFilters`, spec-verified) instead of
+  *    reading the whole index.
+  *  - `stats/epoch=<n>/` — one row of MERGEABLE partials (n_docs,
+  *    sum_dl). N and avgdl fold across epochs as plain sums (the
+  *    [[graft.operators.IncrementalAgg]] stance): no arrival is ever
+  *    re-scanned to keep the corpus statistics current.
+  *
+  * Standing-pipeline concerns, mirrored from [[StreamingIvf]]:
+  *  - **Replay idempotence**: each epoch OVERWRITES its own `epoch=<n>`
+  *    directory under both `postings/` and `stats/`, so checkpoint
+  *    recovery neither loses nor double-counts documents.
+  *  - **Search equality**: [[search]] over the at-rest epoch union
+  *    returns EXACTLY what [[graft.operators.Bm25.topK]] recomputes over
+  *    the same corpus (same tf/df/N/avgdl, same rounded-score tie
+  *    contract) — the w27 gate pins this against e30's oracle verbatim.
+  *    The equality is real cross-epoch carry, not vacuous: a query
+  *    term's df and the corpus N/avgdl span ALL epochs, so per-epoch
+  *    scoring would produce different ranks.
+  *  - **Compaction**: per-epoch directories fold into `epoch=-1` via
+  *    [[StateCompaction]] (bucket partitioning preserved) when listing
+  *    cost grows; run while the pipeline is stopped.
+  *
+  * Contract: arrivals are NEW documents (ids never re-sent) — same as
+  * the IVF corpus; an upsert workload needs a dedup/CDC stage in front.
+  */
+object StreamingBm25 {
+
+  /** Tokenize one epoch's documents and overwrite its postings + stats
+    * epoch directories — idempotent under foreachBatch replay. */
+  def appendEpoch(batch: DataFrame, path: String, epoch: Long,
+      nBuckets: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val toks = batch.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks
+      .select(col(idCol), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/epoch=$epoch")
+    // mergeable corpus-stats partials; coalesce(sum, 0) keeps an
+    // all-empty-docs epoch a valid zero row rather than a null
+    toks.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks")).cast("double")), lit(0.0)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/epoch=$epoch")
+    toks.unpersist(false)
+    ()
+  }
+
+  /** The standing pipeline: document stream → tokenize once → per-epoch
+    * at-rest postings/stats append. */
+  def run(docs: DataFrame, path: String, checkpointDir: String,
+      nBuckets: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        appendEpoch(batch, path, epoch, nBuckets, textCol, idCol)
+        ()
+      }
+      .start()
+
+  /** Fold the per-epoch directories into one (`epoch=-1`), preserving the
+    * `bucket` partitioning (and with it the probe's partition pruning) —
+    * run while the pipeline is stopped. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    StateCompaction.compact(spark, s"$path/postings", key = "epoch",
+      partitionCols = Seq("bucket"))
+    StateCompaction.compact(spark, s"$path/stats", key = "epoch")
+  }
+
+  /** Top-`k` BM25 per query over the at-rest index — the index-probe form
+    * of [[graft.operators.Bm25.topK]] with the identical scoring and
+    * rounded-score tie contract. Per call this reads: the stats rows (one
+    * per epoch), and ONLY the postings buckets the query vocabulary
+    * hashes into (driver-side literal isin on the `bucket` partition
+    * column → Catalyst prunes the rest before the scan), semi-joined down
+    * to the query terms. df comes from the pruned postings themselves
+    * (a term's posting rows ARE its document frequency), term-keyed and
+    * broadcast — nothing corpus-sized ever shuffles at query time. */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64,
+      idCol: String = "doc_id", queryIdCol: String = "query_id",
+      queryTextCol: String = "text", roundDigits: Int = 4): DataFrame = {
+    val (out, release) = searchLazy(spark, path, queries, k, k1, b, nBuckets,
+      idCol, queryIdCol, queryTextCol, roundDigits)
+    // ≤ |queries| x k rows — eager + small; releases the probe caches
+    val eager = out.localCheckpoint(true)
+    release()
+    eager
+  }
+
+  /** [[search]] without the eager checkpoint: the raw plan (for plan
+    * audits — the bucket partition pruning is visible here) plus a
+    * release thunk for the probe-time caches, to call after consuming. */
+  private[streaming] def searchLazy(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64, idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "text",
+      roundDigits: Int = 4): (DataFrame, () => Unit) = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val statRow = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    val n = statRow.getLong(0).toDouble
+    if (n == 0.0)
+      return (spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          lit(0L).as(idCol), lit(0.0).as("score")), () => ())
+    val avgdl = statRow.getDouble(1) / n
+
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(
+          TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
+      .persist(MEMORY_AND_DISK)
+    // the probed-bucket set is query-vocabulary-sized: collect it and
+    // prune the index scan with a literal partition filter (the
+    // StreamingIvf.search probed-cells stance)
+    val buckets = qTerms.select(termBucket(col("term"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val postings = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col(idCol), col("dl"), col("tf"))
+      .persist(MEMORY_AND_DISK)
+    val dfRel = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = qTerms
+      .join(postings.join(broadcast(dfRel), "term"), "term")
+      .select(col("query_id"), col(idCol),
+        (log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+          .as("contrib"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum("contrib"), roundDigits).as("score"))
+    val out = graft.functions.ScoredTopK
+      .rankTopK(scored, Seq("query_id"), col(idCol), col("score"), k, idCol)
+    (out, () => Seq(qTerms, postings).foreach { d => d.unpersist(false); () })
+  }
+
+  /** Stable term → bucket assignment (xxhash64 is deterministic across
+    * sessions, so at-rest buckets and probe-time pruning always agree). */
+  private def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+}

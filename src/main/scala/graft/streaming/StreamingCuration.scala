@@ -184,6 +184,12 @@ object StreamingCuration {
     // that defeat the codegen cache (78 fresh Janino compiles per
     // repeated fold with AQE, 0 without). One-shot corpus operators keep
     // AQE; this is a micro-batch-loop-only stance.
+    // snapshot + mutate under the JVM-wide scoped-conf lock shared with
+    // Dedup.duplicateClusters: interleaved save/restore between the two
+    // sites on one session would otherwise "restore" scoped values
+    // permanently (review finding). Held for the fold's duration — the
+    // confs are session-global, so two scoped regions cannot overlap.
+    graft.ScopedSessionConf.lock.lock()
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -235,6 +241,7 @@ object StreamingCuration {
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
       spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
+      graft.ScopedSessionConf.lock.unlock()
     }
   }
 

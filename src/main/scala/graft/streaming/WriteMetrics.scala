@@ -31,19 +31,29 @@ class WriteMetricsRegistry {
   private val pipelines = TrieMap.empty[String, PipelineWrites]
   private val brokers = TrieMap.empty[(String, String), BrokerWrites]
 
+  // lock-free atomic read-modify-write on a TrieMap key: putIfAbsent wins
+  // the empty slot or replace(k, prev, next) CASes an occupied one; retry
+  // on contention so concurrent listener buses never lose increments
+  @annotation.tailrec
+  private def update[K, V](map: TrieMap[K, V], key: K, zero: V)(f: V => V): Unit =
+    map.putIfAbsent(key, f(zero)) match {
+      case None => ()
+      case Some(prev) =>
+        if (!map.replace(key, prev, f(prev))) update(map, key, zero)(f)
+    }
+
   /** One write batch finished (reference: one KafkaWritingTaskResult). */
   def recordBatch(pipeline: String, messages: Long, bytes: Long,
-      latencyMs: Long, success: Boolean): Unit = {
-    val prev = pipelines.getOrElse(pipeline, PipelineWrites(0, 0, 0, 0, 0, 0))
-    pipelines.put(pipeline, PipelineWrites(
-      prev.batches + 1,
-      prev.messages + (if (success) messages else 0),
-      prev.bytes + (if (success) bytes else 0),
-      prev.failures + (if (success) 0 else 1),
-      latencyMs,
-      math.max(prev.maxLatencyMs, latencyMs)))
-    ()
-  }
+      latencyMs: Long, success: Boolean): Unit =
+    update(pipelines, pipeline, PipelineWrites(0, 0, 0, 0, 0, 0)) { prev =>
+      PipelineWrites(
+        prev.batches + 1,
+        prev.messages + (if (success) messages else 0),
+        prev.bytes + (if (success) bytes else 0),
+        prev.failures + (if (success) 0 else 1),
+        latencyMs,
+        math.max(prev.maxLatencyMs, latencyMs))
+    }
 
   /** Granular per-broker write outcome. `leader = None` records under
     * "n/a" — the reference's stance when leader metadata is unavailable
@@ -52,13 +62,13 @@ class WriteMetricsRegistry {
   def recordBrokerWrite(pipeline: String, leader: Option[Int],
       latencyMs: Long, success: Boolean): Unit = {
     val key = (pipeline, leader.map(_.toString).getOrElse("n/a"))
-    val prev = brokers.getOrElse(key, BrokerWrites(0, 0, 0, 0))
-    brokers.put(key, BrokerWrites(
-      prev.successes + (if (success) 1 else 0),
-      prev.failures + (if (success) 0 else 1),
-      prev.latencySumMs + latencyMs,
-      math.max(prev.latencyMaxMs, latencyMs)))
-    ()
+    update(brokers, key, BrokerWrites(0, 0, 0, 0)) { prev =>
+      BrokerWrites(
+        prev.successes + (if (success) 1 else 0),
+        prev.failures + (if (success) 0 else 1),
+        prev.latencySumMs + latencyMs,
+        math.max(prev.latencyMaxMs, latencyMs))
+    }
   }
 
   def pipelineSnapshot: Map[String, PipelineWrites] = pipelines.toMap
@@ -108,8 +118,12 @@ class WriteLatencyListener(registry: WriteMetricsRegistry)
     val p = e.progress
     val latency = Option(p.durationMs.get("triggerExecution"))
       .map(_.longValue).getOrElse(0L)
-    registry.recordBatch(p.name, p.numInputRows, bytes = 0L,
-      latencyMs = latency, success = true)
+    // queries started without queryName report a NULL progress name
+    // (StreamingCuration/DataPipelines-started pipelines); fall back to
+    // the query id so their batches are recorded instead of NPE-ing the
+    // listener bus — mirrors onQueryTerminated's id fallback
+    registry.recordBatch(Option(p.name).getOrElse(p.id.toString),
+      p.numInputRows, bytes = 0L, latencyMs = latency, success = true)
   }
 
   override def onQueryTerminated(

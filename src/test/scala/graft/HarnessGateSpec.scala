@@ -185,16 +185,27 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, "testdata not present")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val bad = fn(spark, sfDir).schema.fields.collect {
+    // EAGER builders (driver-side fits, folds, real micro-batch streams)
+    // are not executed here — deriving their schema costs seconds each and
+    // made this test's wall time grow with every eager query added
+    // (round-10 advice). Their dumped outputs are still gated by the same
+    // structural rule in tools/check_oracle.py (nested_cols), which the
+    // subprocess test above exercises and the driver runs every round.
+    // Parallel fan-out was measured first and does NOT help: the eager
+    // builders' many tiny jobs serialize on the single-threaded
+    // DAGScheduler event loop, not on the submitting thread.
+    val stale = SparkEntry.eagerQueries -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"eagerQueries names absent from queries(): $stale")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => SparkEntry.eagerQueries(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
               f.dataType.isInstanceOf[MapType] ||
               f.dataType.isInstanceOf[StructType] =>
             s"$name.${f.name}: ${f.dataType.simpleString}"
         }
-        bad
-    }
+      }
     assert(offenders.isEmpty,
       s"top-level nested columns crash the driver's pandas sort " +
         s"(see tutorial/README.md 'Authoring oracled queries'); serialize " +

@@ -46,6 +46,31 @@ class KubeletPodsSourceSpec extends AnyFunSuite {
     assert(KubeletPodsSource.parsePodList("""{"kind": "PodList"}""", dir).isEmpty)
   }
 
+  test("missing or non-text metadata fields fail loud, not NPE or malformed names") {
+    // round-10 review finding: metadata lacking name used to NPE on
+    // asText(), and a NON-TEXT node's asText() returns "" which would
+    // silently build a malformed pod directory name
+    val dir = Files.createTempDirectory("graft-kubelet").toString
+    val missingName =
+      """{"items":[{"metadata":{"namespace":"ns","uid":"u-1"}}]}"""
+    val e1 = intercept[IllegalArgumentException] {
+      KubeletPodsSource.parsePodList(missingName, dir)
+    }
+    assert(e1.getMessage.contains("metadata.name"), e1.getMessage)
+    val numericUid =
+      """{"items":[{"metadata":{"namespace":"ns","name":"web","uid":42}}]}"""
+    val e2 = intercept[IllegalArgumentException] {
+      KubeletPodsSource.parsePodList(numericUid, dir)
+    }
+    assert(e2.getMessage.contains("metadata.uid"), e2.getMessage)
+    val nullNamespace =
+      """{"items":[{"metadata":{"namespace":null,"name":"web","uid":"u"}}]}"""
+    val e3 = intercept[IllegalArgumentException] {
+      KubeletPodsSource.parsePodList(nullNamespace, dir)
+    }
+    assert(e3.getMessage.contains("metadata.namespace"), e3.getMessage)
+  }
+
   test("fetches over live HTTP with the bearer token header") {
     val dir = Files.createTempDirectory("graft-kubelet").toString
     var seenAuth: Option[String] = None

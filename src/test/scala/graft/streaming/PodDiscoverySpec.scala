@@ -74,6 +74,35 @@ class PodDiscoverySpec extends AnyFunSuite with SparkTestBase {
       ("created", "ns_a"), ("created", "ns_b"), ("deleted", "ns_b")))
   }
 
+  test("late registration replays the active set (monitor-before-coordinator race)") {
+    // GraftMain's monitor thread can scan before main() registers the
+    // coordinator; a pod discovered in that window must still fire
+    // podCreated for the late watcher or its pipeline silently never
+    // starts (round-10 review finding)
+    val root = Files.createTempDirectory("pods")
+    Seq("ns_a", "ns_b").foreach(p => Files.createDirectories(root.resolve(p)))
+    val disc = new PodDiscovery(root.toString, () => Set("ns_a", "ns_b"))
+    assert(disc.scanFileSystem() == Seq("ns_a", "ns_b")) // no watcher yet
+    val rec = new Recorder
+    disc.register(rec)
+    assert(rec.events == Seq(("created", "ns_a"), ("created", "ns_b")),
+      "registration must replay pods discovered before it")
+    // the replay does not double-fire on the next scan
+    assert(disc.scanFileSystem().isEmpty)
+    assert(rec.events.size == 2)
+    // a replay-throwing watcher still registers and sees later events
+    val rec2 = new Recorder
+    disc.register(new PodLifecycleWatcher {
+      def podCreated(p: String): Unit = throw new RuntimeException("boom")
+      def podDeleted(p: String): Unit = ()
+    })
+    disc.register(rec2)
+    Files.createDirectories(root.resolve("ns_c"))
+    assert(disc.scanFileSystem() == Seq("ns_c"))
+    assert(rec2.events == Seq(
+      ("created", "ns_a"), ("created", "ns_b"), ("created", "ns_c")))
+  }
+
   test("a throwing watcher poisons neither the loop nor other watchers") {
     val root = Files.createTempDirectory("pods")
     Files.createDirectories(root.resolve("ns_a"))

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Bm25
+
+/** Standing lexical-retrieval index (the BM25 twin of StreamingIvfSpec):
+  * per-epoch at-rest postings/stats maintenance with replay-idempotent
+  * restarts, search-over-index ≡ Bm25.topK recomputed over the same
+  * corpus, bucket partition pruning at probe time, and compaction with
+  * crash recovery. */
+class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // small vocabulary so terms repeat across docs AND epochs: df/N/avgdl
+  // only match the batch recompute if the fold truly spans epochs
+  private def text(i: Long): String = {
+    val words = Seq("spark", "hash", "window", "join", "scan", "sort",
+      "shuffle", "probe")
+    (0 until (3 + (i % 4)).toInt)
+      .map(j => words(((i * 7 + j * 5) % words.size).toInt)).mkString(" ")
+  }
+  private val all = (0L until 40L).map(i => (i, text(i)))
+
+  test("ingest resumes after restart; at-rest search equals batch Bm25.topK") {
+    val inDir = Files.createTempDirectory("graft-sbm25-in")
+    val path = Files.createTempDirectory("graft-sbm25-idx").toString
+    val cpDir = Files.createTempDirectory("graft-sbm25-cp").toString
+
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(inDir.resolve(name),
+        rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+    def stream = spark.readStream
+      .schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+
+    writeBatch("b1.json", all.slice(0, 15))
+    val q1 = StreamingBm25.run(stream, path, cpDir, nBuckets = 8)
+    q1.processAllAvailable()
+    q1.stop()
+
+    writeBatch("b2.json", all.slice(15, 28))
+    writeBatch("b3.json", all.slice(28, 40))
+    val q2 = StreamingBm25.run(stream, path, cpDir, nBuckets = 8)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val corpus = all.toDF("doc_id", "text")
+    val queries = Seq((100L, "spark hash"), (101L, "probe sort shuffle"))
+      .toDF("query_id", "text")
+    def atRest = StreamingBm25.search(spark, path, queries, k = 5, nBuckets = 8,
+      queryIdCol = "query_id")
+    val got = atRest.select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = Bm25.topK(corpus, queries, k = 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, "at-rest search must equal the batch recompute")
+
+    // no loss, no dupes across the restart (epoch overwrite is idempotent):
+    // every doc's dl appears exactly once per distinct term it contains
+    val postings = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings")
+    assert(postings.select("doc_id").distinct().count() == 40)
+    assert(postings.groupBy("doc_id", "term").count()
+      .filter(col("count") > 1).count() == 0, "replay duplicated postings")
+    // stats partials fold to the true corpus size
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    assert(st.getLong(0) == 40)
+    assert(st.getDouble(1) == all.map(_._2.split(" ").length.toDouble).sum)
+
+    // the probe scan is partition-pruned on bucket under the epoch dirs
+    // (searchLazy: the raw plan before the eager result checkpoint)
+    def probePlan: String = {
+      val (df, release) = StreamingBm25.searchLazy(spark, path, queries,
+        k = 5, nBuckets = 8)
+      val plan = df.queryExecution.executedPlan.toString
+      release()
+      plan
+    }
+    val plan = probePlan
+    assert(plan.contains("PartitionFilters:") && plan.contains("bucket#"),
+      plan.take(800))
+
+    // ---- compaction: epochs fold into epoch=-1; search, counts and
+    // pruning unchanged
+    StreamingBm25.compact(spark, path)
+    val postingsDir = new java.io.File(s"$path/postings")
+    assert(postingsDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      == Set("epoch=-1"))
+    assert(atRest.select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet == want)
+    val planC = probePlan
+    assert(planC.contains("PartitionFilters:") && planC.contains("bucket#"))
+
+    // ---- crash-recovery: corpus dir missing + complete .compacting
+    // sibling — the next compact() finishes the swap, losing nothing
+    val staging = new java.io.File(s"$path/postings.compacting")
+    java.nio.file.Files.move(postingsDir.toPath, staging.toPath)
+    StreamingBm25.compact(spark, path)
+    assert(atRest.select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet == want)
+  }
+
+  test("cross-epoch carry is load-bearing: per-epoch-only scoring would differ") {
+    // score the FIRST epoch's slice alone vs the full corpus: the same
+    // (query, doc) pair ranks with different df/N/avgdl, so equality of
+    // the standing search with the full-corpus batch (above) proves the
+    // fold spans epochs rather than passing vacuously
+    val corpus = all.toDF("doc_id", "text")
+    val slice = all.slice(0, 15).toDF("doc_id", "text")
+    val queries = Seq((100L, "spark hash")).toDF("query_id", "text")
+    val full = Bm25.topK(corpus, queries, k = 5)
+      .filter(col("doc_id") < 15) // compare on docs both forms can rank
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val perEpoch = Bm25.topK(slice, queries, k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val common = full.keySet intersect perEpoch.keySet
+    assert(common.nonEmpty)
+    assert(common.exists(id => full(id) != perEpoch(id)),
+      "slice-local scores must differ from corpus-wide scores")
+  }
+
+  test("empty index and empty queries return the empty shape") {
+    val path = Files.createTempDirectory("graft-sbm25-empty").toString
+    StreamingBm25.appendEpoch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), path, 0L, nBuckets = 4)
+    val queries = Seq((1L, "spark")).toDF("query_id", "text")
+    assert(StreamingBm25.search(spark, path, queries, k = 3, nBuckets = 4)
+      .count() == 0)
+    // docs present, no queries
+    StreamingBm25.appendEpoch(all.take(5).toDF("doc_id", "text"), path, 1L,
+      nBuckets = 4)
+    assert(StreamingBm25.search(spark, path,
+      Seq.empty[(Long, String)].toDF("query_id", "text"), k = 3,
+      nBuckets = 4).count() == 0)
+  }
+}

@@ -89,4 +89,60 @@ class WriteMetricsSpec extends AnyFunSuite with SparkTestBase {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("listener records UNNAMED queries under their id instead of NPE-ing the bus") {
+    // StreamingCuration/DataPipelines-started queries set no queryName, so
+    // their progress events carry a NULL name; the listener must fall back
+    // to the query id (TrieMap rejects null keys — regression for the
+    // round-10 review finding)
+    implicit val sq = spark.sqlContext
+    val registry = new WriteMetricsRegistry
+    val listener = new WriteLatencyListener(registry)
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Ev]
+    val q = input.toDS().writeStream.outputMode("append").format("noop").start()
+    try {
+      input.addData(Ev(1, ts(1), "a", 1.0))
+      q.processAllAvailable()
+      val key = q.id.toString
+      val deadline = System.currentTimeMillis() + 10000
+      while (!registry.pipelineSnapshot.contains(key) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val w = registry.pipelineSnapshot(key)
+      assert(w.batches >= 1 && w.failures == 0,
+        s"unnamed query's batches must land under its id: $w")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("concurrent recordBatch/recordBrokerWrite lose no increments") {
+    // the registry's read-modify-write is a CAS retry loop; interleaved
+    // getOrElse-then-put used to drop counter increments under two
+    // listener buses (round-10 review finding)
+    val r = new WriteMetricsRegistry
+    val threads = 8
+    val perThread = 2000
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val done = new java.util.concurrent.CountDownLatch(threads)
+    (0 until threads).foreach { _ =>
+      pool.execute { () =>
+        (0 until perThread).foreach { i =>
+          r.recordBatch("p", messages = 1, bytes = 2, latencyMs = i, success = true)
+          r.recordBrokerWrite("p", Some(7), latencyMs = 1, success = true)
+        }
+        done.countDown()
+      }
+    }
+    assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val w = r.pipelineSnapshot("p")
+    assert(w.batches == threads.toLong * perThread, s"lost batch increments: $w")
+    assert(w.messages == threads.toLong * perThread)
+    assert(w.bytes == 2L * threads * perThread)
+    val b = r.brokerSnapshot(("p", "7"))
+    assert(b.successes == threads.toLong * perThread, s"lost broker increments: $b")
+    assert(b.latencySumMs == threads.toLong * perThread)
+  }
 }
