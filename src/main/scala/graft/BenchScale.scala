@@ -74,7 +74,11 @@ object BenchScale {
       "d75_unigram_encode", "d76_gopher_quality", "d77_cdc_compact",
       "d78_snapshot_diff", "d79_nb_classify", "d80_soft_dedup_weights",
       "d81_k_anonymity", "d82_dataset_card", "a5_asof_stream",
-      "m14_image_phash")
+      "m14_image_phash",
+      // round-11: retrieval with corpus-INDEPENDENT query sets (e30/e31's
+      // raw 10x ratio folds in 10x more queries; these rows isolate
+      // corpus growth) and the standing lexical index
+      "e32_bm25_fixedq", "e33_rrf_fixedq", "w27_stream_bm25")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.filter(wanted).foreach { q =>
       results += time(q) {

@@ -30,6 +30,29 @@ object TextFunctions {
   def tokensJvm(text: String): Array[String] =
     text.split("\\s+").filter(_.nonEmpty)
 
+  /** Word-boundary-marked character n-grams, DISTINCT and SORTED per
+    * document — the fastText/CCNet-style language-ID feature set: each
+    * whitespace token `w` becomes `_w_` and contributes every n-length
+    * substring for each n in `ns`; the per-doc set is deduplicated
+    * (binarized/presence features — Metsis et al. 2006's binarized
+    * multinomial NB, which is also what makes decision margins robust on
+    * short texts) and sorted so fit, predict, and any independent replay
+    * enumerate features in one canonical order. JVM-side only, used by
+    * both [[graft.operators.NaiveBayes.fitCharGrams]] and
+    * `predictCharGrams` — a single implementation, so fit and predict can
+    * never featurize differently. Caller lowercases. */
+  def charGramsJvm(lowerText: String, ns: Seq[Int]): Array[String] = {
+    val out = scala.collection.mutable.SortedSet.empty[String]
+    tokensJvm(lowerText).foreach { w =>
+      val s = "_" + w + "_"
+      ns.foreach { n =>
+        var i = 0
+        while (i + n <= s.length) { out += s.substring(i, i + n); i += 1 }
+      }
+    }
+    out.toArray
+  }
+
   /** One-pass text statistics struct (n_chars, n_punct, n_letters, n_upper,
     * n_tokens, sum_token_len, stopword_hits) — see
     * [[graft.plans.TextProfileExpr]]. Project it ONCE and derive many

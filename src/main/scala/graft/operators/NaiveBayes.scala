@@ -47,11 +47,33 @@ object NaiveBayes {
     * becomes the kept vocabulary (out-of-vocab tokens then score as unseen,
     * the standard NB treatment). */
   def fit(docs: DataFrame, labelCol: String, textCol: String = "text",
-      minCount: Long = 1L, topV: Int = Int.MaxValue): Model = {
+      minCount: Long = 1L, topV: Int = Int.MaxValue): Model =
+    fitFeatured(docs.select(col(labelCol).as("label"),
+      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks")),
+      minCount, topV)
+
+  /** [[fit]] over word-boundary-marked char n-gram PRESENCE features
+    * (distinct per doc — see [[graft.functions.TextFunctions.charGramsJvm]])
+    * instead of word tokens: the trained char-level language-ID model
+    * (fastText/CCNet style). The feature vocabulary is alphabet-bounded
+    * (|Σ|^max(ns)), so the driver collect is safe without caps even at
+    * corpus scale; `minCount`/`topV` still apply. */
+  def fitCharGrams(docs: DataFrame, labelCol: String, ns: Seq[Int] = Seq(2, 3),
+      textCol: String = "text", minCount: Long = 1L,
+      topV: Int = Int.MaxValue): Model = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(labelCol).as("label"),
-      graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val nsLocal = ns
+    fitFeatured(docs.select(col(labelCol).as("label"), lower(col(textCol)).as("t"))
+      .as[(String, String)]
+      .map { case (l, t) =>
+        (l, graft.functions.TextFunctions.charGramsJvm(t, nsLocal).toSeq) }
+      .toDF("label", "toks"), minCount, topV)
+  }
+
+  private def fitFeatured(toks: DataFrame, minCount: Long, topV: Int): Model = {
+    val spark = toks.sparkSession
+    import spark.implicits._
     val docCount = toks.groupBy("label").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val perClass = toks
@@ -84,7 +106,27 @@ object NaiveBayes {
     * runner-up scores so callers (and the fixture's margin assert) can see
     * decision confidence. */
   def predict(docs: DataFrame, model: Model, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    // same tokenization as fit (TextFunctions.tokens' JVM mirror) — fit
+    // and predict must never split differently
+    predictWith(docs, model, graft.functions.TextFunctions.tokensJvm _,
+      textCol, idCol)
+
+  /** [[predict]] with [[fitCharGrams]]' feature extractor: per-doc sorted
+    * distinct char n-grams, so scoring enumerates features in the same
+    * canonical order as any independent replay. */
+  def predictCharGrams(docs: DataFrame, model: Model,
+      ns: Seq[Int] = Seq(2, 3), textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val nsLocal = ns
+    predictWith(docs, model,
+      t => graft.functions.TextFunctions.charGramsJvm(t, nsLocal),
+      textCol, idCol)
+  }
+
+  private def predictWith(docs: DataFrame, model: Model,
+      features: String => Array[String], textCol: String,
+      idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), lower(col(textCol)))
@@ -92,9 +134,7 @@ object NaiveBayes {
       .mapPartitions { it =>
         val labels = model.labels
         it.map { case (id, text) =>
-          // same tokenization as fit (TextFunctions.tokens' JVM mirror) —
-          // fit and predict must never split differently
-          val words = graft.functions.TextFunctions.tokensJvm(text)
+          val words = features(text)
           var bestLabel = ""
           var bestScore = Double.NegativeInfinity
           var second = Double.NegativeInfinity

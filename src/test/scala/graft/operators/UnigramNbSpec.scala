@@ -105,6 +105,41 @@ class UnigramNbSpec extends AnyFunSuite with SparkTestBase {
     assert(preds == Map(1000L -> "x", 1001L -> "y"))
   }
 
+  test("charGramsJvm emits boundary-marked sorted-distinct 2-3 grams") {
+    import graft.functions.TextFunctions
+    // "ab ab" — dedup across repeated words; boundary markers present
+    val g = TextFunctions.charGramsJvm("ab ab", Seq(2, 3)).toSeq
+    assert(g == Seq("_a", "_ab", "ab", "ab_", "b_"))
+    // whitespace variants featurize identically (tokensJvm contract)
+    assert(TextFunctions.charGramsJvm("\tab\nab ", Seq(2, 3)).toSeq == g)
+    assert(TextFunctions.charGramsJvm("", Seq(2, 3)).isEmpty)
+    // a 1-char word still yields its padded 2- and 3-grams
+    assert(TextFunctions.charGramsJvm("x", Seq(2, 3)).toSeq
+      == Seq("_x", "_x_", "x_"))
+  }
+
+  test("char-gram NB separates languages word NB cannot (shared words, distinct spelling)") {
+    // two "languages" sharing zero training WORDS with the probe docs:
+    // word-level NB sees only out-of-vocab tokens and falls back to the
+    // prior, but char grams transfer spelling statistics to unseen words
+    val train = Seq(
+      (1L, "zzik zzok zzuk", "zz"), (2L, "zzak zzek", "zz"),
+      (3L, "qaqa qiqi ququ", "qq"), (4L, "qoqo qeqe", "qq"),
+      (5L, "zzyk zzaz", "zz"), (6L, "qyqy quqa", "qq"))
+      .toDF("doc_id", "text", "lang")
+    val m = NaiveBayes.fitCharGrams(train, "lang")
+    // unseen words, same spelling systems
+    val probe = Seq((10L, "zzolk zzilk"), (11L, "qaqu qiqo"))
+      .toDF("doc_id", "text")
+    val preds = NaiveBayes.predictCharGrams(probe, m)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(preds == Map(10L -> "zz", 11L -> "qq"))
+    // presence features: a gram repeated within one doc counts once per
+    // doc in the fit ("zz" appears in every zz-class word but each doc
+    // contributes 1)
+    assert(m.tokenCounts("zz")("zz") == 3L)
+  }
+
   test("fit and predict tokenize identically on tab/newline-bounded text") {
     // "\tspam\nspam " would split differently under naive trim/split —
     // the shared tokensJvm/tokens contract keeps fit and predict aligned

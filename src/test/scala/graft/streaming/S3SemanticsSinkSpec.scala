@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.io.File
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** A Hadoop FileSystem with OBJECT-STORE semantics for spec use: no
+  * rename (S3 renames are copy+delete, never atomic — any sink correctness
+  * claim must not lean on them), no append (objects are immutable), and a
+  * foreign `s3mock://bucket/...` URI scheme so the executor-side
+  * `FileSystem.get(URI, conf)` resolution — the exact call
+  * RolledObjectSink makes — is exercised end to end with conf-propagated
+  * impl registration, the way `fs.s3a.impl` reaches executors in
+  * production. Data lands under `fs.s3mock.root` on the local disk. */
+class S3SemanticsMockFs extends RawLocalFileSystem {
+  private var root: String = _
+
+  override def getScheme: String = "s3mock"
+  override def getUri: URI = URI.create("s3mock://bucket")
+
+  override def initialize(uri: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    root = conf.get("fs.s3mock.root")
+    require(root != null, "fs.s3mock.root not set")
+  }
+
+  override def pathToFile(path: Path): File = {
+    val p = path.toUri.getPath
+    new File(root, p)
+  }
+
+  override def rename(src: Path, dst: Path): Boolean =
+    throw new UnsupportedOperationException(
+      "object stores have no atomic rename — the sink must not rely on it")
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable) =
+    throw new UnsupportedOperationException(
+      "objects are immutable — the sink must not append")
+
+  // object stores have no directory entities; RawLocalFileSystem needs the
+  // parent to exist, so create() materializes it (what S3A's key-prefix
+  // model gives for free)
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable) = {
+    val parent = pathToFile(f).getParentFile
+    if (parent != null && !parent.exists()) parent.mkdirs()
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+}
+
+/** Round-10 verdict item 7: RolledObjectSink was spec-tested on `file://`
+  * only; this pins its epoch-retry-overwrite idempotence claim
+  * (`RolledObjectSink.scala:22-24`) against a FileSystem with
+  * S3-semantics (no rename, no append, foreign scheme, conf-registered
+  * impl) AND against the checksum-wrapping LocalFileSystem — the
+  * rename/append overrides throw, so the green test is a structural proof
+  * the sink's write path never needs either. */
+class S3SemanticsSinkSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def records(n: Int): Seq[Array[Byte]] =
+    (0 until n).map(i => f"rec-$i%03d-payload".getBytes("UTF-8"))
+
+  test("epoch retry overwrites (not duplicates) on a no-rename object store") {
+    val root = Files.createTempDirectory("s3mock-root").toString
+    // impl + root propagate through the session Hadoop conf — the same
+    // channel spark.hadoop.fs.s3a.* uses; the sink ships it to executors
+    // via SerializableConfiguration
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3mock.impl", classOf[S3SemanticsMockFs].getName)
+    hc.set("fs.s3mock.root", root)
+    hc.setBoolean("fs.s3mock.impl.disable.cache", true)
+    try {
+      val tmpl = KeyTemplate("logs/{{LOGNAME}}/{{UUID}}.log", "app")
+      val sink = new RolledObjectSink("s3mock://bucket/out", tmpl,
+        maxObjectBytes = 64)
+      val df = records(12).toDF("value").repartition(2)
+
+      val first = sink.writeEpoch(df, batchId = 7L)
+      assert(first.nonEmpty && first.map(_.records).sum == 12)
+      assert(first.size > 2, "64-byte cap over 12 records must roll >1 object per partition")
+      assert(first.forall(_.path.startsWith("s3mock://bucket/out/logs/app/")))
+      def listing(): Map[String, Long] = {
+        val base = new File(s"$root/out/logs/app")
+        base.listFiles().filter(_.getName.endsWith(".log"))
+          .map(f => f.getName -> f.length()).toMap
+      }
+      val afterFirst = listing()
+      assert(afterFirst.size == first.size)
+
+      // EPOCH RETRY (same batchId): deterministic (batch, partition, seq)
+      // names ⇒ create(overwrite=true) replaces every object — same
+      // names, same sizes, zero extras, no rename/append ever issued
+      val retry = sink.writeEpoch(df, batchId = 7L)
+      assert(retry.map(_.path).sorted == first.map(_.path).sorted,
+        "retry must regenerate identical object names")
+      assert(listing() == afterFirst,
+        "retry must leave an identical object listing (idempotent overwrite)")
+
+      // a DIFFERENT epoch writes disjoint objects alongside
+      val second = sink.writeEpoch(df, batchId = 8L)
+      assert(second.map(_.path).toSet.intersect(first.map(_.path).toSet).isEmpty)
+      assert(listing().size == afterFirst.size * 2)
+    } finally {
+      hc.unset("fs.s3mock.impl")
+      hc.unset("fs.s3mock.root")
+    }
+  }
+
+  test("same write path is idempotent on the checksum-wrapping local FS") {
+    // LocalFileSystem (file://) wraps RawLocal with CRC sidecars — the
+    // other half of the FS matrix: overwrite must also replace the .crc,
+    // not trip a checksum mismatch on re-read
+    val outDir = Files.createTempDirectory("sink-crc").toString
+    val tmpl = KeyTemplate("{{LOGNAME}}-{{UUID}}.log", "crc")
+    val sink = new RolledObjectSink(s"file://$outDir", tmpl, maxObjectBytes = 64)
+    val df = records(8).toDF("value").coalesce(1)
+    val first = sink.writeEpoch(df, batchId = 3L)
+    val retry = sink.writeEpoch(df, batchId = 3L)
+    assert(retry.map(_.path).sorted == first.map(_.path).sorted)
+    // re-read THROUGH the checksum FS: a stale .crc would throw here
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new URI(s"file://$outDir"), spark.sparkContext.hadoopConfiguration)
+    retry.foreach { m =>
+      val in = fs.open(new Path(m.path))
+      val bytes = new Array[Byte](m.bytes.toInt)
+      in.readFully(0, bytes)
+      in.close()
+      assert(new String(bytes, "UTF-8").contains("payload"))
+    }
+  }
+}
