@@ -78,7 +78,8 @@ object BenchScale {
       // round-11: retrieval with corpus-INDEPENDENT query sets (e30/e31's
       // raw 10x ratio folds in 10x more queries; these rows isolate
       // corpus growth) and the standing lexical index
-      "e32_bm25_fixedq", "e33_rrf_fixedq", "w27_stream_bm25")
+      "e32_bm25_fixedq", "e33_rrf_fixedq", "w27_stream_bm25",
+      "d94_char_lang_id")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.filter(wanted).foreach { q =>
       results += time(q) {
