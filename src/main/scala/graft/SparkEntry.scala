@@ -121,7 +121,7 @@ object SparkEntry {
     "d56_vocab_coverage", "d57_kneser_ney", "d61_dup_pagerank",
     "d64_split_leakage", "d65_scd2_fold", "d73_dedup_threshold_sweep",
     "d75_unigram_encode", "d79_nb_classify", "d84_nb_capped",
-    "d94_char_lang_id",
+    "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
     "d85_scd2_evolve_fold", "d90_token_budget", "d91_ppl_buckets",
     "e4_ivf_kmeans", "e5_cosine_lsh_dup", "e10_semantic_dedup", "e11_ivfpq",
     "e13_ivfpq_residual", "e15_pca_project", "e17_knn_graph", "e18_opq_adc",
@@ -2530,6 +2530,41 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("pred"),
           (col("pred") === col("lang")).as("correct"))
         .orderBy("doc_id")
+    }),
+    "d96_dsir_select" -> ((s, d) => {
+      // DSIR importance resampling (Xie et al. 2023) — the "select raw
+      // docs that look like the target domain" step of a training-data
+      // pipeline: hashed unigram+bigram bag features (md5 → 256 buckets,
+      // the engine-recomputable idiom), add-one-smoothed target-vs-corpus
+      // log-likelihood ratio per bucket, per-doc summed weight (rounded —
+      // the cross-engine sum-order contract), top-100 by (weight desc,
+      // id). Target domain here: the corpus's English docs.
+      val docs = t(s, d, "documents")
+      val target = docs.filter(col("lang") === "en")
+      val w = Sampling.dsirWeights(docs, target)
+      val ranked = w.orderBy(col("weight").desc, col("doc_id")).limit(100)
+      ranked.withColumn("rank", row_number().over(
+          Window.orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("weight"))
+        .orderBy("rank")
+    }),
+    "d95_budget_mix" -> ((s, d) => {
+      // EXACT-BUDGET temperature mixing (the GPT-3/Pile data-assembly
+      // step): per-source weights = floor(sqrt(n)) (τ = 2), Hamilton
+      // largest-remainder apportionment of a 200-doc budget in PURE
+      // INTEGER arithmetic (quotient/remainder comparisons can never
+      // flip on a last-bit float division — the oracle replays the
+      // allocation in SQL and must agree slot for slot), then a
+      // deterministic md5-ranked take per source. temperatureRates +
+      // mixtureSample are the RATE form of this; a fixed token/doc
+      // budget needs the exact-count form.
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val quotas = Sampling.largestRemainder(
+        counts.map { case (g, n) => g -> Sampling.isqrt(n) }, 200L)
+      Sampling.takePerGroup(docs, "source", quotas)
+        .orderBy("source", "pick")
     }),
     "d94_char_lang_id" -> ((s, d) => {
       // TRAINED language-ID (the CCNet/fastText pipeline component):
@@ -6279,6 +6314,59 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // d96: DSIR replayed start to finish — same md5 bucket idiom, same
+    // add-one smoothing, weight rounded to 4 before the (weight desc, id)
+    // ranking
+    "d96_dsir_select" ->
+      """WITH dt AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         uni AS (SELECT doc_id, unnest(tk) AS g FROM dt),
+         bi AS (SELECT doc_id, tk[i.v] || ' ' || tk[i.v + 1] AS g
+           FROM dt, LATERAL (SELECT unnest(range(1, len(tk))) AS v) i),
+         grams AS (SELECT doc_id,
+             (('0x' || substr(md5(g), 1, 8))::UBIGINT % 256)::BIGINT AS b
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         tgd AS (SELECT doc_id FROM dt WHERE lang = 'en'),
+         tg AS (SELECT b FROM grams JOIN tgd USING (doc_id)),
+         sc AS (SELECT b, count(*) AS c FROM grams GROUP BY 1),
+         tc AS (SELECT b, count(*) AS c FROM tg GROUP BY 1),
+         stot AS (SELECT count(*)::DOUBLE AS t FROM grams),
+         ttot AS (SELECT count(*)::DOUBLE AS t FROM tg),
+         buckets AS (SELECT unnest(range(0, 256))::BIGINT AS b),
+         lr AS (SELECT buckets.b,
+             ln((coalesce(tc.c, 0) + 1) / (ttot.t + 256))
+               - ln((coalesce(sc.c, 0) + 1) / (stot.t + 256)) AS lr
+           FROM buckets LEFT JOIN tc ON buckets.b = tc.b
+             LEFT JOIN sc ON buckets.b = sc.b
+             CROSS JOIN ttot CROSS JOIN stot),
+         wt AS (SELECT doc_id, round(sum(lr.lr), 4) AS weight
+           FROM grams JOIN lr USING (b) GROUP BY 1),
+         r AS (SELECT doc_id, weight, row_number() OVER
+             (ORDER BY weight DESC, doc_id) AS rank FROM wt)
+         SELECT rank::BIGINT AS rank, doc_id, weight FROM r
+         WHERE rank <= 100 ORDER BY rank""",
+    // d95: the Hamilton allocation replayed in pure integer SQL (// and %
+    // on BIGINT), weights floor(sqrt(n)) — exact for n < 2^52, see
+    // Sampling.isqrt — selection by md5(doc_id) string order
+    "d95_budget_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         w AS (SELECT source, floor(sqrt(n::DOUBLE))::BIGINT AS wt FROM c),
+         tot AS (SELECT sum(wt) AS tw FROM w),
+         alloc AS (SELECT source, (200*wt)//tw AS fl, (200*wt)%tw AS rem
+           FROM w CROSS JOIN tot),
+         fsum AS (SELECT sum(fl) AS fs FROM alloc),
+         k AS (SELECT source, fl + CASE WHEN row_number() OVER
+               (ORDER BY rem DESC, source) <= 200 - fs THEN 1 ELSE 0 END AS ks
+           FROM alloc CROSS JOIN fsum),
+         ranked AS (SELECT doc_id, source, row_number() OVER
+             (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id)
+             AS pick
+           FROM documents)
+         SELECT r.doc_id, r.source, r.pick::BIGINT AS pick
+         FROM ranked r JOIN k USING (source) WHERE r.pick <= k.ks
+         ORDER BY source, pick""",
     // e32/e33 = e30/e31's oracles with the query set capped at doc_id <
     // 4850 (the fixed-query scale shape — see the query comments)
     "e32_bm25_fixedq" ->

@@ -20,6 +20,129 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Hamilton largest-remainder apportionment over INTEGER weights — the
+    * exact-budget half of temperature mixing ([[temperatureRates]] is the
+    * rate half): distribute `budget` slots so group g gets
+    * floor(budget·w_g/W) plus one of the `budget − Σfloor` extras, extras
+    * to the largest remainders (budget·w_g mod W), ties to the smaller
+    * key. Pure long arithmetic end to end — no float weight shares, so an
+    * independent replay (the d95 oracle does it in SQL) allocates
+    * IDENTICALLY; quotient/remainder comparisons can never flip on a
+    * last-bit division. Driver-side over the (group, weight) relation —
+    * vocabulary-sized, like centroid tables. */
+  def largestRemainder(weights: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(weights.forall(_._2 >= 0), s"weights must be >= 0: $weights")
+    val w = weights.map(_._2).sum
+    if (w == 0L) return weights.map { case (g, _) => g -> 0L }.toMap
+    val base = weights.map { case (g, wt) =>
+      (g, budget * wt / w, budget * wt % w) }
+    val extras = budget - base.map(_._2).sum
+    val bumped = base.sortBy { case (g, _, rem) => (-rem, g) }
+      .zipWithIndex
+      .map { case ((g, fl, _), i) => g -> (fl + (if (i < extras) 1L else 0L)) }
+    bumped.toMap
+  }
+
+  /** Exact integer sqrt (floor) — the fixed τ=2 temperature weight the
+    * d95 gate uses: BigInteger.sqrt, no float on the Spark side; the SQL
+    * replay's floor(sqrt(n::DOUBLE)) agrees exactly for any n < 2^52
+    * (IEEE sqrt is correctly rounded, and the only integer within a
+    * half-ulp of k² is k² itself, so the floor can never flip). */
+  def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of negative: $n")
+    java.math.BigInteger.valueOf(n).sqrt().longValueExact()
+  }
+
+  /** Deterministic per-group quota take: within each group, keep the
+    * `quotas(group)` rows with the smallest md5(id) (id breaks the
+    * astronomically-unlikely digest tie) — engine-recomputable selection,
+    * no RNG, same stance as [[mixtureSample]]'s hash bucket. A group's
+    * quota caps at its size implicitly (row_number never exceeds it).
+    * Returns (the group col, idCol, pick) with pick = 1-based selection
+    * rank.
+    *
+    * Scale shape: one window per group keyed on `groupCol` — exact, and
+    * fine while no single group dwarfs an executor (the d92 exactSplit
+    * trade, documented there); the 100-TB swap for huge skewed groups is
+    * an md5-threshold prefilter (keep md5 < t_g sized from quota/count,
+    * uniform by construction) + exact top-up of the boundary. */
+  def takePerGroup(df: DataFrame, groupCol: String, quotas: Map[String, Long],
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val q = quotas.toSeq.toDF(groupCol, "quota")
+    df.select(col(groupCol), col(idCol))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .join(broadcast(q), Seq(groupCol))
+      .filter(col("pick") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("pick"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-n-gram bag
+    * features (word unigrams + adjacent bigrams, md5-hashed into
+    * `nBuckets`), per-bucket log-likelihood ratio between add-one-smoothed
+    * TARGET-domain and SOURCE (raw corpus) gram distributions, per-doc
+    * weight = Σ over the doc's grams of lr(bucket(gram)) — the standard
+    * cheap "select raw docs that look like the target domain" scorer.
+    * Returns (idCol, weight), weight rounded to `roundDigits` (the
+    * cross-engine sum-order contract, same as Bm25.topK scores).
+    *
+    * Scale shape: two tokenize-explode passes (corpus + target), two
+    * bounded-output bucket aggregations, two scalar totals; the lr
+    * relation is `nBuckets` rows and BROADCASTS into the per-doc sum —
+    * nothing corpus-sized shuffles except the (id, bucket) gram relation,
+    * which groups straight back to one row per doc. Selection composes:
+    * top-k via orderBy(weight desc).limit(k) is TakeOrderedAndProject
+    * (per-partition top-k + k-row driver merge, never a global sort). */
+  def dsirWeights(docs: DataFrame, target: DataFrame, nBuckets: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id",
+      roundDigits: Int = 4): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    // unigrams + adjacent bigrams ("a b"), md5-bucketed — the same
+    // engine-recomputable md5-prefix idiom as mixtureSample/hashSplit
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+      val uni = df.select(col(idCol), explode(toks).as("g"))
+      val bi = df.select(col(idCol), toks.as("tk"))
+        .select(col(idCol), explode(
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1),
+              i => concat(element_at(col("tk"), i), lit(" "),
+                element_at(col("tk"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      uni.unionByName(bi).select(col(idCol),
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("b"))
+    }
+    val srcGrams = gramBuckets(docs).persist(MEMORY_AND_DISK)
+    val tgtGrams = gramBuckets(target)
+    val srcCounts = srcGrams.groupBy("b").agg(count(lit(1)).as("sc"))
+    val tgtCounts = tgtGrams.groupBy("b").agg(count(lit(1)).as("tc"))
+    val srcTotal = srcGrams.count().toDouble
+    val tgtTotal = tgtGrams.count().toDouble
+    val lr = spark.range(nBuckets).toDF("b")
+      .join(srcCounts, Seq("b"), "left").join(tgtCounts, Seq("b"), "left")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1) / (tgtTotal + nBuckets)) -
+          log((coalesce(col("sc"), lit(0L)) + 1) / (srcTotal + nBuckets)))
+          .as("lr"))
+    val out = srcGrams.join(broadcast(lr), "b")
+      .groupBy(idCol)
+      .agg(round(sum("lr"), roundDigits).as("weight"))
+      // eager so the gram cache can be released before returning; the
+      // materialized relation is one (id, double) row per doc — ~16
+      // bytes/doc, orders of magnitude under the corpus text it scores
+      .localCheckpoint(true)
+    srcGrams.unpersist(false)
+    out
+  }
+
   /** Sample `k` ids per group, smallest `xxhash64(idCol)` first (seed 42 —
     * Spark's default). Returns the group columns + `idCol`, one row per
     * sampled id. */
