@@ -504,16 +504,23 @@ object Dedup {
     // decides NOT to scope (big regime), the lock is released immediately
     // — unscoped loops mutate nothing and need not serialize.
     graft.ScopedSessionConf.lock.lock()
-    val sessionWidth = spark.sessionState.conf.numShufflePartitions
-    val loopWidth = math.max(4L, math.min(sessionWidth.toLong,
-      nEdges / 100000L + 1L)).toInt
-    val scoped = loopWidth < sessionWidth
-    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val priorWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    if (scoped) {
-      spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-    } else graft.ScopedSessionConf.lock.unlock()
+    // anything throwing between lock() and the keep/release decision must
+    // not leak the lock
+    val (scoped, priorAqe, priorWidth) = try {
+      val sessionWidth = spark.sessionState.conf.numShufflePartitions
+      val loopWidth = math.max(4L, math.min(sessionWidth.toLong,
+        nEdges / 100000L + 1L)).toInt
+      val sc = loopWidth < sessionWidth
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val width = spark.conf.get("spark.sql.shuffle.partitions")
+      if (sc) {
+        spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      } else graft.ScopedSessionConf.lock.unlock()
+      (sc, aqe, width)
+    } catch {
+      case t: Throwable => graft.ScopedSessionConf.lock.unlock(); throw t
+    }
     var labels: DataFrame = null
     try {
     // round 0 fused into init: label = min(self, direct neighbors) is one

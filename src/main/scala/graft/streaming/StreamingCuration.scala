@@ -190,9 +190,16 @@ object StreamingCuration {
     // permanently (review finding). Held for the fold's duration — the
     // confs are session-global, so two scoped regions cannot overlap.
     graft.ScopedSessionConf.lock.lock()
-    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // anything throwing between lock() and the try below must not leak
+    // the lock (or a half-applied conf)
+    val (priorAqe, priorShuffle) = try {
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val width = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      (aqe, width)
+    } catch {
+      case t: Throwable => graft.ScopedSessionConf.lock.unlock(); throw t
+    }
     try {
     // the EMPTY state is checkpointed too: epoch 0's plans then scan an
     // ExistingRDD exactly like epochs 1+ (whose state is a checkpointed
