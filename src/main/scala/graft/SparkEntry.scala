@@ -122,6 +122,7 @@ object SparkEntry {
     "d64_split_leakage", "d65_scd2_fold", "d73_dedup_threshold_sweep",
     "d75_unigram_encode", "d79_nb_classify", "d84_nb_capped",
     "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
+    "d97_cluster_balance",
     "d85_scd2_evolve_fold", "d90_token_budget", "d91_ppl_buckets",
     "e4_ivf_kmeans", "e5_cosine_lsh_dup", "e10_semantic_dedup", "e11_ivfpq",
     "e13_ivfpq_residual", "e15_pca_project", "e17_knn_graph", "e18_opq_adc",
@@ -2530,6 +2531,32 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("pred"),
           (col("pred") === col("lang")).as("correct"))
         .orderBy("doc_id")
+    }),
+    "d97_cluster_balance" -> ((s, d) => {
+      // cluster-balanced sampling (the SemDeDup/DCLM-style topic-balance
+      // step): embeddings assigned to the frozen first-8 centroids (the
+      // e4/w8 cell rule), per-cell weights floor(sqrt(n)) (τ = 2), a
+      // 100-vector budget apportioned by integer largest remainder, then
+      // a deterministic md5-ranked take per cell — squashes
+      // over-represented clusters out of a fixed-size training sample.
+      // Pure composition of independently-gated pieces: assignment ≡ w8's
+      // cell rule, allocation + take ≡ d95's integer contract.
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Similarity.collectCentroids(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("embedding").as("centroid_vec")))
+      val assigned = emb.select(col("vec_id"),
+        element_at(
+          graft.plans.VectorExpressions.nearestCells(col("embedding"), cents, 1), 1)
+          .getField("cell").cast("string").as("cell"))
+      val counts = assigned.groupBy("cell").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val quotas = Sampling.largestRemainder(
+        counts.map { case (g, n) => g -> Sampling.isqrt(n) }, 100L)
+      Sampling.takePerGroup(assigned, "cell", quotas, idCol = "vec_id")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("pick"))
+        .orderBy("cell", "pick")
     }),
     "d96_dsir_select" -> ((s, d) => {
       // DSIR importance resampling (Xie et al. 2023) — the "select raw
@@ -6314,6 +6341,34 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    // d97: w8's assignment CTE + d95's integer allocation, tie order on
+    // the cell as VARCHAR (matching largestRemainder's string-key ties)
+    "d97_cluster_balance" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+         cc AS (SELECT vec_id, centroid_id AS cell FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                   c.centroid_id) AS r
+             FROM embeddings e, c) WHERE r = 1),
+         cnt AS (SELECT cell, count(*) AS n FROM cc GROUP BY 1),
+         w AS (SELECT cell, floor(sqrt(n::DOUBLE))::BIGINT AS wt FROM cnt),
+         tot AS (SELECT sum(wt) AS tw FROM w),
+         alloc AS (SELECT cell, (100*wt)//tw AS fl, (100*wt)%tw AS rem
+           FROM w CROSS JOIN tot),
+         fsum AS (SELECT sum(fl) AS fs FROM alloc),
+         k AS (SELECT cell, fl + CASE WHEN row_number() OVER
+               (ORDER BY rem DESC, cell::VARCHAR) <= 100 - fs
+               THEN 1 ELSE 0 END AS ks
+           FROM alloc CROSS JOIN fsum),
+         ranked AS (SELECT vec_id, cell, row_number() OVER
+             (PARTITION BY cell ORDER BY md5(vec_id::VARCHAR), vec_id)
+             AS pick
+           FROM cc)
+         SELECT r.vec_id, r.cell::BIGINT AS cell, r.pick::BIGINT AS pick
+         FROM ranked r JOIN k USING (cell) WHERE r.pick <= k.ks
+         ORDER BY cell, pick""",
     // d96: DSIR replayed start to finish — same md5 bucket idiom, same
     // add-one smoothing, weight rounded to 4 before the (weight desc, id)
     // ranking
