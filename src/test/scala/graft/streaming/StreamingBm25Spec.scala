@@ -128,6 +128,51 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
       "slice-local scores must differ from corpus-wide scores")
   }
 
+  test("property: at-rest search equals batch topK for random corpora/splits") {
+    // raw ScalaCheck with fixed seeds (the scalatest bridge is not on the
+    // offline classpath) — random corpus, random epoch count, random
+    // bucket count: the at-rest fold must equal the batch recompute
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("spark", "hash", "join", "scan", "sort", "probe")
+    val docGen = for {
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val caseGen = for {
+      nDocs <- Gen.choose(5, 25)
+      texts <- Gen.listOfN(nDocs, docGen)
+      epochs <- Gen.choose(1, 4)
+      buckets <- Gen.oneOf(1, 4, 16)
+      qText <- docGen
+    } yield (texts, epochs, buckets, qText)
+    (0 until 6).foreach { i =>
+      caseGen(Gen.Parameters.default, Seed(7L + i)).foreach {
+        case (texts, epochs, buckets, qText) =>
+          val path = Files.createTempDirectory(s"sbm25-prop$i").toString
+          val docs = texts.zipWithIndex
+            .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+          val span = texts.size / epochs + 1
+          (0 until epochs).foreach { e =>
+            StreamingBm25.appendEpoch(
+              docs.filter(col("doc_id") >= e.toLong * span &&
+                col("doc_id") < (e + 1).toLong * span),
+              path, e.toLong, nBuckets = buckets)
+          }
+          val queries = Seq((0L, qText)).toDF("query_id", "text")
+          val got = StreamingBm25.search(spark, path, queries, k = 5,
+              nBuckets = buckets)
+            .select("query_id", "rank", "doc_id", "score")
+            .as[(Long, Long, Long, Double)].collect().toSet
+          val want = Bm25.topK(docs, queries, k = 5)
+            .select("query_id", "rank", "doc_id", "score")
+            .as[(Long, Long, Long, Double)].collect().toSet
+          assert(got == want,
+            s"case $i: epochs=$epochs buckets=$buckets q='$qText'")
+      }
+    }
+  }
+
   test("empty index and empty queries return the empty shape") {
     val path = Files.createTempDirectory("graft-sbm25-empty").toString
     StreamingBm25.appendEpoch(
