@@ -77,13 +77,17 @@ class AdminServerSpec extends AnyFunSuite with SparkTestBase {
       val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
       try {
         ch.connect(UnixDomainSocketAddress.of(sock))
-        ch.write(ByteBuffer.wrap("status\n".getBytes(StandardCharsets.UTF_8)))
         val buf = ByteBuffer.allocate(256)
-        // server closes without writing: the client sees clean EOF or a
-        // reset (the kernel RSTs when unread bytes remain) — either way,
-        // ZERO response bytes
-        val outcome = try ch.read(buf)
-        catch { case _: java.net.SocketException => -1 }
+        // server closes without writing: depending on who wins the race
+        // the client sees a clean EOF, a connection reset on read, or its
+        // OWN write failing with EPIPE (server already closed before the
+        // command arrived) — all are the same refusal contract: ZERO
+        // response bytes ever reach the client
+        val outcome =
+          try {
+            ch.write(ByteBuffer.wrap("status\n".getBytes(StandardCharsets.UTF_8)))
+            ch.read(buf)
+          } catch { case _: java.io.IOException => -1 }
         assert(outcome == -1 && buf.position() == 0,
           "expected silent refusal (no response bytes)")
       } finally ch.close()
