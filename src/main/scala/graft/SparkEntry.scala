@@ -122,7 +122,7 @@ object SparkEntry {
     "d64_split_leakage", "d65_scd2_fold", "d73_dedup_threshold_sweep",
     "d75_unigram_encode", "d79_nb_classify", "d84_nb_capped",
     "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
-    "d97_cluster_balance",
+    "d97_cluster_balance", "d98_line_dedup_withindoc",
     "d85_scd2_evolve_fold", "d90_token_budget", "d91_ppl_buckets",
     "e4_ivf_kmeans", "e5_cosine_lsh_dup", "e10_semantic_dedup", "e11_ivfpq",
     "e13_ivfpq_residual", "e15_pca_project", "e17_knn_graph", "e18_opq_adc",
@@ -2961,6 +2961,24 @@ object SparkEntry {
         concat_ws("\n", lines).as("text"))
       graft.operators.LineDedup.dedupLines(pseudo).orderBy("doc_id")
     }),
+    "d98_line_dedup_withindoc" -> ((s, d) => {
+      // WITHIN-document line dedup — the C4 rule (keep the first
+      // occurrence of each repeated line INSIDE a page; the same line in
+      // two different docs is untouched — that cross-doc case is d89's
+      // corpus-wide job). 2-token chunks stand in for lines here so the
+      // rule is non-vacuous on this single-line corpus (181/500 sf0.01
+      // docs carry a within-doc repeat at width 2; zero do at d89's
+      // width 8). Exchange is keyed (doc, line) — per-document key
+      // domain, so corpus-wide boilerplate can never form a hot
+      // partition (see LineDedup.dedupLinesWithinDoc).
+      val tk = split(trim(col("text")), " ")
+      val lines = transform(
+        sequence(lit(0), ceil(size(tk) / lit(2.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(tk, i * lit(2) + 1, lit(2))))
+      val pseudo = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", lines).as("text"))
+      graft.operators.LineDedup.dedupLinesWithinDoc(pseudo).orderBy("doc_id")
+    }),
     "d90_token_budget" -> ((s, d) => {
       // budgeted subset selection: best-quality-first documents until a
       // 6000-token budget is exhausted (quality = distinct-token ratio —
@@ -4850,6 +4868,24 @@ object SparkEntry {
          l2 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lns),
          mk AS (SELECT doc_id, pos, line, row_number() OVER (
              PARTITION BY line ORDER BY doc_id, pos) = 1 AS keep FROM l2)
+         SELECT doc_id,
+           count(*)::BIGINT AS n_lines_before,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_lines_after,
+           md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+             ORDER BY pos), '')) AS clean_md5
+         FROM mk GROUP BY doc_id ORDER BY doc_id""",
+    // d98: the same chunk derivation at width 2, keep-first WITHIN the
+    // document ((doc_id, line) window instead of d89's corpus-wide one)
+    "d98_line_dedup_withindoc" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+           FROM documents),
+         lns AS (SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(tk)/2.0) AS BIGINT)),
+               i -> {'pos': i, 'line': array_to_string(tk[i*2+1 : i*2+2], ' ')})) AS u
+           FROM toks),
+         l2 AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lns),
+         mk AS (SELECT doc_id, pos, line, row_number() OVER (
+             PARTITION BY doc_id, line ORDER BY pos) = 1 AS keep FROM l2)
          SELECT doc_id,
            count(*)::BIGINT AS n_lines_before,
            sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_lines_after,

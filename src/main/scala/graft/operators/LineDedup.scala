@@ -83,6 +83,35 @@ object LineDedup {
         struct(col(idCol), col("pos")) <=> min(struct(col(idCol), col("pos"))).over(w)
       else count(lit(1L)).over(w) === 1L
     val marked = l.withColumn("keep", survives)
+    reagg(marked, delimiter, idCol)
+  }
+
+  /** WITHIN-document line dedup — the C4 rule (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once", applied here at line granularity like its common
+    * open-source reimplementations): inside each document the first
+    * occurrence of each distinct line survives, later repeats are
+    * dropped; the SAME line in two different documents is untouched (that
+    * cross-doc case is [[dedupLines]]' corpus-wide job). Same output
+    * contract as [[dedupLines]].
+    *
+    * Scale shape: strictly narrower than the corpus form — the one
+    * exchange is keyed on (idCol, key), so the key domain is per-document
+    * and boilerplate lines shared by millions of docs can never produce a
+    * hot partition (each doc's copies hash to different (id, key) cells). */
+  def dedupLinesWithinDoc(docs: DataFrame, delimiter: String = "\n",
+      normalize: Boolean = false, hashKeys: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val l = lines(docs, delimiter, normalize, hashKeys, idCol, textCol)
+    val w = Window.partitionBy(col(idCol), col("key"))
+    val marked = l.withColumn("keep",
+      col("pos") <=> min(col("pos")).over(w))
+    reagg(marked, delimiter, idCol)
+  }
+
+  /** Shared re-aggregation: one row per doc with the survivor digest. */
+  private def reagg(marked: DataFrame, delimiter: String,
+      idCol: String): DataFrame =
     marked
       .groupBy(idCol)
       .agg(
@@ -92,5 +121,4 @@ object LineDedup {
           sort_array(collect_list(when(col("keep"),
             struct(col("pos"), col("line"))))).getField("line")))
           .as("clean_md5"))
-  }
 }

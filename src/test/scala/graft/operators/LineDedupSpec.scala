@@ -97,6 +97,33 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(run(docs(d: _*)) === reference(d, keepFirst = true))
   }
 
+  test("within-doc form: in-doc repeats drop, cross-doc repeats survive everywhere") {
+    val df = docs(
+      (1L, "a\nb\na\nc\nb"),   // in-doc repeats of a and b
+      (2L, "a\nb"),             // same lines in ANOTHER doc — untouched
+      (3L, "x\nx\nx"))          // triple repeat collapses to one
+    val got = LineDedup.dedupLinesWithinDoc(df)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((5L, 3L, md5("a\nb\nc"))))
+    // doc 2 keeps BOTH lines even though doc 1 already has them — the
+    // within-doc rule never looks across documents (that is dedupLines)
+    assert(got(2L) == ((2L, 2L, md5("a\nb"))))
+    assert(got(3L) == ((3L, 1L, md5("x"))))
+    // contrast: the corpus-wide form strips doc 2 entirely
+    val corpusWide = run(df)
+    assert(corpusWide(2L)._2 == 0L)
+    // hashKeys=false agrees at test size
+    val raw = LineDedup.dedupLinesWithinDoc(df, hashKeys = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(raw == got)
+  }
+
   test("doc that loses every line digests the empty string") {
     val d = Seq(1L -> "only line", 2L -> "only line")
     val got = run(docs(d: _*))
