@@ -131,7 +131,7 @@ object SparkEntry {
     "e30_bm25_topk", "e31_rrf_hybrid", "e32_bm25_fixedq", "e33_rrf_fixedq",
     "m10_image_dup_pairs",
     "q48_bucketed_join",
-    "s17_orc_roundtrip", "s21_rotation_replay",
+    "s17_orc_roundtrip", "s21_rotation_replay", "s22_packed_roundtrip",
     "w7_stream_curation", "w8_stream_ivf", "w21_stream_packing",
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25")
@@ -1189,6 +1189,30 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source", "lang")
+    }),
+    "s22_packed_roundtrip" -> ((s, d) => {
+      // packed-binary token-corpus export + import (PackedCorpus — the
+      // Megatron-style .bin/.idx indexed layout training loaders mmap):
+      // vocab-encode the corpus (d23's exact encoding), WRITE the id
+      // arrays as little-endian int32 part pairs, READ them back through
+      // the index, and emit per-doc (n_tokens, sum_ids) FROM THE
+      // READ-BACK — the oracle recomputes both straight from the text,
+      // so a single flipped byte, mis-ordered entry, or torn pair breaks
+      // the row. Gate output is derived from what came off disk, not
+      // from the in-memory frame.
+      val docs = t(s, d, "documents")
+      val enc = graft.operators.Vocab
+        .encode(docs, graft.operators.Vocab.build(docs, size = 256))
+        .select(col("doc_id"), col("token_ids"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_s22_packed_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sources.PackedCorpus.write(enc, dir)
+      graft.sources.PackedCorpus.read(s, dir)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          aggregate(col("token_ids"), lit(0L), (acc, x) => acc + x)
+            .as("sum_ids"))
+        .orderBy("doc_id")
     }),
     "s21_rotation_replay" -> ((s, d) => {
       // the reference's rotate-mid-stream + crash + resume race under the
@@ -7091,6 +7115,23 @@ object SparkEntry {
       """SELECT source, CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
            count(*)::BIGINT AS n, min(doc_id) AS min_id
          FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
+    // s22: d23's vocab/encode chain, reduced to the two integrals the
+    // binary roundtrip must reproduce (count and sum of ids per doc)
+    "s22_packed_roundtrip" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+         exp AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks)+1)) AS pos FROM t WHERE len(toks) > 0),
+         cnts AS (SELECT token, count(*) AS cnt FROM exp GROUP BY 1),
+         vocab AS (SELECT token, vid FROM (
+             SELECT token, (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT AS vid
+             FROM cnts) WHERE vid < 256),
+         enc AS (SELECT e.doc_id, COALESCE(v.vid, -1)::BIGINT AS vid
+             FROM exp e LEFT JOIN vocab v USING (token))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(vid)::BIGINT AS sum_ids
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     "s21_rotation_replay" ->
       """SELECT doc_id, 1::BIGINT AS n_copies, length(text)::BIGINT AS n_chars
          FROM documents ORDER BY doc_id""",

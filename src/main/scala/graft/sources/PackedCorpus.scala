@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Packed token-id corpus export/import — the indexed-binary layout
+  * training loaders consume (the public Megatron-LM `.bin`/`.idx` family:
+  * one flat little-endian token stream plus a sidecar index of sequence
+  * offsets, so a loader can memory-map the stream and fetch sequence `i`
+  * without parsing anything).
+  *
+  * Layout under `dir/` (one PAIR per Spark partition — executor-parallel
+  * writes with no coordination, the RolledObjectSink stance):
+  *  - `part-<p>.bin` — concatenated little-endian int32 token ids;
+  *  - `part-<p>.idx` — magic "GRFTIDX1", int32 version, int64 nSeqs, then
+  *    nSeqs × (int64 docId, int64 tokenOffset, int32 tokenLength) with
+  *    offsets in TOKENS into the sibling `.bin`.
+  *
+  * Determinism/idempotence: part file names derive from the partition id,
+  * so re-running an epoch (or a retried task whose attempt wins) simply
+  * overwrites the same pair — the idempotent-overwrite stance every graft
+  * sink takes. [[read]] validates magic/version and that the `.bin` byte
+  * length matches the index's token count, so a torn pair fails loudly.
+  *
+  * Scale shape: write is one `mapPartitions` pass (no shuffle — callers
+  * choose the partitioning/ordering they want on disk beforehand, e.g.
+  * `repartitionByRange` on a curriculum key); read parallelizes by part
+  * file and streams each `.bin` sequentially (entries are written in
+  * offset order, so a full scan never seeks).
+  */
+object PackedCorpus {
+
+  private val Magic: Array[Byte] = "GRFTIDX1".getBytes("US-ASCII")
+  private val Version = 1
+
+  case class PartMeta(binPath: String, nSeqs: Long, nTokens: Long)
+
+  /** Write (idCol, tokensCol: array<int-compatible>) as part pairs;
+    * returns one [[PartMeta]] per non-empty partition (bounded — metadata
+    * only). Token ids must fit int32 (training vocabularies do); overflow
+    * fails the job loudly rather than truncating. */
+  def write(docs: DataFrame, dir: String, idCol: String = "doc_id",
+      tokensCol: String = "token_ids"): Seq[PartMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = dir
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    docs.select(col(idCol).cast("long"),
+        col(tokensCol).cast("array<int>"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val p = org.apache.spark.TaskContext.getPartitionId()
+          val fs = FileSystem.get(new java.net.URI(base), serConf.value)
+          val binPath = new Path(f"$base/part-$p%05d.bin")
+          val idxPath = new Path(f"$base/part-$p%05d.idx")
+          val bin = new java.io.BufferedOutputStream(fs.create(binPath, true), 1 << 20)
+          val index = Seq.newBuilder[(Long, Long, Int)]
+          var offset = 0L
+          val buf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          try {
+            rows.foreach { case (id, toks) =>
+              index += ((id, offset, toks.length))
+              toks.foreach { t =>
+                buf.clear(); buf.putInt(t)
+                bin.write(buf.array(), 0, 4)
+              }
+              offset += toks.length
+            }
+          } finally bin.close()
+          val entries = index.result()
+          val idxBuf = ByteBuffer
+            .allocate(Magic.length + 4 + 8 + entries.size * 20)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          idxBuf.put(Magic).putInt(Version).putLong(entries.size.toLong)
+          entries.foreach { case (id, off, len) =>
+            idxBuf.putLong(id).putLong(off).putInt(len)
+          }
+          val idx = fs.create(idxPath, true)
+          try idx.write(idxBuf.array(), 0, idxBuf.position())
+          finally idx.close()
+          Iterator.single(PartMeta(binPath.toString, entries.size.toLong, offset))
+        }
+      }
+      .collect().toSeq
+  }
+
+  /** Read a [[write]]-produced directory back as (idCol, token_ids).
+    * Parallel by part pair; each `.bin` is streamed sequentially. */
+  def read(spark: SparkSession, dir: String, idCol: String = "doc_id",
+      tokensCol: String = "token_ids"): DataFrame = {
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    val idxFiles = fs.globStatus(new Path(s"$dir/part-*.idx"))
+      .map(_.getPath.toString).sorted.toSeq
+    spark.createDataset(idxFiles)
+      .repartition(math.max(1, idxFiles.size))
+      .flatMap { idxPath =>
+        val fs = FileSystem.get(new java.net.URI(idxPath), serConf.value)
+        val idxStatus = fs.getFileStatus(new Path(idxPath))
+        val raw = new Array[Byte](idxStatus.getLen.toInt)
+        val in = fs.open(new Path(idxPath))
+        try in.readFully(0, raw) finally in.close()
+        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](Magic.length)
+        buf.get(magic)
+        require(java.util.Arrays.equals(magic, Magic),
+          s"$idxPath: bad magic — not a packed-corpus index")
+        val version = buf.getInt
+        require(version == Version, s"$idxPath: unsupported version $version")
+        val nSeqs = buf.getLong
+        val entries = (0L until nSeqs).map { _ =>
+          (buf.getLong, buf.getLong, buf.getInt)
+        }
+        val totalTokens = entries.map(_._3.toLong).sum
+        val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
+        require(fs.getFileStatus(binPath).getLen == totalTokens * 4,
+          s"$binPath: length != index token count * 4 — torn part pair")
+        val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 20)
+        try {
+          // entries are in offset order; stream the bin once, never seek
+          entries.map { case (id, _, len) =>
+            val bytes = new Array[Byte](len * 4)
+            var got = 0
+            while (got < bytes.length) {
+              val n = bin.read(bytes, got, bytes.length - got)
+              require(n >= 0, s"$binPath: truncated token stream")
+              got += n
+            }
+            val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+            (id, Seq.fill(len)(bb.getInt))
+          }
+        } finally bin.close()
+      }
+      .toDF(idCol, tokensCol)
+  }
+}

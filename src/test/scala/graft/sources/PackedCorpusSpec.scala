@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Packed .bin/.idx token-corpus export/import: exact roundtrip (ids AND
+  * order), idempotent overwrite, loud failure on torn or foreign files. */
+class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val corpus: Seq[(Long, Seq[Int])] = Seq(
+    (1L, Seq(5, 0, 7, 7, 3)),
+    (2L, Seq(-1, 2)),                   // unknown-token id roundtrips too
+    (3L, Seq.empty[Int]),               // zero-length sequence
+    (4L, (0 until 100).map(i => i * 3)),
+    (5L, Seq(Int.MaxValue, Int.MinValue))) // full int32 range
+
+  test("write/read roundtrips ids, order, and zero-length sequences exactly") {
+    val dir = Files.createTempDirectory("packed-rt").toString
+    val df = corpus.toDF("doc_id", "token_ids").repartition(3)
+    val metas = PackedCorpus.write(df, dir)
+    assert(metas.map(_.nSeqs).sum == 5)
+    assert(metas.map(_.nTokens).sum == corpus.map(_._2.size).sum)
+    val back = PackedCorpus.read(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(back == corpus.toMap, "roundtrip must preserve ids AND token order")
+  }
+
+  test("re-writing the same partitioning overwrites, never duplicates") {
+    val dir = Files.createTempDirectory("packed-idem").toString
+    val df = corpus.toDF("doc_id", "token_ids").repartition(2)
+    PackedCorpus.write(df, dir)
+    PackedCorpus.write(df, dir) // epoch replay / task retry
+    assert(PackedCorpus.read(spark, dir).count() == 5)
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".bin"))
+    assert(parts.length <= 2, s"replay must not grow the part set: ${parts.toSeq}")
+  }
+
+  test("a torn part pair and a foreign index fail loudly") {
+    val dir = Files.createTempDirectory("packed-torn").toString
+    PackedCorpus.write(corpus.toDF("doc_id", "token_ids").coalesce(1), dir)
+    val bin = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".bin")).get
+    // truncate the token stream under its index
+    val raw = Files.readAllBytes(bin.toPath)
+    Files.write(bin.toPath, raw.dropRight(4))
+    val e = intercept[Exception] { PackedCorpus.read(spark, dir).collect() }
+    assert(e.getMessage != null)
+    // foreign bytes where the index should be
+    val dir2 = Files.createTempDirectory("packed-magic").toString
+    Files.write(Paths.get(dir2, "part-00000.idx"), "not an index".getBytes)
+    Files.write(Paths.get(dir2, "part-00000.bin"), Array.empty[Byte])
+    val e2 = intercept[Exception] { PackedCorpus.read(spark, dir2).collect() }
+    assert(e2.getMessage != null)
+  }
+
+  test("long-typed id arrays cast on write; overflowing ids fail loudly") {
+    val dir = Files.createTempDirectory("packed-long").toString
+    // vid columns come out of Vocab.encode as array<bigint>
+    val df = Seq((1L, Seq(1L, -1L, 255L))).toDF("doc_id", "token_ids")
+    PackedCorpus.write(df, dir)
+    assert(PackedCorpus.read(spark, dir).as[(Long, Seq[Int])].collect()
+      .toSeq == Seq((1L, Seq(1, -1, 255))))
+    val over = Seq((2L, Seq(Long.MaxValue))).toDF("doc_id", "token_ids")
+    intercept[Exception] {
+      PackedCorpus.write(over, Files.createTempDirectory("packed-ovf").toString)
+    }
+  }
+}
