@@ -79,7 +79,8 @@ object BenchScale {
       // raw 10x ratio folds in 10x more queries; these rows isolate
       // corpus growth) and the standing lexical index
       "e32_bm25_fixedq", "e33_rrf_fixedq", "w27_stream_bm25",
-      "d94_char_lang_id")
+      "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
+      "d98_line_dedup_withindoc", "s22_packed_roundtrip")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.filter(wanted).foreach { q =>
       results += time(q) {
