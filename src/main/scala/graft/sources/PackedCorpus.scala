@@ -99,7 +99,10 @@ object PackedCorpus {
       spark.sessionState.newHadoopConf())
     val fs = FileSystem.get(new java.net.URI(dir),
       spark.sessionState.newHadoopConf())
-    val idxFiles = fs.globStatus(new Path(s"$dir/part-*.idx"))
+    // globStatus returns NULL (not empty) for a nonexistent directory —
+    // a never-written corpus reads as zero sequences, not an NPE
+    val idxFiles = Option(fs.globStatus(new Path(s"$dir/part-*.idx")))
+      .getOrElse(Array.empty)
       .map(_.getPath.toString).sorted.toSeq
     spark.createDataset(idxFiles)
       .repartition(math.max(1, idxFiles.size))

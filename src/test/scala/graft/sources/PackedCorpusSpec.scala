@@ -59,6 +59,11 @@ class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage != null)
   }
 
+  test("reading a never-written directory yields zero sequences, not an NPE") {
+    val missing = Files.createTempDirectory("packed-missing").toString + "/nope"
+    assert(PackedCorpus.read(spark, missing).count() == 0)
+  }
+
   test("long-typed id arrays cast on write; overflowing ids fail loudly") {
     val dir = Files.createTempDirectory("packed-long").toString
     // vid columns come out of Vocab.encode as array<bigint>
