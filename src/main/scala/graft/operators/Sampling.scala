@@ -35,6 +35,12 @@ object Sampling {
     require(weights.forall(_._2 >= 0), s"weights must be >= 0: $weights")
     val w = weights.map(_._2).sum
     if (w == 0L) return weights.map { case (g, _) => g -> 0L }.toMap
+    // budget*weight rides a long — fail loudly instead of wrapping at
+    // pathological (budget, weight) extremes (exactness is the contract)
+    val maxW = weights.map(_._2).max
+    require(maxW == 0L || budget <= Long.MaxValue / maxW,
+      s"budget * max weight overflows long: budget=$budget maxWeight=$maxW" +
+        " — rescale the weights (e.g. divide by their gcd)")
     val base = weights.map { case (g, wt) =>
       (g, budget * wt / w, budget * wt % w) }
     val extras = budget - base.map(_._2).sum

@@ -32,6 +32,11 @@ class BudgetMixSpec extends AnyFunSuite with SparkTestBase {
         Seq("a" -> 7L, "b" -> 1L, "c" -> 3L, "d" -> 11L), b)
       assert(alloc.values.sum == b, s"budget $b: $alloc")
     }
+    // pathological budget*weight overflow fails loudly, never wraps
+    val e = intercept[IllegalArgumentException] {
+      Sampling.largestRemainder(Seq("a" -> Long.MaxValue / 2), 3L)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
   }
 
   test("isqrt is the exact floor for boundary values") {
