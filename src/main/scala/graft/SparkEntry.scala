@@ -134,7 +134,8 @@ object SparkEntry {
     "s17_orc_roundtrip", "s21_rotation_replay", "s22_packed_roundtrip",
     "w7_stream_curation", "w8_stream_ivf", "w21_stream_packing",
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
-    "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25")
+    "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
+    "w28_stream_packed")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -1189,6 +1190,34 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source", "lang")
+    }),
+    "w28_stream_packed" -> ((s, d) => {
+      // STANDING packed export — the training-data tail of the standing
+      // pipeline (ingest → curate → index → EXPORT): vocab-encoded docs
+      // arrive in THREE id-range epochs, each written as its own
+      // epoch=<n> packed part-pair set (replay-idempotent overwrite, the
+      // StreamingIvf/StreamingBm25 stance); the read-back union of all
+      // epochs must reproduce the batch roundtrip exactly — s22's
+      // oracle, verbatim.
+      val docs = t(s, d, "documents")
+      val enc = graft.operators.Vocab
+        .encode(docs, graft.operators.Vocab.build(docs, size = 256))
+        .select(col("doc_id"), col("token_ids"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_w28_packed_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.sources.PackedCorpus.writeEpoch(
+          enc.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          dir, e)
+      }
+      graft.sources.PackedCorpus.readAll(s, dir)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          aggregate(col("token_ids"), lit(0L), (acc, x) => acc + x)
+            .as("sum_ids"))
+        .orderBy("doc_id")
     }),
     "s22_packed_roundtrip" -> ((s, d) => {
       // packed-binary token-corpus export + import (PackedCorpus — the
@@ -7115,6 +7144,23 @@ object SparkEntry {
       """SELECT source, CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
            count(*)::BIGINT AS n, min(doc_id) AS min_id
          FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
+    // w28 = s22's oracle VERBATIM: the standing per-epoch export's
+    // read-back union must equal the batch roundtrip
+    "w28_stream_packed" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+         exp AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks)+1)) AS pos FROM t WHERE len(toks) > 0),
+         cnts AS (SELECT token, count(*) AS cnt FROM exp GROUP BY 1),
+         vocab AS (SELECT token, vid FROM (
+             SELECT token, (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT AS vid
+             FROM cnts) WHERE vid < 256),
+         enc AS (SELECT e.doc_id, COALESCE(v.vid, -1)::BIGINT AS vid
+             FROM exp e LEFT JOIN vocab v USING (token))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(vid)::BIGINT AS sum_ids
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     // s22: d23's vocab/encode chain, reduced to the two integrals the
     // binary roundtrip must reproduce (count and sum of ids per doc)
     "s22_packed_roundtrip" ->

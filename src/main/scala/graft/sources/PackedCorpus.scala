@@ -90,18 +90,51 @@ object PackedCorpus {
       .collect().toSeq
   }
 
+  /** STANDING export: write one micro-batch's sequences under the
+    * epoch's own subdirectory — the same per-epoch overwrite idempotence
+    * as [[graft.streaming.StreamingIvf.appendEpoch]], so checkpoint
+    * replay neither loses nor duplicates sequences. [[readAll]] unions
+    * the epochs. */
+  def writeEpoch(docs: DataFrame, dir: String, epoch: Long,
+      idCol: String = "doc_id", tokensCol: String = "token_ids"): Seq[PartMeta] =
+    write(docs, s"$dir/epoch=$epoch", idCol, tokensCol)
+
+  /** The standing pipeline: token-id stream → per-epoch packed part
+    * pairs. A training loader can mmap every epoch written so far while
+    * the query keeps appending new ones. */
+  def run(docs: DataFrame, dir: String, checkpointDir: String,
+      idCol: String = "doc_id",
+      tokensCol: String = "token_ids"): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        writeEpoch(batch, dir, epoch, idCol, tokensCol)
+        ()
+      }
+      .start()
+
+  /** Read a [[writeEpoch]]-produced directory (all epochs) back as
+    * (idCol, token_ids). */
+  def readAll(spark: SparkSession, dir: String, idCol: String = "doc_id",
+      tokensCol: String = "token_ids"): DataFrame =
+    readGlob(spark, s"$dir/epoch=*/part-*.idx", idCol, tokensCol)
+
   /** Read a [[write]]-produced directory back as (idCol, token_ids).
     * Parallel by part pair; each `.bin` is streamed sequentially. */
   def read(spark: SparkSession, dir: String, idCol: String = "doc_id",
-      tokensCol: String = "token_ids"): DataFrame = {
+      tokensCol: String = "token_ids"): DataFrame =
+    readGlob(spark, s"$dir/part-*.idx", idCol, tokensCol)
+
+  private def readGlob(spark: SparkSession, pattern: String, idCol: String,
+      tokensCol: String): DataFrame = {
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    val fs = FileSystem.get(new java.net.URI(dir),
+    val fs = FileSystem.get(new java.net.URI(pattern),
       spark.sessionState.newHadoopConf())
     // globStatus returns NULL (not empty) for a nonexistent directory —
     // a never-written corpus reads as zero sequences, not an NPE
-    val idxFiles = Option(fs.globStatus(new Path(s"$dir/part-*.idx")))
+    val idxFiles = Option(fs.globStatus(new Path(pattern)))
       .getOrElse(Array.empty)
       .map(_.getPath.toString).sorted.toSeq
     spark.createDataset(idxFiles)

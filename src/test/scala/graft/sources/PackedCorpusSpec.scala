@@ -59,6 +59,39 @@ class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage != null)
   }
 
+  test("standing export resumes after restart; epoch union loses and duplicates nothing") {
+    val inDir = Files.createTempDirectory("packed-stream-in")
+    val outDir = Files.createTempDirectory("packed-stream-out").toString
+    val cpDir = Files.createTempDirectory("packed-stream-cp").toString
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Int])]): Unit =
+      Files.writeString(inDir.resolve(name),
+        rows.map { case (i, t) =>
+          s"""{"doc_id":$i,"token_ids":[${t.mkString(",")}]}"""
+        }.mkString("", "\n", "\n"))
+    def stream = spark.readStream
+      .schema("doc_id long, token_ids array<int>")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+
+    val all = (0L until 12L).map(i => (i, (0 to i.toInt).map(_ * 2)))
+    writeBatch("b1.json", all.slice(0, 4))
+    val q1 = PackedCorpus.run(stream, outDir, cpDir)
+    q1.processAllAvailable(); q1.stop()
+    writeBatch("b2.json", all.slice(4, 8))
+    writeBatch("b3.json", all.slice(8, 12))
+    val q2 = PackedCorpus.run(stream, outDir, cpDir)
+    q2.processAllAvailable(); q2.stop()
+
+    val back = PackedCorpus.readAll(spark, outDir)
+      .as[(Long, Seq[Int])].collect()
+    assert(back.length == 12, "restart must not lose or duplicate sequences")
+    assert(back.toMap == all.toMap)
+    // epochs landed as separate subdirectories
+    val epochs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(epochs.size >= 2 && epochs.forall(_.startsWith("epoch=")), epochs)
+  }
+
   test("reading a never-written directory yields zero sequences, not an NPE") {
     val missing = Files.createTempDirectory("packed-missing").toString + "/nope"
     assert(PackedCorpus.read(spark, missing).count() == 0)
