@@ -263,10 +263,17 @@ object Bench {
           }
         }
         if (ingSuspect) {
-          val (prevText, prevThrift) = refs.head._2 match { case (_, t, th) => (t, th) }
+          // emit EVERY reference's ingestion numbers, labeled run:/round:
+          // like the query rechecks — refs.head alone could show a
+          // non-triggering baseline when the 1.5× trigger actually fired
+          // against the other reference (review finding)
+          val prevJson = refs.map { case (label, (_, pt, pth)) =>
+            val tag = label.takeWhile(_ != ':')
+            s""""prev_${tag}_text_mbps":$pt,"prev_${tag}_thrift_mbps":$pth"""
+          }.mkString(",")
           val (t3, th3) = ingestionBench(spark)
           rechecks("_ingestion") =
-            s"""{"prev_text_mbps":$prevText,"prev_thrift_mbps":$prevThrift,"in_run_text_mbps":$textBest,"in_run_thrift_mbps":$thriftBest,"isolated_text_mbps":$t3,"isolated_thrift_mbps":$th3}"""
+            s"""{$prevJson,"in_run_text_mbps":$textBest,"in_run_thrift_mbps":$thriftBest,"isolated_text_mbps":$t3,"isolated_thrift_mbps":$th3}"""
           textBest = math.max(textBest, t3)
           thriftBest = math.max(thriftBest, th3)
         }

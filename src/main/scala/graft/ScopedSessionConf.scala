@@ -22,4 +22,26 @@ package graft
   */
 object ScopedSessionConf {
   val lock = new java.util.concurrent.locks.ReentrantLock()
+
+  /** Apply `settings` in order; if ANY set throws, first restore every key
+    * already mutated to its `snapshot` value (best-effort — a restore
+    * failure is suppressed onto the original throwable) and then rethrow.
+    * Without this, a throw on the second set of a multi-key scope (e.g.
+    * shuffle width applied, AQE set rejects) would leave the session
+    * permanently mis-sized — the exact leak the scoped-conf discipline
+    * exists to eliminate (review finding). Call with [[lock]] HELD; this
+    * helper mutates conf but never touches the lock. */
+  def setAllOrRestore(conf: org.apache.spark.sql.RuntimeConfig,
+      settings: Seq[(String, String)], snapshot: Map[String, String]): Unit = {
+    var applied = List.empty[String]
+    try settings.foreach { case (k, v) => conf.set(k, v); applied ::= k }
+    catch {
+      case t: Throwable =>
+        applied.foreach { k =>
+          try snapshot.get(k).foreach(conf.set(k, _))
+          catch { case r: Throwable => t.addSuppressed(r) }
+        }
+        throw t
+    }
+  }
 }

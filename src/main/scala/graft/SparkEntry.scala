@@ -122,7 +122,7 @@ object SparkEntry {
     "d64_split_leakage", "d65_scd2_fold", "d73_dedup_threshold_sweep",
     "d75_unigram_encode", "d79_nb_classify", "d84_nb_capped",
     "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
-    "d97_cluster_balance", "d98_line_dedup_withindoc",
+    "d97_cluster_balance", "d98_line_dedup_withindoc", "d99_skew_take",
     "d85_scd2_evolve_fold", "d90_token_budget", "d91_ppl_buckets",
     "e4_ivf_kmeans", "e5_cosine_lsh_dup", "e10_semantic_dedup", "e11_ivfpq",
     "e13_ivfpq_residual", "e15_pca_project", "e17_knn_graph", "e18_opq_adc",
@@ -3032,6 +3032,26 @@ object SparkEntry {
         concat_ws("\n", lines).as("text"))
       graft.operators.LineDedup.dedupLinesWithinDoc(pseudo).orderBy("doc_id")
     }),
+    "d99_skew_take" -> ((s, d) => {
+      // SKEW-SAFE exact-budget group take gated on a planted dominant
+      // group: 'big' holds ~98% of docs, the r* groups are ~140× smaller
+      // — the realistic one-dominant-source shape where the plain
+      // window-per-group form funnels the corpus through one task.
+      // takePerGroupSkewSafe keeps 'big''s window budget-bounded via the
+      // md5-threshold prefilter (+ exact top-up of any shortfall), and
+      // the oracle replays the selection with the PLAIN window form in
+      // SQL — outputs must be identical, the equivalence contract
+      // BudgetMixSpec property-pins. r2's quota exceeds its size (cap
+      // case); r groups ride the keep-everything threshold.
+      val docs = t(s, d, "documents")
+      val grouped = docs.select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("r"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit("big")).as("grp"))
+      val quotas = Map("big" -> 60L, "r0" -> 3L, "r1" -> 2L, "r2" -> 5L)
+      Sampling.takePerGroupSkewSafe(grouped, "grp", quotas)
+        .orderBy("grp", "pick")
+    }),
     "d90_token_budget" -> ((s, d) => {
       // budgeted subset selection: best-quality-first documents until a
       // 6000-token budget is exhausted (quality = distinct-token ratio —
@@ -4945,6 +4965,22 @@ object SparkEntry {
            md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
              ORDER BY pos), '')) AS clean_md5
          FROM mk GROUP BY doc_id ORDER BY doc_id""",
+    // d99: the skew-safe take replayed with the PLAIN window form — the
+    // prefilter + top-up must be output-identical to it
+    "d99_skew_take" ->
+      """WITH g AS (SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN 'r' || (doc_id % 3)::VARCHAR
+                  ELSE 'big' END AS grp
+           FROM documents),
+         q AS (SELECT * FROM (VALUES ('big', 60), ('r0', 3), ('r1', 2),
+             ('r2', 5)) v(grp, quota)),
+         ranked AS (SELECT doc_id, grp, row_number() OVER
+             (PARTITION BY grp ORDER BY md5(doc_id::VARCHAR), doc_id)
+             AS pick
+           FROM g)
+         SELECT r.doc_id, r.grp, r.pick::BIGINT AS pick
+         FROM ranked r JOIN q USING (grp) WHERE r.pick <= q.quota
+         ORDER BY grp, pick""",
     "d90_token_budget" ->
       """WITH t AS (SELECT doc_id,
              len(tk)::BIGINT AS n_tokens,

@@ -514,8 +514,15 @@ object Dedup {
       val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
       val width = spark.conf.get("spark.sql.shuffle.partitions")
       if (sc) {
-        spark.conf.set("spark.sql.shuffle.partitions", loopWidth)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // multi-key set goes through the restoring helper: if the AQE set
+        // throws AFTER the width shrank, the width snaps back before the
+        // rethrow — the outer catch then only unlocks, it must never see
+        // a half-applied scope (review finding)
+        graft.ScopedSessionConf.setAllOrRestore(spark.conf,
+          Seq("spark.sql.shuffle.partitions" -> loopWidth.toString,
+            "spark.sql.adaptive.enabled" -> "false"),
+          Map("spark.sql.shuffle.partitions" -> width,
+            "spark.sql.adaptive.enabled" -> aqe))
       } else graft.ScopedSessionConf.lock.unlock()
       (sc, aqe, width)
     } catch {

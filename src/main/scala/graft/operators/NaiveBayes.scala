@@ -64,7 +64,11 @@ object NaiveBayes {
     val spark = docs.sparkSession
     import spark.implicits._
     val nsLocal = ns
-    fitFeatured(docs.select(col(labelCol).as("label"), lower(col(textCol)).as("t"))
+    // null text featurizes as empty (zero grams), matching the word-token
+    // path where tokens(null) is null and the explode drops the row — the
+    // typed map must never hand charGramsJvm a null (review finding)
+    fitFeatured(docs.select(col(labelCol).as("label"),
+        coalesce(lower(col(textCol)), lit("")).as("t"))
       .as[(String, String)]
       .map { case (l, t) =>
         (l, graft.functions.TextFunctions.charGramsJvm(t, nsLocal).toSeq) }
@@ -129,7 +133,10 @@ object NaiveBayes {
       idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+    // null-tolerant like fit: a null text scores as the zero-feature doc
+    // (prior argmax) instead of NPE-ing the featurizer
+    docs.select(col(idCol).cast("long"),
+        coalesce(lower(col(textCol)), lit("")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val labels = model.labels

@@ -70,9 +70,9 @@ object Sampling {
     *
     * Scale shape: one window per group keyed on `groupCol` — exact, and
     * fine while no single group dwarfs an executor (the d92 exactSplit
-    * trade, documented there); the 100-TB swap for huge skewed groups is
-    * an md5-threshold prefilter (keep md5 < t_g sized from quota/count,
-    * uniform by construction) + exact top-up of the boundary. */
+    * trade, documented there); for huge skewed groups use
+    * [[takePerGroupSkewSafe]] — the md5-threshold prefilter + exact
+    * boundary top-up form with IDENTICAL output (property-pinned). */
   def takePerGroup(df: DataFrame, groupCol: String, quotas: Map[String, Long],
       idCol: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
@@ -85,6 +85,96 @@ object Sampling {
       .join(broadcast(q), Seq(groupCol))
       .filter(col("pick") <= col("quota"))
       .select(col(idCol), col(groupCol), col("pick"))
+  }
+
+  /** [[takePerGroup]] with the documented 100-TB skew guard implemented:
+    * identical output (the quota rows with the smallest (md5(id), id) per
+    * group, 1-based `pick` rank), but no group ever funnels its FULL row
+    * set through one window task. The realistic failure mode of the plain
+    * window form is a single dominant group — one crawl source or mega
+    * cluster holding most of the corpus — serializing on one executor;
+    * here that group's window only ever sees a budget-bounded slice.
+    *
+    * How: the selection key's first 8 md5 hex digits, read as a uniform
+    * 32-bit integer, admit an md5-THRESHOLD PREFILTER that is downward
+    * closed under the full (md5, id) ordering (lexicographic order on
+    * same-length lowercase hex = numeric order, and the full-key order
+    * refines the prefix order) — so if a group keeps at least
+    * min(quota, n) survivors, its top-quota survivors ARE its true
+    * top-quota rows with the same ranks. Thresholds are sized from the
+    * per-group counts with a safety factor + additive slack
+    * (keep ≈ safetyFactor·quota + slack of n, uniform by construction),
+    * making a shortfall a measure-zero tail event; the EXACT TOP-UP then
+    * re-windows only the groups whose survivor count fell short of
+    * min(quota, n) — a correctness fallback, never the expected path.
+    *
+    * Scale shape: one bounded groupBy for counts (group-cardinality
+    * driver relation, the same stance as the `quotas` argument itself),
+    * one broadcast threshold join + codegen'd prefilter (the only
+    * corpus-wide pass, no shuffle), a window over the
+    * O(Σ safetyFactor·quota + slack) survivors, and a survivor-count
+    * check (bounded). Equivalence to the window form on every group
+    * shape — including forced-shortfall thresholds — is property-pinned
+    * in BudgetMixSpec. */
+  def takePerGroupSkewSafe(df: DataFrame, groupCol: String,
+      quotas: Map[String, Long], idCol: String = "doc_id",
+      safetyFactor: Double = 4.0, slack: Long = 64L): DataFrame = {
+    require(safetyFactor >= 0 && slack >= 0,
+      s"safetyFactor/slack must be >= 0: $safetyFactor/$slack")
+    require(quotas.values.forall(_ >= 0), s"quotas must be >= 0: $quotas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol), col(idCol))
+    // per-group counts: bounded by group cardinality (the quotas map is
+    // already a driver-side relation of the same size)
+    val counts = base.groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // threshold on the first-8-hex-digit key, per group: keep every row
+    // whose key32 < t. t sized so E[survivors] = safetyFactor·q + slack.
+    val Key32Span = 1L << 32
+    val thresholds = quotas.toSeq.flatMap { case (g, quota) =>
+      counts.get(g).map { n =>
+        val q = math.min(quota, n)
+        val want = safetyFactor * q + slack
+        val t = if (q == 0L) 0L
+          else if (want >= n) Key32Span
+          else math.min(Key32Span, math.ceil(Key32Span * want / n).toLong)
+        (g, quota, t)
+      }
+    }
+    if (thresholds.isEmpty)
+      return base.limit(0)
+        .select(col(idCol), col(groupCol), lit(0L).as("pick"))
+    val key32 = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val thr = thresholds.toDF(groupCol, "quota", "t")
+    val pre = base.join(broadcast(thr), Seq(groupCol))
+      .filter(key32 < col("t"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val sel = pre
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("pick"))
+    // a group is EXACT iff its survivor count reached min(quota, n): the
+    // selected count then equals min(quota, n) (downward closure). The
+    // check relation is group-cardinality bounded.
+    val selCounts = sel.groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = thresholds.collect { case (g, quota, _)
+      if selCounts.getOrElse(g, 0L) < math.min(quota, counts(g)) => g }
+    if (short.isEmpty) sel
+    else {
+      // exact top-up: re-window ONLY the shortfall groups over their full
+      // rows — the tail-probability fallback that keeps the contract exact
+      val shortQ = thresholds.filter(t => short.contains(t._1))
+        .map { case (g, quota, _) => (g, quota) }.toDF(groupCol, "quota")
+      val redo = base.join(broadcast(shortQ), Seq(groupCol))
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter(col("pick") <= col("quota"))
+        .select(col(idCol), col(groupCol), col("pick"))
+      sel.filter(!col(groupCol).isin(short: _*)).unionByName(redo)
+    }
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

@@ -49,6 +49,21 @@ object PackedCorpus {
     val base = dir
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // TRUNCATE-before-write: per-pair overwrite alone only upholds the
+    // idempotent-overwrite contract while the partition count is stable —
+    // a replayed epoch that plans FEWER partitions would leave the old
+    // run's higher-numbered pairs in place, internally consistent, and
+    // read()/readAll() would silently union their ghost sequences (the
+    // torn-pair check cannot see cross-run staleness). Driver-side delete
+    // of every existing pair under the target dir mirrors
+    // StreamingBm25.appendEpoch's parquet mode("overwrite") truncation;
+    // the listing is part-count-bounded (metadata, never data).
+    val driverFs = FileSystem.get(new java.net.URI(base),
+      spark.sessionState.newHadoopConf())
+    Seq(s"$base/part-*.idx", s"$base/part-*.bin").foreach { pat =>
+      Option(driverFs.globStatus(new Path(pat))).getOrElse(Array.empty)
+        .foreach(st => driverFs.delete(st.getPath, false))
+    }
     docs.select(col(idCol).cast("long"),
         col(tokensCol).cast("array<int>"))
       .as[(Long, Seq[Int])]
@@ -160,22 +175,64 @@ object PackedCorpus {
         val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
         require(fs.getFileStatus(binPath).getLen == totalTokens * 4,
           s"$binPath: length != index token count * 4 — torn part pair")
-        val bin = new java.io.BufferedInputStream(fs.open(binPath), 1 << 20)
-        try {
-          // entries are in offset order; stream the bin once, never seek
-          entries.map { case (id, _, len) =>
-            val bytes = new Array[Byte](len * 4)
-            var got = 0
-            while (got < bytes.length) {
-              val n = bin.read(bytes, got, bytes.length - got)
-              require(n >= 0, s"$binPath: truncated token stream")
-              got += n
-            }
-            val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-            (id, Seq.fill(len)(bb.getInt))
-          }
-        } finally bin.close()
+        // LAZY per-sequence streaming: a strict map here would decode the
+        // WHOLE part pair into JVM objects before the iterator is returned
+        // — O(part tokens × 4 B) plus boxed Seq overhead per task, an
+        // executor-OOM hazard the write path doesn't have (review
+        // finding). The iterator opens the bin on first pull, decodes one
+        // sequence per next(), and closes on exhaustion or error; the
+        // task-completion listener covers partially-consumed iterators
+        // (limit/take plans, task kill).
+        val seqIt = sequenceIterator(entries,
+          () => new java.io.BufferedInputStream(fs.open(binPath), 1 << 20),
+          binPath.toString)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => seqIt.close()))
+        seqIt
       }
       .toDF(idCol, tokensCol)
   }
+
+  /** One-sequence-at-a-time decode over an index's entries (offset order —
+    * the bin is streamed once, never seeked). Opens via `openBin` on the
+    * first `next()`, closes on exhaustion AND on any decode error;
+    * [[close]] is idempotent for completion-listener use. */
+  private[sources] def sequenceIterator(entries: IndexedSeq[(Long, Long, Int)],
+      openBin: () => java.io.InputStream,
+      binDesc: String): Iterator[(Long, Seq[Int])] with java.io.Closeable =
+    new scala.collection.AbstractIterator[(Long, Seq[Int])]
+        with java.io.Closeable {
+      private var i = 0
+      private var in: java.io.InputStream = null
+      override def close(): Unit = {
+        val s = in
+        in = null
+        i = entries.length
+        if (s != null) s.close()
+      }
+      override def hasNext: Boolean = i < entries.length
+      override def next(): (Long, Seq[Int]) = {
+        if (!hasNext) throw new NoSuchElementException(binDesc)
+        try {
+          if (in == null) in = openBin()
+          val (id, _, len) = entries(i)
+          val bytes = new Array[Byte](len * 4)
+          var got = 0
+          while (got < bytes.length) {
+            val n = in.read(bytes, got, bytes.length - got)
+            require(n >= 0, s"$binDesc: truncated token stream")
+            got += n
+          }
+          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          i += 1
+          if (i == entries.length) close()
+          (id, Seq.fill(len)(bb.getInt))
+        } catch {
+          case t: Throwable =>
+            try close()
+            catch { case r: Throwable => t.addSuppressed(r) }
+            throw t
+        }
+      }
+    }
 }

@@ -126,9 +126,18 @@ object StreamingBm25 {
       roundDigits: Int = 4): (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1: $k")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val statRow = spark.read.parquet(s"$path/stats")
-      .agg(sum("n_docs"), sum("sum_dl")).head()
-    val n = statRow.getLong(0).toDouble
+    // a never-written index (run() started, no epoch committed yet) has no
+    // stats directory at all — read as the empty shape, not PATH_NOT_FOUND
+    // (the same missing-directory guard PackedCorpus.readGlob carries)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val statsFs = org.apache.hadoop.fs.FileSystem.get(statsPath.toUri,
+      spark.sessionState.newHadoopConf())
+    val statRow =
+      if (!statsFs.exists(statsPath)) null
+      else spark.read.parquet(s"$path/stats")
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+    val n = if (statRow == null || statRow.isNullAt(0)) 0.0
+      else statRow.getLong(0).toDouble
     if (n == 0.0)
       return (spark.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("rank"),

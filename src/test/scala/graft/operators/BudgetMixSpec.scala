@@ -69,6 +69,51 @@ class BudgetMixSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(_._2 == "b").map(_._3).sorted == Seq(1L, 2L))
   }
 
+  test("takePerGroupSkewSafe equals the window form on every group shape, incl. forced top-up") {
+    // shapes: a dominant group (the skew case the operator exists for),
+    // a mid group with quota > size, a singleton, rows with no quota,
+    // a quota for an absent group
+    val rows = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 430L).map(i => (i, "mid")) ++
+      Seq((430L, "one")) ++
+      (431L until 440L).map(i => (i, "noquota"))).toDF("doc_id", "source")
+    val quotas = Map("big" -> 25L, "mid" -> 40L, "one" -> 1L, "ghost" -> 5L)
+    val want = Sampling.takePerGroup(rows, "source", quotas)
+      .as[(Long, String, Long)].collect().toSet
+    assert(want.count(_._2 == "big") == 25 && want.count(_._2 == "mid") == 30)
+    // (4.0, 64): the expected path — no shortfall, prefilter only.
+    // (0.0, 0): thresholds 0 — EVERY group shorts, the top-up must redo
+    // the full window form. (0.05, 1): thresholds a few rows wide — mixed
+    // shortfall, exercising the partial union path.
+    for ((f, sl) <- Seq((4.0, 64L), (1.0, 8L), (0.0, 0L), (0.05, 1L))) {
+      val got = Sampling.takePerGroupSkewSafe(rows, "source", quotas,
+          safetyFactor = f, slack = sl)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"safetyFactor=$f slack=$sl must equal window form")
+    }
+    // degenerate: no quotas / no rows
+    assert(Sampling.takePerGroupSkewSafe(rows, "source", Map.empty).count() == 0)
+    assert(Sampling.takePerGroupSkewSafe(rows.limit(0), "source", quotas)
+      .count() == 0)
+  }
+
+  test("property: skew-safe take equals window take on random group shapes") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val rows = (0 until 5).flatMap { g =>
+        val n = 1 + rng.nextInt(80)
+        (0 until n).map(_ => (rng.nextInt(100000).toLong, s"g$g"))
+      }.distinct.toDF("doc_id", "source")
+      val quotas = (0 until 5).map(g => s"g$g" -> rng.nextInt(21).toLong).toMap
+      val want = Sampling.takePerGroup(rows, "source", quotas)
+        .as[(Long, String, Long)].collect().toSet
+      val got = Sampling.takePerGroupSkewSafe(rows, "source", quotas,
+          safetyFactor = 1.0 + trial, slack = trial.toLong)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("dsirWeights ranks target-domain-like docs above off-domain docs") {
     // target domain speaks "alpha beta gamma"; off-domain speaks
     // "omega psi chi" — a doc's weight must order by how target-like it is

@@ -140,6 +140,25 @@ class UnigramNbSpec extends AnyFunSuite with SparkTestBase {
     assert(m.tokenCounts("zz")("zz") == 3L)
   }
 
+  test("char-gram fit and predict tolerate null text like the word path") {
+    // word path: tokens(null) is null, explode drops the row — the
+    // char-gram typed map must match (zero features), not NPE
+    val train = Seq((1L, "zzik zzok", "zz"), (2L, "qaqa qiqi", "qq"),
+      (3L, null, "zz"))
+      .toDF("doc_id", "text", "lang")
+    val m = NaiveBayes.fitCharGrams(train, "lang")
+    // the null doc still counts toward the class prior, like the word fit
+    assert(m.docCount("zz") == 2L)
+    val preds = NaiveBayes.predictCharGrams(
+        Seq((10L, "zzolk"), (11L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), m)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(preds(10L) == "zz")
+    // null text scores as the zero-feature doc: the prior argmax
+    // (zz has 2 docs, qq has 1)
+    assert(preds(11L) == "zz")
+  }
+
   test("fit and predict tokenize identically on tab/newline-bounded text") {
     // "\tspam\nspam " would split differently under naive trim/split —
     // the shared tokensJvm/tokens contract keeps fit and predict aligned

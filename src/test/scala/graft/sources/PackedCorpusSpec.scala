@@ -97,6 +97,74 @@ class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(PackedCorpus.read(spark, missing).count() == 0)
   }
 
+  test("re-writing with FEWER partitions truncates the wider run's stale pairs") {
+    val dir = Files.createTempDirectory("packed-shrink").toString
+    PackedCorpus.write(
+      corpus.toDF("doc_id", "token_ids").repartitionByRange(3, col("doc_id")),
+      dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".bin")) > 1, "precondition: wider first run")
+    // replayed epoch plans ONE partition — the old pairs must not survive
+    val sub = corpus.take(2)
+    PackedCorpus.write(sub.toDF("doc_id", "token_ids").coalesce(1), dir)
+    val back = PackedCorpus.read(spark, dir).as[(Long, Seq[Int])].collect()
+    assert(back.toMap == sub.toMap,
+      "stale pairs from the wider run must not union ghost sequences in")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".bin")) == 1,
+      "truncate-before-write must remove the stale pairs themselves")
+  }
+
+  test("sequenceIterator is lazy, closes on exhaustion/error/close(), and spans a > buffer part") {
+    def pack(tokens: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(tokens.size * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tokens.foreach(bb.putInt); bb.array()
+    }
+    class Track(raw: Array[Byte]) extends java.io.ByteArrayInputStream(raw) {
+      var closed = false
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    // one sequence larger than the 1 MiB read buffer + two small ones
+    val big = (0 until 400000).toSeq // 1.6 MB of int32
+    val seqs = Seq(1L -> big, 2L -> Seq(7), 3L -> Seq(8, 9))
+    val entries = seqs.scanLeft((0L, 0L, 0)) { case ((_, off, len), (id, t)) =>
+      (id, off + len, t.size) }.tail.toIndexedSeq
+    val raw = pack(seqs.flatMap(_._2))
+    var opens = 0
+    var t: Track = null
+    val it = PackedCorpus.sequenceIterator(entries,
+      () => { opens += 1; t = new Track(raw)
+        new java.io.BufferedInputStream(t, 1 << 20) }, "test-part")
+    assert(opens == 0, "must not open the bin before the first pull")
+    assert(it.next() == ((1L, big)))
+    assert(opens == 1 && !t.closed, "mid-iteration the stream stays open")
+    assert(it.next() == ((2L, Seq(7))))
+    assert(it.next() == ((3L, Seq(8, 9))))
+    assert(t.closed, "exhaustion must close the stream")
+    assert(!it.hasNext)
+    // error path: index claims more tokens than the stream holds
+    val it2 = PackedCorpus.sequenceIterator(IndexedSeq((1L, 0L, 9)),
+      () => { t = new Track(pack(Seq(1))); t }, "torn-part")
+    intercept[Exception] { it2.next() }
+    assert(t.closed, "a decode error must close the stream")
+    // close() mid-iteration is terminal and idempotent
+    val it3 = PackedCorpus.sequenceIterator(entries,
+      () => { t = new Track(raw); t }, "closed-part")
+    it3.next()
+    it3.close()
+    assert(t.closed && !it3.hasNext)
+    it3.close() // idempotent
+  }
+
+  test("a single sequence larger than the read buffer roundtrips through write/read") {
+    val dir = Files.createTempDirectory("packed-big").toString
+    val big = (0 until 300000).map(i => i ^ 0x5a5a)
+    PackedCorpus.write(Seq((42L, big)).toDF("doc_id", "token_ids").coalesce(1), dir)
+    val back = PackedCorpus.read(spark, dir).as[(Long, Seq[Int])].collect()
+    assert(back.length == 1 && back.head._1 == 42L && back.head._2 == big)
+  }
+
   test("long-typed id arrays cast on write; overflowing ids fail loudly") {
     val dir = Files.createTempDirectory("packed-long").toString
     // vid columns come out of Vocab.encode as array<bigint>

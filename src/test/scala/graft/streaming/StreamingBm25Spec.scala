@@ -187,4 +187,12 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
       Seq.empty[(Long, String)].toDF("query_id", "text"), k = 3,
       nBuckets = 4).count() == 0)
   }
+
+  test("searching a NEVER-WRITTEN index path returns the empty shape, not PATH_NOT_FOUND") {
+    // run() started but no epoch committed yet: no stats/ directory exists
+    val path = Files.createTempDirectory("graft-sbm25-never").toString + "/idx"
+    val queries = Seq((1L, "spark")).toDF("query_id", "text")
+    assert(StreamingBm25.search(spark, path, queries, k = 3, nBuckets = 4)
+      .count() == 0)
+  }
 }
