@@ -2621,7 +2621,7 @@ object SparkEntry {
       // id). Target domain here: the corpus's English docs.
       val docs = t(s, d, "documents")
       val target = docs.filter(col("lang") === "en")
-      val w = Sampling.dsirWeights(docs, target)
+      val w = graft.operators.Dsir.dsirWeights(docs, target)
       val ranked = w.orderBy(col("weight").desc, col("doc_id")).limit(100)
       ranked.withColumn("rank", row_number().over(
           Window.orderBy(col("weight").desc, col("doc_id"))).cast("long"))

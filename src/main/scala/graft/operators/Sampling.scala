@@ -177,68 +177,6 @@ object Sampling {
     }
   }
 
-  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling"): hashed-n-gram bag
-    * features (word unigrams + adjacent bigrams, md5-hashed into
-    * `nBuckets`), per-bucket log-likelihood ratio between add-one-smoothed
-    * TARGET-domain and SOURCE (raw corpus) gram distributions, per-doc
-    * weight = Σ over the doc's grams of lr(bucket(gram)) — the standard
-    * cheap "select raw docs that look like the target domain" scorer.
-    * Returns (idCol, weight), weight rounded to `roundDigits` (the
-    * cross-engine sum-order contract, same as Bm25.topK scores).
-    *
-    * Scale shape: two tokenize-explode passes (corpus + target), two
-    * bounded-output bucket aggregations, two scalar totals; the lr
-    * relation is `nBuckets` rows and BROADCASTS into the per-doc sum —
-    * nothing corpus-sized shuffles except the (id, bucket) gram relation,
-    * which groups straight back to one row per doc. Selection composes:
-    * top-k via orderBy(weight desc).limit(k) is TakeOrderedAndProject
-    * (per-partition top-k + k-row driver merge, never a global sort). */
-  def dsirWeights(docs: DataFrame, target: DataFrame, nBuckets: Int = 256,
-      textCol: String = "text", idCol: String = "doc_id",
-      roundDigits: Int = 4): DataFrame = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val spark = docs.sparkSession
-    // unigrams + adjacent bigrams ("a b"), md5-bucketed — the same
-    // engine-recomputable md5-prefix idiom as mixtureSample/hashSplit
-    def gramBuckets(df: DataFrame): DataFrame = {
-      val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
-      val uni = df.select(col(idCol), explode(toks).as("g"))
-      val bi = df.select(col(idCol), toks.as("tk"))
-        .select(col(idCol), explode(
-          when(size(col("tk")) >= 2,
-            transform(sequence(lit(1), size(col("tk")) - 1),
-              i => concat(element_at(col("tk"), i), lit(" "),
-                element_at(col("tk"), i + 1))))
-            .otherwise(array().cast("array<string>"))).as("g"))
-      uni.unionByName(bi).select(col(idCol),
-        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets.toLong)).as("b"))
-    }
-    val srcGrams = gramBuckets(docs).persist(MEMORY_AND_DISK)
-    val tgtGrams = gramBuckets(target)
-    val srcCounts = srcGrams.groupBy("b").agg(count(lit(1)).as("sc"))
-    val tgtCounts = tgtGrams.groupBy("b").agg(count(lit(1)).as("tc"))
-    val srcTotal = srcGrams.count().toDouble
-    val tgtTotal = tgtGrams.count().toDouble
-    val lr = spark.range(nBuckets).toDF("b")
-      .join(srcCounts, Seq("b"), "left").join(tgtCounts, Seq("b"), "left")
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1) / (tgtTotal + nBuckets)) -
-          log((coalesce(col("sc"), lit(0L)) + 1) / (srcTotal + nBuckets)))
-          .as("lr"))
-    val out = srcGrams.join(broadcast(lr), "b")
-      .groupBy(idCol)
-      .agg(round(sum("lr"), roundDigits).as("weight"))
-      // eager so the gram cache can be released before returning; the
-      // materialized relation is one (id, double) row per doc — ~16
-      // bytes/doc, orders of magnitude under the corpus text it scores
-      .localCheckpoint(true)
-    srcGrams.unpersist(false)
-    out
-  }
-
   /** Sample `k` ids per group, smallest `xxhash64(idCol)` first (seed 42 —
     * Spark's default). Returns the group columns + `idCol`, one row per
     * sampled id. */

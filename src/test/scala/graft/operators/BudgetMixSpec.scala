@@ -125,7 +125,7 @@ class BudgetMixSpec extends AnyFunSuite with SparkTestBase {
       (5L, "chi psi omega")).toDF("doc_id", "text")
     val target = Seq((100L, "alpha beta gamma beta alpha gamma"))
       .toDF("doc_id", "text")
-    val w = Sampling.dsirWeights(docs, target, nBuckets = 64)
+    val w = Dsir.dsirWeights(docs, target, nBuckets = 64)
       .as[(Long, Double)].collect().toMap
     assert(w.size == 5)
     assert(w(1L) > w(2L) && w(2L) > w(3L),
@@ -137,7 +137,7 @@ class BudgetMixSpec extends AnyFunSuite with SparkTestBase {
     // by rank, not by a zero threshold)
     assert(w(5L) < w(4L), s"pure off-domain must rank below target-like: $w")
     // determinism: recomputing yields identical rounded weights
-    val w2 = Sampling.dsirWeights(docs, target, nBuckets = 64)
+    val w2 = Dsir.dsirWeights(docs, target, nBuckets = 64)
       .as[(Long, Double)].collect().toMap
     assert(w2 == w)
   }
@@ -149,7 +149,7 @@ class BudgetMixSpec extends AnyFunSuite with SparkTestBase {
       (1L, "fast join fast join"),
       (2L, "join fast join fast")).toDF("doc_id", "text")
     val target = Seq((100L, "fast join")).toDF("doc_id", "text")
-    val w = Sampling.dsirWeights(docs, target, nBuckets = 64)
+    val w = Dsir.dsirWeights(docs, target, nBuckets = 64)
       .as[(Long, Double)].collect().toMap
     assert(w(1L) > w(2L),
       s"adjacent-bigram features must separate word order: $w")

@@ -39,6 +39,26 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     base.foreach { case (id, v) => assert(math.abs(v - shuffled(id)) < 1e-9) }
   }
 
+  test("both entry points ride ONE estimator core: forms agree when features coincide") {
+    // single-token docs admit no bigrams, so the d96 extractor
+    // (unigram+bigram) degenerates to the d66 extractor (unigram) — with
+    // target ⊆ docs the two public forms must then compute the SAME
+    // weights, pinning that they share weightFromCounts rather than
+    // duplicating the add-one lr math
+    val single = Seq(
+      (1L, true, "salmon"), (2L, true, "trout"), (3L, false, "salmon"),
+      (4L, false, "granite"), (5L, false, "quartz"), (6L, false, "trout"))
+      .toDF("doc_id", "tgt", "text")
+    val viaFlag = Dsir.importanceWeights(single, col("tgt"), buckets = 64)
+      .select(col("doc_id"), round(col("weight"), 6).as("w"))
+      .as[(Long, Double)].collect().toMap
+    val viaCorpus = Dsir.dsirWeights(single, single.filter(col("tgt")),
+        nBuckets = 64, roundDigits = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(viaFlag == viaCorpus,
+      s"shared-core forms diverged: $viaFlag vs $viaCorpus")
+  }
+
   test("hand-computed Laplace log-ratio on a one-token corpus") {
     val tiny = Seq((1L, true, "a"), (2L, false, "a")).toDF("doc_id", "tgt", "text")
     val b = 16
