@@ -181,6 +181,28 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
     * the dumped parquet; this spec catches it before a dump exists.
     * Authoring rule documented in tutorial/README.md ("Authoring oracled
     * queries"). */
+  /** SchemaTimer's measurement inlined into the suite: build each
+    * builder's schema, timing it; a builder over the threshold is retried
+    * once and the best time kept (absorbs one-off JIT/GC/contention
+    * spikes — analysis-only builders re-plan in milliseconds, eager ones
+    * re-run their driver-side jobs). Returns (name, bestMs) for builders
+    * that still exceed the threshold — eager-build time. */
+  private val EagerBuildMs = 1200L
+  private def slowBuilders(
+      queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)],
+      sfDir: String): Seq[(String, Long)] =
+    queries.flatMap { case (name, fn) =>
+      def buildMs(): Long = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).schema
+        (System.nanoTime() - t0) / 1000000
+      }
+      val first = buildMs()
+      val best = if (first <= EagerBuildMs) first
+        else math.min(first, buildMs())
+      if (best > EagerBuildMs) Some(name -> best) else None
+    }
+
   test("every queries() output schema is scalar-only (driver pandas-sortable)") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val sfDir = "/root/testdata/sf0.001"
@@ -196,9 +218,9 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
     // DAGScheduler event loop, not on the submitting thread.
     val stale = SparkEntry.eagerQueries -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"eagerQueries names absent from queries(): $stale")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+    val nonEager = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => SparkEntry.eagerQueries(name) }
-      .flatMap { case (name, fn) =>
+    val offenders = nonEager.flatMap { case (name, fn) =>
         fn(spark, sfDir).schema.fields.collect {
           case f if f.dataType.isInstanceOf[ArrayType] ||
               f.dataType.isInstanceOf[MapType] ||
@@ -210,6 +232,30 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
       s"top-level nested columns crash the driver's pandas sort " +
         s"(see tutorial/README.md 'Authoring oracled queries'); serialize " +
         s"them in the query projection: ${offenders.mkString("; ")}")
+    // AUTO-DETECT unflagged eager builders (round-11 verdict): the
+    // hand-maintained eagerQueries set used to rot silently — a NEW eager
+    // builder left unflagged only showed up if someone ran SchemaTimer by
+    // hand. Now any supposedly-lazy builder that takes eager-build time
+    // fails the suite. (The schema build above warmed every plan, so this
+    // timing pass re-plans from the analysis cache — cheap.)
+    val slow = slowBuilders(nonEager, sfDir)
+    assert(slow.isEmpty,
+      s"builders taking eager-build time (> ${EagerBuildMs} ms — driver-side " +
+        s"jobs in the builder?) but not flagged in SparkEntry.eagerQueries: " +
+        slow.map { case (n, ms) => s"$n ($ms ms)" }.mkString(", "))
+  }
+
+  test("the eager-builder auto-detect catches a deliberately-unflagged eager builder") {
+    val sfDir = "/root/testdata/sf0.001"
+    // an eager builder: does driver-side work before returning the frame
+    val fakeEager: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(EagerBuildMs + 400); s.range(1).toDF("x") }
+    val lazyBuilder: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+      (s, _) => s.range(1).toDF("x")
+    val caught = slowBuilders(
+      Seq("fake_eager" -> fakeEager, "ok_lazy" -> lazyBuilder), sfDir)
+    assert(caught.map(_._1) == Seq("fake_eager"),
+      s"auto-detect must flag exactly the eager builder: $caught")
   }
 
   // ------------------------------------------------- events ts adaptivity
