@@ -135,7 +135,7 @@ object SparkEntry {
     "w7_stream_curation", "w8_stream_ivf", "w21_stream_packing",
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
-    "w28_stream_packed")
+    "w28_stream_packed", "w29_compacted_chain")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -1190,6 +1190,98 @@ object SparkEntry {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source", "lang")
+    }),
+    "w29_compacted_chain" -> ((s, d) => {
+      // FULL standing-chain MAINTENANCE gate: w8/w27/w28 prove the
+      // APPEND path of the standing pipeline (ingest → curate → index →
+      // export); this proves the COMPACTION path preserves answers end to
+      // end. Ingest the corpus in THREE epochs through a curation stage
+      // (exact dedup, min-id per text digest) into BOTH standing indexes
+      // (BM25 hash-bucketed postings + IVF cell-routed corpus) AND the
+      // packed token export; COMPACT all three at-rest stores (per-epoch
+      // dirs fold into epoch=-1 via StateCompaction's crash-safe staging
+      // swap, bucket/cell partitioning preserved); then compute EVERY
+      // output row from the post-compaction state only — structural
+      // requires pin that nothing but epoch=-1 remains. The oracle
+      // replays search + read over the curated corpus directly, so one
+      // lost posting row, mis-merged stats partial, dropped cell, or torn
+      // part pair breaks the hash. Output normalizes the three families:
+      // (family, k1, k2, k3, v) = bm25 (query, rank, doc, score) /
+      // ivf (query, rank, corpus, cosine) / packed (doc, n_tokens,
+      // sum_ids, 0).
+      val docs = t(s, d, "documents")
+      val curated = docs.join(
+        docs.groupBy(md5(col("text")).as("dg")).agg(min("doc_id").as("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val bmPath = s"$tmp/graft_w29_bm25_$tag"
+      val pkPath = s"$tmp/graft_w29_packed_$tag"
+      val ivPath = s"$tmp/graft_w29_ivf_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // compaction renames directories, so a re-run must start from a
+      // clean tree (epoch overwrite alone cannot undo a prior epoch=-1);
+      // the packed staging sibling lives OUTSIDE pkPath — clear it too
+      (Seq(bmPath, pkPath, ivPath, pkPath + ".compacting")).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+      }
+      val enc = graft.operators.Vocab
+        .encode(curated, graft.operators.Vocab.build(curated, size = 256))
+        .select(col("doc_id"), col("token_ids"))
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        val lo = e * span; val hi = (e + 1) * span
+        graft.streaming.StreamingBm25.appendEpoch(
+          curated.filter(col("doc_id") >= lo && col("doc_id") < hi), bmPath, e)
+        graft.sources.PackedCorpus.writeEpoch(
+          enc.filter(col("doc_id") >= lo && col("doc_id") < hi), pkPath, e)
+      }
+      val emb = t(s, d, "embeddings")
+      graft.streaming.StreamingIvf.init(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("embedding").as("centroid_vec")), ivPath)
+      val m = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val mspan = m / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * mspan && col("vec_id") < (e + 1) * mspan),
+          ivPath, e)
+      }
+      // the maintenance step under test
+      graft.streaming.StreamingBm25.compact(s, bmPath)
+      graft.streaming.StreamingIvf.compact(s, ivPath)
+      graft.sources.PackedCorpus.compact(s, pkPath)
+      // structural proof the answers below come from compacted state
+      Seq(s"$bmPath/postings", s"$bmPath/stats", s"$ivPath/corpus", pkPath)
+        .foreach { p =>
+          val subs = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+            .filter(_.isDirectory).map(_.getPath.getName).toSet
+          require(subs == Set("epoch=-1"),
+            s"$p not fully compacted: ${subs.mkString(",")}")
+        }
+      val qs = curated.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val bm = graft.streaming.StreamingBm25.search(s, bmPath, qs, k = 10)
+        .select(lit("bm25").as("family"), col("query_id").cast("long").as("k1"),
+          col("rank").cast("long").as("k2"), col("doc_id").cast("long").as("k3"),
+          col("score").cast("double").as("v"))
+      val iv = graft.streaming.StreamingIvf
+        .search(s, ivPath, emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+        .select(lit("ivf").as("family"), col("query_id").cast("long").as("k1"),
+          col("rank").cast("long").as("k2"), col("corpus_id").cast("long").as("k3"),
+          round(col("cosine"), 6).as("v"))
+      val pk = graft.sources.PackedCorpus.readAll(s, pkPath)
+        .select(lit("packed").as("family"), col("doc_id").cast("long").as("k1"),
+          size(col("token_ids")).cast("long").as("k2"),
+          aggregate(col("token_ids"), lit(0L), (a, x) => a + x).as("k3"),
+          lit(0.0).as("v"))
+      bm.unionByName(iv).unionByName(pk).orderBy("family", "k1", "k2", "k3")
     }),
     "w28_stream_packed" -> ((s, d) => {
       // STANDING packed export — the training-data tail of the standing
@@ -7182,6 +7274,80 @@ object SparkEntry {
          FROM documents GROUP BY 1, 2 ORDER BY source, lang""",
     // w28 = s22's oracle VERBATIM: the standing per-epoch export's
     // read-back union must equal the batch roundtrip
+    // w29: the whole compacted chain replayed directly — curated corpus
+    // (min-id per exact digest), e30's BM25 over it, w8's IVF probe, and
+    // s22's vocab-encode integrals, normalized into one (family,k1,k2,k3,v)
+    // relation; the engine side computes every row from post-compaction
+    // state only
+    "w29_compacted_chain" ->
+      """WITH cur AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN (SELECT min(doc_id) AS mid FROM documents
+                   GROUP BY md5(text)) k ON d.doc_id = k.mid),
+         dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM cur),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         bmr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc),
+         c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+         corpus_cell AS (SELECT vec_id, centroid_id AS cell FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cv),
+                   c.centroid_id) AS r
+             FROM embeddings e, c) WHERE r = 1),
+         query_cells AS (SELECT query_id, centroid_id AS cell FROM (
+             SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_distance(q.embedding::DOUBLE[], c.cv),
+                   c.centroid_id) AS r
+             FROM embeddings q, c WHERE q.vec_id < 3) WHERE r <= 2),
+         scored AS (SELECT qc.query_id, cc.vec_id AS corpus_id,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+               q.embedding::DOUBLE[]) AS cos
+           FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+           JOIN embeddings e ON e.vec_id = cc.vec_id
+           JOIN embeddings q ON q.vec_id = qc.query_id
+           WHERE cc.vec_id <> qc.query_id),
+         ivr AS (SELECT query_id, corpus_id, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+           FROM scored),
+         pexp AS (SELECT doc_id, unnest(tk) AS token FROM dt
+           WHERE len(tk) > 0),
+         pcnt AS (SELECT token, count(*) AS cnt FROM pexp GROUP BY 1),
+         pvoc AS (SELECT token, vid FROM (
+             SELECT token,
+               (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT AS vid
+             FROM pcnt) WHERE vid < 256),
+         penc AS (SELECT e.doc_id, COALESCE(v.vid, -1)::BIGINT AS vid
+           FROM pexp e LEFT JOIN pvoc v USING (token))
+         SELECT family, k1, k2, k3, v FROM (
+           SELECT 'bm25' AS family, query_id AS k1, rank::BIGINT AS k2,
+             doc_id AS k3, score AS v FROM bmr WHERE rank <= 10
+           UNION ALL
+           SELECT 'ivf', query_id, rank::BIGINT, corpus_id, round(cos, 6)
+             FROM ivr WHERE rank <= 5
+           UNION ALL
+           SELECT 'packed', doc_id, count(*)::BIGINT, sum(vid)::BIGINT, 0.0
+             FROM penc GROUP BY doc_id)
+         ORDER BY family, k1, k2, k3""",
     "w28_stream_packed" ->
       """WITH t AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

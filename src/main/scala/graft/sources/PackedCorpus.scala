@@ -134,6 +134,28 @@ object PackedCorpus {
       tokensCol: String = "token_ids"): DataFrame =
     readGlob(spark, s"$dir/epoch=*/part-*.idx", idCol, tokensCol)
 
+  /** Fold every `epoch=<n>` part-pair set into one `epoch=-1` set — the
+    * packed-corpus leg of the standing chain's maintenance path, sharing
+    * [[graft.streaming.StateCompaction]]'s crash-safe staging swap (write
+    * the union under `<dir>.compacting`, delete, atomic rename; a crash
+    * between the two is finished by recover on the next compact). Real
+    * epochs are ≥ 0, so the compacted directory never collides with a
+    * future epoch's idempotent overwrite and [[readAll]]'s `epoch=*` glob
+    * still matches it. `numParts` sizes the compacted part count
+    * (default: the session's default parallelism); run while the standing
+    * export is stopped. */
+  def compact(spark: SparkSession, dir: String, numParts: Int = 0,
+      idCol: String = "doc_id", tokensCol: String = "token_ids"): Unit = {
+    val parts =
+      if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    graft.streaming.StateCompaction.compactWith(dir) { staging =>
+      write(readAll(spark, dir, idCol, tokensCol)
+          .repartitionByRange(parts, col(idCol)),
+        s"${staging.getAbsolutePath}/epoch=-1", idCol, tokensCol)
+      ()
+    }
+  }
+
   /** Read a [[write]]-produced directory back as (idCol, token_ids).
     * Parallel by part pair; each `.bin` is streamed sequentially. */
   def read(spark: SparkSession, dir: String, idCol: String = "doc_id",

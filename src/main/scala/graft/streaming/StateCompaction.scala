@@ -30,19 +30,35 @@ object StateCompaction {
     * for the IVF corpus) so downstream partition pruning is preserved.
     * No-op when `dir` does not exist or holds no subdirectories. */
   def compact(spark: SparkSession, dir: String, key: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil): Unit =
+    compactWith(dir) { staging =>
+      // partition discovery surfaces <key> (and any nested partition
+      // cols); drop the epoch key, keep the data partition cols for the
+      // rewrite
+      val df = spark.read.parquet(dir).drop(key)
+      val writer = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(s"${staging.getAbsolutePath}/$key=-1")
+    }
+
+  /** The swap protocol with the compacted WRITE as a hook — for at-rest
+    * state that is not parquet (e.g. [[graft.sources.PackedCorpus]]'s
+    * `.bin`/`.idx` part pairs). `writeStaged` must write the full
+    * compacted form UNDER the passed staging directory (reading from the
+    * still-intact `dir`); this then deletes `dir` and renames the staging
+    * directory over it, with [[recover]]'s crash contract. No-op when
+    * `dir` has no subdirectories. */
+  def compactWith(dir: String)(writeStaged: File => Unit): Unit = {
     recover(dir)
     val src = new File(dir)
     val subdirs = Option(src.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
     if (subdirs.isEmpty) return
     val staging = new File(dir + ".compacting")
     if (staging.exists()) rmrf(staging.toPath)
-    // partition discovery surfaces <key> (and any nested partition cols);
-    // drop the epoch key, keep the data partition cols for the rewrite
-    val df = spark.read.parquet(dir).drop(key)
-    val writer = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(s"${staging.getAbsolutePath}/$key=-1")
+    writeStaged(staging)
+    // an all-empty compaction may write zero files — the swap still needs
+    // the staging directory to exist for the rename
+    Files.createDirectories(staging.toPath)
     rmrf(src.toPath)
     Files.move(staging.toPath, src.toPath, StandardCopyOption.ATOMIC_MOVE)
   }

@@ -97,6 +97,42 @@ class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(PackedCorpus.read(spark, missing).count() == 0)
   }
 
+  test("compact folds epochs into epoch=-1, preserves content, and recovers a torn swap") {
+    val dir = Files.createTempDirectory("packed-compact").toString
+    val epochs = Seq(corpus.take(2), corpus.slice(2, 4), corpus.drop(4))
+    epochs.zipWithIndex.foreach { case (rows, e) =>
+      PackedCorpus.writeEpoch(rows.toDF("doc_id", "token_ids").coalesce(1),
+        dir, e.toLong)
+    }
+    val want = PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(want == corpus.toMap)
+    PackedCorpus.compact(spark, dir, numParts = 2)
+    val subs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subs == Set("epoch=-1"), s"only the compacted epoch may remain: $subs")
+    assert(PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap == want,
+      "compaction must preserve every sequence exactly")
+    // appending a NEW epoch after compaction unions with the compacted set
+    PackedCorpus.writeEpoch(Seq((100L, Seq(9, 9)))
+      .toDF("doc_id", "token_ids").coalesce(1), dir, 3L)
+    assert(PackedCorpus.readAll(spark, dir).count() == corpus.size + 1)
+    // maintenance is repeatable: compact again over (epoch=-1, epoch=3)
+    PackedCorpus.compact(spark, dir, numParts = 1)
+    assert(PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap == want + (100L -> Seq(9, 9)))
+    // crash between delete and rename leaves dir missing + a complete
+    // staging sibling — the next compact's recover() finishes the swap
+    val src = java.nio.file.Paths.get(dir)
+    val staging = java.nio.file.Paths.get(dir + ".compacting")
+    Files.move(src, staging)
+    PackedCorpus.compact(spark, dir, numParts = 1)
+    assert(PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap == want + (100L -> Seq(9, 9)),
+      "recover must finish the interrupted swap before compacting")
+  }
+
   test("re-writing with FEWER partitions truncates the wider run's stale pairs") {
     val dir = Files.createTempDirectory("packed-shrink").toString
     PackedCorpus.write(
