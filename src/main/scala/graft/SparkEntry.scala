@@ -2699,7 +2699,10 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       val quotas = Sampling.largestRemainder(
         counts.map { case (g, n) => g -> Sampling.isqrt(n) }, 100L)
-      Sampling.takePerGroup(assigned, "cell", quotas, idCol = "vec_id")
+      // skew-safe take (≡ window form; see d95/d99) — a mega-cluster
+      // can't serialize the sample on one window task
+      Sampling.takePerGroupSkewSafe(assigned, "cell", quotas,
+          idCol = "vec_id", precomputedCounts = counts.toMap)
         .select(col("vec_id"), col("cell").cast("long").as("cell"), col("pick"))
         .orderBy("cell", "pick")
     }),
@@ -2735,7 +2738,14 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
       val quotas = Sampling.largestRemainder(
         counts.map { case (g, n) => g -> Sampling.isqrt(n) }, 200L)
-      Sampling.takePerGroup(docs, "source", quotas)
+      // the budget rides the SKEW-SAFE take (md5-threshold prefilter +
+      // exact top-up — output ≡ the window form, property-pinned; d99
+      // gates the equivalence on a planted-dominant-group fixture), so a
+      // single dominant source can never funnel the corpus through one
+      // window task; counts are reused from the quota sizing above
+      Sampling.takePerGroupSkewSafe(docs, "source", quotas,
+          precomputedCounts = counts.toMap)
+        .select(col("doc_id"), col("source"), col("pick"))
         .orderBy("source", "pick")
     }),
     "d94_char_lang_id" -> ((s, d) => {

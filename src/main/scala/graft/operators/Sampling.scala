@@ -118,7 +118,8 @@ object Sampling {
     * in BudgetMixSpec. */
   def takePerGroupSkewSafe(df: DataFrame, groupCol: String,
       quotas: Map[String, Long], idCol: String = "doc_id",
-      safetyFactor: Double = 4.0, slack: Long = 64L): DataFrame = {
+      safetyFactor: Double = 4.0, slack: Long = 64L,
+      precomputedCounts: Map[String, Long] = Map.empty): DataFrame = {
     require(safetyFactor >= 0 && slack >= 0,
       s"safetyFactor/slack must be >= 0: $safetyFactor/$slack")
     require(quotas.values.forall(_ >= 0), s"quotas must be >= 0: $quotas")
@@ -126,9 +127,13 @@ object Sampling {
     import spark.implicits._
     val base = df.select(col(groupCol), col(idCol))
     // per-group counts: bounded by group cardinality (the quotas map is
-    // already a driver-side relation of the same size)
-    val counts = base.groupBy(groupCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // already a driver-side relation of the same size). Callers that
+    // already aggregated counts to size their quotas (d95/d97) pass them
+    // through instead of paying the groupBy twice.
+    val counts =
+      if (precomputedCounts.nonEmpty) precomputedCounts
+      else base.groupBy(groupCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // threshold on the first-8-hex-digit key, per group: keep every row
     // whose key32 < t. t sized so E[survivors] = safetyFactor·q + slack.
     val Key32Span = 1L << 32
