@@ -1210,10 +1210,16 @@ object SparkEntry {
       // ivf (query, rank, corpus, cosine) / packed (doc, n_tokens,
       // sum_ids, 0).
       val docs = t(s, d, "documents")
+      // curated (and the encoded relation below) feed every epoch write
+      // plus the query set and the vocab build — eager-checkpoint once so
+      // the dedup groupBy/encode join don't re-run per consumer (the
+      // relations are (id, text)/(id, ids) — corpus-sized but this
+      // builder materializes the same bytes into the index anyway)
       val curated = docs.join(
         docs.groupBy(md5(col("text")).as("dg")).agg(min("doc_id").as("doc_id"))
           .select("doc_id"),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val tmp = System.getProperty("java.io.tmpdir")
       val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
       val bmPath = s"$tmp/graft_w29_bm25_$tag"
@@ -1230,6 +1236,7 @@ object SparkEntry {
       val enc = graft.operators.Vocab
         .encode(curated, graft.operators.Vocab.build(curated, size = 256))
         .select(col("doc_id"), col("token_ids"))
+        .localCheckpoint(true)
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>

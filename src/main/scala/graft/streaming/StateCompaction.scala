@@ -34,9 +34,23 @@ object StateCompaction {
     compactWith(dir) { staging =>
       // partition discovery surfaces <key> (and any nested partition
       // cols); drop the epoch key, keep the data partition cols for the
-      // rewrite
+      // rewrite. CONSOLIDATE while rewriting: without the repartition,
+      // every (write task × partition value) pair emits its own file, so
+      // compaction would replace many-epochs-of-small-files with
+      // one-epoch-of-the-same-small-files — hash-clustering on the
+      // partition cols lands each partition value in exactly one task
+      // (one file per at-rest partition dir), which is the listing-cost
+      // reduction compaction exists for. The shuffle is the deliberate
+      // price of a maintenance op (run offline, pipeline stopped); at
+      // volumes where one partition outgrows a healthy file, salt the
+      // clustering key by ceil(partitionBytes / targetFileSize) to write
+      // N right-sized files per dir instead of one
       val df = spark.read.parquet(dir).drop(key)
-      val writer = df.write.mode("overwrite")
+      val writer =
+        (if (partitionCols.nonEmpty)
+           df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+         else df)
+          .write.mode("overwrite")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(s"${staging.getAbsolutePath}/$key=-1")
     }
