@@ -3301,6 +3301,34 @@ object SparkEntry {
           k = 10, probes = Seq(1, 2, 4))
         .orderBy("n_probe", "query_id")
     }),
+    "e34_hard_negatives" -> ((s, d) => {
+      // hard-negative mining (contrastive/embedding-training data prep):
+      // per anchor, the top-5 most similar vectors with a DIFFERENT
+      // label — the triplet/InfoNCE negatives that move the loss. The
+      // anchor-dependent label disequality rides the broadcast-join
+      // predicate (pruned before scoring); corpus read once, exchange
+      // carries ≤ k rows per (anchor, partition).
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.hardNegativeTopK(
+          emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e35_semihard_negatives" -> ((s, d) => {
+      // SEMI-hard negative mining (FaceNet §3.2): per anchor, the most
+      // similar different-label vectors still OUTSIDE the hardest
+      // positive's similarity — inside-margin negatives destabilize,
+      // easy ones teach nothing. Two broadcast-anchor corpus scans
+      // (positive-threshold aggregate + thresholded negative scan);
+      // anchors with no same-label partner emit nothing.
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.semiHardNegativeTopK(
+          emb, emb.filter(col("vec_id") < 5), k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "e29_filtered_ann" -> ((s, d) => {
       // attribute-filtered vector search (the RAG-serving shape: top-k
       // among rows passing a metadata predicate): the predicate applies
@@ -6238,6 +6266,43 @@ object SparkEntry {
            round(coalesce(any_value(f.n_found), 0)::DOUBLE / count(*), 4) AS recall
          FROM exact x LEFT JOIN f ON f.query_id = x.query_id
          GROUP BY x.query_id ORDER BY x.query_id""",
+    // e34: brute-force cosine with the per-anchor label disequality —
+    // ties by (cos DESC, corpus_id), the aggregator contract
+    "e34_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+             embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         sc AS (SELECT q.query_id, e.vec_id AS corpus_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+           FROM embeddings e, q
+           WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+         r AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rank
+           FROM sc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e35: e34's chain with the per-anchor hardest-positive threshold —
+    // negatives must sit strictly under max same-label cosine
+    "e35_semihard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+             embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         pos AS (SELECT q.query_id,
+             max(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) AS pc
+           FROM embeddings e, q
+           WHERE e.vec_id <> q.query_id AND e.label = q.ql GROUP BY 1),
+         sc AS (SELECT q.query_id, e.vec_id AS corpus_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+             p.pc
+           FROM embeddings e, q JOIN pos p ON p.query_id = q.query_id
+           WHERE e.vec_id <> q.query_id AND e.label <> q.ql),
+         r AS (SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rank
+           FROM sc WHERE cos < pc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // e29: e6's probe oracle with the metadata predicate on the corpus side
     "e29_filtered_ann" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv

@@ -58,6 +58,72 @@ object Similarity {
     explodeRanked(scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
+  /** Hard-negative mining — the contrastive/embedding-training data-prep
+    * step (triplet/InfoNCE batches): for every anchor, the `k` most
+    * SIMILAR corpus vectors carrying a DIFFERENT label — the negatives
+    * that actually move the loss, vs uniformly-sampled easy ones. Same
+    * scale shape as [[bruteForceTopK]]: the corpus is read once with the
+    * anchors broadcast, the label disequality rides the broadcast-join
+    * predicate (pruned BEFORE scoring), and the only exchange carries
+    * ≤ k (id, score) pairs per (anchor, partition). At rest the IVF form
+    * applies: probe the anchor's cells over the cell-partitioned corpus
+    * and post-filter the label with an over-fetch — [[ivfTopK]] over a
+    * pre-filtered corpus (the e29 stance) covers the constant-predicate
+    * case; the per-anchor disequality needs the post-filter because the
+    * excluded label differs per anchor. Ties break toward the lower
+    * corpus id (the ScoredTopKAggregator contract every e-gate pins). */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(labelCol).as("corpus_label"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("query_vec"))
+    val scored = c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") &&
+          col("corpus_label") =!= col("query_label"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    explodeRanked(scored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), col("cosine")).as("top")))
+  }
+
+  /** SEMI-hard negative mining (Schroff et al. 2015, FaceNet §3.2): per
+    * anchor, the `k` most similar different-label vectors that are still
+    * LESS similar than the anchor's hardest positive (its most similar
+    * same-label vector) — negatives inside the positive margin destabilize
+    * training, easy ones teach nothing; semi-hard is the standard batch
+    * miner. Anchors with no same-label partner have no margin and emit no
+    * rows. Two corpus scans (the positive-threshold aggregate cannot fuse
+    * with the negative scan), each with the anchor side broadcast; the
+    * per-anchor threshold relation is |anchors|-rows and broadcasts back.
+    * Exchange stays ≤ k rows per (anchor, partition). */
+  def semiHardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(labelCol).as("corpus_label"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("query_vec"))
+    val posThr = c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") &&
+          col("corpus_label") === col("query_label"))
+      .groupBy("query_id")
+      .agg(max(VectorFunctions.cosine(col("query_vec"), col("corpus_vec")))
+        .as("pos_cos"))
+    val scored = c.join(
+        broadcast(q.join(posThr, "query_id")),
+        col("corpus_id") =!= col("query_id") &&
+          col("corpus_label") =!= col("query_label"))
+      .select(col("query_id"), col("corpus_id"), col("pos_cos"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+      .filter(col("cosine") < col("pos_cos"))
+    explodeRanked(scored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), col("cosine")).as("top")))
+  }
+
   /** IVF (inverted-file) top-k: corpus rows are assigned to their nearest
     * centroid cell in one narrow pass; each query probes only its `nProbe`
     * nearest cells. At scale the corpus can be written partitioned by `cell`

@@ -86,6 +86,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(res.head == 1L) // nearest neighbor of 0 is 1
   }
 
+  test("hardNegativeTopK excludes the anchor's label and ranks the rest by cosine") {
+    // anchor 0's true nearest neighbor (1) shares its label — a plain
+    // top-k would return it; the hard-negative miner must skip to the
+    // nearest DIFFERENT-label vectors
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.99f, 0.1f, 0.0f)),   // nearest, same label → excluded
+      (2L, 1, Array(0.9f, 0.4f, 0.0f)),    // nearest different-label
+      (3L, 1, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 2, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegativeTopK(
+        labeled, labeled.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 4L),
+      s"must skip the same-label nearest neighbor: $got")
+    // k beyond the different-label population returns exactly that population
+    val all = Similarity.hardNegativeTopK(
+        labeled, labeled.filter($"vec_id" === 0L), k = 10)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(all == Set(2L, 3L, 4L))
+  }
+
+  test("semiHardNegativeTopK keeps only negatives outside the hardest-positive margin") {
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),    // anchor
+      (1L, 0, Array(0.99f, 0.1f, 0.0f)),   // hardest positive (cos ≈ .995)
+      (5L, 1, Array(0.999f, 0.01f, 0.0f)), // negative INSIDE the margin → excluded
+      (2L, 1, Array(0.9f, 0.4f, 0.0f)),    // semi-hard
+      (4L, 2, Array(0.6f, 0.8f, 0.0f)),    // semi-hard, farther
+      (9L, 7, Array(0.0f, 0.0f, 1.0f))     // unique label: anchor 9 has no margin
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semiHardNegativeTopK(
+        labeled, labeled.filter($"vec_id" === 0L), k = 5)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 4L, 9L),
+      s"inside-margin negative 5 must be excluded, rest ranked by cosine: $got")
+    // an anchor with no same-label partner has no margin and emits nothing
+    assert(Similarity.semiHardNegativeTopK(
+      labeled, labeled.filter($"vec_id" === 9L), k = 5).count() == 0)
+  }
+
   test("cosine function matches manual computation") {
     val c = vecs.filter($"vec_id" === 0L).select(
       VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
