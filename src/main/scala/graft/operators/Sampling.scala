@@ -157,10 +157,15 @@ object Sampling {
       .filter(key32 < col("t"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // eager-checkpoint the selection: it is Σ-quota-bounded (tiny at any
+    // corpus size), and BOTH the shortfall check below and the returned
+    // frame read it — without the checkpoint the prefilter+window plan
+    // executes twice
     val sel = pre
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter(col("pick") <= col("quota"))
       .select(col(idCol), col(groupCol), col("pick"))
+      .localCheckpoint(true)
     // a group is EXACT iff its survivor count reached min(quota, n): the
     // selected count then equals min(quota, n) (downward closure). The
     // check relation is group-cardinality bounded.
