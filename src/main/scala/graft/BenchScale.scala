@@ -81,8 +81,10 @@ object BenchScale {
       "e32_bm25_fixedq", "e33_rrf_fixedq", "w27_stream_bm25",
       "d94_char_lang_id", "d95_budget_mix", "d96_dsir_select",
       "d98_line_dedup_withindoc", "s22_packed_roundtrip",
-      // round-12: skew-safe budget take, full compacted standing chain
-      "d99_skew_take", "w29_compacted_chain")
+      // round-12: skew-safe budget take, full compacted standing chain,
+      // contrastive negative mining (brute-force, semi-hard, at-rest IVF)
+      "d99_skew_take", "w29_compacted_chain", "e34_hard_negatives",
+      "e35_semihard_negatives", "w30_ivf_hard_negatives")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     docFamily.filter(wanted).foreach { q =>
       results += time(q) {

@@ -35,12 +35,16 @@ object StreamingIvf {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
 
   /** Cell-route one epoch's vectors and overwrite its epoch directory —
-    * idempotent under foreachBatch replay. */
+    * idempotent under foreachBatch replay. `payloadCols` ride along into
+    * the at-rest layout (label/source/quality metadata) so probes can
+    * filter on them without a join back to the source table — the
+    * filtered-ANN-at-rest shape ([[hardNegativeSearch]]). */
   def appendEpoch(batch: DataFrame, path: String, epoch: Long,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
-    batch.select(col(idCol), col(vecCol))
+    batch.select(col(idCol) +: col(vecCol) +: payloadCols.map(col): _*)
       .withColumn("cell",
         element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
           .getField("cell"))
@@ -50,11 +54,12 @@ object StreamingIvf {
 
   /** The standing pipeline: stream → cell-route → per-epoch at-rest append. */
   def run(vectors: DataFrame, path: String, checkpointDir: String,
-      vecCol: String = "embedding", idCol: String = "vec_id"): StreamingQuery =
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      payloadCols: Seq[String] = Nil): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        appendEpoch(batch, path, epoch, vecCol, idCol)
+        appendEpoch(batch, path, epoch, vecCol, idCol, payloadCols)
         ()
       }
       .start()
@@ -91,6 +96,46 @@ object StreamingIvf {
         col(vecCol).as("corpus_vec"))
     val scored = corpus.join(broadcast(queryCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+    scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("corpus_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Hard-negative mining over the AT-REST index — the standing form of
+    * [[Similarity.hardNegativeTopK]] and the payload-filtered-probe shape
+    * generally: anchors probe their `nProbe` nearest cells
+    * (partition-pruned scan, like [[search]]) and the per-anchor label
+    * disequality applies AT THE PROBE SCAN, reading the `labelCol`
+    * payload [[appendEpoch]] stored alongside each vector — no join back
+    * to the source table. Negatives come from the probed cells only (the
+    * standard IVF recall trade; at full probe this equals the brute-force
+    * miner, spec-pinned). Anchors are broadcast; exchange stays ≤ k rows
+    * per (anchor, partition). */
+  def hardNegativeSearch(spark: SparkSession, path: String,
+      anchors: DataFrame, k: Int, nProbe: Int = 2,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+    val topk = udaf(new ScoredTopKAggregator(k))
+    val queryCells = anchors
+      .select(col(idCol).cast("long").as("query_id"),
+        col(labelCol).as("query_label"), col(vecCol).as("query_vec"))
+      .withColumn("cell",
+        explode(transform(
+          VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
+          s => s.getField("cell"))))
+    val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.option("basePath", s"$path/corpus")
+      .parquet(s"$path/corpus")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell"), col(idCol).cast("long").as("corpus_id"),
+        col(labelCol).as("corpus_label"), col(vecCol).as("corpus_vec"))
+    val scored = corpus.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id") &&
+        col("corpus_label") =!= col("query_label"))
       .select(col("query_id"), col("corpus_id"),
         VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
     scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))

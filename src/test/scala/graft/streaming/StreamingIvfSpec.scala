@@ -16,6 +16,41 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
 
   private val all = (0L until 30L).map(i => (i, vec(i)))
 
+  test("at-rest hard-negative probe at full probe equals the brute-force miner") {
+    val path = Files.createTempDirectory("graft-sivf-neg").toString
+    val labeled = all.map { case (i, v) => (i, (i % 3).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    // two epochs, label payload stored next to each vector
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") < 15), path, 0L,
+      payloadCols = Seq("label"))
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") >= 15), path, 1L,
+      payloadCols = Seq("label"))
+    val anchors = labeled.filter(col("vec_id") < 3)
+    // full probe (nProbe = all 4 cells): candidates = the whole corpus,
+    // so the at-rest miner must equal the brute-force one exactly
+    val atRest = StreamingIvf.hardNegativeSearch(spark, path, anchors,
+        k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.hardNegativeTopK(labeled, anchors, k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(atRest == brute)
+    // every returned negative really differs in label from its anchor
+    val anchorLabel = (0L until 3L).map(i => i -> (i % 3).toInt).toMap
+    val labels = labeled.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    StreamingIvf.hardNegativeSearch(spark, path, anchors, k = 5, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+      .foreach { case (q, c) =>
+        assert(labels(c) != anchorLabel(q), s"anchor $q got same-label $c")
+      }
+  }
+
   test("standing index ingest resumes after restart; at-rest search equals in-memory probe") {
     val inDir = Files.createTempDirectory("graft-sivf-in")
     val path = Files.createTempDirectory("graft-sivf-idx").toString
