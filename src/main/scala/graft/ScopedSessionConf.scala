@@ -44,4 +44,25 @@ object ScopedSessionConf {
         throw t
     }
   }
+
+  /** Restore every `(key, value)` best-effort, then ALWAYS release
+    * [[lock]] — the throw-safe mirror of [[setAllOrRestore]] for the
+    * restore side: a plain `conf.set; conf.set; unlock` finally block
+    * skips the later sets AND leaks the shared lock permanently if the
+    * first set throws (review finding). The first restore failure
+    * rethrows after the unlock; further failures are suppressed onto it.
+    * Call with [[lock]] HELD. */
+  def restoreAllAndUnlock(conf: org.apache.spark.sql.RuntimeConfig,
+      settings: Seq[(String, String)]): Unit = {
+    var first: Throwable = null
+    settings.foreach { case (k, v) =>
+      try conf.set(k, v)
+      catch {
+        case t: Throwable =>
+          if (first == null) first = t else first.addSuppressed(t)
+      }
+    }
+    lock.unlock()
+    if (first != null) throw first
+  }
 }

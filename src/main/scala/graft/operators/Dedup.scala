@@ -571,9 +571,12 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters iterations")
     } finally if (scoped) {
-      spark.conf.set("spark.sql.shuffle.partitions", priorWidth)
-      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
-      graft.ScopedSessionConf.lock.unlock()
+      // throw-safe restore: a failing first set must neither skip the
+      // second nor leak the shared lock (the apply side's setAllOrRestore
+      // mirror — review finding)
+      graft.ScopedSessionConf.restoreAllAndUnlock(spark.conf,
+        Seq("spark.sql.shuffle.partitions" -> priorWidth,
+          "spark.sql.adaptive.enabled" -> priorAqe))
     }
     // the final size join runs OUTSIDE the scope (lazy, consumer-planned)
     // over the checkpointed label relation

@@ -137,8 +137,8 @@ object PackedCorpus {
   /** Fold every `epoch=<n>` part-pair set into one `epoch=-1` set — the
     * packed-corpus leg of the standing chain's maintenance path, sharing
     * [[graft.streaming.StateCompaction]]'s crash-safe staging swap (write
-    * the union under `<dir>.compacting`, delete, atomic rename; a crash
-    * between the two is finished by recover on the next compact). Real
+    * the union under `<dir>.compacting`, commit marker, promote; a crash
+    * at any step is finished by recover on the next compact). Real
     * epochs are ≥ 0, so the compacted directory never collides with a
     * future epoch's idempotent overwrite and [[readAll]]'s `epoch=*` glob
     * still matches it. `numParts` sizes the compacted part count
@@ -148,10 +148,10 @@ object PackedCorpus {
       idCol: String = "doc_id", tokensCol: String = "token_ids"): Unit = {
     val parts =
       if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
-    graft.streaming.StateCompaction.compactWith(dir) { staging =>
+    graft.streaming.StateCompaction.compactWith(spark, dir) { staging =>
       write(readAll(spark, dir, idCol, tokensCol)
           .repartitionByRange(parts, col(idCol)),
-        s"${staging.getAbsolutePath}/epoch=-1", idCol, tokensCol)
+        s"$staging/epoch=-1", idCol, tokensCol)
       ()
     }
   }
@@ -218,7 +218,15 @@ object PackedCorpus {
   /** One-sequence-at-a-time decode over an index's entries (offset order —
     * the bin is streamed once, never seeked). Opens via `openBin` on the
     * first `next()`, closes on exhaustion AND on any decode error;
-    * [[close]] is idempotent for completion-listener use. */
+    * [[close]] is idempotent for completion-listener use.
+    *
+    * CLOSE CONTRACT: inside a Spark task, `readGlob` registers a
+    * task-completion listener, so partially-consumed iterators
+    * (limit/take plans, task kill) are closed by the harness. A caller
+    * OUTSIDE a task (driver-side or test use of this helper) gets no such
+    * hook and MUST `close()` the returned iterator itself unless it
+    * consumes it to exhaustion — otherwise the lazily-opened bin stream
+    * leaks. */
   private[sources] def sequenceIterator(entries: IndexedSeq[(Long, Long, Int)],
       openBin: () => java.io.InputStream,
       binDesc: String): Iterator[(Long, Seq[Int])] with java.io.Closeable =

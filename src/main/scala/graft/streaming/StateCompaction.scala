@@ -1,10 +1,10 @@
 package graft.streaming
 
-import java.io.File
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.util.Comparator
+import java.net.URI
 
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Compaction for per-epoch at-rest state directories
   * ([[StreamingCuration]]'s `digests/batch=<n>`, [[StreamingIvf]]'s
@@ -14,80 +14,214 @@ import org.apache.spark.sql.SparkSession
   * ONE `<key>=-1` subdirectory; real epochs are ≥ 0, so the compacted
   * directory can never collide with a future epoch's idempotent overwrite.
   *
-  * Swap protocol (single-maintenance-writer, the RolledObjectSink recovery
-  * stance): write the union into `<dir>.compacting/<key>=-1`, then delete
-  * `<dir>` and rename the staging directory over it. A crash between the
-  * delete and the rename leaves `<dir>` missing with a COMPLETE staging
-  * sibling — [[recover]] (called on every compact entry) finishes the
-  * rename, so no state is ever lost. Run compaction only while the
-  * pipeline is stopped (it rewrites the directory the next epoch appends
-  * into).
+  * ALL filesystem access goes through the Hadoop `FileSystem` API resolved
+  * from the directory's URI — the same channel the state itself is
+  * written/read through — so `file://` (tests), `hdfs://` (production
+  * at-rest state) and conf-registered object-store schemes share one code
+  * path. An UNKNOWN scheme fails loudly at `FileSystem.get` ("No
+  * FileSystem for scheme"), never silently no-ops; only a genuinely
+  * missing or epoch-less directory is a no-op.
+  *
+  * Swap protocol (single-maintenance-writer, commit-marker form):
+  *  1. write the compacted form into `<dir>.compacting` (reads from the
+  *     still-intact `<dir>`);
+  *  2. create the sibling marker `<dir>.compacting.COMMITTED` — the
+  *     COMMIT POINT: from here the staging content is authoritative;
+  *  3. promote: delete `<dir>`, then rename staging over it (atomic on
+  *     HDFS and local) — or, on a FileSystem WITHOUT rename (object
+  *     stores: S3 renames are copy+delete, never atomic — the
+  *     S3SemanticsSinkSpec stance), byte-copy the staging directory into
+  *     place and delete it;
+  *  4. delete the marker.
+  * A crash anywhere is finished by [[recover]] (called on every compact
+  * entry): marker present ⇒ re-promote from staging (idempotent — a
+  * partial `<dir>` is re-deleted and re-filled); marker present with
+  * staging already consumed and `<dir>` in place ⇒ only the marker
+  * cleanup remained; no marker ⇒ a partial staging directory is garbage
+  * the next compact overwrites, `<dir>` was never touched. Run compaction
+  * only while the pipeline is stopped (it rewrites the directory the next
+  * epoch appends into).
+  *
+  * (The parquet rewrite inside [[compact]] additionally relies on Spark's
+  * own output committer for the STAGING write — on an object store that
+  * means deploying the store's job committer, e.g. the S3A magic
+  * committer, exactly as every other parquet write in the pipeline
+  * already does; the swap itself needs only create/delete/list.)
   */
 object StateCompaction {
+
+  /** Target size per compacted data file: salting splits any at-rest
+    * partition larger than this across `ceil(bytes / target)` shuffle
+    * keys, so one hot partition (a stop-word postings bucket, a mega IVF
+    * cell) never compacts into one giant file. */
+  val DefaultTargetFileBytes: Long = 128L << 20
 
   /** Fold every `<key>=<n>` subdirectory of `dir` into `<key>=-1`.
     * `partitionCols` are re-applied to the compacted write (e.g. `cell`
     * for the IVF corpus) so downstream partition pruning is preserved.
     * No-op when `dir` does not exist or holds no subdirectories. */
   def compact(spark: SparkSession, dir: String, key: String,
-      partitionCols: Seq[String] = Nil): Unit =
-    compactWith(dir) { staging =>
+      partitionCols: Seq[String] = Nil,
+      targetFileBytes: Long = DefaultTargetFileBytes): Unit =
+    compactWith(spark, dir) { staging =>
       // partition discovery surfaces <key> (and any nested partition
       // cols); drop the epoch key, keep the data partition cols for the
       // rewrite. CONSOLIDATE while rewriting: without the repartition,
       // every (write task × partition value) pair emits its own file, so
       // compaction would replace many-epochs-of-small-files with
       // one-epoch-of-the-same-small-files — hash-clustering on the
-      // partition cols lands each partition value in exactly one task
-      // (one file per at-rest partition dir), which is the listing-cost
-      // reduction compaction exists for. The shuffle is the deliberate
-      // price of a maintenance op (run offline, pipeline stopped); at
-      // volumes where one partition outgrows a healthy file, salt the
-      // clustering key by ceil(partitionBytes / targetFileSize) to write
-      // N right-sized files per dir instead of one
+      // partition cols lands each partition value in one task per SALT.
+      // The salt splits any partition whose at-rest bytes exceed
+      // targetFileBytes across ceil(bytes/target) shuffle keys (measured
+      // from the pre-compaction listing, metadata only), so a hot
+      // partition writes N right-sized files instead of one giant one;
+      // healthy partitions keep salt 1 = exactly one file — the
+      // listing-cost reduction compaction exists for. The shuffle is the
+      // deliberate price of a maintenance op (run offline, pipeline
+      // stopped).
       val df = spark.read.parquet(dir).drop(key)
       val writer =
-        (if (partitionCols.nonEmpty)
-           df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
-         else df)
+        (if (partitionCols.nonEmpty) {
+           val salts = partitionSalts(
+             fileSystem(spark, dir), new Path(dir), partitionCols.length,
+             targetFileBytes)
+           if (salts.valuesIterator.forall(_ <= 1L))
+             // no oversized partition: hash-cluster on the partition cols
+             // — one file per at-rest partition dir (AQE may coalesce the
+             // tiny shuffle; the writer still splits by partition value)
+             df.repartition(partitionCols.map(col): _*)
+           else {
+             // CONTIGUOUS-BUCKET salting: each partition dir owns the
+             // bucket range [offset, offset+salt) — healthy dirs one
+             // bucket, oversized dirs ceil(bytes/target) — and an EXPLICIT
+             // repartitionByRange(totalBuckets) pins the task count (AQE
+             // must not coalesce the salt away), landing ~one bucket per
+             // task ⇒ ~one target-sized file per bucket. The lookup keys
+             // by the RELATIVE partition path ("cell=3") rebuilt from the
+             // columns; a value whose string form differs from its
+             // directory encoding (hive-escaped strings, null →
+             // __HIVE_DEFAULT_PARTITION__) misses the map and FAILS SAFE
+             // to bucket 0 with salt 1 — partition values in graft's
+             // at-rest state are integers, which round-trip exactly. Both
+             // maps are partition-dir-bounded metadata (cells/buckets,
+             // never rows).
+             val sorted = salts.toSeq.sortBy(_._1)
+             val offsets = sorted.scanLeft(0L)(_ + _._2).init
+             val offsetOf = sorted.map(_._1).zip(offsets).toMap
+             val total = salts.valuesIterator.sum
+             val pkey = concat_ws("/", partitionCols.map(c =>
+               concat(lit(c + "="), col(c).cast("string"))): _*)
+             df.withColumn("__graft_bucket",
+                 coalesce(element_at(typedLit(offsetOf), pkey), lit(0L)) +
+                   pmod(xxhash64(df.columns.map(col): _*),
+                     coalesce(element_at(typedLit(salts), pkey), lit(1L))))
+               .repartitionByRange(total.toInt, col("__graft_bucket"))
+               .drop("__graft_bucket")
+           }
+         } else df)
           .write.mode("overwrite")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(s"${staging.getAbsolutePath}/$key=-1")
+        .parquet(s"$staging/$key=-1")
     }
 
   /** The swap protocol with the compacted WRITE as a hook — for at-rest
     * state that is not parquet (e.g. [[graft.sources.PackedCorpus]]'s
     * `.bin`/`.idx` part pairs). `writeStaged` must write the full
-    * compacted form UNDER the passed staging directory (reading from the
-    * still-intact `dir`); this then deletes `dir` and renames the staging
-    * directory over it, with [[recover]]'s crash contract. No-op when
-    * `dir` has no subdirectories. */
-  def compactWith(dir: String)(writeStaged: File => Unit): Unit = {
-    recover(dir)
-    val src = new File(dir)
-    val subdirs = Option(src.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
-    if (subdirs.isEmpty) return
-    val staging = new File(dir + ".compacting")
-    if (staging.exists()) rmrf(staging.toPath)
-    writeStaged(staging)
+    * compacted form UNDER the passed staging path (reading from the
+    * still-intact `dir`); this then commits and promotes it over `dir`
+    * with [[recover]]'s crash contract. No-op when `dir` has no
+    * subdirectories. */
+  def compactWith(spark: SparkSession, dir: String)(writeStaged: String => Unit): Unit = {
+    val fs = fileSystem(spark, dir)
+    recover(spark, dir)
+    val dirPath = new Path(dir)
+    if (!fs.exists(dirPath)) return
+    if (!fs.listStatus(dirPath).exists(_.isDirectory)) return
+    val staging = stagingPath(dir)
+    val marker = markerPath(dir)
+    // a stale partial staging (crash before the commit point) is garbage:
+    // marker first, then the directory it guards
+    fs.delete(marker, false)
+    fs.delete(staging, true)
+    writeStaged(staging.toString)
     // an all-empty compaction may write zero files — the swap still needs
-    // the staging directory to exist for the rename
-    Files.createDirectories(staging.toPath)
-    rmrf(src.toPath)
-    Files.move(staging.toPath, src.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // the staging directory to exist for the promote
+    if (!fs.exists(staging)) fs.mkdirs(staging)
+    fs.create(marker, true).close() // COMMIT POINT
+    promote(fs, dirPath, staging, marker)
   }
 
-  /** Finish an interrupted swap: `<dir>` missing + `<dir>.compacting`
-    * present means the staging write completed and only the rename
-    * remains. */
-  def recover(dir: String): Unit = {
-    val src = new File(dir)
-    val staging = new File(dir + ".compacting")
-    if (!src.exists() && staging.exists())
-      Files.move(staging.toPath, src.toPath, StandardCopyOption.ATOMIC_MOVE)
+  /** Finish an interrupted swap. Marker present ⇒ the staging write
+    * committed: re-promote (idempotent), or — staging already consumed
+    * with `dir` in place — just drop the orphaned marker; marker present
+    * with BOTH sides missing is corrupt state and throws. The legacy
+    * pre-marker crash shape (`dir` missing + complete staging sibling)
+    * still promotes. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fileSystem(spark, dir)
+    val dirPath = new Path(dir)
+    val staging = stagingPath(dir)
+    val marker = markerPath(dir)
+    if (fs.exists(marker)) {
+      if (fs.exists(staging)) promote(fs, dirPath, staging, marker)
+      else if (fs.exists(dirPath)) fs.delete(marker, false)
+      else throw new IllegalStateException(
+        s"torn compaction swap at $dir: commit marker present but both " +
+          "the directory and its staging sibling are missing")
+    } else if (!fs.exists(dirPath) && fs.exists(staging)) {
+      promote(fs, dirPath, staging, marker)
+    }
   }
 
-  private def rmrf(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
+  /** Staging → live: delete the (possibly partial) live directory, then
+    * rename the staging over it; a FileSystem without rename (object
+    * stores) falls back to a byte copy + staging delete. Marker removal
+    * is last — until then every crash re-enters here via [[recover]]. */
+  private def promote(fs: FileSystem, dir: Path, staging: Path, marker: Path): Unit = {
+    fs.delete(dir, true)
+    val renamed =
+      try fs.rename(staging, dir)
+      catch { case _: UnsupportedOperationException => false }
+    if (!renamed) {
+      if (!FileUtil.copy(fs, staging, fs, dir, false, true, fs.getConf))
+        throw new java.io.IOException(
+          s"compaction promote failed: could neither rename nor copy $staging over $dir")
+      fs.delete(staging, true)
+    }
+    fs.delete(marker, false)
+  }
+
+  /** Per-partition-directory salt counts: `ceil(bytes / targetFileBytes)`
+    * with every partition dir present (healthy dirs at 1). Keys are
+    * partition paths RELATIVE to the epoch directory ("cell=3"); sizes
+    * sum data files across all epochs (metadata-only listing, never
+    * data, bounded by the partition-dir count). */
+  private def partitionSalts(fs: FileSystem, dir: Path,
+      nPartitionCols: Int, targetFileBytes: Long): Map[String, Long] = {
+    val base = dir.toUri.getPath.stripSuffix("/")
+    val bytes = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val segs = rel.split('/')
+        // <key>=<n> / <p1>=<v1> / ... / part-file
+        if (segs.length >= nPartitionCols + 2) {
+          val pdir = segs.slice(1, 1 + nPartitionCols).mkString("/")
+          bytes(pdir) = bytes.getOrElse(pdir, 0L) + st.getLen
+        }
+      }
+    }
+    bytes.map { case (p, b) =>
+      p -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
+    }.toMap
+  }
+
+  private def stagingPath(dir: String) = new Path(dir + ".compacting")
+  private def markerPath(dir: String) = new Path(dir + ".compacting.COMMITTED")
+
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new URI(dir), spark.sessionState.newHadoopConf())
 }

@@ -89,9 +89,10 @@ object StreamingBm25 {
   /** Fold the per-epoch directories into one (`epoch=-1`), preserving the
     * `bucket` partitioning (and with it the probe's partition pruning) —
     * run while the pipeline is stopped. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes): Unit = {
     StateCompaction.compact(spark, s"$path/postings", key = "epoch",
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes)
     StateCompaction.compact(spark, s"$path/stats", key = "epoch")
   }
 

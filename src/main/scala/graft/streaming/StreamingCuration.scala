@@ -246,9 +246,11 @@ object StreamingCuration {
     probeH.unpersist(false)
     verdicts.reduce(_ unionByName _)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
-      graft.ScopedSessionConf.lock.unlock()
+      // throw-safe restore mirror of the apply side: never skip the second
+      // set or leak the shared lock on a failing first set
+      graft.ScopedSessionConf.restoreAllAndUnlock(spark.conf,
+        Seq("spark.sql.adaptive.enabled" -> priorAqe,
+          "spark.sql.shuffle.partitions" -> priorShuffle))
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -68,9 +68,10 @@ object StreamingIvf {
     * preserving the `cell` partitioning (and with it the probe's partition
     * pruning) — run while the pipeline is stopped; see [[StateCompaction]]
     * for the crash-safe swap protocol. */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes): Unit =
     StateCompaction.compact(spark, s"$path/corpus", key = "epoch",
-      partitionCols = Seq("cell"))
+      partitionCols = Seq("cell"), targetFileBytes = targetFileBytes)
 
   /** Top-k cosine probe over the at-rest epoch union — the same search
     * shape as [[graft.operators.IvfIndex.Loaded.search]]: driver-side
@@ -79,50 +80,44 @@ object StreamingIvf {
     * listing. */
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nProbe: Int = 2, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
-    val topk = udaf(new ScoredTopKAggregator(k))
-    val queryCells = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("query_vec"))
-      .withColumn("cell",
-        explode(transform(
-          VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
-          s => s.getField("cell"))))
-    val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.option("basePath", s"$path/corpus")
-      .parquet(s"$path/corpus")
-      .filter(col("cell").isin(probed.toSeq: _*))
-      .select(col("cell"), col(idCol).cast("long").as("corpus_id"),
-        col(vecCol).as("corpus_vec"))
-    val scored = corpus.join(broadcast(queryCells), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
-    scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("corpus_id"),
-        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
-  }
+      idCol: String = "vec_id"): DataFrame =
+    filteredSearch(spark, path, queries, k, nProbe, vecCol, idCol)
 
   /** Hard-negative mining over the AT-REST index — the standing form of
-    * [[Similarity.hardNegativeTopK]] and the payload-filtered-probe shape
-    * generally: anchors probe their `nProbe` nearest cells
-    * (partition-pruned scan, like [[search]]) and the per-anchor label
-    * disequality applies AT THE PROBE SCAN, reading the `labelCol`
-    * payload [[appendEpoch]] stored alongside each vector — no join back
-    * to the source table. Negatives come from the probed cells only (the
-    * standard IVF recall trade; at full probe this equals the brute-force
-    * miner, spec-pinned). Anchors are broadcast; exchange stays ≤ k rows
-    * per (anchor, partition). */
+    * [[Similarity.hardNegativeTopK]]: the per-anchor label disequality is
+    * a [[filteredSearch]] predicate over the `labelCol` payload
+    * [[appendEpoch]] stored alongside each vector. Negatives come from
+    * the probed cells only (the standard IVF recall trade; at full probe
+    * this equals the brute-force miner, spec-pinned). */
   def hardNegativeSearch(spark: SparkSession, path: String,
       anchors: DataFrame, k: Int, nProbe: Int = 2,
       labelCol: String = "label", vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    filteredSearch(spark, path, anchors, k, nProbe, vecCol, idCol,
+      queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
+      predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")))
+
+  /** The one at-rest probe every search variant rides — the
+    * filtered-ANN-at-rest shape generally: anchors probe their `nProbe`
+    * nearest cells (partition-pruned LITERAL isin scan), and an optional
+    * `predicate` over payload columns applies AT THE PROBE SCAN — reading
+    * the metadata [[appendEpoch]] stored next to each vector (source,
+    * quality, label), never joining back to the source table.
+    * `corpusPayloadCols` surface to the predicate as `corpus_<name>`,
+    * `queryPayloadCols` (from the queries frame) as `query_<name>`.
+    * Anchors are broadcast; the partial-aggregated top-k keeps the
+    * exchange ≤ k rows per (anchor, partition). */
+  def filteredSearch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id", queryPayloadCols: Seq[String] = Nil,
+      corpusPayloadCols: Seq[String] = Nil,
+      predicate: Option[Column] = None): DataFrame = {
     val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
     val topk = udaf(new ScoredTopKAggregator(k))
-    val queryCells = anchors
-      .select(col(idCol).cast("long").as("query_id"),
-        col(labelCol).as("query_label"), col(vecCol).as("query_vec"))
+    val queryCells = queries
+      .select(col(idCol).cast("long").as("query_id") +:
+        col(vecCol).as("query_vec") +:
+        queryPayloadCols.map(c => col(c).as(s"query_$c")): _*)
       .withColumn("cell",
         explode(transform(
           VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
@@ -131,11 +126,12 @@ object StreamingIvf {
     val corpus = spark.read.option("basePath", s"$path/corpus")
       .parquet(s"$path/corpus")
       .filter(col("cell").isin(probed.toSeq: _*))
-      .select(col("cell"), col(idCol).cast("long").as("corpus_id"),
-        col(labelCol).as("corpus_label"), col(vecCol).as("corpus_vec"))
+      .select(col("cell") +: col(idCol).cast("long").as("corpus_id") +:
+        col(vecCol).as("corpus_vec") +:
+        corpusPayloadCols.map(c => col(c).as(s"corpus_$c")): _*)
     val scored = corpus.join(broadcast(queryCells), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id") &&
-        col("corpus_label") =!= col("query_label"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .filter(predicate.getOrElse(lit(true)))
       .select(col("query_id"), col("corpus_id"),
         VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
     scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))

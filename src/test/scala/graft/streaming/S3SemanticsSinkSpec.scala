@@ -55,6 +55,31 @@ class S3SemanticsMockFs extends RawLocalFileSystem {
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
+
+  // RawLocalFileSystem's listStatus rebuilds child paths from the LOCAL
+  // file URI, leaking `fs.s3mock.root` into the returned s3mock:// paths
+  // (which then double the root when resolved back). Rebuild statuses
+  // against the queried path instead — listing consumers
+  // (StateCompaction's swap, FileUtil.copy) navigate by the returned
+  // paths.
+  private def cleanStatus(p: Path, lf: File) =
+    new org.apache.hadoop.fs.FileStatus(lf.length(), lf.isDirectory, 1,
+      getDefaultBlockSize(p), lf.lastModified(), makeQualified(p))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val localf = pathToFile(f)
+    if (!localf.exists()) throw new java.io.FileNotFoundException(f.toString)
+    if (localf.isFile) Array(cleanStatus(f, localf))
+    else localf.list().sorted.map(n => cleanStatus(new Path(f, n), new File(localf, n)))
+  }
+
+  // same root-leak fix for the single-status path (FileUtil.copy navigates
+  // by getFileStatus(src).getPath)
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    val localf = pathToFile(f)
+    if (!localf.exists()) throw new java.io.FileNotFoundException(f.toString)
+    cleanStatus(f, localf)
+  }
 }
 
 /** Round-10 verdict item 7: RolledObjectSink was spec-tested on `file://`
