@@ -135,7 +135,8 @@ object SparkEntry {
     "w7_stream_curation", "w8_stream_ivf", "w21_stream_packing",
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
-    "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives")
+    "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
+    "w31_ivf_filtered_probe")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -4071,6 +4072,37 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "w31_ivf_filtered_probe" -> ((s, d) => {
+      // the GENERAL payload-predicate form of the filtered-ANN-at-rest
+      // shape (w30 is the label-disequality special case): a derived
+      // quality score rides into the at-rest layout as an appendEpoch
+      // payload column, and the probe filters on it AT THE PROBE SCAN —
+      // source/quality metadata predicates with no join back to the
+      // source table. Candidates come from the probed cells only, like
+      // every IVF probe.
+      val emb = t(s, d, "embeddings")
+        .withColumn("quality", pmod(col("vec_id"), lit(7)).cast("int"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w31_ivfq_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e, payloadCols = Seq("quality"))
+      }
+      graft.streaming.StreamingIvf.filteredSearch(
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
+          corpusPayloadCols = Seq("quality"),
+          predicate = Some(col("corpus_quality") >= 4))
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "w8_stream_ivf" -> ((s, d) => {
       // standing ANN-index maintenance (StreamingIvf): embeddings arrive in
       // THREE id-range epochs, each cell-routed by the frozen first-8
@@ -6249,6 +6281,36 @@ object SparkEntry {
              JOIN embeddings e ON e.vec_id = cc.vec_id
              JOIN embeddings q ON q.vec_id = qc.query_id
              WHERE cc.vec_id <> qc.query_id AND e.label <> qc.ql),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // w31: w8's probe chain with the derived quality payload filtered at
+    // the candidate stage — the general payload-predicate form
+    "w31_ivf_filtered_probe" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id AND (e.vec_id % 7) >= 4),
            ranked AS (SELECT query_id, corpus_id, cos,
                row_number() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, corpus_id) AS rank

@@ -182,25 +182,44 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
     * Authoring rule documented in tutorial/README.md ("Authoring oracled
     * queries"). */
   /** SchemaTimer's measurement inlined into the suite: build each
-    * builder's schema, timing it; a builder over the threshold is retried
-    * once and the best time kept (absorbs one-off JIT/GC/contention
-    * spikes — analysis-only builders re-plan in milliseconds, eager ones
-    * re-run their driver-side jobs). Returns (name, bestMs) for builders
-    * that still exceed the threshold — eager-build time. */
+    * builder's schema under a unique job group, timing it AND counting the
+    * Spark jobs the build triggered. EAGER means "runs driver-side jobs at
+    * build time" — so a builder is flagged only when it both ran ≥1 job
+    * and took eager-build wall time (over the threshold it is retried
+    * once, best kept). Requiring the job count means a genuinely lazy
+    * builder can NEVER fail spuriously on a loaded machine: zero jobs ⇒
+    * never flagged, whatever GC/contention did to the clock (review
+    * finding — the previous wall-clock-only gate could). */
   private val EagerBuildMs = 1200L
   private def slowBuilders(
       queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)],
-      sfDir: String): Seq[(String, Long)] =
+      sfDir: String, thresholdMs: Long = EagerBuildMs): Seq[(String, Long)] =
     queries.flatMap { case (name, fn) =>
-      def buildMs(): Long = {
+      val sc = spark.sparkContext
+      def buildMsAndJobs(): (Long, Int) = {
+        val group = s"eager-detect-$name-${System.nanoTime()}"
+        sc.setJobGroup(group, "eager-builder auto-detect", false)
         val t0 = System.nanoTime()
-        fn(spark, sfDir).schema
-        (System.nanoTime() - t0) / 1000000
+        try fn(spark, sfDir).schema finally sc.clearJobGroup()
+        val ms = (System.nanoTime() - t0) / 1000000
+        // the status store is fed asynchronously off the listener bus —
+        // poll briefly, but only when the wall time is suspicious (the
+        // common fast-lazy case never waits)
+        def jobs() = sc.statusTracker.getJobIdsForGroup(group).length
+        var n = jobs()
+        var waited = 0
+        while (n == 0 && ms > thresholdMs && waited < 500) {
+          Thread.sleep(50); waited += 50; n = jobs()
+        }
+        (ms, n)
       }
-      val first = buildMs()
-      val best = if (first <= EagerBuildMs) first
-        else math.min(first, buildMs())
-      if (best > EagerBuildMs) Some(name -> best) else None
+      val (firstMs, firstJobs) = buildMsAndJobs()
+      if (firstMs <= thresholdMs || firstJobs == 0) None
+      else {
+        val (retryMs, _) = buildMsAndJobs()
+        val best = math.min(firstMs, retryMs)
+        if (best > thresholdMs) Some(name -> best) else None
+      }
     }
 
   test("every queries() output schema is scalar-only (driver pandas-sortable)") {
@@ -247,15 +266,27 @@ class HarnessGateSpec extends AnyFunSuite with SparkTestBase {
 
   test("the eager-builder auto-detect catches a deliberately-unflagged eager builder") {
     val sfDir = "/root/testdata/sf0.001"
-    // an eager builder: does driver-side work before returning the frame
+    // an eager builder: runs a REAL Spark job before returning the frame
+    // (job-count + wall time is the detection signature; a lowered
+    // threshold keeps the fixture job short)
     val fakeEager: (org.apache.spark.sql.SparkSession, String) => DataFrame =
-      (s, _) => { Thread.sleep(EagerBuildMs + 400); s.range(1).toDF("x") }
+      (s, _) => {
+        import s.implicits._
+        s.range(4).as[Long]
+          .mapPartitions { it => Thread.sleep(150); it }.toDF("x").count()
+        s.range(1).toDF("x")
+      }
+    // slow but LAZY: burns driver wall time with ZERO jobs — the old
+    // wall-clock-only gate would flag it; the job-count gate must not
+    val slowLazy: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(200); s.range(1).toDF("x") }
     val lazyBuilder: (org.apache.spark.sql.SparkSession, String) => DataFrame =
       (s, _) => s.range(1).toDF("x")
     val caught = slowBuilders(
-      Seq("fake_eager" -> fakeEager, "ok_lazy" -> lazyBuilder), sfDir)
+      Seq("fake_eager" -> fakeEager, "slow_lazy" -> slowLazy,
+        "ok_lazy" -> lazyBuilder), sfDir, thresholdMs = 100L)
     assert(caught.map(_._1) == Seq("fake_eager"),
-      s"auto-detect must flag exactly the eager builder: $caught")
+      s"auto-detect must flag exactly the job-running eager builder: $caught")
   }
 
   // ------------------------------------------------- events ts adaptivity

@@ -51,6 +51,34 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("filteredSearch applies an arbitrary payload predicate at the probe scan") {
+    val path = Files.createTempDirectory("graft-sivf-flt").toString
+    val tagged = all.map { case (i, v) => (i, (i % 5).toInt, v) }
+      .toDF("vec_id", "quality", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(tagged, path, 0L, payloadCols = Seq("quality"))
+    val queries = tagged.filter(col("vec_id") < 3)
+    // full probe + corpus-side quality floor ≡ brute-force over the
+    // pre-filtered corpus (the predicate is a pure candidate filter)
+    val filtered = StreamingIvf.filteredSearch(spark, path, queries,
+        k = 5, nProbe = 4, corpusPayloadCols = Seq("quality"),
+        predicate = Some(col("corpus_quality") >= 3))
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+        tagged.filter(col("quality") >= 3).select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"), k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(filtered == brute)
+    // and every survivor really clears the floor
+    val q = tagged.select("vec_id", "quality").as[(Long, Int)].collect().toMap
+    filtered.foreach { case (_, c, _) => assert(q(c) >= 3, s"corpus $c under floor") }
+  }
+
   test("standing index ingest resumes after restart; at-rest search equals in-memory probe") {
     val inDir = Files.createTempDirectory("graft-sivf-in")
     val path = Files.createTempDirectory("graft-sivf-idx").toString
