@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * recorded in tools/plans_notes.md (included into PLANS.md by GenPlans).
   * Diagnostic main, not part of the library surface.
   *
-  * Run: `sbt "runMain graft.ScaleProfile /root/testdata/sf0.1 /tmp/sf1"` */
+  * Run: `sbt "runMain graft.ScaleProfile /root/testdata/sf0.1 /tmp/sf1"`
+  *
+  * Additional modes (first arg):
+  *  - `--w29 <dirs…>` — per-stage timing of the w29 compacted-chain gate
+  *    (curate+encode / bm25+packed epochs / ivf epochs / compaction /
+  *    probes), localizing which stage carries its 10× growth;
+  *  - `--m13 <dirs…>` — stage split and run-to-run variance of the m13
+  *    video-dup gate (fixture generation / demux+hash / full pairs ×3). */
 object ScaleProfile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -22,6 +29,13 @@ object ScaleProfile {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.headOption match {
+      case Some("--w29") =>
+        args.tail.foreach(d => w29Stages(spark, d)); spark.stop(); return
+      case Some("--m13") =>
+        args.tail.foreach(d => m13Stages(spark, d)); spark.stop(); return
+      case _ =>
+    }
     for (dir <- args) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       println(s"=== $dir  docs=${docs.count()}")
@@ -135,5 +149,127 @@ object ScaleProfile {
       println(s"  d40 replay == operator labels : true")
     }
     spark.stop()
+  }
+
+  private def timed[T](label: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"  $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  /** w29's chain with a stopwatch between stages — the round-12 verdict
+    * asked where the gate's 10× ratio lives: in the (deliberate, offline)
+    * index builds + compaction shuffle, or in the probes the chain
+    * serves. Mirrors SparkEntry's w29 builder stage for stage. */
+  private def w29Stages(spark: SparkSession, dir: String): Unit = {
+    println(s"=== w29 stages @ $dir")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = "profile_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val bmPath = s"$tmp/graft_w29p_bm25_$tag"
+    val pkPath = s"$tmp/graft_w29p_packed_$tag"
+    val ivPath = s"$tmp/graft_w29p_ivf_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    Seq(bmPath, pkPath, ivPath, pkPath + ".compacting").foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
+    }
+    val curated = timed("curate (exact dedup + checkpoint)") {
+      docs.join(
+        docs.groupBy(md5(col("text")).as("dg")).agg(min("doc_id").as("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi").localCheckpoint(true)
+    }
+    val enc = timed("vocab build + encode + checkpoint") {
+      operators.Vocab.encode(curated, operators.Vocab.build(curated, size = 256))
+        .select(col("doc_id"), col("token_ids")).localCheckpoint(true)
+    }
+    val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val span = n / 3 + 1
+    timed("bm25 + packed epoch builds (x3)") {
+      (0L until 3L).foreach { e =>
+        val lo = e * span; val hi = (e + 1) * span
+        streaming.StreamingBm25.appendEpoch(
+          curated.filter(col("doc_id") >= lo && col("doc_id") < hi), bmPath, e)
+        sources.PackedCorpus.writeEpoch(
+          enc.filter(col("doc_id") >= lo && col("doc_id") < hi), pkPath, e)
+      }
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    timed("ivf init + epoch builds (x3)") {
+      streaming.StreamingIvf.init(
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("centroid_id"),
+            col("embedding").as("centroid_vec")), ivPath)
+      val m = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val mspan = m / 3 + 1
+      (0L until 3L).foreach { e =>
+        streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * mspan && col("vec_id") < (e + 1) * mspan),
+          ivPath, e)
+      }
+    }
+    timed("compact bm25 (postings + stats)") {
+      streaming.StreamingBm25.compact(spark, bmPath)
+    }
+    timed("compact ivf corpus") { streaming.StreamingIvf.compact(spark, ivPath) }
+    timed("compact packed corpus") { sources.PackedCorpus.compact(spark, pkPath) }
+    val qs = curated.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+          .as("text"))
+    timed("bm25 probe (k=10)") {
+      streaming.StreamingBm25.search(spark, bmPath, qs, k = 10)
+        .queryExecution.toRdd.count()
+    }
+    timed("ivf probe (k=5, nProbe=2)") {
+      streaming.StreamingIvf.search(spark, ivPath,
+          emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+        .queryExecution.toRdd.count()
+    }
+    timed("packed read-back (full scan)") {
+      sources.PackedCorpus.readAll(spark, pkPath).queryExecution.toRdd.count()
+    }
+  }
+
+  /** m13's stage split, three repeats per stage: the gate generates a
+    * REAL MJPEG/AVI fixture per row (imageio JPEG encode per frame) and
+    * then demux+hashes it — both stages are JVM-state-sensitive native/JIT
+    * work, which is where the bench band (1.4–2.7 s across 13 artifacts on
+    * unchanged code) comes from. */
+  private def m13Stages(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    println(s"=== m13 stages @ $dir")
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).repartition(spark.sparkContext.defaultParallelism)
+    def media = ids.as[Long].flatMap { id =>
+      val v = operators.Multimodal.syntheticVideo(id)
+      val planted =
+        if (id < 10) Seq((id + 10000, v))
+        else if (id < 20) {
+          val (meta, frames) = operators.MjpegAvi.demux(v)
+          Seq((id + 20000, operators.MjpegAvi.mux(frames.init,
+            meta.width, meta.height, (1000000L / meta.usPerFrame).toInt)))
+        } else Seq.empty
+      (id, v) +: planted
+    }.toDF("media_id", "content")
+    (1 to 3).foreach { i =>
+      timed(s"generate fixture only (run $i)") {
+        media.agg(sum(length(col("content")))).head.getLong(0)
+      }
+    }
+    (1 to 3).foreach { i =>
+      timed(s"generate + demux + hash (run $i)") {
+        operators.Multimodal.videoFrameHashes(media).queryExecution.toRdd.count()
+      }
+    }
+    (1 to 3).foreach { i =>
+      timed(s"full videoDupPairs (run $i)") {
+        val (pairs, release) = operators.Multimodal.videoDupPairsWithRelease(media)
+        pairs.queryExecution.toRdd.count()
+        release()
+      }
+    }
   }
 }
