@@ -132,3 +132,48 @@ object ThriftLogGen {
     System.err.println(s"wrote ${args(1)} record(s), $bytes bytes to ${args(0)}")
   }
 }
+
+/** Stopped-pipeline state maintenance CLI — fold a standing store's
+  * per-epoch directories into one (`epoch=-1` / `batch=-1`) via
+  * [[graft.streaming.StateCompaction]]'s crash-safe commit-marker swap.
+  * The reference keeps state maintenance in operator tooling (its
+  * `tools/` tree); same stance here. Run ONLY while the owning pipeline
+  * is drained (admin socket `stop`) — compaction rewrites the directory
+  * the next epoch appends into; the checkpoint is untouched, so a
+  * restart resumes from the compacted state exactly
+  * ([[graft.streaming.StreamingCuration.compactState]]'s contract).
+  *
+  * Usage: graft.CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]
+  */
+object CompactTool {
+
+  def compact(spark: org.apache.spark.sql.SparkSession, kind: String,
+      path: String,
+      targetFileBytes: Long = graft.streaming.StateCompaction.DefaultTargetFileBytes): Unit =
+    kind.toLowerCase match {
+      case "ivf" => graft.streaming.StreamingIvf.compact(spark, path, targetFileBytes)
+      case "bm25" => graft.streaming.StreamingBm25.compact(spark, path, targetFileBytes)
+      case "packed" => graft.sources.PackedCorpus.compact(spark, path)
+      case "curation" => graft.streaming.StreamingCuration.compactState(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
+    }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-compact")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      compact(spark, args(0), args(1),
+        args.lift(2).map(_.toLong)
+          .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
+      System.err.println(s"compacted ${args(0)} store at ${args(1)}")
+    } finally spark.stop()
+  }
+}
