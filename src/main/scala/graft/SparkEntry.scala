@@ -136,7 +136,7 @@ object SparkEntry {
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
-    "w31_ivf_filtered_probe")
+    "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -3162,6 +3162,23 @@ object SparkEntry {
       Sampling.takePerGroupSkewSafe(grouped, "grp", quotas)
         .orderBy("grp", "pick")
     }),
+    "d100_fim_split" -> ((s, d) => {
+      // fill-in-the-middle training-format transform (Bavarian 2022
+      // PSM order): the md5(doc_id)-gated half of the corpus splits at
+      // the len/3, 2len/3 character pivots and re-emits as
+      // <fim_prefix>P<fim_suffix>S<fim_middle>M; the rest passes
+      // through. Pure narrow projection — scan-speed at 100 TB; the
+      // deterministic gate/pivots keep epoch replay byte-identical and
+      // let the oracle reproduce every byte. Output hashes the parts
+      // (scalar-only contract).
+      graft.operators.TrainingFormats.fimSplit(t(s, d, "documents"))
+        .select(col("doc_id"), col("fim_applied"),
+          md5(col("prefix")).as("prefix_md5"),
+          md5(col("middle")).as("middle_md5"),
+          md5(col("suffix")).as("suffix_md5"),
+          md5(col("example")).as("example_md5"))
+        .orderBy("doc_id")
+    }),
     "d90_token_budget" -> ((s, d) => {
       // budgeted subset selection: best-quality-first documents until a
       // 6000-token budget is exhausted (quality = distinct-token ratio —
@@ -3329,6 +3346,22 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e36_triplet_mining" -> ((s, d) => {
+      // triplet ASSEMBLY — the training-row form of e34/e35 (FaceNet
+      // (anchor, positive, negative) rows a contrastive trainer consumes
+      // directly): each anchor's hardest positive (top same-label
+      // cosine, ties to the lower id) joined onto its top-3 hard
+      // negatives; anchors with no same-label partner emit no triplets.
+      // Two broadcast-anchor corpus scans + one anchors-row join.
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.tripletMine(
+          emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_cos"), 6).as("pos_cos"), col("neg_id"),
+          round(col("neg_cos"), 6).as("neg_cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("anchor_id", "rank")
     }),
     "e29_filtered_ann" -> ((s, d) => {
       // attribute-filtered vector search (the RAG-serving shape: top-k
@@ -4102,6 +4135,35 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "w32_ivf_semdedup_incr" -> ((s, d) => {
+      // INCREMENTAL semantic dedup against the standing index — the
+      // new-data-vs-at-rest-corpus form of e10's batch SemDeDup: each
+      // arriving vector probes its nProbe cells of the standing IVF
+      // corpus (partition-pruned scan); top-1 cosine at or above the
+      // threshold flags it as a semantic duplicate of data the corpus
+      // already holds, BEFORE it lands — no recluster of the 100-TB
+      // at-rest side, ever. Threshold compares ROUNDED cosine so the
+      // boundary is engine-stable.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w32_semdd_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val mid = (n + 10) / 2
+      graft.streaming.StreamingIvf.appendEpoch(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < mid), path, 0)
+      graft.streaming.StreamingIvf.appendEpoch(
+        emb.filter(col("vec_id") >= mid), path, 1)
+      graft.streaming.StreamingIvf.search(
+          s, path, emb.filter(col("vec_id") < 10), k = 1, nProbe = 2)
+        .select(col("query_id"), col("corpus_id").as("dup_of"),
+          round(col("cosine"), 6).as("cosine"),
+          (round(col("cosine"), 6) >= 0.38).as("is_dup"))
+        .orderBy("query_id")
     }),
     "w8_stream_ivf" -> ((s, d) => {
       // standing ANN-index maintenance (StreamingIvf): embeddings arrive in
@@ -6287,6 +6349,57 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // d100: byte-exact FIM replay — same md5 rate-gate, same integer
+    // (// not /: DuckDB float-divides with /) pivots, same PSM assembly
+    "d100_fim_split" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n,
+             (length(text) // 3)::INT AS p1,
+             (length(text) * 2 // 3)::INT AS p2,
+             substr(md5(doc_id::VARCHAR), 1, 1) < '8' AS applied
+           FROM documents)
+         SELECT doc_id, applied AS fim_applied,
+           md5(CASE WHEN applied THEN substr(text, 1, p1) ELSE '' END)
+             AS prefix_md5,
+           md5(CASE WHEN applied THEN substr(text, p1 + 1, p2 - p1) ELSE '' END)
+             AS middle_md5,
+           md5(CASE WHEN applied THEN substr(text, p2 + 1, n - p2) ELSE '' END)
+             AS suffix_md5,
+           md5(CASE WHEN applied THEN
+                 '<fim_prefix>' || substr(text, 1, p1) ||
+                 '<fim_suffix>' || substr(text, p2 + 1, n - p2) ||
+                 '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
+               ELSE text END) AS example_md5
+         FROM f ORDER BY doc_id""",
+    // w32: w8's probe chain, corpus = the standing side (vec_id >= 10),
+    // probes = arrivals, top-1 with the rounded-cosine dup threshold
+    "w32_ivf_semdedup_incr" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c WHERE e.vec_id >= 10) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 10) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS r
+             FROM scored)
+         SELECT query_id, corpus_id AS dup_of, round(cos, 6) AS cosine,
+           round(cos, 6) >= 0.38 AS is_dup
+         FROM ranked WHERE r = 1 ORDER BY query_id""",
     // w31: w8's probe chain with the derived quality payload filtered at
     // the candidate stage — the general payload-predicate form
     "w31_ivf_filtered_probe" ->
@@ -6423,6 +6536,34 @@ object SparkEntry {
            FROM sc WHERE cos < pc)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e36: e34's negatives joined onto the hardest same-label positive
+    // (row_number r=1 by cos desc, id) — the FaceNet triplet rows
+    "e36_triplet_mining" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, label AS ql,
+             embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         ps AS (SELECT q.anchor_id, e.vec_id AS corpus_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+           FROM embeddings e, q
+           WHERE e.vec_id <> q.anchor_id AND e.label = q.ql),
+         pos AS (SELECT anchor_id, corpus_id AS pos_id, cos AS pc FROM (
+             SELECT anchor_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cos DESC, corpus_id) AS r
+             FROM ps) WHERE r = 1),
+         ns AS (SELECT q.anchor_id, e.vec_id AS corpus_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+           FROM embeddings e, q
+           WHERE e.vec_id <> q.anchor_id AND e.label <> q.ql),
+         negs AS (SELECT anchor_id, corpus_id AS neg_id, cos AS nc, rank FROM (
+             SELECT anchor_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM ns) WHERE rank <= 3)
+         SELECT n.anchor_id, p.pos_id, round(p.pc, 6) AS pos_cos,
+           n.neg_id, round(n.nc, 6) AS neg_cos, n.rank
+         FROM negs n JOIN pos p USING (anchor_id)
+         ORDER BY anchor_id, rank""",
     // e29: e6's probe oracle with the metadata predicate on the corpus side
     "e29_filtered_ann" ->
       """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv

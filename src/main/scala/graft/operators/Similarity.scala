@@ -124,6 +124,38 @@ object Similarity {
       .agg(topk(col("corpus_id"), col("cosine")).as("top")))
   }
 
+  /** Triplet assembly — the training-ROW form of the miners above
+    * (FaceNet-style `(anchor, positive, negative)` rows a contrastive
+    * trainer consumes directly): each anchor pairs its HARDEST POSITIVE
+    * (most similar same-label vector; ties toward the lower id, the
+    * aggregator contract) with its `k` hard negatives from
+    * [[hardNegativeTopK]]. Anchors with no same-label partner emit no
+    * rows (no positive ⇒ no triplet — the FaceNet batch rule). Two
+    * broadcast-anchor corpus scans (positive top-1, negative top-k) and
+    * one |anchors|-row join; nothing corpus-sized ever shuffles. */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val top1 = udaf(new ScoredTopKAggregator(1))
+    val c = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(labelCol).as("corpus_label"), col(vecCol).as("corpus_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("query_vec"))
+    val pos = c.join(broadcast(q),
+        col("corpus_id") =!= col("query_id") &&
+          col("corpus_label") === col("query_label"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+      .groupBy("query_id").agg(top1(col("corpus_id"), col("cosine")).as("top"))
+      .select(col("query_id"),
+        element_at(col("top"), 1).getField("id").as("pos_id"),
+        element_at(col("top"), 1).getField("score").as("pos_cos"))
+    hardNegativeTopK(corpus, queries, k, labelCol, vecCol, idCol)
+      .join(pos, "query_id")
+      .select(col("query_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("corpus_id").as("neg_id"), col("cosine").as("neg_cos"), col("rank"))
+  }
+
   /** IVF (inverted-file) top-k: corpus rows are assigned to their nearest
     * centroid cell in one narrow pass; each query probes only its `nProbe`
     * nearest cells. At scale the corpus can be written partitioned by `cell`

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document → training-example FORMAT transforms — the reshapes a data
+  * pipeline applies after curation, immediately before tokenize/pack
+  * (the [[graft.sources.PackedCorpus]] input side).
+  *
+  * FIM — fill-in-the-middle (Bavarian et al. 2022, arXiv:2207.14255):
+  * split a document into (prefix, middle, suffix) and emit it in PSM
+  * order with sentinel tokens, so an autoregressive model learns to
+  * infill; applied to a FRACTION of the corpus (the paper's fim-rate),
+  * the rest passes through unchanged.
+  *
+  * Determinism stance: production FIM draws pivots and the rate-gate
+  * uniformly at random PER EPOCH; here both derive from md5 — the
+  * rate-gate from md5(doc_id) and the pivots from the character length
+  * (len/3, 2len/3) — so the transform is replay-idempotent (a retried
+  * epoch emits byte-identical examples, the idempotent-overwrite stance
+  * every graft sink assumes) and the gate's oracle can reproduce every
+  * byte in SQL. A seeded-hash pivot (md5(doc_id || epoch)) generalizes
+  * this to per-epoch resampling without losing either property.
+  *
+  * Everything is one narrow projection — no shuffle, no UDF; at 100 TB
+  * this runs at scan speed inside whole-stage codegen.
+  */
+object TrainingFormats {
+
+  val FimPrefix = "<fim_prefix>"
+  val FimSuffix = "<fim_suffix>"
+  val FimMiddle = "<fim_middle>"
+
+  /** True for the deterministic `rate16/16` fraction of ids: first hex
+    * nibble of md5(id) < rate16. (rate16 = 8 ⇒ the paper's default 0.5
+    * fim-rate.) The edges short-circuit: 16 would render as the
+    * two-char "10" and break the single-nibble lexicographic compare. */
+  private def fimGate(id: Column, rate16: Int): Column =
+    if (rate16 >= 16) lit(true)
+    else if (rate16 <= 0) lit(false)
+    else substring(md5(id.cast("string")), 1, 1) < lit(f"$rate16%x")
+
+  /** Apply FIM (PSM order) to the gated fraction of `docs`; the rest
+    * passes through. Output: (idCol, fim_applied, prefix, middle,
+    * suffix, example) — `example` is the training string
+    * (`<fim_prefix>P<fim_suffix>S<fim_middle>M` or the raw text). */
+  def fimSplit(docs: DataFrame, rate16: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val len = length(col(textCol))
+    val p1 = (len / 3).cast("int")
+    val p2 = (len * 2 / 3).cast("int")
+    // substr(pos, len): char-based in both Spark and the SQL oracle
+    val prefix = col(textCol).substr(lit(1), p1)
+    val middle = col(textCol).substr(p1 + 1, p2 - p1)
+    val suffix = col(textCol).substr(p2 + 1, len - p2)
+    val applied = fimGate(col(idCol), rate16)
+    docs.select(col(idCol), col(textCol))
+      .withColumn("fim_applied", applied)
+      .withColumn("prefix", when(applied, prefix).otherwise(lit("")))
+      .withColumn("middle", when(applied, middle).otherwise(lit("")))
+      .withColumn("suffix", when(applied, suffix).otherwise(lit("")))
+      .withColumn("example",
+        when(applied, concat(lit(FimPrefix), prefix, lit(FimSuffix), suffix,
+          lit(FimMiddle), middle))
+          .otherwise(col(textCol)))
+      .drop(textCol)
+  }
+}

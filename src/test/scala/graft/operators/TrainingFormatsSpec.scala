@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TrainingFormatsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "abcdefghij"),          // 10 chars: p1=3, p2=6
+    (1L, "xy"),                  // shorter than 3: empty prefix/middle
+    (2L, "a"),
+    (3L, ""),                    // empty doc survives (all parts empty)
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "σπάρκ unicode δοκιμή"), // pivots must count CHARS, not bytes
+    (6L, "0123456789" * 20)
+  ).toDF("doc_id", "text")
+
+  test("FIM parts reconstruct the document exactly; PSM assembly is well-formed") {
+    // rate16 = 16: every doc gated in — the reconstruction law must hold
+    // for every length, including empty and multibyte
+    val out = TrainingFormats.fimSplit(docs, rate16 = 16).collect()
+    assert(out.length == docs.count())
+    val texts = docs.as[(Long, String)].collect().toMap
+    out.foreach { r =>
+      val (id, applied) = (r.getAs[Long]("doc_id"), r.getAs[Boolean]("fim_applied"))
+      assert(applied, s"rate16=16 must gate every doc in (doc $id)")
+      val (p, m, sfx) = (r.getAs[String]("prefix"), r.getAs[String]("middle"),
+        r.getAs[String]("suffix"))
+      assert(p + m + sfx == texts(id), s"doc $id parts must reconstruct the text")
+      assert(r.getAs[String]("example") ==
+        TrainingFormats.FimPrefix + p + TrainingFormats.FimSuffix + sfx +
+          TrainingFormats.FimMiddle + m)
+      // pivot law: |prefix| = len/3, |middle| = 2len/3 - len/3 (chars)
+      val n = texts(id).length
+      assert(p.length == n / 3 && m.length == n * 2 / 3 - n / 3)
+    }
+  }
+
+  test("the md5 rate-gate is deterministic and passthrough keeps the raw text") {
+    val out = TrainingFormats.fimSplit(docs, rate16 = 8)
+    val again = TrainingFormats.fimSplit(docs, rate16 = 8)
+    assert(out.collect().toSeq == again.collect().toSeq,
+      "replayed epochs must emit byte-identical examples")
+    out.filter(!col("fim_applied")).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val raw = docs.filter(col("doc_id") === id).head.getString(1)
+      assert(r.getAs[String]("example") == raw, s"doc $id must pass through")
+      assert(r.getAs[String]("prefix").isEmpty && r.getAs[String]("middle").isEmpty)
+    }
+    // rate16 = 0 gates nothing; 16 gates everything
+    assert(TrainingFormats.fimSplit(docs, rate16 = 0)
+      .filter(col("fim_applied")).count() == 0)
+    assert(TrainingFormats.fimSplit(docs, rate16 = 16)
+      .filter(!col("fim_applied")).count() == 0)
+  }
+
+  test("tripletMine pairs the hardest positive with hardNegativeTopK's negatives") {
+    def vec(i: Long): Seq[Float] =
+      Array.tabulate(6)(j => (math.sin(i * 13 + j * 5) + 2.0).toFloat).toSeq
+    // label 9 appears ONCE (vec 29): that anchor has no positive → no rows
+    val labeled = ((0L until 29L).map(i => (i, (i % 3).toInt, vec(i))) :+
+      ((29L, 9, vec(29L)))).toDF("vec_id", "label", "embedding")
+    val anchors = labeled.filter(col("vec_id") === 0L || col("vec_id") === 29L)
+    val triplets = Similarity.tripletMine(labeled, anchors, k = 4)
+    val rows = triplets.collect()
+    assert(rows.forall(_.getAs[Long]("anchor_id") == 0L),
+      "the positive-less anchor (unique label) must emit no triplets")
+    assert(rows.length == 4)
+    // the positive is the true hardest same-label vector
+    val pos = Similarity.bruteForceTopK(
+        labeled.filter(col("label") === 0), anchors.filter(col("vec_id") === 0L),
+        k = 1)
+      .select("corpus_id", "cosine").as[(Long, Double)].head()
+    assert(rows.forall(r => r.getAs[Long]("pos_id") == pos._1 &&
+      math.abs(r.getAs[Double]("pos_cos") - pos._2) < 1e-12))
+    // the negatives are exactly hardNegativeTopK's, same ranks
+    val negs = Similarity.hardNegativeTopK(labeled,
+        anchors.filter(col("vec_id") === 0L), k = 4)
+      .select("corpus_id", "rank").as[(Long, Int)].collect().toSet
+    assert(rows.map(r => (r.getAs[Long]("neg_id"), r.getAs[Int]("rank"))).toSet == negs)
+  }
+}
