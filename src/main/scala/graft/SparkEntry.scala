@@ -3179,6 +3179,17 @@ object SparkEntry {
           md5(col("example")).as("example_md5"))
         .orderBy("doc_id")
     }),
+    "d101_span_corruption" -> ((s, d) => {
+      // T5/UL2 span-corruption denoising pairs: every 8-word block
+      // masks 3 words at the per-doc md5 phase; encoder view collapses
+      // each span to <extra_id_k>, target carries sentinel + masked
+      // words. Higher-order array fns only — no explode/shuffle/UDF.
+      graft.operators.TrainingFormats.spanCorrupt(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_words"), col("n_spans"),
+          col("n_masked"), md5(col("encoder")).as("enc_md5"),
+          md5(col("target")).as("tgt_md5"))
+        .orderBy("doc_id")
+    }),
     "d90_token_budget" -> ((s, d) => {
       // budgeted subset selection: best-quality-first documents until a
       // 6000-token budget is exhausted (quality = distinct-token ratio —
@@ -6370,6 +6381,41 @@ object SparkEntry {
                  '<fim_middle>' || substr(text, p1 + 1, p2 - p1)
                ELSE text END) AS example_md5
          FROM f ORDER BY doc_id""",
+    // d101: zipped-unnest word rows, same block/phase arithmetic, ordered
+    // string_agg rebuilds encoder/target byte-for-byte (0-based word
+    // index = idx-1; NULL pieces drop like the Spark-side filter)
+    "d101_span_corruption" ->
+      """WITH w AS (SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::UBIGINT % 6)::BIGINT AS o,
+             string_split_regex(trim(text), '\s+') AS words
+           FROM documents WHERE length(trim(text)) > 0),
+         tok AS (SELECT doc_id, o,
+             unnest(generate_series(1, len(words))) AS idx,
+             unnest(words) AS word
+           FROM w),
+         m AS (SELECT doc_id, o, idx, word,
+             (idx - 1) % 8 AS p, (idx - 1) // 8 AS blk
+           FROM tok),
+         enc AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY idx) AS t FROM (
+             SELECT doc_id, idx,
+               CASE WHEN p = o THEN '<extra_id_' || blk || '>'
+                    WHEN p > o AND p <= o + 2 THEN NULL
+                    ELSE word END AS piece FROM m)
+           WHERE piece IS NOT NULL GROUP BY doc_id),
+         tgt AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY idx) AS t FROM (
+             SELECT doc_id, idx,
+               CASE WHEN p = o THEN '<extra_id_' || blk || '> ' || word
+                    WHEN p > o AND p <= o + 2 THEN word END AS piece FROM m)
+           WHERE piece IS NOT NULL GROUP BY doc_id),
+         st AS (SELECT doc_id, count(*) AS n_words,
+             count(*) FILTER (p = o) AS n_spans,
+             count(*) FILTER (p >= o AND p <= o + 2) AS n_masked
+           FROM m GROUP BY doc_id)
+         SELECT st.doc_id, n_words, n_spans, n_masked,
+           md5(coalesce(enc.t, '')) AS enc_md5,
+           md5(coalesce(tgt.t, '')) AS tgt_md5
+         FROM st LEFT JOIN enc USING (doc_id) LEFT JOIN tgt USING (doc_id)
+         ORDER BY doc_id""",
     // w32: w8's probe chain, corpus = the standing side (vec_id >= 10),
     // probes = arrivals, top-1 with the rounded-cosine dup threshold
     "w32_ivf_semdedup_incr" ->

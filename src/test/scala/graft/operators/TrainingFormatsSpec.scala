@@ -57,6 +57,41 @@ class TrainingFormatsSpec extends AnyFunSuite with SparkTestBase {
       .filter(!col("fim_applied")).count() == 0)
   }
 
+  test("span corruption: splicing targets back at the sentinels recovers the document") {
+    val corpus = Seq(
+      (0L, (1 to 40).map(i => s"w$i").mkString(" ")),  // 5 full blocks
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")),  // tail block, maybe span-less
+      (2L, "a b"),                                     // shorter than any span start
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TrainingFormats.spanCorrupt(corpus).collect()
+    val texts = corpus.as[(Long, String)].collect().toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val wordsIn = texts(id).split("\\s+")
+      assert(r.getAs[Long]("n_words") == wordsIn.length)
+      assert(r.getAs[Long]("n_masked") <= r.getAs[Long]("n_spans") * 3)
+      // reconstruct: walk the encoder; at <extra_id_k>, splice that
+      // span's words from the target
+      val spans = ("<extra_id_(\\d+)> ((?:\\S+ ?)+?)(?=(<extra_id_|$))".r)
+        .findAllMatchIn(r.getAs[String]("target"))
+        .map(m => m.group(1).toLong -> m.group(2).trim.split("\\s+").toSeq).toMap
+      val rebuilt = r.getAs[String]("encoder").split("\\s+").toSeq.flatMap { tok =>
+        if (tok.startsWith("<extra_id_"))
+          spans(tok.stripPrefix("<extra_id_").stripSuffix(">").toLong)
+        else Seq(tok)
+      }
+      assert(rebuilt == wordsIn.toSeq,
+        s"doc $id: encoder+target must reconstruct the document")
+      // the 3/8 design rate: every full 8-word block masks exactly 3
+      if (wordsIn.length % 8 == 0)
+        assert(r.getAs[Long]("n_masked") == wordsIn.length / 8 * 3)
+    }
+    // phase differs across docs (md5-derived), output is deterministic
+    val again = TrainingFormats.spanCorrupt(corpus).collect()
+    assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("tripletMine pairs the hardest positive with hardNegativeTopK's negatives") {
     def vec(i: Long): Seq[Float] =
       Array.tabulate(6)(j => (math.sin(i * 13 + j * 5) + 2.0).toFloat).toSeq
