@@ -172,7 +172,8 @@ object ScaleProfile {
     val ivPath = s"$tmp/graft_w29p_ivf_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
-    Seq(bmPath, pkPath, ivPath, pkPath + ".compacting").foreach { p =>
+    Seq(bmPath, pkPath, ivPath, pkPath + ".compacting",
+      pkPath + ".compacting.COMMITTED").foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
     }
     val curated = timed("curate (exact dedup + checkpoint)") {

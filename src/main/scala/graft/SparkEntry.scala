@@ -1230,8 +1230,13 @@ object SparkEntry {
         new java.net.URI("file:///"), s.sessionState.newHadoopConf())
       // compaction renames directories, so a re-run must start from a
       // clean tree (epoch overwrite alone cannot undo a prior epoch=-1);
-      // the packed staging sibling lives OUTSIDE pkPath — clear it too
-      (Seq(bmPath, pkPath, ivPath, pkPath + ".compacting")).foreach { p =>
+      // the packed STAGING and COMMIT-MARKER siblings live OUTSIDE
+      // pkPath — clear them too, or a killed prior run's orphan marker
+      // reads as a torn swap and recover() rightly throws (the bm25/ivf
+      // markers live INSIDE their store roots, so deleting those roots
+      // already clears them)
+      (Seq(bmPath, pkPath, ivPath, pkPath + ".compacting",
+        pkPath + ".compacting.COMMITTED")).foreach { p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true); ()
       }
       val enc = graft.operators.Vocab
