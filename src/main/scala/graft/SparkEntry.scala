@@ -136,7 +136,7 @@ object SparkEntry {
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
-    "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr")
+    "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -4181,6 +4181,47 @@ object SparkEntry {
           (round(col("cosine"), 6) >= 0.38).as("is_dup"))
         .orderBy("query_id")
     }),
+    "w33_ivf_tombstones" -> ((s, d) => {
+      // the DELETE path of the standing index (right-to-be-forgotten
+      // without an inline rewrite of the at-rest corpus): tombstoned ids
+      // vanish from probes immediately (broadcast anti-join at the
+      // pruned scan) and from the BYTES at the next compact — the
+      // rewrite drops them and clears the tombstone store, the
+      // log-structured-merge delete. This gate probes AFTER compaction
+      // with structural requires that the tombstone store is gone and
+      // only epoch=-1 remains; the spec pins pre-compact ≡ post-compact.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w33_tomb_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // compaction renames directories: a re-run must start from a clean
+      // tree (the swap's staging/marker siblings live under path too)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      graft.streaming.StreamingIvf.appendEpoch(
+        emb.filter(col("vec_id") < span), path, 0)
+      graft.streaming.StreamingIvf.appendEpoch(
+        emb.filter(col("vec_id") >= span), path, 1)
+      graft.streaming.StreamingIvf.deleteEpoch(
+        emb.filter(pmod(col("vec_id"), lit(13)) === 0).select("vec_id"), path, 0)
+      graft.streaming.StreamingIvf.compact(s, path)
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+        "corpus must hold only the compacted epoch")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+        "compaction must clear the applied tombstone store")
+      graft.streaming.StreamingIvf.search(
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "w8_stream_ivf" -> ((s, d) => {
       // standing ANN-index maintenance (StreamingIvf): embeddings arrive in
       // THREE id-range epochs, each cell-routed by the frozen first-8
@@ -6421,6 +6462,36 @@ object SparkEntry {
            md5(coalesce(tgt.t, '')) AS tgt_md5
          FROM st LEFT JOIN enc USING (doc_id) LEFT JOIN tgt USING (doc_id)
          ORDER BY doc_id""",
+    // w33: w8's probe chain over the corpus MINUS the tombstoned ids —
+    // the post-compaction index must answer as if they never landed
+    "w33_ivf_tombstones" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c WHERE e.vec_id % 13 <> 0) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // w32: w8's probe chain, corpus = the standing side (vec_id >= 10),
     // probes = arrivals, top-1 with the rounded-cosine dup threshold
     "w32_ivf_semdedup_incr" ->

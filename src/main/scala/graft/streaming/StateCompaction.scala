@@ -59,10 +59,15 @@ object StateCompaction {
   /** Fold every `<key>=<n>` subdirectory of `dir` into `<key>=-1`.
     * `partitionCols` are re-applied to the compacted write (e.g. `cell`
     * for the IVF corpus) so downstream partition pruning is preserved.
+    * `transform` applies to the union before the rewrite — the hook a
+    * store uses to fold its pending MUTATIONS into the maintenance pass
+    * (e.g. [[StreamingIvf.compact]] dropping tombstoned rows).
     * No-op when `dir` does not exist or holds no subdirectories. */
   def compact(spark: SparkSession, dir: String, key: String,
       partitionCols: Seq[String] = Nil,
-      targetFileBytes: Long = DefaultTargetFileBytes): Unit =
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit =
     compactWith(spark, dir) { staging =>
       // partition discovery surfaces <key> (and any nested partition
       // cols); drop the epoch key, keep the data partition cols for the
@@ -79,7 +84,7 @@ object StateCompaction {
       // listing-cost reduction compaction exists for. The shuffle is the
       // deliberate price of a maintenance op (run offline, pipeline
       // stopped).
-      val df = spark.read.parquet(dir).drop(key)
+      val df = transform(spark.read.parquet(dir).drop(key))
       val writer =
         (if (partitionCols.nonEmpty) {
            val salts = partitionSalts(

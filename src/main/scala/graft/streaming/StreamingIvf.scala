@@ -64,14 +64,52 @@ object StreamingIvf {
       }
       .start()
 
+  /** Tombstone DELETE for the standing index — the right-to-be-forgotten
+    * path that never rewrites the at-rest corpus inline: deleted ids land
+    * as one per-epoch tombstone relation (idempotent overwrite, like
+    * every epoch write), probes anti-join them (broadcast — tombstones
+    * are vanishingly small next to the corpus), and the next [[compact]]
+    * folds them INTO the rewrite (deleted rows dropped, tombstone store
+    * cleared) — the log-structured-merge delete. Precedence: a tombstone
+    * dominates ANY epoch's row for that id, including re-appends after
+    * the delete, until a compact clears it. */
+  def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
+      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+
+  /** The at-rest tombstone union, if any delete epoch exists. */
+  private def tombstoneDf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Fold the per-epoch corpus directories into one (`epoch=-1`),
     * preserving the `cell` partitioning (and with it the probe's partition
-    * pruning) — run while the pipeline is stopped; see [[StateCompaction]]
-    * for the crash-safe swap protocol. */
+    * pruning), APPLYING any tombstones to the rewrite and then clearing
+    * them — run while the pipeline is stopped; see [[StateCompaction]]
+    * for the crash-safe swap protocol. Crash ordering: the tombstone
+    * clear comes AFTER the corpus swap, and reapplying a tombstone whose
+    * rows are already gone is a no-op, so a crash between the two loses
+    * nothing. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes): Unit =
+      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
+      idCol: String = "vec_id"): Unit = {
+    val ts = tombstoneDf(spark, path)
+      .map(_.select(col(idCol).cast("long").as(idCol)).distinct())
     StateCompaction.compact(spark, s"$path/corpus", key = "epoch",
-      partitionCols = Seq("cell"), targetFileBytes = targetFileBytes)
+      partitionCols = Seq("cell"), targetFileBytes = targetFileBytes,
+      transform = df =>
+        ts.map(t => df.join(broadcast(t), Seq(idCol), "left_anti")).getOrElse(df))
+    ts.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      org.apache.hadoop.fs.FileSystem.get(p.toUri,
+        spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
 
   /** Top-k cosine probe over the at-rest epoch union — the same search
     * shape as [[graft.operators.IvfIndex.Loaded.search]]: driver-side
@@ -123,12 +161,19 @@ object StreamingIvf {
           VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
           s => s.getField("cell"))))
     val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
-    val corpus = spark.read.option("basePath", s"$path/corpus")
+    val scanned = spark.read.option("basePath", s"$path/corpus")
       .parquet(s"$path/corpus")
       .filter(col("cell").isin(probed.toSeq: _*))
       .select(col("cell") +: col(idCol).cast("long").as("corpus_id") +:
         col(vecCol).as("corpus_vec") +:
         corpusPayloadCols.map(c => col(c).as(s"corpus_$c")): _*)
+    // un-compacted tombstones mask their rows at the probe scan
+    // (broadcast anti-join — the delete set is tiny next to the corpus)
+    val corpus = tombstoneDf(spark, path)
+      .map(t => scanned.join(
+        broadcast(t.select(col(idCol).cast("long").as("corpus_id")).distinct()),
+        Seq("corpus_id"), "left_anti"))
+      .getOrElse(scanned)
     val scored = corpus.join(broadcast(queryCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .filter(predicate.getOrElse(lit(true)))

@@ -79,6 +79,50 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
     filtered.foreach { case (_, c, _) => assert(q(c) >= 3, s"corpus $c under floor") }
   }
 
+  test("tombstones mask probes immediately; compact applies and clears them") {
+    val path = Files.createTempDirectory("graft-sivf-tomb").toString + "/idx"
+    val vecs = all.toDF("vec_id", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(vecs.filter(col("vec_id") < 15), path, 0L)
+    StreamingIvf.appendEpoch(vecs.filter(col("vec_id") >= 15), path, 1L)
+    val queries = all.take(3).toDF("vec_id", "embedding")
+    def hits() = StreamingIvf.search(spark, path, queries, k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val before = hits()
+    // delete three ids that ARE ranked today, so masking is observable
+    val dead = before.map(_._2).toSeq.distinct.sorted.take(3)
+    StreamingIvf.deleteEpoch(dead.toDF("vec_id"), path, 0L)
+    // masked at the probe scan BEFORE any compaction
+    val masked = hits()
+    assert(dead.forall(d => !masked.exists(_._2 == d)))
+    // equal to a from-scratch index over the live vectors
+    val liveOnly = Similarity.ivfTopK(
+        vecs.filter(!col("vec_id").isin(dead: _*)), queries, cents,
+        k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(masked == liveOnly)
+    // compact: bytes dropped, store cleared, answers unchanged
+    StreamingIvf.compact(spark, path)
+    assert(hits() == masked, "pre-compact and post-compact probes must agree")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the applied tombstone store")
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter(col("vec_id").isin(dead: _*)).count() == 0,
+      "compaction must drop tombstoned rows from the at-rest bytes")
+    // crash shape: tombstones surviving the corpus swap reapply harmlessly
+    StreamingIvf.deleteEpoch(Seq(dead.head).toDF("vec_id"), path, 1L) // already gone
+    StreamingIvf.compact(spark, path)
+    assert(hits() == masked)
+    // a post-compact re-append RESURRECTS the id (tombstone was cleared);
+    // it was a ranked hit before the delete, so it must rank again
+    StreamingIvf.appendEpoch(vecs.filter(col("vec_id") === dead.head), path, 7L)
+    assert(hits().exists(_._2 == dead.head))
+  }
+
   test("standing index ingest resumes after restart; at-rest search equals in-memory probe") {
     val inDir = Files.createTempDirectory("graft-sivf-in")
     val path = Files.createTempDirectory("graft-sivf-idx").toString
