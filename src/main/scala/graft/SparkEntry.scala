@@ -136,7 +136,8 @@ object SparkEntry {
     "w23_stream_heavy_hitters", "w24_stream_span_decontam",
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
-    "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones")
+    "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
+    "w34_bm25_tombstones")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2061,6 +2062,45 @@ object SparkEntry {
           docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
           path, e)
       }
+      graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "w34_bm25_tombstones" -> ((s, d) => {
+      // the DELETE path of the standing LEXICAL index — w33's BM25 twin:
+      // tombstoned docs vanish from probes immediately (anti-join at the
+      // pruned postings scan; df self-adjusts), and the next compact
+      // drops their rows, debits the corpus stats by their (count, Σdl),
+      // and clears the store. This gate probes AFTER compaction, so the
+      // oracle is the full BM25 replay over the corpus minus the deleted
+      // docs — one wrong df, un-debited stat, or surviving posting row
+      // breaks the hash. Structural requires pin post-compaction state.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w34_bmtomb_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.streaming.StreamingBm25.deleteEpoch(
+        docs.filter(pmod(col("doc_id"), lit(17)) === 0).select("doc_id"), path, 0)
+      graft.streaming.StreamingBm25.compact(s, path)
+      Seq(s"$path/postings", s"$path/stats").foreach { p =>
+        require(fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+          s"$p must hold only the compacted epoch")
+      }
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+        "compaction must clear the applied tombstone store")
       graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -7178,6 +7218,34 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     // w27 = e30's oracle VERBATIM: the standing at-rest index's search
     // must equal the batch recompute exactly (the w8-vs-e6 stance)
+    // w34: w27's replay with the corpus (stats, postings, df) taken over
+    // the docs MINUS the tombstoned ids, queries still drawn from all
+    "w34_bm25_tombstones" ->
+      """WITH da AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         dt AS (SELECT * FROM da WHERE doc_id % 17 <> 0),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM da WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "w27_stream_bm25" ->
       """WITH dt AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

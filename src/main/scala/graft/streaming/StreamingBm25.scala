@@ -86,14 +86,75 @@ object StreamingBm25 {
       }
       .start()
 
+  /** Tombstone DELETE for the standing index — [[StreamingIvf.deleteEpoch]]'s
+    * lexical twin: deleted doc ids land as per-epoch tombstone relations;
+    * [[search]] anti-joins them out of the pruned postings scan
+    * immediately (df self-adjusts — it is derived from the surviving
+    * postings), and the next [[compact]] drops their rows from the
+    * at-rest bytes, subtracts their (count, Σdl) from the corpus stats,
+    * and clears the store. LSM trade, documented: until that compact,
+    * N/avgdl still count the deleted docs (adjusting them at query time
+    * would mean scanning arbitrary buckets for the victims' dl — against
+    * the probe-cost discipline), so absolute scores are slightly stale
+    * while the RESULT SET is already exact. A zero-token deleted doc has
+    * no postings to see: it keeps its +1 in N until a rebuild (it never
+    * ranks, carrying no terms). */
+  def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+
+  private def tombstoneDf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Fold the per-epoch directories into one (`epoch=-1`), preserving the
-    * `bucket` partitioning (and with it the probe's partition pruning) —
-    * run while the pipeline is stopped. */
+    * `bucket` partitioning (and with it the probe's partition pruning),
+    * applying any tombstones — postings rows dropped, corpus stats
+    * debited by the victims' (count, Σdl), tombstone store cleared —
+    * run while the pipeline is stopped. Crash ordering mirrors
+    * [[StreamingIvf.compact]]: the clear comes last and a reapplied
+    * tombstone is a no-op. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes): Unit = {
-    StateCompaction.compact(spark, s"$path/postings", key = "epoch",
-      partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes)
-    StateCompaction.compact(spark, s"$path/stats", key = "epoch")
+      targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
+      idCol: String = "doc_id"): Unit = {
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = org.apache.hadoop.fs.FileSystem.get(postingsPath.toUri,
+      spark.sessionState.newHadoopConf())
+    val ts = tombstoneDf(spark, path)
+      .filter(_ => fs.exists(postingsPath))
+      .map(_.select(col(idCol).cast("long").as(idCol)).distinct()
+        .localCheckpoint(true))
+    ts match {
+      case None =>
+        StateCompaction.compact(spark, s"$path/postings", key = "epoch",
+          partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes)
+        StateCompaction.compact(spark, s"$path/stats", key = "epoch")
+      case Some(t) =>
+        // the victims' stats delta, measured BEFORE the rewrite drops
+        // their rows ((doc, dl) distinct — dl repeats per term row)
+        val removed = spark.read.parquet(s"$path/postings")
+          .join(broadcast(t), Seq(idCol), "left_semi")
+          .select(col(idCol), col("dl")).distinct()
+          .agg(count(lit(1)).as("rc"), coalesce(sum("dl"), lit(0.0)).as("rs"))
+          .head()
+        val (rc, rs) = (removed.getLong(0), removed.getDouble(1))
+        StateCompaction.compact(spark, s"$path/postings", key = "epoch",
+          partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes,
+          transform = df => df.join(broadcast(t), Seq(idCol), "left_anti"))
+        StateCompaction.compactWith(spark, s"$path/stats") { staging =>
+          spark.read.parquet(s"$path/stats").drop("epoch")
+            .agg((coalesce(sum("n_docs"), lit(0L)) - rc).as("n_docs"),
+              (coalesce(sum("sum_dl"), lit(0.0)) - rs).as("sum_dl"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$staging/epoch=-1")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        ()
+    }
   }
 
   /** Top-`k` BM25 per query over the at-rest index — the index-probe form
@@ -154,10 +215,19 @@ object StreamingBm25 {
     // StreamingIvf.search probed-cells stance)
     val buckets = qTerms.select(termBucket(col("term"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getLong(0))
-    val postings = spark.read.option("basePath", s"$path/postings")
+    val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+    // un-compacted tombstones mask their docs at the pruned scan
+    // (broadcast anti-join; df below self-adjusts — it is derived from
+    // the surviving rows). N/avgdl stay stale until compact — see
+    // deleteEpoch's LSM-trade note.
+    val postings = tombstoneDf(spark, path)
+      .map(t => pruned.join(
+        broadcast(t.select(col(idCol).cast("long").as(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+      .getOrElse(pruned)
       .select(col("term"), col(idCol), col("dl"), col("tf"))
       .persist(MEMORY_AND_DISK)
     val dfRel = postings.groupBy("term")

@@ -26,6 +26,49 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
   }
   private val all = (0L until 40L).map(i => (i, text(i)))
 
+  test("tombstones mask probes immediately; compact drops rows, debits stats, clears the store") {
+    val path = Files.createTempDirectory("graft-sbm25-tomb").toString + "/idx"
+    val corpus = all.toDF("doc_id", "text")
+    StreamingBm25.appendEpoch(corpus.filter(col("doc_id") < 20), path, 0, nBuckets = 8)
+    StreamingBm25.appendEpoch(corpus.filter(col("doc_id") >= 20), path, 1, nBuckets = 8)
+    val queries = Seq((100L, "spark hash"), (101L, "probe sort shuffle"))
+      .toDF("query_id", "text")
+    def hits() = StreamingBm25.search(spark, path, queries, k = 5, nBuckets = 8,
+        queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val before = hits()
+    // delete three docs that are ranked today, so masking is observable
+    val dead = before.map(_._3).toSeq.distinct.sorted.take(3)
+    StreamingBm25.deleteEpoch(dead.toDF("doc_id"), path, 0)
+    val masked = hits()
+    assert(dead.forall(d => !masked.exists(_._3 == d)),
+      "tombstoned docs must vanish from probes before any compaction")
+    // pre-compact: RESULT SET is live-only (scores may carry a stale N —
+    // the documented LSM trade), so compare ids/ranks, not scores
+    StreamingBm25.compact(spark, path, idCol = "doc_id")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/postings")
+      .filter(col("doc_id").isin(dead: _*)).count() == 0,
+      "compaction must drop tombstoned rows from the at-rest bytes")
+    // post-compact: stats are debited, so search equals the batch
+    // recompute over the LIVE corpus exactly — scores included
+    val live = corpus.filter(!col("doc_id").isin(dead: _*))
+    val expected = Bm25.topK(live, queries, k = 5, queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hits() == expected,
+      "post-compact index must equal Bm25.topK over the live corpus")
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+    assert(st.getLong(0) == all.size - dead.size,
+      "compaction must debit n_docs by the victims")
+    // crash shape: a tombstone for an already-gone doc reapplies harmlessly
+    StreamingBm25.deleteEpoch(Seq(dead.head).toDF("doc_id"), path, 5)
+    StreamingBm25.compact(spark, path, idCol = "doc_id")
+    assert(hits() == expected)
+  }
+
   test("ingest resumes after restart; at-rest search equals batch Bm25.topK") {
     val inDir = Files.createTempDirectory("graft-sbm25-in")
     val path = Files.createTempDirectory("graft-sbm25-idx").toString
