@@ -128,11 +128,46 @@ object PackedCorpus {
       }
       .start()
 
+  /** Tombstone DELETE for the standing export — the packed-corpus leg of
+    * the right-to-be-forgotten path ([[graft.streaming.StreamingIvf
+    * .deleteEpoch]]'s stance, LSM form): deleted ids land as one
+    * per-epoch parquet tombstone relation under `dir/tombstones/`
+    * (idempotent overwrite, like every epoch write), [[readAll]] masks
+    * them immediately (broadcast anti-join — the delete set is
+    * vanishingly small next to the corpus), and the next [[compact]]
+    * folds them into the rewrite: the compacted part pairs are written
+    * from the MASKED read, and the whole-directory swap that promotes
+    * them atomically retires the tombstone store (it lives inside the
+    * directory being swapped — apply and clear are one commit).
+    * Precedence: a tombstone dominates ANY epoch's sequence for that id,
+    * including re-appends after the delete, until a compact clears it. */
+  def deleteEpoch(ids: DataFrame, dir: String, epoch: Long,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/tombstones/epoch=$epoch")
+
+  /** The at-rest tombstone union, if any delete epoch exists. The
+    * `tombstones` directory name never matches [[readAll]]'s `epoch=*`
+    * part-pair glob, so the two stores share `dir` without collision. */
+  private def tombstoneDf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(s"$dir/tombstones")
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Read a [[writeEpoch]]-produced directory (all epochs) back as
-    * (idCol, token_ids). */
+    * (idCol, token_ids), with any un-compacted tombstones masked
+    * (broadcast anti-join — no shuffle joins the part-pair scan). */
   def readAll(spark: SparkSession, dir: String, idCol: String = "doc_id",
-      tokensCol: String = "token_ids"): DataFrame =
-    readGlob(spark, s"$dir/epoch=*/part-*.idx", idCol, tokensCol)
+      tokensCol: String = "token_ids"): DataFrame = {
+    val raw = readGlob(spark, s"$dir/epoch=*/part-*.idx", idCol, tokensCol)
+    tombstoneDf(spark, dir)
+      .map(t => raw.join(
+        broadcast(t.select(col(idCol).cast("long").as(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+      .getOrElse(raw)
+  }
 
   /** Fold every `epoch=<n>` part-pair set into one `epoch=-1` set — the
     * packed-corpus leg of the standing chain's maintenance path, sharing
@@ -143,7 +178,13 @@ object PackedCorpus {
     * future epoch's idempotent overwrite and [[readAll]]'s `epoch=*` glob
     * still matches it. `numParts` sizes the compacted part count
     * (default: the session's default parallelism); run while the standing
-    * export is stopped. */
+    * export is stopped.
+    *
+    * Pending [[deleteEpoch]] tombstones fold into the rewrite for free:
+    * the staging write reads through the MASKED [[readAll]], and the swap
+    * that promotes it replaces the whole directory — tombstone store
+    * included — so apply and clear commit together (no crash window where
+    * the rewrite survives but the tombstones it applied do not). */
   def compact(spark: SparkSession, dir: String, numParts: Int = 0,
       idCol: String = "doc_id", tokensCol: String = "token_ids"): Unit = {
     val parts =

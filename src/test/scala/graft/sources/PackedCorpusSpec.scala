@@ -133,6 +133,44 @@ class PackedCorpusSpec extends AnyFunSuite with SparkTestBase {
       "recover must finish the interrupted swap before compacting")
   }
 
+  test("tombstones mask readAll immediately; compact purges bytes and clears the store") {
+    val dir = Files.createTempDirectory("packed-tomb").toString
+    PackedCorpus.writeEpoch(corpus.take(3).toDF("doc_id", "token_ids")
+      .coalesce(1), dir, 0L)
+    PackedCorpus.writeEpoch(corpus.drop(3).toDF("doc_id", "token_ids")
+      .coalesce(1), dir, 1L)
+    // one victim per epoch + an id that never landed (harmless no-op)
+    PackedCorpus.deleteEpoch(Seq(2L, 4L, 999L).toDF("doc_id"), dir, 0L)
+    val masked = PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(masked == (corpus.toMap - 2L - 4L),
+      "tombstoned docs must vanish from reads before any compaction")
+    // a RE-APPEND of a tombstoned id stays masked until compact clears it
+    PackedCorpus.writeEpoch(Seq((2L, Seq(8, 8)))
+      .toDF("doc_id", "token_ids").coalesce(1), dir, 2L)
+    assert(!PackedCorpus.readAll(spark, dir).as[(Long, Seq[Int])]
+      .collect().toMap.contains(2L),
+      "a tombstone dominates re-appends until a compact clears it")
+    PackedCorpus.compact(spark, dir, numParts = 1)
+    val f = new java.io.File(dir)
+    assert(f.listFiles().filter(_.isDirectory).map(_.getName).toSet ==
+      Set("epoch=-1"), "only the compacted epoch may remain")
+    assert(!new java.io.File(dir, "tombstones").exists(),
+      "the swap must retire the applied tombstone store")
+    // the BYTES are purged: with the store cleared and only epoch=-1 on
+    // disk, this readAll is an unmasked scan of the rewritten pairs
+    val survivors = PackedCorpus.readAll(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(survivors == (corpus.toMap - 2L - 4L),
+      "compaction must drop tombstoned sequences from the rewrite")
+    // post-compact re-append RESURRECTS the id (tombstone was cleared)
+    PackedCorpus.writeEpoch(Seq((2L, Seq(8, 8)))
+      .toDF("doc_id", "token_ids").coalesce(1), dir, 3L)
+    assert(PackedCorpus.readAll(spark, dir).as[(Long, Seq[Int])]
+      .collect().toMap == (corpus.toMap - 4L) + (2L -> Seq(8, 8)),
+      "after the clear, a re-append must land like any other sequence")
+  }
+
   test("re-writing with FEWER partitions truncates the wider run's stale pairs") {
     val dir = Files.createTempDirectory("packed-shrink").toString
     PackedCorpus.write(
