@@ -135,6 +135,30 @@ object StreamingIvf {
       queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
       predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")))
 
+  /** Triplet ASSEMBLY over the AT-REST index — the standing form of
+    * [[Similarity.tripletMine]]: each anchor's hardest positive (top
+    * same-label cosine among its probed cells) joined onto its top-k
+    * hard negatives. Both sides are [[filteredSearch]] probes over the
+    * label payload [[appendEpoch]] stored — EQUALITY for the positive,
+    * disequality for the negatives — so triplet mining reads only the
+    * partition-pruned probed cells and never joins back to the source
+    * table. Anchors with no same-label partner in their probed cells
+    * emit no triplets (the tripletMine law, under the standard IVF
+    * recall trade; at full probe this equals the brute-force miner). */
+  def tripletSearch(spark: SparkSession, path: String, anchors: DataFrame,
+      k: Int, nProbe: Int = 2, labelCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pos = filteredSearch(spark, path, anchors, k = 1, nProbe, vecCol, idCol,
+        queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
+        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")))
+      .select(col("query_id"), col("corpus_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    hardNegativeSearch(spark, path, anchors, k, nProbe, labelCol, vecCol, idCol)
+      .join(pos, "query_id")
+      .select(col("query_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("corpus_id").as("neg_id"), col("cosine").as("neg_cos"), col("rank"))
+  }
+
   /** The one at-rest probe every search variant rides — the
     * filtered-ANN-at-rest shape generally: anchors probe their `nProbe`
     * nearest cells (partition-pruned LITERAL isin scan), and an optional

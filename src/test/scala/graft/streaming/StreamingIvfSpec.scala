@@ -51,6 +51,47 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("at-rest tripletSearch at full probe equals the brute-force tripletMine") {
+    val path = Files.createTempDirectory("graft-sivf-trip").toString
+    val labeled = all.map { case (i, v) => (i, (i % 3).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") < 15), path, 0L,
+      payloadCols = Seq("label"))
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") >= 15), path, 1L,
+      payloadCols = Seq("label"))
+    val anchors = labeled.filter(col("vec_id") < 3)
+    val atRest = StreamingIvf.tripletSearch(spark, path, anchors,
+        k = 4, nProbe = 4)
+      .select("anchor_id", "pos_id", "neg_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val brute = Similarity.tripletMine(labeled, anchors, k = 4)
+      .select("anchor_id", "pos_id", "neg_id", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(atRest == brute,
+      "full-probe at-rest triplets must equal the in-memory miner")
+    // the positive really shares the anchor's label; negatives never do
+    val labels = labeled.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    atRest.foreach { case (a, p, n, _) =>
+      assert(labels(p) == labels(a), s"anchor $a got cross-label positive $p")
+      assert(labels(n) != labels(a), s"anchor $a got same-label negative $n")
+    }
+    // an anchor whose probed cells hold NO same-label partner emits
+    // no triplets: a one-of-a-kind label on the anchor only
+    val lone = labeled.unionByName(
+      Seq((99L, 7, vec(99L))).toDF("vec_id", "label", "embedding"))
+    val path2 = Files.createTempDirectory("graft-sivf-trip2").toString
+    StreamingIvf.init(cents, path2)
+    StreamingIvf.appendEpoch(lone, path2, 0L, payloadCols = Seq("label"))
+    val got = StreamingIvf.tripletSearch(spark, path2,
+        lone.filter(col("vec_id") === 99L), k = 3, nProbe = 4)
+    assert(got.count() == 0, "no same-label partner => no triplets")
+  }
+
   test("filteredSearch applies an arbitrary payload predicate at the probe scan") {
     val path = Files.createTempDirectory("graft-sivf-flt").toString
     val tagged = all.map { case (i, v) => (i, (i % 5).toInt, v) }
