@@ -66,6 +66,68 @@ object TrainingFormats {
       .drop(textCol)
   }
 
+  /** DPO/RLHF preference-PAIR assembly (Rafailov et al. 2023,
+    * arXiv:2305.18290): within each prompt group, the highest-scoring
+    * candidate becomes `chosen` and the lowest `rejected`; groups with
+    * fewer than two candidates, or without a STRICT score margin, emit
+    * nothing (a zero-margin pair carries no preference signal).
+    *
+    * Determinism: winner/loser are the lexicographic max/min of
+    * (score, id), so score ties break by id on both ends — replayed
+    * epochs assemble identical pairs. Scale shape: ONE partial-
+    * aggregable groupBy (max/min of a two-field struct combine on the
+    * map side) — no window sort, no per-group row materialization, so a
+    * mega-prompt-group costs its scan, not a sort.
+    *
+    * Output: (groupCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin, n_cands). */
+  def preferencePairs(cands: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame =
+    cands.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cands"),
+        max(struct(col(scoreCol), col(idCol))).as("ch"),
+        min(struct(col(scoreCol), col(idCol))).as("rj"))
+      .filter(col("n_cands") >= 2 &&
+        col(s"ch.$scoreCol") > col(s"rj.$scoreCol"))
+      .select(col(groupCol),
+        col(s"ch.$idCol").as("chosen_id"),
+        col(s"rj.$idCol").as("rejected_id"),
+        col(s"ch.$scoreCol").as("chosen_score"),
+        col(s"rj.$scoreCol").as("rejected_score"),
+        (col(s"ch.$scoreCol") - col(s"rj.$scoreCol")).as("margin"),
+        col("n_cands"))
+
+  /** Chat-template render with LOSS-MASK offsets — the supervised-
+    * fine-tuning reshape: each document becomes one user/assistant
+    * exchange (first ceil(n/2) words the user turn, the rest the
+    * assistant turn), rendered with role tags, and the char span the
+    * trainer computes loss over — the assistant reply only, the
+    * standard SFT masking — is emitted as [loss_start, loss_end)
+    * offsets into the rendered string. Documents under two words have
+    * no assistant turn and emit nothing. One narrow projection (array
+    * slice + concat inside codegen) — scan-speed at 100 TB.
+    *
+    * Output: (idCol, n_tokens, loss_start, loss_end, rendered). */
+  def chatLossMask(docs: DataFrame, userTag: String = "<|user|>",
+      assistantTag: String = "<|assistant|>", endTag: String = "<|end|>",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0)
+    docs.select(col(idCol), toks.as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+      .withColumn("c", floor((col("n") + 1) / 2).cast("int"))
+      .withColumn("prefix", concat(lit(userTag + "\n"),
+        array_join(slice(col("w"), lit(1), col("c")), " "),
+        lit("\n" + assistantTag + "\n")))
+      .withColumn("atext",
+        array_join(slice(col("w"), col("c") + 1, col("n") - col("c")), " "))
+      .select(col(idCol), col("n").cast("long").as("n_tokens"),
+        length(col("prefix")).cast("long").as("loss_start"),
+        (length(col("prefix")) + length(col("atext"))).cast("long")
+          .as("loss_end"),
+        concat(col("prefix"), col("atext"), lit(endTag)).as("rendered"))
+  }
+
   /** Span corruption — the T5/UL2 denoising objective (Raffel et al.
     * 2020 §3.1.4): mask contiguous word SPANS, emit the encoder view
     * (each span collapsed to one `<extra_id_k>` sentinel) and the

@@ -117,4 +117,58 @@ class TrainingFormatsSpec extends AnyFunSuite with SparkTestBase {
       .select("corpus_id", "rank").as[(Long, Int)].collect().toSet
     assert(rows.map(r => (r.getAs[Long]("neg_id"), r.getAs[Int]("rank"))).toSet == negs)
   }
+
+  test("preferencePairs: strict margin, (score, id) tiebreak, singleton groups drop") {
+    val cands = Seq(
+      // group 0: clear winner/loser
+      (0L, 10L, 5L), (0L, 11L, 9L), (0L, 12L, 1L),
+      // group 1: ALL scores tie — zero margin, must emit nothing
+      (1L, 20L, 4L), (1L, 21L, 4L),
+      // group 2: singleton — no pair to assemble
+      (2L, 30L, 7L),
+      // group 3: top score tied between ids 41/42 — chosen must be the
+      // HIGHER id (lexicographic max), rejected the lower of the mins
+      (3L, 40L, 2L), (3L, 41L, 8L), (3L, 42L, 8L), (3L, 43L, 2L)
+    ).toDF("prompt_id", "doc_id", "reward")
+    val out = TrainingFormats.preferencePairs(cands, "prompt_id", "reward")
+      .collect().map(r => r.getAs[Long]("prompt_id") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin"), r.getAs[Long]("n_cands")))).toMap
+    assert(out.keySet == Set(0L, 3L),
+      "tied and singleton groups carry no preference signal")
+    assert(out(0L) == ((11L, 12L, 8L, 3L)))
+    assert(out(3L) == ((42L, 40L, 6L, 4L)),
+      "score ties must break by id on both the chosen and rejected ends")
+  }
+
+  test("chatLossMask: the loss span is exactly the assistant reply's chars") {
+    val convo = Seq(
+      (0L, "hello there how are you"),    // 5 words: user 3, assistant 2
+      (1L, "one two"),                    // minimum viable exchange
+      (2L, "single"),                     // 1 word: no assistant turn
+      (3L, "  padded   whitespace test ") // tokenization must collapse ws
+    ).toDF("doc_id", "text")
+    val out = TrainingFormats.chatLossMask(convo).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(2L), "a doc under two words has no assistant turn")
+    out.values.foreach { r =>
+      val rendered = r.getAs[String]("rendered")
+      val (s0, e0) = (r.getAs[Long]("loss_start").toInt,
+        r.getAs[Long]("loss_end").toInt)
+      // slicing the rendered string at the offsets yields the assistant
+      // text — the span a trainer would unmask
+      val span = rendered.substring(s0, e0)
+      assert(rendered ==
+        "<|user|>\n" + rendered.substring(9, s0 - 15) +
+          "\n<|assistant|>\n" + span + "<|end|>",
+        s"offsets must partition the render exactly: $rendered")
+      assert(!span.contains("<|"), "the loss span carries no role tags")
+    }
+    assert(out(0L).getAs[String]("rendered") ==
+      "<|user|>\nhello there how\n<|assistant|>\nare you<|end|>")
+    assert(out(1L).getAs[String]("rendered") ==
+      "<|user|>\none\n<|assistant|>\ntwo<|end|>")
+    assert(out(3L).getAs[String]("rendered") ==
+      "<|user|>\npadded whitespace\n<|assistant|>\ntest<|end|>")
+  }
 }
