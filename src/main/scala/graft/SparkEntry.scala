@@ -137,7 +137,8 @@ object SparkEntry {
     "w25_rocksdb_dedup", "w26_stream_line_dedup", "w27_stream_bm25",
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
-    "w34_bm25_tombstones")
+    "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
+    "d104_attention_spans")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -1318,6 +1319,51 @@ object SparkEntry {
           enc.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
           dir, e)
       }
+      graft.sources.PackedCorpus.readAll(s, dir)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          aggregate(col("token_ids"), lit(0L), (acc, x) => acc + x)
+            .as("sum_ids"))
+        .orderBy("doc_id")
+    }),
+    "w35_packed_tombstones" -> ((s, d) => {
+      // the DELETE path of the standing packed EXPORT — the third store
+      // of the right-to-be-forgotten chain (w33 = IVF, w34 = BM25): a
+      // tombstoned doc vanishes from readAll immediately (broadcast
+      // anti-join at the part-pair scan) and from the BYTES at the next
+      // compact — the rewrite reads through the masked readAll, and the
+      // whole-directory swap retires the tombstone store atomically with
+      // it. This gate reads AFTER compaction with structural requires
+      // (epoch=-1 only, tombstone store gone); the spec pins the
+      // pre-compact mask, tombstone-dominates-re-append, and resurrect-
+      // after-clear laws.
+      val docs = t(s, d, "documents")
+      val enc = graft.operators.Vocab
+        .encode(docs, graft.operators.Vocab.build(docs, size = 256))
+        .select(col("doc_id"), col("token_ids"))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_w35_ptomb_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // compaction renames directories: a re-run must start from a clean
+      // tree (the swap's staging/marker siblings live under dir too)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".compacting"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + ".compacting.COMMITTED"), false)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      graft.sources.PackedCorpus.writeEpoch(
+        enc.filter(col("doc_id") < span), dir, 0)
+      graft.sources.PackedCorpus.writeEpoch(
+        enc.filter(col("doc_id") >= span), dir, 1)
+      graft.sources.PackedCorpus.deleteEpoch(
+        docs.filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id"), dir, 0)
+      graft.sources.PackedCorpus.compact(s, dir)
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+        "the corpus must hold only the compacted epoch")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+        "compaction must retire the applied tombstone store")
       graft.sources.PackedCorpus.readAll(s, dir)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
@@ -3235,6 +3281,57 @@ object SparkEntry {
           md5(col("target")).as("tgt_md5"))
         .orderBy("doc_id")
     }),
+    "d104_attention_spans" -> ((s, d) =>
+      // block-diagonal attention-mask spans for PACKED training blocks:
+      // every (block, doc) pair carries the doc's [span_start, span_end)
+      // token range WITHIN the block — the mask a trainer applies so
+      // attention never crosses document boundaries inside a packed
+      // block. Rides d18's distributed-prefix-sum packing; the only
+      // addition is a narrow explode over each doc's covered blocks
+      // (≤ n_tokens/blockSize + 1 rows) — no new shuffle.
+      Packing.packSequences(t(s, d, "documents"),
+          graft.functions.TextFunctions.tokenCount(col("text")),
+          blockSize = 512L)
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+          explode(sequence(col("block_first"), col("block_last")))
+            .as("block_id"))
+        .select(col("block_id"), col("doc_id"),
+          greatest(lit(0L), col("start_offset") - col("block_id") * 512L)
+            .as("span_start"),
+          least(lit(512L),
+            col("start_offset") + col("n_tokens") - col("block_id") * 512L)
+            .as("span_end"))
+        .orderBy("block_id", "doc_id")),
+    "d102_dpo_pairs" -> ((s, d) => {
+      // DPO/RLHF preference-pair assembly: candidates group by a prompt
+      // key, a deterministic reward (distinct-token count scaled, plus
+      // length) ranks them, and each group emits ONE (chosen, rejected)
+      // pair — lexicographic (reward, id) max vs min, strict margin
+      // required. One partial-aggregable groupBy; no window sort, so a
+      // mega-prompt-group costs its scan at 100 TB.
+      val docs = t(s, d, "documents")
+      val toks = filter(split(trim(col("text")), "\\s+"),
+        x => length(x) > 0)
+      val cands = docs.select(col("doc_id"),
+        pmod(col("doc_id"), lit(97)).as("prompt_id"),
+        (size(array_distinct(toks)).cast("long") * lit(1000L) +
+          col("n_chars")).as("reward"))
+      graft.operators.TrainingFormats
+        .preferencePairs(cands, "prompt_id", "reward")
+        .orderBy("prompt_id")
+    }),
+    "d103_chat_loss_mask" -> ((s, d) =>
+      // SFT chat-template render + loss-mask offsets: one user/assistant
+      // exchange per doc (word-split halves), loss span = the assistant
+      // reply's [start, end) char offsets into the rendered string —
+      // the mask a trainer applies so user turns carry no loss. Narrow
+      // projection only; the oracle rebuilds every byte and both
+      // offsets in SQL.
+      graft.operators.TrainingFormats.chatLossMask(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("loss_start"),
+          col("loss_end"), md5(col("rendered")).as("render_md5"))
+        .orderBy("doc_id")),
     "d90_token_budget" -> ((s, d) => {
       // budgeted subset selection: best-quality-first documents until a
       // 6000-token budget is exhausted (quality = distinct-token ratio —
@@ -4160,6 +4257,36 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+    "e37_triplets_at_rest" -> ((s, d) => {
+      // triplet assembly over the STANDING index — e36's training rows
+      // mined from the at-rest corpus: the hardest same-label positive
+      // and the top-3 different-label negatives are BOTH filteredSearch
+      // probes over the stored label payload (equality vs disequality),
+      // partition-pruned to each anchor's nProbe cells, no join back to
+      // the source table. Anchors whose probed cells hold no same-label
+      // partner emit no triplets.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_e37_trip_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e, payloadCols = Seq("label"))
+      }
+      graft.streaming.StreamingIvf.tripletSearch(
+          s, path, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_cos"), 6).as("pos_cos"), col("neg_id"),
+          round(col("neg_cos"), 6).as("neg_cos"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("anchor_id", "rank")
     }),
     "w31_ivf_filtered_probe" -> ((s, d) => {
       // the GENERAL payload-predicate form of the filtered-ANN-at-rest
@@ -6446,6 +6573,117 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // e37: w30's probe chain run TWICE over the candidates — label
+    // equality (r=1 → hardest positive) and disequality (rank ≤ 3 →
+    // negatives) — joined per anchor; no-positive anchors emit nothing
+    "e37_triplets_at_rest" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, ql, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, q.label AS ql, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           cand AS (
+             SELECT qc.query_id, qc.ql, cc.vec_id AS corpus_id, e.label AS cl,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           pos AS (SELECT query_id, corpus_id AS pos_id, cos AS pc FROM (
+               SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS r
+               FROM cand WHERE cl = ql) WHERE r = 1),
+           neg AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM cand WHERE cl <> ql)
+         SELECT n.query_id AS anchor_id, p.pos_id,
+           round(p.pc, 6) AS pos_cos, n.corpus_id AS neg_id,
+           round(n.cos, 6) AS neg_cos, n.rank
+         FROM neg n JOIN pos p ON p.query_id = n.query_id
+         WHERE n.rank <= 3 ORDER BY anchor_id, rank""",
+    // d104: d18's prefix-sum packing replay + per-covered-block span
+    // arithmetic (unnest over range(bf, bl+1), clamped to the block)
+    "d104_attention_spans" ->
+      """WITH c AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> length(t) > 0))::BIGINT AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+           FROM c),
+         b AS (
+           SELECT doc_id, n_tokens, start_offset,
+             (start_offset // 512)::BIGINT AS bf,
+             ((start_offset + n_tokens - 1) // 512)::BIGINT AS bl
+           FROM o WHERE n_tokens > 0),
+         e AS (
+           SELECT doc_id, n_tokens, start_offset,
+             unnest(range(bf, bl + 1)) AS block_id
+           FROM b)
+         SELECT block_id, doc_id,
+           GREATEST(0, start_offset - block_id * 512)::BIGINT AS span_start,
+           LEAST(512, start_offset + n_tokens - block_id * 512)::BIGINT
+             AS span_end
+         FROM e ORDER BY block_id, doc_id""",
+    // d102: window replay of the struct-max/min pair pick — chosen by
+    // (reward DESC, id DESC), rejected by (reward ASC, id ASC), the
+    // lexicographic tiebreak the struct aggregation implements
+    "d102_dpo_pairs" ->
+      """WITH t AS (SELECT doc_id, doc_id % 97 AS prompt_id,
+             len(list_distinct(list_filter(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> length(x) > 0)))::BIGINT * 1000 + n_chars AS reward
+           FROM documents),
+         ch AS (SELECT prompt_id, doc_id, reward FROM (
+             SELECT prompt_id, doc_id, reward, row_number() OVER (
+               PARTITION BY prompt_id ORDER BY reward DESC, doc_id DESC) AS r
+             FROM t) WHERE r = 1),
+         rj AS (SELECT prompt_id, doc_id, reward FROM (
+             SELECT prompt_id, doc_id, reward, row_number() OVER (
+               PARTITION BY prompt_id ORDER BY reward, doc_id) AS r
+             FROM t) WHERE r = 1),
+         n AS (SELECT prompt_id, count(*)::BIGINT AS n_cands FROM t GROUP BY 1)
+         SELECT ch.prompt_id, ch.doc_id AS chosen_id, rj.doc_id AS rejected_id,
+           ch.reward AS chosen_score, rj.reward AS rejected_score,
+           ch.reward - rj.reward AS margin, n.n_cands
+         FROM ch JOIN rj USING (prompt_id) JOIN n USING (prompt_id)
+         WHERE n.n_cands >= 2 AND ch.reward > rj.reward
+         ORDER BY ch.prompt_id""",
+    // d103: byte-exact render replay — chr(10) for the tag newlines,
+    // 1-based inclusive list slices mirror slice(), both offsets re-
+    // derived from the rebuilt prefix/assistant strings
+    "d103_chat_loss_mask" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> length(x) > 0) AS w
+           FROM documents),
+         s AS (SELECT doc_id, len(w) AS n, ((len(w) + 1) // 2) AS c, w
+           FROM t WHERE len(w) >= 2),
+         r AS (SELECT doc_id, n,
+             '<|user|>' || chr(10) || array_to_string(w[1:c], ' ') ||
+               chr(10) || '<|assistant|>' || chr(10) AS prefix,
+             array_to_string(w[c+1:n], ' ') AS atext
+           FROM s)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           length(prefix)::BIGINT AS loss_start,
+           (length(prefix) + length(atext))::BIGINT AS loss_end,
+           md5(prefix || atext || '<|end|>') AS render_md5
+         FROM r ORDER BY doc_id""",
     // d100: byte-exact FIM replay — same md5 rate-gate, same integer
     // (// not /: DuckDB float-divides with /) pivots, same PSM assembly
     "d100_fim_split" ->
@@ -7896,6 +8134,25 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_tokens,
            sum(vid)::BIGINT AS sum_ids
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    // w35: s22's vocab/encode replay over the docs MINUS the tombstoned
+    // ids — the post-compaction export must read as if they never landed
+    // (vocab still builds over ALL docs: deletes happen after encoding)
+    "w35_packed_tombstones" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks FROM documents),
+         exp AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(range(1, len(toks)+1)) AS pos FROM t WHERE len(toks) > 0),
+         cnts AS (SELECT token, count(*) AS cnt FROM exp GROUP BY 1),
+         vocab AS (SELECT token, vid FROM (
+             SELECT token, (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT AS vid
+             FROM cnts) WHERE vid < 256),
+         enc AS (SELECT e.doc_id, COALESCE(v.vid, -1)::BIGINT AS vid
+             FROM exp e LEFT JOIN vocab v USING (token))
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           sum(vid)::BIGINT AS sum_ids
+         FROM enc WHERE doc_id % 13 <> 0
+         GROUP BY doc_id ORDER BY doc_id""",
     // s22: d23's vocab/encode chain, reduced to the two integrals the
     // binary roundtrip must reproduce (count and sum of ids per doc)
     "s22_packed_roundtrip" ->
