@@ -145,6 +145,75 @@ object ThriftLogGen {
   *
   * Usage: graft.CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]
   */
+/** Right-to-be-forgotten CLI — tombstone ids in a standing store. Safe
+  * while the owning pipeline RUNS (tombstones land as their own epoch
+  * relation; probes and reads mask them immediately via the broadcast
+  * anti-join every store's read path applies); the next [[CompactTool]]
+  * run purges the bytes and retires the tombstones. Each invocation
+  * writes the next free tombstone epoch unless one is given, so repeated
+  * delete requests accumulate instead of overwriting each other.
+  *
+  * Usage: graft.ForgetTool <ivf|bm25|packed> <path> <id,id,...|@idsFile> [epoch]
+  */
+object ForgetTool {
+
+  def forget(spark: org.apache.spark.sql.SparkSession, kind: String,
+      path: String, ids: Seq[Long], epoch: Option[Long] = None): Long = {
+    import spark.implicits._
+    val e = epoch.getOrElse(nextTombstoneEpoch(spark, path))
+    kind.toLowerCase match {
+      case "ivf" =>
+        graft.streaming.StreamingIvf.deleteEpoch(ids.toDF("vec_id"), path, e)
+      case "bm25" =>
+        graft.streaming.StreamingBm25.deleteEpoch(ids.toDF("doc_id"), path, e)
+      case "packed" =>
+        graft.sources.PackedCorpus.deleteEpoch(ids.toDF("doc_id"), path, e)
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other' (want ivf|bm25|packed)")
+    }
+    e
+  }
+
+  /** max existing tombstone epoch + 1 (0 for a clean store) — a
+    * partition-dir listing, metadata only. */
+  private def nextTombstoneEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.startsWith("epoch=") =>
+        s.stripPrefix("epoch=").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: ForgetTool <ivf|bm25|packed> <path> <id,id,...|@idsFile> [epoch]")
+    val ids: Seq[Long] =
+      if (args(2).startsWith("@"))
+        Files.readAllLines(Paths.get(args(2).drop(1))).asScala.toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      else args(2).split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    require(ids.nonEmpty, "no ids to forget")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-forget")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val e = forget(spark, args(0), args(1), ids,
+        args.lift(3).map(_.toLong))
+      System.err.println(
+        s"tombstoned ${ids.size} id(s) in ${args(0)} store at ${args(1)} " +
+          s"(epoch=$e); next CompactTool run purges the bytes")
+    } finally spark.stop()
+  }
+}
+
 object CompactTool {
 
   def compact(spark: org.apache.spark.sql.SparkSession, kind: String,

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.ThriftLogCodec
 
-class OpsToolsSpec extends AnyFunSuite {
+class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
 
   test("ConfigCheck: valid, warned, and broken configs classified per file") {
     val dir = Files.createTempDirectory("graft-confcheck")
@@ -65,5 +65,30 @@ class OpsToolsSpec extends AnyFunSuite {
     val f2 = Files.createTempFile("graft-gen2", ".log")
     ThriftLogGen.generate(f2, n = 25, payloadBytes = 48)
     assert(java.util.Arrays.equals(Files.readAllBytes(f), Files.readAllBytes(f2)))
+  }
+
+  test("ForgetTool: auto-epoch tombstones accumulate; CompactTool purges them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-forget").toString
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 10L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
+        .toDF("doc_id", "token_ids").coalesce(1), dir, 0L)
+    // two delete requests must land as DISTINCT epochs (accumulate,
+    // never overwrite each other)
+    assert(ForgetTool.forget(spark, "packed", dir, Seq(3L)) == 0L)
+    assert(ForgetTool.forget(spark, "packed", dir, Seq(7L, 8L)) == 1L)
+    val masked = graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(masked == (0L until 10L).toSet -- Set(3L, 7L, 8L),
+      "both delete epochs must mask reads immediately")
+    CompactTool.compact(spark, "packed", dir)
+    assert(!new java.io.File(dir, "tombstones").exists(),
+      "CompactTool must retire the applied tombstones")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).toSet -- Set(3L, 7L, 8L))
+    intercept[IllegalArgumentException] {
+      ForgetTool.forget(spark, "nope", dir, Seq(1L))
+    }
   }
 }

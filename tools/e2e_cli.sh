@@ -191,4 +191,30 @@ assert hb > 0, "heartbeat side-channel is empty"
 print(f"AUDIT-COUNT ORACLE OK: produced={produced} audited={audited} "
       f"vectors={vecs[0]} epochs={epochs} heartbeats={hb}")
 EOF
+# ---- phase 3: right to be forgotten at the CLI (stopped pipeline)
+#   ForgetTool tombstones ids -> CompactTool purges the bytes and
+#   retires the tombstone store -> the at-rest corpus reads as if the
+#   ids never landed
+echo "== phase 3: right to be forgotten (ForgetTool + CompactTool)"
+$JAVA graft.ForgetTool ivf "$BASE/ivf-index" 42,77,107 2>&1 | grep -v INFO | tail -1
+$JAVA graft.CompactTool ivf "$BASE/ivf-index" 2>&1 | grep -v INFO | tail -1
+python3 - "$BASE" <<'EOF'
+import sys, os, duckdb
+base = sys.argv[1]
+assert not os.path.exists(base + "/ivf-index/tombstones"), \
+    "compaction must retire the applied tombstone store"
+subs = sorted(d for d in os.listdir(base + "/ivf-index/corpus")
+              if d.startswith("epoch="))
+assert subs == ["epoch=-1"], f"corpus not fully compacted: {subs}"
+vecs = duckdb.sql(
+    "SELECT count(*), count(DISTINCT vec_id) FROM parquet_scan("
+    f"'{base}/ivf-index/corpus/*/*/*.parquet', hive_partitioning=1)").fetchone()
+assert vecs == (147, 147), f"purge must leave 147 vectors exactly: {vecs}"
+gone = duckdb.sql(
+    "SELECT count(*) FROM parquet_scan("
+    f"'{base}/ivf-index/corpus/*/*/*.parquet', hive_partitioning=1) "
+    "WHERE vec_id IN (42, 77, 107)").fetchone()[0]
+assert gone == 0, f"forgotten ids still present in the at-rest bytes: {gone}"
+print(f"FORGET ORACLE OK: vectors={vecs[0]} forgotten_ids_present={gone}")
+EOF
 echo "E2E CLI GATE: PASS"
