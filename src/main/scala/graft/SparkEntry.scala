@@ -138,7 +138,7 @@ object SparkEntry {
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
-    "d104_attention_spans")
+    "d104_attention_spans", "e38_ivf_mmr_at_rest")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -3303,6 +3303,16 @@ object SparkEntry {
             col("start_offset") + col("n_tokens") - col("block_id") * 512L)
             .as("span_end"))
         .orderBy("block_id", "doc_id")),
+    "d105_contrastive_views" -> ((s, d) =>
+      // contrastive two-crop augmentation (SimCSE-style positives):
+      // first/last ceil(2n/3)-word views with a guaranteed >= n/3-word
+      // overlap; deterministic crops, so replayed epochs emit identical
+      // pairs and the oracle rebuilds every byte. Narrow projection.
+      graft.operators.TrainingFormats.contrastiveViews(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_overlap"),
+          md5(col("view_a")).as("view_a_md5"),
+          md5(col("view_b")).as("view_b_md5"))
+        .orderBy("doc_id")),
     "d102_dpo_pairs" -> ((s, d) => {
       // DPO/RLHF preference-pair assembly: candidates group by a prompt
       // key, a deterministic reward (distinct-token count scaled, plus
@@ -4256,6 +4266,38 @@ object SparkEntry {
           s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+    "e38_ivf_mmr_at_rest" -> ((s, d) => {
+      // MMR diversified retrieval OVER THE STANDING INDEX — the
+      // RAG-serving shape end to end: candidates come from a
+      // partition-pruned at-rest probe (top-20 cosine from each
+      // anchor's 2 cells), the greedy lambda-weighted
+      // relevance-vs-redundancy re-rank picks 8 on the driver over the
+      // contract-bounded candidate set. Oracle: independent Python
+      // replay (FixtureOracles) of BOTH stages — cell routing and every
+      // greedy argmax — with margin asserts so float noise cannot flip
+      // a pick.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_e38_mmr_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.streaming.StreamingIvf.mmrSearch(
+          s, path, emb.filter(col("vec_id") < 5),
+          candidates = 20, k = 8, lambda = 0.7, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("mmr_score"), 6).as("mmr_score"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
     "e37_triplets_at_rest" -> ((s, d) => {
@@ -6640,6 +6682,20 @@ object SparkEntry {
            LEAST(512, start_offset + n_tokens - block_id * 512)::BIGINT
              AS span_end
          FROM e ORDER BY block_id, doc_id""",
+    // d105: byte-exact crop replay — integer // for ceil(2n/3) =
+    // (2n+2)//3, 1-based inclusive list slices mirror slice()
+    "d105_contrastive_views" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> length(x) > 0) AS w
+           FROM documents),
+         s AS (SELECT doc_id, len(w) AS n, ((2 * len(w) + 2) // 3) AS c, w
+           FROM t WHERE len(w) >= 3)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           (2 * c - n)::BIGINT AS n_overlap,
+           md5(array_to_string(w[1:c], ' ')) AS view_a_md5,
+           md5(array_to_string(w[n-c+1:n], ' ')) AS view_b_md5
+         FROM s ORDER BY doc_id""",
     // d102: window replay of the struct-max/min pair pick — chosen by
     // (reward DESC, id DESC), rejected by (reward ASC, id ASC), the
     // lexicographic tiebreak the struct aggregation implements

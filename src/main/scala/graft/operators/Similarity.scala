@@ -805,12 +805,23 @@ object Similarity {
     val rows = c.join(broadcast(cand), "corpus_id")
       .select(col("query_id"), col("corpus_id"), col("rel"), col("corpus_vec"))
       .collect()
+    mmrSelect(rows, k, lambda).toDF("query_id", "corpus_id", "mmr_score", "rank")
+  }
+
+  /** The driver-side greedy MMR selection over a CONTRACT-BOUNDED
+    * candidate set — shared by [[mmrDiversifyTopK]] (brute-force
+    * candidates) and [[graft.streaming.StreamingIvf.mmrSearch]]
+    * (at-rest partition-pruned candidates). `rows` =
+    * (query_id, corpus_id, rel, corpus_vec); returns one pick tuple per
+    * (query, rank). Ties resolve to the lowest corpus id. */
+  private[graft] def mmrSelect(rows: Array[org.apache.spark.sql.Row], k: Int,
+      lambda: Double): Seq[(Long, Long, Double, Int)] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val out = rows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
+    rows.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rs) =>
       // (id, rel, vec) sorted (rel desc, id asc) — the candidate order
       val cands = rs.map { r =>
         (r.getLong(1), r.getDouble(2),
@@ -840,9 +851,8 @@ object Similarity {
         selected += pick
         picks += ((qid, pick._1, bestScore, selected.size))
       }
-      picks
+      picks.toSeq
     }
-    out.toDF("query_id", "corpus_id", "mmr_score", "rank")
   }
 
   /** Semantic decontamination: score every corpus vector against a benchmark

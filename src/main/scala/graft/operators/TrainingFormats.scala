@@ -128,6 +128,31 @@ object TrainingFormats {
         concat(col("prefix"), col("atext"), lit(endTag)).as("rendered"))
   }
 
+  /** Contrastive two-VIEW augmentation (the SimCSE/CLIP-text data
+    * shape): each document emits two overlapping word crops — the first
+    * and last ceil(2n/3) words — that a contrastive trainer treats as a
+    * positive pair; the guaranteed ≥ n/3-word overlap keeps the views
+    * semantically anchored while the differing thirds make them
+    * non-identical. Deterministic crops (no RNG) keep epoch replay
+    * byte-identical and the oracle byte-exact. Documents under three
+    * words cannot produce two distinct overlapping views and emit
+    * nothing. One narrow projection — scan speed at 100 TB.
+    *
+    * Output: (idCol, n_tokens, n_overlap, view_a, view_b). */
+  def contrastiveViews(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), x => length(x) > 0)
+    docs.select(col(idCol), toks.as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 3)
+      .withColumn("c", floor((col("n") * 2 + 2) / 3).cast("int"))
+      .select(col(idCol), col("n").cast("long").as("n_tokens"),
+        (col("c") * 2 - col("n")).cast("long").as("n_overlap"),
+        array_join(slice(col("w"), lit(1), col("c")), " ").as("view_a"),
+        array_join(slice(col("w"), col("n") - col("c") + 1, col("c")), " ")
+          .as("view_b"))
+  }
+
   /** Span corruption — the T5/UL2 denoising objective (Raffel et al.
     * 2020 §3.1.4): mask contiguous word SPANS, emit the encoder view
     * (each span collapsed to one `<extra_id_k>` sentinel) and the

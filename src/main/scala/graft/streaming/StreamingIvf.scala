@@ -135,6 +135,35 @@ object StreamingIvf {
       queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
       predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")))
 
+  /** MMR diversified retrieval over the AT-REST index — the standing
+    * form of [[Similarity.mmrDiversifyTopK]] (the RAG-serving shape:
+    * diversified top-k straight off the standing store): the candidate
+    * stage is a partition-pruned [[filteredSearch]] probe
+    * (top-`candidates` cosine from each anchor's nProbe cells, un-
+    * compacted tombstones masked), the greedy λ·rel − (1−λ)·redundancy
+    * re-rank is [[Similarity.mmrSelect]]'s driver-side selection over
+    * the CONTRACT-BOUNDED candidate set (candidates × |queries| rows —
+    * never corpus-sized). Candidate vectors re-attach via one broadcast
+    * join against a two-column corpus scan. */
+  def mmrSearch(spark: SparkSession, path: String, queries: DataFrame,
+      candidates: Int, k: Int, lambda: Double = 0.7, nProbe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val cand = filteredSearch(spark, path, queries, candidates, nProbe,
+        vecCol, idCol)
+      .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"))
+    val corpus = spark.read.option("basePath", s"$path/corpus")
+      .parquet(s"$path/corpus")
+      .select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).as("corpus_vec"))
+    val rows = corpus.join(broadcast(cand), "corpus_id")
+      .select(col("query_id"), col("corpus_id"), col("rel"),
+        col("corpus_vec"))
+      .collect()
+    Similarity.mmrSelect(rows, k, lambda)
+      .toDF("query_id", "corpus_id", "mmr_score", "rank")
+  }
+
   /** Triplet ASSEMBLY over the AT-REST index — the standing form of
     * [[Similarity.tripletMine]]: each anchor's hardest positive (top
     * same-label cosine among its probed cells) joined onto its top-k

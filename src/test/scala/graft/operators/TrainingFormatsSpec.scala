@@ -141,6 +141,36 @@ class TrainingFormatsSpec extends AnyFunSuite with SparkTestBase {
       "score ties must break by id on both the chosen and rejected ends")
   }
 
+  test("contrastiveViews: crops overlap by exactly the middle third, short docs drop") {
+    val corpus = Seq(
+      (0L, "a b c"),                         // n=3: c=2, overlap 1
+      (1L, "one two three four five six"),   // n=6: c=4, overlap 2
+      (2L, "w1 w2 w3 w4 w5 w6 w7"),          // n=7: c=5, overlap 3
+      (3L, "too short"),                     // n=2: no distinct views
+      (4L, "solo")                           // n=1
+    ).toDF("doc_id", "text")
+    val out = TrainingFormats.contrastiveViews(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L),
+      "documents under three words cannot form two overlapping views")
+    out.values.foreach { r =>
+      val (a, b) = (r.getAs[String]("view_a").split(" "),
+        r.getAs[String]("view_b").split(" "))
+      val n = r.getAs[Long]("n_tokens").toInt
+      val ov = r.getAs[Long]("n_overlap").toInt
+      assert(a.length == b.length && a.length < n,
+        "views are same-length strict crops")
+      // the views tile the doc: a's tail IS b's head, length = n_overlap
+      assert(a.takeRight(ov).sameElements(b.take(ov)),
+        "overlap must be the shared middle slice")
+      assert((a ++ b.drop(ov)).length == n,
+        "a + b minus the overlap reassembles the document")
+      assert(ov >= n / 3, "overlap floor: at least a third of the doc")
+    }
+    assert(out(1L).getAs[String]("view_a") == "one two three four")
+    assert(out(1L).getAs[String]("view_b") == "three four five six")
+  }
+
   test("chatLossMask: the loss span is exactly the assistant reply's chars") {
     val convo = Seq(
       (0L, "hello there how are you"),    // 5 words: user 3, assistant 2

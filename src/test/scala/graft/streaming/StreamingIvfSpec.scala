@@ -92,6 +92,34 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == 0, "no same-label partner => no triplets")
   }
 
+  test("at-rest mmrSearch at full probe equals the brute-force MMR re-rank") {
+    val path = Files.createTempDirectory("graft-sivf-mmr").toString
+    val emb = all.toDF("vec_id", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(emb.filter(col("vec_id") < 15), path, 0L)
+    StreamingIvf.appendEpoch(emb.filter(col("vec_id") >= 15), path, 1L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val atRest = StreamingIvf.mmrSearch(spark, path, queries,
+        candidates = 10, k = 5, lambda = 0.7, nProbe = 4)
+      .select("query_id", "corpus_id", "mmr_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.mmrDiversifyTopK(emb, queries,
+        candidates = 10, k = 5, lambda = 0.7)
+      .select("query_id", "corpus_id", "mmr_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(atRest == brute,
+      "full-probe at-rest MMR must equal the brute-force re-rank exactly")
+    // diversified picks per query: k rows, ranks 1..k, no duplicate ids
+    atRest.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size == 5 && rows.map(_._4) == (1 to 5).toSet,
+        s"query $q must get exactly k ranked picks")
+      assert(rows.map(_._2).size == 5, s"query $q repeated a pick")
+    }
+  }
+
   test("filteredSearch applies an arbitrary payload predicate at the probe scan") {
     val path = Files.createTempDirectory("graft-sivf-flt").toString
     val tagged = all.map { case (i, v) => (i, (i % 5).toInt, v) }

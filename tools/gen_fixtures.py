@@ -649,6 +649,74 @@ def mmr_fixture(sf, candidates=20, k=8, lam=0.7, nq=5):
     return out
 
 
+def mmr_at_rest_fixture(sf, candidates=20, k=8, lam=0.7, nq=5,
+                        n_cents=8, nprobe=2):
+    """INDEPENDENT replay of StreamingIvf.mmrSearch: the e27 greedy over
+    an IVF-RESTRICTED candidate set — corpus vectors whose argmin-L2 cell
+    (first-8 centroids, ties -> lower centroid id) lies in the query's
+    nprobe nearest cells, self excluded. Same margin asserts as
+    mmr_fixture at the candidate cutoff and every greedy argmax."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+
+    def cos(a, b):
+        # mirror CosineSimExpr: left-to-right doubles, sqrt(sa)*sqrt(sb)
+        dot = sa = sb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            sa += x * x
+            sb += y * y
+        d = math.sqrt(sa) * math.sqrt(sb)
+        return 0.0 if d == 0.0 else dot / d
+
+    def d2(a, b):
+        # mirror NearestCellsExpr: left-to-right squared-L2 in doubles
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cents = {i: vecs[i] for i in range(n_cents)}
+
+    def cell_order(v):
+        return sorted((d2(v, cv), ci) for ci, cv in cents.items())
+
+    cell = {i: cell_order(v)[0][1] for i, v in vecs.items()}
+    out = []
+    for q in sorted(i for i in vecs if i < nq):
+        qv = vecs[q]
+        probed = {ci for _, ci in cell_order(qv)[:nprobe]}
+        rels = [(i, cos(qv, vecs[i])) for i in sorted(vecs)
+                if i != q and cell[i] in probed]
+        rels.sort(key=lambda t: (-t[1], t[0]))
+        cand = rels[:candidates]
+        if len(rels) > candidates:
+            gap = cand[-1][1] - rels[candidates][1]
+            assert gap > 1e-9, f"e38 q{q}: candidate cutoff margin {gap}"
+        remaining = list(cand)
+        selected = []
+        while len(selected) < k and remaining:
+            scored = []
+            for i, r in remaining:
+                ms = max(cos(vecs[i], vecs[s]) for s, _ in selected) \
+                    if selected else 0.0
+                scored.append((lam * r - (1 - lam) * ms, i, r))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            if len(scored) > 1:
+                gap = scored[0][0] - scored[1][0]
+                assert gap > 1e-9, \
+                    f"e38 q{q} pick {len(selected)+1}: argmax margin {gap}"
+            best_score, best_id, best_rel = scored[0]
+            assert_rounding_safe(best_score, 6, 1e-9,
+                                 f"e38 mmr q{q} pick {len(selected)+1}")
+            remaining = [(i, r) for i, r in remaining if i != best_id]
+            selected.append((best_id, best_rel))
+            out.append((q, best_id, rnd(best_score, 6), len(selected)))
+    return out
+
+
 def shingle_hash_set(tok_list, n):
     """Mirror ShingleHashesExpr as a SET: chained xxh64 token hashes per
     n-gram window; zero tokens yield {xxh64('', 42)} (the whole-doc
@@ -968,6 +1036,9 @@ def main():
 
     # ---- e27: MMR diversified retrieval — independent greedy replay
     e27_rows = mmr_fixture(sf)
+
+    # ---- e38: at-rest MMR — the same greedy over IVF-probed candidates
+    e38_rows = mmr_at_rest_fixture(sf)
 
     # ---- m13: video near-dup pairs — codec-free arithmetic oracle.
     # A generator frame's raster is fully determined by (w, h) and the
@@ -1756,6 +1827,10 @@ def main():
                " c2::DOUBLE AS mmr_score, c3::BIGINT AS rank FROM (VALUES\n"
                + values(e27_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
                + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
+    e38_sql = ("SELECT c0::BIGINT AS query_id, c1::BIGINT AS corpus_id,"
+               " c2::DOUBLE AS mmr_score, c3::BIGINT AS rank FROM (VALUES\n"
+               + values(e38_rows, lambda r: f"{r[0]}, {r[1]}, {r[2]!r}, {r[3]}")
+               + ") AS t(c0, c1, c2, c3) ORDER BY query_id, rank")
     d70_sql = ("SELECT c0::BIGINT AS doc_id, c1::BIGINT AS n_tokens,"
                " c2::BIGINT AS shard, c3::BIGINT AS bin_id,"
                " c4::BIGINT AS bin_pos, c5::BOOLEAN AS oversize FROM (VALUES\n"
@@ -1864,6 +1939,8 @@ object FixtureOracles {{
       \"\"\"{d70_sql}\"\"\",
     "e27_mmr_diversify" ->
       \"\"\"{e27_sql}\"\"\",
+    "e38_ivf_mmr_at_rest" ->
+      \"\"\"{e38_sql}\"\"\",
     "m13_video_dup_pairs" ->
       \"\"\"{m13_sql}\"\"\",
     "w21_stream_packing" ->
