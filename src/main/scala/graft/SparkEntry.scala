@@ -4097,6 +4097,56 @@ object SparkEntry {
       // exact integer sum-of-squares per 128-sample window
       Multimodal.audioWindowEnergy(syntheticAudio(s, d), windowSamples = 128)
         .toDF().orderBy("media_id", "win_idx")),
+    "m15_interleaved_assembly" -> ((s, d) => {
+      // MMC4/OBELICS-style interleaved image-text ASSEMBLY — the
+      // multimodal training-doc reshape: each document's image (a real
+      // PNG in m7's at-rest binaryFile layout) splices into the word
+      // stream at a deterministic position as an <image WxH> placeholder
+      // whose dims come from the ACTUAL ImageIO decode of the bytes; the
+      // oracle predicts them by arithmetic (the m7 stance) and rebuilds
+      // the assembled sequence byte-exactly. Binary side joins the text
+      // side by id — a 200-row broadcast against a narrow projection.
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_m15_media_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      dir.mkdirs()
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long].collect()
+      ids.foreach { id =>
+        val f = new java.io.File(dir, f"img$id%05d.png")
+        if (!f.exists()) {
+          val img = Multimodal.syntheticImage(id * 2)
+          java.nio.file.Files.write(f.toPath, img)
+        }
+      }
+      val expected = ids.map(id => f"img$id%05d.png").toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".png") && !expected.contains(f.getName))
+        .foreach(_.delete())
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(dir.getAbsolutePath)
+        .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
+          .cast("long").as("media_id"), col("content"))
+      val dims = Multimodal.decodeImages(files).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"))
+      val toks = filter(split(trim(col("text")), "\\s+"), x => length(x) > 0)
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), toks.as("w"))
+        .join(broadcast(dims), "doc_id")
+        .withColumn("n", size(col("w")))
+        .withColumn("p", least(col("n"),
+          (lit(1) + pmod(col("doc_id"), lit(7))).cast("int")))
+        .withColumn("tag", concat(lit("<image "),
+          col("width").cast("string"), lit("x"),
+          col("height").cast("string"), lit(">")))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("p").cast("long").as("insert_pos"), col("width"), col("height"),
+          md5(concat_ws(" ", concat(
+            slice(col("w"), lit(1), col("p")), array(col("tag")),
+            slice(col("w"), col("p") + 1, col("n") - col("p")))))
+            .as("seq_md5"))
+        .orderBy("doc_id")
+    }),
     "m7_binary_files" -> ((s, d) => {
       // the real at-rest media ingest path: individual image FILES read via
       // the binaryFile source (path/length/content rows, pathGlobFilter
@@ -7178,6 +7228,24 @@ object SparkEntry {
          (16 + ((doc_id // 7) % 40))::INT AS height,
          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
          FROM documents ORDER BY media_id""",
+    // m15: m7's closed-form dims + byte-exact splice replay (1-based
+    // inclusive list slices; '||' int-to-string casts mirror concat)
+    "m15_interleaved_assembly" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> length(x) > 0) AS w
+           FROM documents WHERE doc_id < 200),
+         s AS (SELECT doc_id, len(w) AS n,
+             LEAST(len(w), 1 + (doc_id % 7))::INT AS p,
+             (16 + ((doc_id*2) % 48))::INT AS width,
+             (16 + (((doc_id*2) // 7) % 40))::INT AS height, w
+           FROM t)
+         SELECT doc_id, n::BIGINT AS n_tokens, p::BIGINT AS insert_pos,
+           width, height,
+           md5(array_to_string(list_concat(list_concat(w[1:p],
+             ['<image ' || width || 'x' || height || '>']), w[p+1:n]), ' '))
+             AS seq_md5
+         FROM s ORDER BY doc_id""",
     "m7_binary_files" ->
       """SELECT doc_id AS media_id,
          (16 + ((doc_id*2) % 48))::INT AS width,
