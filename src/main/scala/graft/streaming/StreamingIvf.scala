@@ -135,6 +135,34 @@ object StreamingIvf {
       queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
       predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")))
 
+  /** Semi-hard negative mining over the AT-REST index — the standing
+    * form of [[Similarity.semiHardNegativeTopK]] (FaceNet's semi-hard
+    * band): negatives rank only when their cosine sits STRICTLY UNDER
+    * the anchor's hardest-positive cosine, both sides read from the
+    * probed cells. The per-anchor threshold is the label-EQUALITY
+    * probe's top-1 cosine; it rides back into the anchor frame as a
+    * payload column and applies POST-SCORE via `scorePredicate` —
+    * before the top-k, so over-threshold candidates never occupy result
+    * slots. Anchors with no same-label partner in their probed cells
+    * emit nothing (the e35 law, under the standard IVF recall trade;
+    * at full probe this equals the brute-force miner, spec-pinned). */
+  def semiHardNegativeSearch(spark: SparkSession, path: String,
+      anchors: DataFrame, k: Int, nProbe: Int = 2,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val pos = filteredSearch(spark, path, anchors, k = 1, nProbe, vecCol, idCol,
+        queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
+        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")))
+      .select(col("query_id"), col("cosine").as("pc"))
+    val anchored = anchors.join(pos,
+      anchors(idCol).cast("long") === pos("query_id")).drop("query_id")
+    filteredSearch(spark, path, anchored, k, nProbe, vecCol, idCol,
+      queryPayloadCols = Seq(labelCol, "pc"),
+      corpusPayloadCols = Seq(labelCol),
+      predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")),
+      scorePredicate = Some(col("cosine") < col("query_pc")))
+  }
+
   /** MMR diversified retrieval over the AT-REST index — the standing
     * form of [[Similarity.mmrDiversifyTopK]] (the RAG-serving shape:
     * diversified top-k straight off the standing store): the candidate
@@ -197,12 +225,17 @@ object StreamingIvf {
     * `corpusPayloadCols` surface to the predicate as `corpus_<name>`,
     * `queryPayloadCols` (from the queries frame) as `query_<name>`.
     * Anchors are broadcast; the partial-aggregated top-k keeps the
-    * exchange ≤ k rows per (anchor, partition). */
+    * exchange ≤ k rows per (anchor, partition). `scorePredicate` is the
+    * POST-SCORE twin of `predicate` — it may reference `cosine` and the
+    * `query_<name>` payload columns (e.g. a per-anchor margin threshold:
+    * [[semiHardNegativeSearch]]), and applies before the top-k so
+    * excluded candidates never occupy result slots. */
   def filteredSearch(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id", queryPayloadCols: Seq[String] = Nil,
       corpusPayloadCols: Seq[String] = Nil,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      scorePredicate: Option[Column] = None): DataFrame = {
     val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
     val topk = udaf(new ScoredTopKAggregator(k))
     val queryCells = queries
@@ -230,8 +263,11 @@ object StreamingIvf {
     val scored = corpus.join(broadcast(queryCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .filter(predicate.getOrElse(lit(true)))
-      .select(col("query_id"), col("corpus_id"),
-        VectorFunctions.cosine(col("query_vec"), col("corpus_vec")).as("cosine"))
+      .select(col("query_id") +: col("corpus_id") +:
+        VectorFunctions.cosine(col("query_vec"), col("corpus_vec"))
+          .as("cosine") +:
+        queryPayloadCols.map(c => col(s"query_$c")): _*)
+      .filter(scorePredicate.getOrElse(lit(true)))
     scored.groupBy("query_id").agg(topk(col("corpus_id"), col("cosine")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.id").as("corpus_id"),

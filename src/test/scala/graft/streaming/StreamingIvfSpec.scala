@@ -92,6 +92,42 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == 0, "no same-label partner => no triplets")
   }
 
+  test("at-rest semi-hard mining at full probe equals the brute-force miner") {
+    val path = Files.createTempDirectory("graft-sivf-semih").toString
+    val labeled = all.map { case (i, v) => (i, (i % 3).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") < 15), path, 0L,
+      payloadCols = Seq("label"))
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") >= 15), path, 1L,
+      payloadCols = Seq("label"))
+    val anchors = labeled.filter(col("vec_id") < 3)
+    val atRest = StreamingIvf.semiHardNegativeSearch(spark, path, anchors,
+        k = 5, nProbe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.semiHardNegativeTopK(labeled, anchors, k = 5)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(atRest == brute,
+      "full-probe at-rest semi-hard mining must equal the brute-force miner")
+    // every negative sits STRICTLY under its anchor's hardest positive
+    val pc = StreamingIvf.filteredSearch(spark, path, anchors, k = 1,
+        nProbe = 4, queryPayloadCols = Seq("label"),
+        corpusPayloadCols = Seq("label"),
+        predicate = Some(col("corpus_label") === col("query_label")))
+      .select("query_id", "cosine").as[(Long, Double)].collect().toMap
+    StreamingIvf.semiHardNegativeSearch(spark, path, anchors, k = 5,
+        nProbe = 4)
+      .select("query_id", "cosine").as[(Long, Double)].collect()
+      .foreach { case (q, c) =>
+        assert(c < pc(q), s"anchor $q negative at $c >= positive ${pc(q)}")
+      }
+  }
+
   test("at-rest mmrSearch at full probe equals the brute-force MMR re-rank") {
     val path = Files.createTempDirectory("graft-sivf-mmr").toString
     val emb = all.toDF("vec_id", "embedding")
