@@ -133,19 +133,9 @@ object ThriftLogGen {
   }
 }
 
-/** Stopped-pipeline state maintenance CLI — fold a standing store's
-  * per-epoch directories into one (`epoch=-1` / `batch=-1`) via
-  * [[graft.streaming.StateCompaction]]'s crash-safe commit-marker swap.
-  * The reference keeps state maintenance in operator tooling (its
-  * `tools/` tree); same stance here. Run ONLY while the owning pipeline
-  * is drained (admin socket `stop`) — compaction rewrites the directory
-  * the next epoch appends into; the checkpoint is untouched, so a
-  * restart resumes from the compacted state exactly
-  * ([[graft.streaming.StreamingCuration.compactState]]'s contract).
-  *
-  * Usage: graft.CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]
-  */
-/** Right-to-be-forgotten CLI — tombstone ids in a standing store. Safe
+/** Right-to-be-forgotten CLI — tombstone ids in a standing store
+  * (including the curation state, whose tombstones also erase the dedup
+  * FINGERPRINTS so re-submissions of erased content are admitted). Safe
   * while the owning pipeline RUNS (tombstones land as their own epoch
   * relation; probes and reads mask them immediately via the broadcast
   * anti-join every store's read path applies); the next [[CompactTool]]
@@ -153,7 +143,7 @@ object ThriftLogGen {
   * writes the next free tombstone epoch unless one is given, so repeated
   * delete requests accumulate instead of overwriting each other.
   *
-  * Usage: graft.ForgetTool <ivf|bm25|packed> <path> <id,id,...|@idsFile> [epoch]
+  * Usage: graft.ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]
   */
 object ForgetTool {
 
@@ -168,8 +158,10 @@ object ForgetTool {
         graft.streaming.StreamingBm25.deleteEpoch(ids.toDF("doc_id"), path, e)
       case "packed" =>
         graft.sources.PackedCorpus.deleteEpoch(ids.toDF("doc_id"), path, e)
+      case "curation" =>
+        graft.streaming.StreamingCuration.deleteEpoch(ids.toDF("doc_id"), path, e)
       case other => throw new IllegalArgumentException(
-        s"unknown store kind '$other' (want ivf|bm25|packed)")
+        s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
     }
     e
   }
@@ -190,7 +182,7 @@ object ForgetTool {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ForgetTool <ivf|bm25|packed> <path> <id,id,...|@idsFile> [epoch]")
+      "usage: ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]")
     val ids: Seq[Long] =
       if (args(2).startsWith("@"))
         Files.readAllLines(Paths.get(args(2).drop(1))).asScala.toSeq
@@ -214,6 +206,18 @@ object ForgetTool {
   }
 }
 
+/** Stopped-pipeline state maintenance CLI — fold a standing store's
+  * per-epoch directories into one (`epoch=-1` / `batch=-1`) via
+  * [[graft.streaming.StateCompaction]]'s crash-safe commit-marker swap.
+  * The reference keeps state maintenance in operator tooling (its
+  * `tools/` tree); same stance here. Run ONLY while the owning pipeline
+  * is drained (admin socket `stop`) — compaction rewrites the directory
+  * the next epoch appends into; the checkpoint is untouched, so a
+  * restart resumes from the compacted state exactly
+  * ([[graft.streaming.StreamingCuration.compactState]]'s contract).
+  *
+  * Usage: graft.CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]
+  */
 object CompactTool {
 
   def compact(spark: org.apache.spark.sql.SparkSession, kind: String,

@@ -138,7 +138,7 @@ object SparkEntry {
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
-    "d104_attention_spans", "e38_ivf_mmr_at_rest")
+    "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -4380,6 +4380,33 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("anchor_id", "rank")
     }),
+    "w36_ivf_semihard" -> ((s, d) => {
+      // e35's semi-hard band mined from the STANDING index — completes
+      // the at-rest negative-mining matrix (w30 hard, e37 triplets,
+      // this semi-hard): the per-anchor hardest-positive threshold is
+      // itself a label-equality probe of the at-rest corpus, and the
+      // strict cos < pc margin applies POST-SCORE before the top-k so
+      // over-threshold candidates never occupy result slots.
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w36_semih_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.streaming.StreamingIvf.init(cents, path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 3L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e, payloadCols = Seq("label"))
+      }
+      graft.streaming.StreamingIvf.semiHardNegativeSearch(
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "w31_ivf_filtered_probe" -> ((s, d) => {
       // the GENERAL payload-predicate form of the filtered-ANN-at-rest
       // shape (w30 is the label-disequality special case): a derived
@@ -6665,6 +6692,40 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+    // w36: w30's probe chain + the per-anchor probed-cell hardest-
+    // positive threshold (max same-label cos), strict margin, ranked
+    // after the filter — e35's semantics over the at-rest candidates
+    "w36_ivf_semihard" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, ql, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, q.label AS ql, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           cand AS (
+             SELECT qc.query_id, qc.ql, cc.vec_id AS corpus_id, e.label AS cl,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           pos AS (SELECT query_id, max(cos) AS pc FROM cand
+             WHERE cl = ql GROUP BY 1),
+           r AS (SELECT cand.query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM cand JOIN pos ON pos.query_id = cand.query_id
+             WHERE cl <> ql AND cos < pc)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // e37: w30's probe chain run TWICE over the candidates — label
     // equality (r=1 → hardest positive) and disequality (rank ≤ 3 →
     // negatives) — joined per anchor; no-positive anchors emit nothing

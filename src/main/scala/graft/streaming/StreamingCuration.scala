@@ -288,8 +288,12 @@ object StreamingCuration {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val digests = readStateOr(spark, s"$stateDir/digests", emptyDigests(spark))
-        val sigs = readStateOr(spark, s"$stateDir/sigs", emptySigs(spark))
+        // un-compacted tombstones mask the dedup memory: a batch arriving
+        // after a delete is judged as if the deleted docs never landed
+        val digests = maskTombstones(spark, stateDir,
+          readStateOr(spark, s"$stateDir/digests", emptyDigests(spark)), "id")
+        val sigs = maskTombstones(spark, stateDir,
+          readStateOr(spark, s"$stateDir/sigs", emptySigs(spark)), "id")
         val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
           minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
         // deltas first (overwrite = replay-idempotent), verdict last
@@ -302,18 +306,62 @@ object StreamingCuration {
   }
 
   /** All per-batch state under `dir` (batch=N subdirs), or `empty` when no
-    * batch has committed yet. */
+    * batch has committed yet. Listed through the Hadoop `FileSystem`
+    * resolved from the dir URI — the channel the state itself is written
+    * through — so hdfs:// / object-store state dirs read correctly
+    * (a `java.io.File` listing would silently read as empty there, the
+    * StateCompaction lesson). */
   private def readStateOr(spark: SparkSession, dir: String, empty: DataFrame): DataFrame = {
-    val subdirs = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .map(_.getAbsolutePath)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sessionState.newHadoopConf())
+    val subdirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
     if (subdirs.isEmpty) empty
     else spark.read.parquet(subdirs.toIndexedSeq: _*)
   }
 
-  /** Cumulative verdicts written by [[run]] so far. */
+  /** Tombstone DELETE for the standing curation state — right to be
+    * forgotten for FINGERPRINTS: erasing a document must also erase its
+    * dedup memory (exact digest + LSH signatures) and its verdict rows,
+    * or the pipeline would keep suppressing future re-submissions of
+    * content whose original is gone — the opposite of forgetting.
+    * Deleted ids land as one per-epoch tombstone relation (idempotent
+    * overwrite); every state read masks them immediately (broadcast
+    * anti-join: [[run]]'s next batch is judged as if the docs never
+    * landed, [[verdicts]] stops reporting them), and [[compactState]]
+    * folds them into the rewrite and clears the store — the same LSM
+    * delete as the other three standing stores. */
+  def deleteEpoch(ids: DataFrame, stateDir: String, epoch: Long,
+      idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/tombstones/batch=$epoch")
+
+  private def tombstoneDf(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
+      spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Mask un-compacted tombstones out of a state relation keyed by
+    * `keyCol` (broadcast anti-join — the delete set is tiny). */
+  private def maskTombstones(spark: SparkSession, stateDir: String,
+      df: DataFrame, keyCol: String): DataFrame =
+    tombstoneDf(spark, stateDir)
+      .map(t => df.join(
+        broadcast(t.select(col("id").cast("long").as(keyCol)).distinct()),
+        Seq(keyCol), "left_anti"))
+      .getOrElse(df)
+
+  /** Cumulative verdicts written by [[run]] so far, minus any
+    * un-compacted tombstones. */
   def verdicts(spark: SparkSession, stateDir: String, idCol: String = "doc_id"): DataFrame =
-    readStateOr(spark, s"$stateDir/verdicts", emptyVerdict(spark, idCol))
+    maskTombstones(spark, stateDir,
+      readStateOr(spark, s"$stateDir/verdicts", emptyVerdict(spark, idCol)),
+      idCol)
 
   /** Fold the per-epoch state subdirectories into one (`batch=-1`) each —
     * run while the pipeline is stopped; see [[StateCompaction]] for the
@@ -322,9 +370,30 @@ object StreamingCuration {
     * epochs it replaced, and future epochs (≥ 0) can never collide with
     * it. A fresh checkpoint restarts epoch numbering at 0 and would
     * re-ingest — compaction does not change that contract, the checkpoint
-    * IS the ingest position. */
-  def compactState(spark: SparkSession, stateDir: String): Unit =
-    Seq("digests", "sigs", "verdicts").foreach { sub =>
-      StateCompaction.compact(spark, s"$stateDir/$sub", key = "batch")
+    * IS the ingest position.
+    *
+    * Pending [[deleteEpoch]] tombstones fold into the rewrite (digest,
+    * signature, and verdict rows of deleted ids dropped) and the store
+    * clears LAST — a crash between the swaps and the clear loses nothing
+    * because reapplying a tombstone whose rows are gone is a no-op.
+    * `idCol` names the verdict relation's id column (the [[run]]
+    * caller's choice). */
+  def compactState(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id"): Unit = {
+    val ts = tombstoneDf(spark, stateDir)
+      .map(_.select(col("id").cast("long").as("id")).distinct())
+    def drop(df: DataFrame, keyCol: String): DataFrame =
+      ts.map(t => df.join(broadcast(t.select(col("id").as(keyCol))),
+        Seq(keyCol), "left_anti")).getOrElse(df)
+    Seq("digests" -> "id", "sigs" -> "id", "verdicts" -> idCol).foreach {
+      case (sub, kc) =>
+        StateCompaction.compact(spark, s"$stateDir/$sub", key = "batch",
+          transform = df => drop(df, kc))
     }
+    ts.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
+      org.apache.hadoop.fs.FileSystem.get(p.toUri,
+        spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
 }

@@ -96,4 +96,59 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // cross-restart state: 4 exact-dups 1 (batch 1) judged after restart
     assert(streamed(4L)._1 == "exact_dup" && streamed(5L)._1 == "near_dup")
   }
+
+  test("tombstones erase the dedup fingerprints: re-submitted copies are admitted") {
+    val inDir = tempDir("graft-curtomb-in")
+    val stateDir = tempDir("graft-curtomb-state").toString
+    val cpDir = tempDir("graft-curtomb-cp").toString
+    def writeBatch(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(inDir.resolve(name),
+        docs.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+    def stream = spark.readStream
+      .schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", 1)
+      .json(inDir.toString)
+    val probesDf = probes.toDF("doc_id", "text")
+
+    writeBatch("b1.json", docsAll.take(2)) // docs 1 and 2, both kept
+    val q1 = StreamingCuration.run(stream, probesDf, stateDir, cpDir)
+    q1.processAllAvailable(); q1.stop()
+    assert(StreamingCuration.verdicts(spark, stateDir).count() == 2)
+
+    // forget doc 1: its verdict vanishes from reads immediately
+    StreamingCuration.deleteEpoch(Seq(1L).toDF("doc_id"), stateDir, 0L)
+    assert(StreamingCuration.verdicts(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "a tombstoned doc must vanish from the verdict relation immediately")
+
+    // an exact copy (101) and a near copy (102) of the ERASED doc arrive:
+    // with the fingerprints masked both must be ADMITTED, while a copy
+    // of the still-present doc 2 (103) is still suppressed
+    writeBatch("b2.json", Seq(
+      (101L, docsAll.head._2),
+      (102L, docsAll(4)._2),  // doc 5's text = near-dup of doc 1's
+      (103L, docsAll(1)._2)))
+    val q2 = StreamingCuration.run(stream, probesDf, stateDir, cpDir)
+    q2.processAllAvailable(); q2.stop()
+    val after = StreamingCuration.verdicts(spark, stateDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after(101L) == "kept",
+      "an exact copy of an erased doc must be admitted, not exact_dup")
+    assert(after(102L) == "near_dup",
+      "the re-admitted copy's OWN fingerprints re-arm dedup (101 is state)")
+    assert(after(103L) == "exact_dup",
+      "deleting doc 1 must not erase doc 2's fingerprints")
+
+    // compact purges the erased doc from the at-rest bytes + clears the store
+    StreamingCuration.compactState(spark, stateDir)
+    assert(!new java.io.File(s"$stateDir/tombstones").exists(),
+      "compaction must retire the applied tombstone store")
+    assert(spark.read.parquet(s"$stateDir/digests").filter(col("id") === 1L).count() == 0,
+      "the erased doc's digest must be gone from the rewritten bytes")
+    assert(spark.read.parquet(s"$stateDir/sigs").filter(col("id") === 1L).count() == 0,
+      "the erased doc's signatures must be gone from the rewritten bytes")
+    assert(StreamingCuration.verdicts(spark, stateDir)
+      .filter(col("doc_id") === 1L).count() == 0)
+  }
 }
