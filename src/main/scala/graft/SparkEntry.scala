@@ -138,7 +138,8 @@ object SparkEntry {
     "w28_stream_packed", "w29_compacted_chain", "w30_ivf_hard_negatives",
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
-    "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard")
+    "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
+    "w37_hybrid_at_rest")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2083,6 +2084,53 @@ object SparkEntry {
       val bm = graft.operators.Bm25.topK(docs, qs, k = 10)
       val jc = graft.operators.Hybrid.jaccardTopK(docs, qs, k = 10)
       graft.operators.Hybrid.rrfFuse(Seq(bm, jc), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "w37_hybrid_at_rest" -> ((s, d) => {
+      // HYBRID retrieval off the STANDING stores — reciprocal-rank
+      // fusion of the at-rest lexical index (StreamingBm25) with the
+      // at-rest vector index (StreamingIvf), per query: the
+      // lexical+vector RAG-serving shape with ZERO batch recompute.
+      // Both sides are partition-pruned probes of state the pipelines
+      // maintain (bucket-pruned postings, cell-pruned corpus), and only
+      // RANKS cross the fusion boundary (e31's stance — no score
+      // calibration). Queries are the docs that carry an embedding, so
+      // both probes see the same query set.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val qids = docs.join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val qsText = qids.select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+          .as("text"))
+      val qsVec = emb.join(qids.select(col("doc_id").as("vec_id")), "vec_id")
+      val bmPath = s"${System.getProperty("java.io.tmpdir")}/graft_w37_bm_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ivPath = s"${System.getProperty("java.io.tmpdir")}/graft_w37_iv_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          bmPath, e)
+      }
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.streaming.StreamingIvf.init(cents, ivPath)
+      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val vspan = nv / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+          ivPath, e)
+      }
+      val bm = graft.streaming.StreamingBm25.search(s, bmPath, qsText, k = 10)
+      val iv = graft.streaming.StreamingIvf.search(s, ivPath, qsVec,
+          k = 10, nProbe = 2)
+        .withColumnRenamed("corpus_id", "doc_id")
+      graft.operators.Hybrid.rrfFuse(Seq(bm, iv), topK = 10)
         .orderBy("query_id", "rank")
     }),
     "w27_stream_bm25" -> ((s, d) => {
@@ -7641,6 +7689,70 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY query_id, rank""",
     // w27 = e30's oracle VERBATIM: the standing at-rest index's search
     // must equal the batch recompute exactly (the w8-vs-e6 stance)
+    // w37: w27's BM25 chain + e6's probe chain over the SAME query set
+    // (docs that carry an embedding), fused by e31's RRF arithmetic —
+    // ranks only, rounded fusion scores, ties by (score DESC, doc_id)
+    "w37_hybrid_at_rest" ->
+      """WITH q AS (SELECT d.doc_id AS query_id, d.text
+             FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+             WHERE d.doc_id % 97 = 0),
+         da AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM da),
+         qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)[1:6]) AS term
+           FROM q),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM da),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT qq.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt qq JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         btop AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc),
+         c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+         corpus_cell AS (SELECT vec_id, centroid_id AS cell FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+             FROM embeddings e, c) WHERE r = 1),
+         qv AS (SELECT q.query_id, e.embedding::DOUBLE[] AS v
+           FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+         query_cells AS (SELECT query_id, centroid_id AS cell FROM (
+             SELECT qv.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY qv.query_id
+                 ORDER BY list_distance(qv.v, c.cv), c.centroid_id) AS r
+             FROM qv, c) WHERE r <= 2),
+         vscored AS (SELECT qc.query_id, cc.vec_id AS doc_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos
+           FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+           JOIN embeddings e ON e.vec_id = cc.vec_id
+           JOIN qv ON qv.query_id = qc.query_id
+           WHERE cc.vec_id <> qc.query_id),
+         vtop AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+           FROM vscored),
+         u AS (SELECT query_id, doc_id, rank FROM btop WHERE rank <= 10
+           UNION ALL SELECT query_id, doc_id, rank FROM vtop WHERE rank <= 10),
+         fus AS (SELECT query_id, doc_id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM fus)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     // w34: w27's replay with the corpus (stats, postings, df) taken over
     // the docs MINUS the tombstoned ids, queries still drawn from all
     "w34_bm25_tombstones" ->
