@@ -167,7 +167,9 @@ object ForgetTool {
   }
 
   /** max existing tombstone epoch + 1 (0 for a clean store) — a
-    * partition-dir listing, metadata only. */
+    * partition-dir listing, metadata only. The index stores partition
+    * tombstones by `epoch=`, the curation state by `batch=`; parse
+    * both so repeated deletes ACCUMULATE in every store kind. */
   private def nextTombstoneEpoch(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -175,8 +177,10 @@ object ForgetTool {
       spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case s if s.startsWith("epoch=") =>
-        s.stripPrefix("epoch=").toLong }
+      .collect {
+        case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong
+        case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong
+      }
       .foldLeft(-1L)(math.max) + 1L
   }
 

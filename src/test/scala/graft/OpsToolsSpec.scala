@@ -91,4 +91,21 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
       ForgetTool.forget(spark, "nope", dir, Seq(1L))
     }
   }
+
+  test("ForgetTool: curation deletes accumulate across batch= epochs too") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-forget-cur").toString
+    // fabricate one committed curation batch (digests only is enough for
+    // the epoch-numbering contract under test)
+    Seq((1L, "d1"), (2L, "d2")).toDF("id", "digest")
+      .coalesce(1).write.parquet(s"$dir/digests/batch=0")
+    assert(ForgetTool.forget(spark, "curation", dir, Seq(1L)) == 0L)
+    // the curation store names tombstone epochs batch=N — the second
+    // request must land as batch=1, never overwrite batch=0
+    assert(ForgetTool.forget(spark, "curation", dir, Seq(2L)) == 1L)
+    val ts = spark.read.parquet(s"$dir/tombstones")
+      .select("id").as[Long].collect().toSet
+    assert(ts == Set(1L, 2L),
+      "both delete requests must survive in the tombstone store")
+  }
 }
