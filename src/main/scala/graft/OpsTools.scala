@@ -236,9 +236,14 @@ object CompactTool {
         s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
     }
 
+  /** `ivf-refit` subcommand: install a new quantizer (a centroids
+    * parquet with (centroid_id, centroid_vec)) and re-route the whole
+    * at-rest corpus under it in one commit-marker swap — the
+    * centroid-drift answer ([[graft.streaming.StreamingIvf.refit]]). */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]")
+      "usage: CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]\n" +
+        "       CompactTool ivf-refit <path> <centroidsParquet>")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-compact")
       .master(sys.props.getOrElse("spark.master",
@@ -247,10 +252,18 @@ object CompactTool {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      compact(spark, args(0), args(1),
-        args.lift(2).map(_.toLong)
-          .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
-      System.err.println(s"compacted ${args(0)} store at ${args(1)}")
+      if (args(0).toLowerCase == "ivf-refit") {
+        require(args.length >= 3,
+          "usage: CompactTool ivf-refit <path> <centroidsParquet>")
+        graft.streaming.StreamingIvf.refit(spark, args(1),
+          spark.read.parquet(args(2)))
+        System.err.println(s"refit ivf store at ${args(1)} with ${args(2)}")
+      } else {
+        compact(spark, args(0), args(1),
+          args.lift(2).map(_.toLong)
+            .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
+        System.err.println(s"compacted ${args(0)} store at ${args(1)}")
+      }
     } finally spark.stop()
   }
 }

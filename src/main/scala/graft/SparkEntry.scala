@@ -139,7 +139,7 @@ object SparkEntry {
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
-    "w37_hybrid_at_rest")
+    "w37_hybrid_at_rest", "w38_ivf_refit")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -4515,6 +4515,46 @@ object SparkEntry {
           (round(col("cosine"), 6) >= 0.38).as("is_dup"))
         .orderBy("query_id")
     }),
+    "w38_ivf_refit" -> ((s, d) => {
+      // centroid-drift REFIT of the standing index — the maintenance op
+      // the per-epoch append model defers: a NEW quantizer (12 centroids
+      // vs the 8 the index was built with) and the fully re-routed
+      // corpus stage together under the index root and promote in ONE
+      // commit-marker swap, so probes can never prune new cells against
+      // old centroids. The post-refit search must equal the in-memory
+      // probe with the new centroids — e6's oracle shape at 12 cells.
+      val emb = t(s, d, "embeddings")
+      def cents(n: Int) = emb.filter(col("vec_id") < n)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w38_refit_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // the swap renames the index root: a re-run starts from a clean tree
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".compacting"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".compacting.COMMITTED"), false)
+      graft.streaming.StreamingIvf.init(cents(8), path)
+      val n = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.streaming.StreamingIvf.refit(s, path, cents(12))
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/corpus"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+        "refit must leave only the re-routed epoch")
+      require(s.read.parquet(s"$path/centroids").count() == 12,
+        "refit must install the new quantizer")
+      graft.streaming.StreamingIvf.search(
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
     "w33_ivf_tombstones" -> ((s, d) => {
       // the DELETE path of the standing index (right-to-be-forgotten
       // without an inline rewrite of the at-rest corpus): tombstoned ids
@@ -6955,6 +6995,36 @@ object SparkEntry {
            md5(coalesce(tgt.t, '')) AS tgt_md5
          FROM st LEFT JOIN enc USING (doc_id) LEFT JOIN tgt USING (doc_id)
          ORDER BY doc_id""",
+    // w38: e6's probe chain under the REFIT quantizer — 12 centroids,
+    // every corpus vector re-routed, queries probing the new cells
+    "w38_ivf_refit" ->
+      """WITH c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 12),
+           corpus_cell AS (
+             SELECT vec_id, centroid_id AS cell FROM (
+               SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings e, c) WHERE r = 1),
+           query_cells AS (
+             SELECT query_id, centroid_id AS cell FROM (
+               SELECT q.vec_id AS query_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+               FROM embeddings q, c WHERE q.vec_id < 5) WHERE r <= 2),
+           scored AS (
+             SELECT qc.query_id, cc.vec_id AS corpus_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+             JOIN embeddings e ON e.vec_id = cc.vec_id
+             JOIN embeddings q ON q.vec_id = qc.query_id
+             WHERE cc.vec_id <> qc.query_id),
+           ranked AS (SELECT query_id, corpus_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, corpus_id) AS rank
+             FROM scored)
+         SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     // w33: w8's probe chain over the corpus MINUS the tombstoned ids —
     // the post-compaction index must answer as if they never landed
     "w33_ivf_tombstones" ->

@@ -111,6 +111,42 @@ object StreamingIvf {
     }
   }
 
+  /** REFIT — the answer to centroid drift that the per-epoch append
+    * model defers (see the class doc): rebuild the quantizer and
+    * re-route the WHOLE at-rest corpus under it. The new centroids and
+    * the re-routed corpus stage TOGETHER under the index root and
+    * promote via [[StateCompaction.compactWith]]'s commit-marker swap,
+    * so a crash can never leave probes pruning NEW cells against OLD
+    * centroids (or vice versa) — the two directories change as one
+    * commit. Pending tombstones fold into the re-route (their rows are
+    * dropped, and the store lives inside the swapped root, so apply and
+    * clear are the same commit — the PackedCorpus stance). Payload
+    * columns ride through unchanged. Run while the pipeline is stopped,
+    * like every maintenance op; a hot cell can be right-sized afterwards
+    * with [[compact]]'s targetFileBytes salting. */
+  def refit(spark: SparkSession, path: String, newCentroids: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val cents = Similarity.collectCentroids(newCentroids)
+    val corpus = spark.read.option("basePath", s"$path/corpus")
+      .parquet(s"$path/corpus").drop("epoch").drop("cell")
+    val masked = tombstoneDf(spark, path)
+      .map(t => corpus.join(
+        broadcast(t.select(col(idCol).cast("long").as(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+      .getOrElse(corpus)
+    StateCompaction.compactWith(spark, path) { staging =>
+      newCentroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$staging/centroids")
+      masked
+        .withColumn("cell",
+          element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+            .getField("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/corpus/epoch=-1")
+    }
+  }
+
   /** Top-k cosine probe over the at-rest epoch union — the same search
     * shape as [[graft.operators.IvfIndex.Loaded.search]]: driver-side
     * probed-cell set becomes a LITERAL isin filter so Catalyst prunes the

@@ -128,6 +128,54 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("refit installs a new quantizer atomically, folds tombstones, keeps payloads") {
+    val path = Files.createTempDirectory("graft-sivf-refit").toString
+    val labeled = all.map { case (i, v) => (i, (i % 3).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    def cents(n: Int) = all.take(n).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents(4), path)
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") < 15), path, 0L,
+      payloadCols = Seq("label"))
+    StreamingIvf.appendEpoch(labeled.filter(col("vec_id") >= 15), path, 1L,
+      payloadCols = Seq("label"))
+    StreamingIvf.deleteEpoch(Seq(7L, 21L).toDF("vec_id"), path, 0L)
+    StreamingIvf.refit(spark, path, cents(6))
+    val f = new java.io.File(path)
+    assert(new java.io.File(f, "corpus").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("epoch=-1"),
+      "refit must leave only the re-routed epoch")
+    assert(spark.read.parquet(s"$path/centroids").count() == 6,
+      "refit must install the new quantizer")
+    assert(!new java.io.File(f, "tombstones").exists(),
+      "the swap must retire the folded tombstone store")
+    val rerouted = spark.read.option("basePath", s"$path/corpus")
+      .parquet(s"$path/corpus")
+    assert(rerouted.filter(col("vec_id").isin(7L, 21L)).count() == 0,
+      "tombstoned rows must not survive the re-route")
+    assert(rerouted.columns.contains("label"),
+      "payload columns ride through the refit")
+    // post-refit search == the in-memory probe under the NEW centroids,
+    // over the corpus minus the deletions
+    val atRest = StreamingIvf.search(spark, path,
+        labeled.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val expect = Similarity.ivfTopK(
+        labeled.filter(!col("vec_id").isin(7L, 21L)),
+        labeled.filter(col("vec_id") < 3), cents(6), k = 5, nProbe = 2)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(atRest == expect)
+    // the standing pipeline keeps appending on top of the refit state
+    StreamingIvf.appendEpoch(
+      Seq((99L, 1, vec(99L))).toDF("vec_id", "label", "embedding"),
+      path, 2L, payloadCols = Seq("label"))
+    assert(spark.read.parquet(s"$path/corpus")
+      .filter(col("vec_id") === 99L).count() == 1)
+  }
+
   test("at-rest mmrSearch at full probe equals the brute-force MMR re-rank") {
     val path = Files.createTempDirectory("graft-sivf-mmr").toString
     val emb = all.toDF("vec_id", "embedding")
