@@ -139,7 +139,7 @@ object SparkEntry {
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
-    "w37_hybrid_at_rest", "w38_ivf_refit")
+    "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2131,6 +2131,44 @@ object SparkEntry {
           k = 10, nProbe = 2)
         .withColumnRenamed("corpus_id", "doc_id")
       graft.operators.Hybrid.rrfFuse(Seq(bm, iv), topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "w39_bm25_rebucket" -> ((s, d) => {
+      // REBUCKET of the standing lexical index — w38's lexical analog:
+      // the postings re-route under a NEW bucket count (64 -> 16) in one
+      // commit-marker swap of the postings root; buckets are the probe's
+      // partition-pruning unit, so growing/shrinking the count is how a
+      // deployment keeps one bucket a bounded read as the corpus grows.
+      // Results are bucket-count INVARIANT — the post-rebucket search
+      // must equal w27's oracle verbatim, probed at the new count.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w39_rebkt_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // the swap renames the postings root: re-runs start from a clean tree
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "/postings.compacting"), true)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e, nBuckets = 64)
+      }
+      graft.streaming.StreamingBm25.rebucket(s, path, nBuckets = 16)
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+        "rebucket must leave only the re-routed epoch")
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings/epoch=-1"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .forall(b => b.stripPrefix("bucket=").toLong < 16),
+        "every re-routed bucket must sit under the new count")
+      graft.streaming.StreamingBm25.search(s, path, qs, k = 10, nBuckets = 16)
         .orderBy("query_id", "rank")
     }),
     "w27_stream_bm25" -> ((s, d) => {
@@ -7835,6 +7873,33 @@ object SparkEntry {
            FROM dt),
          qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
            FROM da WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w39: w27's oracle VERBATIM — rebucketing is a pure layout change,
+    // so the post-rebucket search must answer identically
+    "w39_bm25_rebucket" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
          tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
            FROM dt),
          tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok

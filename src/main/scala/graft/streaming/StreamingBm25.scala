@@ -246,6 +246,32 @@ object StreamingBm25 {
     (out, () => Seq(qTerms, postings).foreach { d => d.unpersist(false); () })
   }
 
+  /** REBUCKET — the lexical analog of [[StreamingIvf.refit]]: re-route
+    * the whole postings store under a NEW bucket count, the layout
+    * maintenance a growing corpus needs (buckets are the probe's
+    * partition-pruning unit; with a fixed count each bucket's postings
+    * grow linearly with the corpus, so the per-term probe read does
+    * too — growing the count keeps one bucket a bounded read). The
+    * re-routed postings stage under the postings root and promote via
+    * [[StateCompaction.compactWith]]'s commit-marker swap. Stats and
+    * tombstones are bucket-independent and stay in place (tombstones
+    * keep masking probes; the next [[compact]] purges them). The new
+    * count becomes part of the probe contract — [[search]] callers must
+    * pass the SAME `nBuckets` the store was re-routed to, exactly as
+    * they must after choosing it at [[appendEpoch]] time. Run while the
+    * pipeline is stopped, like every maintenance op. */
+  def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val postings = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings").drop("epoch").drop("bucket")
+    StateCompaction.compactWith(spark, s"$path/postings") { staging =>
+      postings.withColumn("bucket", termBucket(col("term"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$staging/epoch=-1")
+    }
+  }
+
   /** Stable term → bucket assignment (xxhash64 is deterministic across
     * sessions, so at-rest buckets and probe-time pruning always agree). */
   private def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =

@@ -69,6 +69,53 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
     assert(hits() == expected)
   }
 
+  test("rebucket re-routes the postings under a new count; results and masks survive") {
+    val path = Files.createTempDirectory("graft-sbm25-rebkt").toString
+    val docs = all.toDF("doc_id", "text")
+    StreamingBm25.appendEpoch(docs.filter(col("doc_id") < 20), path, 0L,
+      nBuckets = 8)
+    StreamingBm25.appendEpoch(docs.filter(col("doc_id") >= 20), path, 1L,
+      nBuckets = 8)
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val before = StreamingBm25.search(spark, path, qs, k = 5, nBuckets = 8)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // pending tombstone: must keep masking THROUGH the re-route
+    StreamingBm25.deleteEpoch(Seq(5L).toDF("doc_id"), path, 0L)
+    StreamingBm25.rebucket(spark, path, nBuckets = 4)
+    val f = new java.io.File(path, "postings")
+    assert(f.listFiles().filter(_.isDirectory).map(_.getName).toSet ==
+      Set("epoch=-1"), "rebucket must leave only the re-routed epoch")
+    val bucketDirs = new java.io.File(f, "epoch=-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.forall(_.stripPrefix("bucket=").toLong < 4),
+      s"every bucket must sit under the new count: ${bucketDirs.toSeq}")
+    // bucket count is a layout knob: results at the new count equal the
+    // pre-rebucket results minus the tombstoned doc
+    val after = StreamingBm25.search(spark, path, qs, k = 5, nBuckets = 4)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!after.exists(_._2 == 5L),
+      "the pending tombstone must keep masking after the re-route")
+    assert(before.map(_._1) == after.map(_._1),
+      "every query still answers after the re-route")
+    // compact at the new layout still purges and clears; post-compact
+    // (stats debited) the re-routed index must equal the batch recompute
+    // over the corpus minus the deleted doc — the strong law
+    StreamingBm25.compact(spark, path)
+    assert(!new java.io.File(path, "tombstones").exists())
+    val postCompact = StreamingBm25.search(spark, path, qs, k = 5, nBuckets = 4)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = Bm25.topK(docs.filter(col("doc_id") =!= 5L), qs, k = 5)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(postCompact == expect,
+      "post-compact, the re-routed index answers like the batch recompute")
+  }
+
   test("ingest resumes after restart; at-rest search equals batch Bm25.topK") {
     val inDir = Files.createTempDirectory("graft-sbm25-in")
     val path = Files.createTempDirectory("graft-sbm25-idx").toString
