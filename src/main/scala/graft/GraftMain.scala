@@ -158,6 +158,15 @@ object GraftMain {
             logDir = s"${sys.env("GRAFT_POD_LOG_DIR")}/$podName")))
       }
     }
+    // lifecycle latch: the agent exits when an admin stop has been ACKED
+    // (fired strictly after the "done" reply is flushed — an admin-driven
+    // drain of N pipelines must never race the JVM teardown; with
+    // awaitAnyTermination the FIRST drained pipeline's termination tore
+    // the context down under the remaining N-1 drains) or when every
+    // stream has terminated on its own (crash path — the failure
+    // propagates for a non-zero exit).
+    val stopped = new java.util.concurrent.CountDownLatch(1)
+    @volatile var streamFailure: Throwable = null
     // optional admin socket (reference: admin/AdminServer.java — stop/status
     // over a UID-checked unix socket). GRAFT_ADMIN_SOCKET=/path/admin.sock;
     // GRAFT_ADMIN_USERS defaults to the launching user.
@@ -167,11 +176,32 @@ object GraftMain {
         .getOrElse(Set(System.getProperty("user.name")))
       val a = new graft.streaming.AdminServer(mgr,
         new graft.streaming.StatusReporter(mgr, writeMetrics = Some(writeMetrics)),
-        Paths.get(p), users)
+        Paths.get(p), users, onStopped = () => stopped.countDown())
       a.start()
       a
     }
     sys.addShutdownHook { admin.foreach(_.close()); mgr.stopAll() }
-    spark.streams.awaitAnyTermination()
+    val watcher = new Thread(() => {
+      try {
+        var sawTermination = false
+        while (stopped.getCount > 0) {
+          if (spark.streams.awaitAnyTermination(1000L)) {
+            sawTermination = true
+            spark.streams.resetTerminated()
+          }
+          if (sawTermination && spark.streams.active.isEmpty) {
+            // grace for a monitor self-restart to re-register its query
+            Thread.sleep(500)
+            if (spark.streams.active.isEmpty) stopped.countDown()
+          }
+        }
+      } catch {
+        case t: Throwable => streamFailure = t; stopped.countDown()
+      }
+    }, "graft-lifecycle")
+    watcher.setDaemon(true)
+    watcher.start()
+    stopped.await()
+    if (streamFailure != null) throw streamFailure
   }
 }

@@ -139,9 +139,12 @@ object ThriftLogGen {
   * while the owning pipeline RUNS (tombstones land as their own epoch
   * relation; probes and reads mask them immediately via the broadcast
   * anti-join every store's read path applies); the next [[CompactTool]]
-  * run purges the bytes and retires the tombstones. Each invocation
-  * writes the next free tombstone epoch unless one is given, so repeated
-  * delete requests accumulate instead of overwriting each other.
+  * run purges the bytes and retires the tombstones. NOT safe during a
+  * maintenance swap — the store's [[graft.streaming.MaintenanceLease]]
+  * makes that a loud refusal instead of a silently lost delete. Each
+  * invocation RESERVES the next free tombstone epoch with an atomic
+  * exclusive create unless one is given, so concurrent delete requests
+  * accumulate instead of overwriting each other.
   *
   * Usage: graft.ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]
   */
@@ -166,22 +169,49 @@ object ForgetTool {
     e
   }
 
-  /** max existing tombstone epoch + 1 (0 for a clean store) — a
-    * partition-dir listing, metadata only. The index stores partition
-    * tombstones by `epoch=`, the curation state by `batch=`; parse
-    * both so repeated deletes ACCUMULATE in every store kind. */
+  /** Allocate the next free tombstone epoch COLLISION-PROOF: the naive
+    * list-max+1 is a non-atomic read-then-write — two concurrent
+    * invocations compute the same epoch and mode("overwrite") each
+    * other's delete set, silently losing a right-to-be-forgotten request
+    * (round-13 advisory). Here each candidate epoch is RESERVED with an
+    * atomic exclusive create of a dot-file under `tombstones/` before it
+    * is returned; a loser of the race sees the reservation (or the
+    * create throws) and moves to the next number. Dot-files are
+    * invisible to the stores' parquet tombstone reads, and the next
+    * compact retires them with the tombstone directory. The index stores
+    * partition tombstones by `epoch=`, the curation state by `batch=`;
+    * parse both so repeated deletes ACCUMULATE in every store kind. */
   private def nextTombstoneEpoch(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
       spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    fs.mkdirs(p)
+    val taken = fs.listStatus(p).map(_.getPath.getName)
       .collect {
         case s if s.startsWith("epoch=") => s.stripPrefix("epoch=").toLong
         case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong
+        case s if s.startsWith(".reserved-") => s.stripPrefix(".reserved-").toLong
       }
-      .foldLeft(-1L)(math.max) + 1L
+      .foldLeft(-1L)(math.max)
+    var e = taken + 1L
+    while (!tryReserve(fs, p, e)) e += 1L
+    e
+  }
+
+  private def tryReserve(fs: org.apache.hadoop.fs.FileSystem,
+      tombstones: org.apache.hadoop.fs.Path, epoch: Long): Boolean = {
+    val rp = new org.apache.hadoop.fs.Path(tombstones, s".reserved-$epoch")
+    if (fs.exists(rp)) false
+    else try {
+      // exclusive create: atomic on local/HDFS — exactly one racer wins;
+      // any other IO failure propagates (a swallow-and-retry here would
+      // spin forever on a persistently failing filesystem)
+      fs.create(rp, false).close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -239,11 +269,14 @@ object CompactTool {
   /** `ivf-refit` subcommand: install a new quantizer (a centroids
     * parquet with (centroid_id, centroid_vec)) and re-route the whole
     * at-rest corpus under it in one commit-marker swap — the
-    * centroid-drift answer ([[graft.streaming.StreamingIvf.refit]]). */
+    * centroid-drift answer ([[graft.streaming.StreamingIvf.refit]]).
+    * `bm25-rebucket` is the lexical twin: re-route the postings under a
+    * new bucket count ([[graft.streaming.StreamingBm25.rebucket]]). */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: CompactTool <ivf|bm25|packed|curation> <path> [targetFileBytes]\n" +
-        "       CompactTool ivf-refit <path> <centroidsParquet>")
+        "       CompactTool ivf-refit <path> <centroidsParquet>\n" +
+        "       CompactTool bm25-rebucket <path> <nBuckets>")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-compact")
       .master(sys.props.getOrElse("spark.master",
@@ -252,18 +285,96 @@ object CompactTool {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      if (args(0).toLowerCase == "ivf-refit") {
-        require(args.length >= 3,
-          "usage: CompactTool ivf-refit <path> <centroidsParquet>")
-        graft.streaming.StreamingIvf.refit(spark, args(1),
-          spark.read.parquet(args(2)))
-        System.err.println(s"refit ivf store at ${args(1)} with ${args(2)}")
-      } else {
-        compact(spark, args(0), args(1),
-          args.lift(2).map(_.toLong)
-            .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
-        System.err.println(s"compacted ${args(0)} store at ${args(1)}")
+      args(0).toLowerCase match {
+        case "ivf-refit" =>
+          require(args.length >= 3,
+            "usage: CompactTool ivf-refit <path> <centroidsParquet>")
+          graft.streaming.StreamingIvf.refit(spark, args(1),
+            spark.read.parquet(args(2)))
+          System.err.println(s"refit ivf store at ${args(1)} with ${args(2)}")
+        case "bm25-rebucket" =>
+          require(args.length >= 3,
+            "usage: CompactTool bm25-rebucket <path> <nBuckets>")
+          graft.streaming.StreamingBm25.rebucket(spark, args(1), args(2).toInt)
+          System.err.println(
+            s"rebucketed bm25 store at ${args(1)} to nBuckets=${args(2)}")
+        case _ =>
+          compact(spark, args(0), args(1),
+            args.lift(2).map(_.toLong)
+              .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
+          System.err.println(s"compacted ${args(0)} store at ${args(1)}")
       }
+    } finally spark.stop()
+  }
+}
+
+/** Read-side operator loupe for the standing stores — the probe the e2e
+  * gate and an on-call operator use to ORACLE a store from the CLI
+  * (search parity across forget/compact/rebucket, masked corpus counts,
+  * curation verdict totals) without writing a Spark job. Deterministic,
+  * sorted, one result per stdout line; diagnostics go to stderr.
+  *
+  * Usage: graft.ProbeTool bm25 <path> <k> <query words...>
+  *        graft.ProbeTool ivf <path> <k> <v1,v2,...> [nProbe]
+  *        graft.ProbeTool packed <dir>
+  *        graft.ProbeTool curation <stateDir>
+  */
+object ProbeTool {
+
+  def probe(spark: org.apache.spark.sql.SparkSession, kind: String,
+      args: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    kind.toLowerCase match {
+      case "bm25" =>
+        require(args.length >= 3, "bm25 <path> <k> <query words...>")
+        val qs = Seq((0L, args.drop(2).mkString(" "))).toDF("query_id", "text")
+        graft.streaming.StreamingBm25
+          .search(spark, args(0), qs, k = args(1).toInt)
+          .orderBy("rank")
+          .select(col("rank"), col("doc_id"), format_number(col("score"), 4))
+          .collect().map(r => s"${r.get(0)} ${r.get(1)} ${r.get(2)}").toSeq
+      case "ivf" =>
+        require(args.length >= 3, "ivf <path> <k> <v1,v2,...> [nProbe]")
+        val vec = args(2).split(',').map(_.trim.toFloat).toSeq
+        val qs = Seq((0L, vec)).toDF("vec_id", "embedding")
+        graft.streaming.StreamingIvf
+          .search(spark, args(0), qs, k = args(1).toInt,
+            nProbe = args.lift(3).map(_.toInt).getOrElse(2))
+          .orderBy("rank")
+          .select(col("rank"), col("corpus_id"), format_number(col("cosine"), 4))
+          .collect().map(r => s"${r.get(0)} ${r.get(1)} ${r.get(2)}").toSeq
+      case "packed" =>
+        require(args.nonEmpty, "packed <dir>")
+        val rows = graft.sources.PackedCorpus.readAll(spark, args(0))
+          .agg(count(lit(1)), coalesce(sum(size(col("token_ids"))), lit(0)),
+            min("doc_id"), max("doc_id")).head()
+        Seq(s"sequences=${rows.get(0)} tokens=${rows.get(1)} " +
+          s"id_min=${rows.get(2)} id_max=${rows.get(3)}")
+      case "curation" =>
+        require(args.nonEmpty, "curation <stateDir>")
+        graft.streaming.StreamingCuration.verdicts(spark, args(0))
+          .groupBy("stage").agg(count(lit(1)).as("n"))
+          .orderBy("stage")
+          .collect().map(r => s"${r.get(0)}=${r.get(1)}").toSeq
+      case other => throw new IllegalArgumentException(
+        s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: ProbeTool <ivf|bm25|packed|curation> <path> [...]")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-probe")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (kind, rest) = (args(0), args.toSeq.drop(2))
+      probe(spark, kind, args(1) +: rest).foreach(println)
     } finally spark.stop()
   }
 }

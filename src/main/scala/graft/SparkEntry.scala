@@ -139,7 +139,8 @@ object SparkEntry {
     "w31_ivf_filtered_probe", "w32_ivf_semdedup_incr", "w33_ivf_tombstones",
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
-    "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket")
+    "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket",
+    "w40_lease_guard")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2169,6 +2170,72 @@ object SparkEntry {
         .forall(b => b.stripPrefix("bucket=").toLong < 16),
         "every re-routed bucket must sit under the new count")
       graft.streaming.StreamingBm25.search(s, path, qs, k = 10, nBuckets = 16)
+        .orderBy("query_id", "rank")
+    }),
+    "w40_lease_guard" -> ((s, d) => {
+      // SINGLE-MAINTENANCE-WRITER gate (round 14): while a maintenance
+      // lease is held (a CompactTool mid-swap), epoch appends AND delete
+      // requests REFUSE loudly — the lost-epoch / lost-tombstone
+      // interleavings can no longer happen silently; and a ZOMBIE
+      // maintenance run whose stale lease was broken by a new writer
+      // aborts at the FENCE, pre-commit, leaving the store intact (its
+      // staging here is EMPTY, so a fence failure would visibly destroy
+      // the store and break the oracle). After the legitimate compact,
+      // search must still equal the batch recompute — w27's oracle,
+      // VERBATIM: the refused epoch lands after release, so one lost
+      // write or one zombie promote breaks the hash.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w40_lease_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      def epoch(e: Long): Unit = graft.streaming.StreamingBm25.appendEpoch(
+        docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+        path, e)
+      epoch(0); epoch(1)
+      // a maintenance writer holds the lease: concurrent writes refuse
+      val held = graft.streaming.MaintenanceLease.acquire(s, path)
+      val appendRefused =
+        try { epoch(2); false }
+        catch { case _: IllegalStateException => true }
+      val deleteRefused =
+        try {
+          graft.streaming.StreamingBm25.deleteEpoch(
+            docs.limit(1).select("doc_id"), path, 0)
+          false
+        } catch { case _: IllegalStateException => true }
+      require(appendRefused && deleteRefused,
+        "epoch writes must refuse while the maintenance lease is held")
+      graft.streaming.MaintenanceLease.release(s, path, held)
+      // a zombie run fenced out by a lease takeover aborts PRE-commit
+      val zombie = graft.streaming.MaintenanceLease.acquire(s, path)
+      fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
+      val taker = graft.streaming.MaintenanceLease.acquire(s, path)
+      val fenced =
+        try {
+          graft.streaming.StateCompaction.compactWith(s, s"$path/postings",
+            () => graft.streaming.MaintenanceLease.verifyHeld(s, path, zombie)) {
+            _ => () // empty staging: an un-fenced promote would WIPE the store
+          }
+          false
+        } catch { case _: IllegalStateException => true }
+      require(fenced, "a fenced-out zombie must abort before the commit marker")
+      graft.streaming.MaintenanceLease.release(s, path, taker)
+      // the refused epoch lands now; the legitimate compact folds all three
+      epoch(2)
+      graft.streaming.StreamingBm25.compact(s, path)
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
+        "the legitimate compact must fold every epoch")
+      graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
         .orderBy("query_id", "rank")
     }),
     "w27_stream_bm25" -> ((s, d) => {
@@ -4436,6 +4503,47 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
+    "e39_retrieval_metrics" -> ((s, d) => {
+      // retrieval-quality EVAL metrics — recall@10 / MRR / nDCG@10 of the
+      // exact cosine top-k against label-match relevance: the measurement
+      // harness every retrieval pipeline runs next to its index (e12
+      // measures ANN recall vs exact; this scores the RANKING against
+      // ground truth). Scale shape: ONE broadcast-query top-k probe over
+      // the corpus (partial-aggregated, <= k rows per (query, partition)
+      // exchange), label relevance and per-label totals attach as
+      // broadcast relations, and the metric fold is a narrow groupBy
+      // over <= |q| x k rows — nothing corpus-sized ever shuffles.
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+      val topk = Similarity.bruteForceTopK(emb, qs, k = 10)
+      val cLab = emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("clab"))
+      val qLab = qs.select(col("vec_id").as("query_id"),
+        col("label").as("qlab"))
+      // total relevant per query = corpus docs sharing its label minus
+      // itself (the denominator recall@k and IDCG both need)
+      val labCounts = emb.groupBy(col("label").as("qlab"))
+        .agg(count(lit(1)).as("nlab"))
+      val perQ = topk
+        .join(broadcast(cLab), "corpus_id")
+        .join(broadcast(qLab), "query_id")
+        .withColumn("rel", (col("clab") === col("qlab")).cast("int"))
+        .groupBy("query_id", "qlab")
+        .agg(sum("rel").as("hits"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          sum(when(col("rel") === 1,
+            lit(1.0) / log(2.0, col("rank").cast("double") + 1))).as("dcg"))
+      perQ.join(broadcast(labCounts), "qlab")
+        .withColumn("nrel", col("nlab") - 1)
+        .withColumn("idcg",
+          aggregate(sequence(lit(1), least(lit(10), col("nrel")).cast("int")),
+            lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1)))
+        .select(col("query_id"),
+          round(col("hits").cast("double") / col("nrel"), 6).as("recall10"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg10"))
+        .orderBy("query_id")
+    }),
     "e37_triplets_at_rest" -> ((s, d) => {
       // triplet assembly over the STANDING index — e36's training rows
       // mined from the at-rest corpus: the hardest same-label positive
@@ -6397,6 +6505,37 @@ object SparkEntry {
              FROM scored)
          SELECT query_id, corpus_id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "e39_retrieval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlab,
+             embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+           scored AS (
+             SELECT q.query_id, q.qlab, e.vec_id AS corpus_id, e.label AS clab,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+           ranked AS (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, corpus_id) AS rank FROM scored),
+           topk AS (SELECT * FROM ranked WHERE rank <= 10),
+           lab AS (SELECT label AS qlab, count(*) AS nlab
+             FROM embeddings GROUP BY 1),
+           perq AS (
+             SELECT query_id, qlab,
+               sum(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS hits,
+               min(CASE WHEN clab = qlab THEN rank END) AS first_rel,
+               sum(CASE WHEN clab = qlab THEN 1.0 / log2(rank + 1) END) AS dcg
+             FROM topk GROUP BY 1, 2),
+           idcg AS (
+             SELECT p.query_id, sum(1.0 / log2(r.i + 1)) AS idcg
+             FROM perq p JOIN lab l USING (qlab)
+             JOIN (SELECT unnest(range(1, 11)) AS i) r
+               ON r.i <= least(10, l.nlab - 1)
+             GROUP BY 1)
+         SELECT p.query_id,
+           round(p.hits / (l.nlab - 1), 6) AS recall10,
+           round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+           round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg10
+         FROM perq p JOIN lab l USING (qlab) JOIN idcg i USING (query_id)
+         ORDER BY p.query_id""",
     "e7_quantize" ->
       """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
              FROM embeddings),
@@ -7892,6 +8031,34 @@ object SparkEntry {
     // w39: w27's oracle VERBATIM — rebucketing is a pure layout change,
     // so the post-rebucket search must answer identically
     "w39_bm25_rebucket" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "w40_lease_guard" ->
+      // the full-corpus BM25 replay (w27's oracle verbatim): the epoch
+      // refused under the lease lands after release, so a silently lost
+      // write OR a zombie promote of the empty staging breaks this hash
       """WITH dt AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> length(x) > 0) AS tk

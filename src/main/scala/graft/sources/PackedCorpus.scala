@@ -111,8 +111,13 @@ object PackedCorpus {
     * replay neither loses nor duplicates sequences. [[readAll]] unions
     * the epochs. */
   def writeEpoch(docs: DataFrame, dir: String, epoch: Long,
-      idCol: String = "doc_id", tokensCol: String = "token_ids"): Seq[PartMeta] =
+      idCol: String = "doc_id", tokensCol: String = "token_ids"): Seq[PartMeta] = {
+    // refuse during a maintenance swap (and finish any torn swap a
+    // crashed one left) — see graft.streaming.MaintenanceLease
+    graft.streaming.MaintenanceLease.guardEpochWrite(docs.sparkSession, dir,
+      Seq(dir))
     write(docs, s"$dir/epoch=$epoch", idCol, tokensCol)
+  }
 
   /** The standing pipeline: token-id stream → per-epoch packed part
     * pairs. A training loader can mmap every epoch written so far while
@@ -142,18 +147,25 @@ object PackedCorpus {
     * Precedence: a tombstone dominates ANY epoch's sequence for that id,
     * including re-appends after the delete, until a compact clears it. */
   def deleteEpoch(ids: DataFrame, dir: String, epoch: Long,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id"): Unit = {
+    // refuse during a maintenance swap: a tombstone written after the
+    // swap staged its masked rewrite would be retired UNAPPLIED by the
+    // promote — a silently lost delete request
+    graft.streaming.MaintenanceLease.guardEpochWrite(ids.sparkSession, dir,
+      Seq(dir))
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/tombstones/epoch=$epoch")
+  }
 
   /** The at-rest tombstone union, if any delete epoch exists. The
     * `tombstones` directory name never matches [[readAll]]'s `epoch=*`
     * part-pair glob, so the two stores share `dir` without collision. */
   private def tombstoneDf(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new Path(s"$dir/tombstones")
-    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val t = s"$dir/tombstones"
+    if (graft.streaming.StateCompaction.hasVisibleEntries(spark, t))
+      Some(spark.read.parquet(t))
+    else None
   }
 
   /** Read a [[writeEpoch]]-produced directory (all epochs) back as
@@ -189,11 +201,13 @@ object PackedCorpus {
       idCol: String = "doc_id", tokensCol: String = "token_ids"): Unit = {
     val parts =
       if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
-    graft.streaming.StateCompaction.compactWith(spark, dir) { staging =>
-      write(readAll(spark, dir, idCol, tokensCol)
-          .repartitionByRange(parts, col(idCol)),
-        s"$staging/epoch=-1", idCol, tokensCol)
-      ()
+    graft.streaming.MaintenanceLease.withLease(spark, dir) { fence =>
+      graft.streaming.StateCompaction.compactWith(spark, dir, fence) { staging =>
+        write(readAll(spark, dir, idCol, tokensCol)
+            .repartitionByRange(parts, col(idCol)),
+          s"$staging/epoch=-1", idCol, tokensCol)
+        ()
+      }
     }
   }
 

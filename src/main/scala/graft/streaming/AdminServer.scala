@@ -28,7 +28,8 @@ import java.nio.file.{Files, Path}
   * closed without a byte written, matching the reference's silent refusal.
   */
 class AdminServer(mgr: PipelineManager, status: StatusReporter,
-    socketPath: Path, allowedUsers: Set[String]) {
+    socketPath: Path, allowedUsers: Set[String],
+    onStopped: () => Unit = () => ()) {
 
   private val address = UnixDomainSocketAddress.of(socketPath)
   @volatile private var server: ServerSocketChannel = _
@@ -80,17 +81,23 @@ class AdminServer(mgr: PipelineManager, status: StatusReporter,
   }
 
   private def respond(ch: SocketChannel, command: String): Unit = {
+    var stopped = false
     val reply = command match {
       case "stop" =>
         // reference semantics: drain every stream (in-flight work finishes),
         // then acknowledge
         mgr.active.keys.toSeq.sorted.foreach(mgr.drain)
         mgr.stopAll()
+        stopped = true
         "done"
       case "status" => status.statusJson()
       case other => s"error: unknown command '$other'"
     }
     ch.write(ByteBuffer.wrap((reply + "\n").getBytes(StandardCharsets.UTF_8)))
+    // fire the lifecycle hook only AFTER the ack is flushed: the agent's
+    // main may tear the JVM down on it, and the client must never see an
+    // empty response to an honored stop
+    if (stopped) onStopped()
   }
 
   def close(): Unit = synchronized {

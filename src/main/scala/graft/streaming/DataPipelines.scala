@@ -9,9 +9,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 /** conf.d-launchable standing DATA pipelines — the training-data twins of
   * the log pipelines [[graft.GraftMain]] manages. A `.properties` file
-  * whose `pipeline.type` is `curation` or `ivf` starts one of these
-  * instead of a log pipeline (files without the key stay log pipelines,
-  * so existing conf directories are untouched):
+  * whose `pipeline.type` is `curation`, `ivf`, `bm25` or `packed` starts
+  * one of these instead of a log pipeline (files without the key stay log
+  * pipelines, so existing conf directories are untouched):
   *
   * {{{
   * pipeline.type=curation
@@ -28,12 +28,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * inputDir=/data/embeddings-incoming    # JSONL: {"vec_id":N,"embedding":[...]}
   * indexPath=/data/ivf-index             # init'd centroids/ (or centroidsPath=...)
   * checkpointDir=/data/ivf-cp
+  *
+  * pipeline.type=bm25
+  * inputDir=/data/docs-incoming          # JSONL: {"doc_id":N,"text":"..."}
+  * indexPath=/data/bm25-index
+  * checkpointDir=/data/bm25-cp
+  * bm25.nBuckets=64                      # first launch fixes the layout;
+  *                                       # later launches resolve the
+  *                                       # store's persisted count
+  *
+  * pipeline.type=packed
+  * inputDir=/data/tokens-incoming        # JSONL: {"doc_id":N,"token_ids":[...]}
+  * packedDir=/data/packed-corpus
+  * checkpointDir=/data/packed-cp
   * }}}
   *
-  * Both run under the same manager/monitor loop as log pipelines (stuck
+  * All run under the same manager/monitor loop as log pipelines (stuck
   * detection, drain, stopAll); their state-maintenance counterparts
-  * ([[StreamingCuration.compactState]], [[StreamingIvf.compact]]) are
-  * stopped-pipeline operations and stay manual by design.
+  * ([[StreamingCuration.compactState]], [[StreamingIvf.compact]],
+  * [[StreamingBm25.compact]], [[graft.sources.PackedCorpus.compact]])
+  * are stopped-pipeline operations and stay manual by design — enforced
+  * structurally by [[MaintenanceLease]].
   */
 object DataPipelines {
 
@@ -46,6 +61,14 @@ object DataPipelines {
 
   final case class Ivf(name: String, inputDir: String, indexPath: String,
       checkpointDir: String, centroidsPath: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None) extends Spec
+
+  final case class Bm25(name: String, inputDir: String, indexPath: String,
+      checkpointDir: String, nBuckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None) extends Spec
+
+  final case class Packed(name: String, inputDir: String, packedDir: String,
+      checkpointDir: String,
       maxFilesPerTrigger: Option[Int] = None) extends Spec
 
   /** Parse a data-pipeline spec; None when `pipeline.type` is absent or
@@ -76,6 +99,19 @@ object DataPipelines {
         checkpointDir = req("checkpointDir"),
         centroidsPath = opt("centroidsPath"),
         maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt)))
+      case Some("bm25") => Some(Bm25(
+        name = opt("logName").getOrElse(name),
+        inputDir = req("inputDir"),
+        indexPath = req("indexPath"),
+        checkpointDir = req("checkpointDir"),
+        nBuckets = opt("bm25.nBuckets").map(_.toInt).getOrElse(64),
+        maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt)))
+      case Some("packed") => Some(Packed(
+        name = opt("logName").getOrElse(name),
+        inputDir = req("inputDir"),
+        packedDir = req("packedDir"),
+        checkpointDir = req("checkpointDir"),
+        maxFilesPerTrigger = opt("processor.maxFilesPerTrigger").map(_.toInt)))
       case _ => None
     }
   }
@@ -100,5 +136,21 @@ object DataPipelines {
       val reader = spark.readStream.schema("vec_id long, embedding array<float>")
       i.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       StreamingIvf.run(reader.json(i.inputDir), i.indexPath, i.checkpointDir)
+    case b: Bm25 =>
+      // a restarted pipeline resolves the store's persisted bucket count
+      // (a rebucket may have changed it since the conf was written);
+      // first launch fixes the layout from the conf
+      val nBuckets = StreamingBm25.storedNBuckets(spark, b.indexPath)
+        .getOrElse(b.nBuckets)
+      val reader = spark.readStream.schema("doc_id long, text string")
+      b.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      StreamingBm25.run(reader.json(b.inputDir), b.indexPath, b.checkpointDir,
+        nBuckets = nBuckets)
+    case p: Packed =>
+      val reader = spark.readStream
+        .schema("doc_id long, token_ids array<int>")
+      p.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      graft.sources.PackedCorpus.run(reader.json(p.inputDir), p.packedDir,
+        p.checkpointDir)
   }
 }

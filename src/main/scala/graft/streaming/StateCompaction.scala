@@ -67,8 +67,32 @@ object StateCompaction {
       partitionCols: Seq[String] = Nil,
       targetFileBytes: Long = DefaultTargetFileBytes,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        identity): Unit =
-    compactWith(spark, dir) { staging =>
+        identity,
+      fence: () => Unit = () => ()): Unit =
+    compactWith(spark, dir, fence) { staging =>
+      stageCompacted(spark, dir, key, staging, partitionCols,
+        targetFileBytes, transform)
+    }
+
+  /** The salted, partition-preserving epoch-fold REWRITE [[compact]]
+    * wraps in its own swap — exposed so a COMPOUND store can stage
+    * several relations under ONE swapped root and commit them together
+    * ([[StreamingBm25.compact]] stages masked postings AND debited stats
+    * under the store root: apply, debit, and tombstone-retire become a
+    * single commit-marker promote). Writes `dir`'s fold into
+    * `stagingTarget/<key>=-1`; no-op when `dir` is missing or epoch-less
+    * (the relation is simply absent from the staged root, exactly as it
+    * was absent from the live one). */
+  def stageCompacted(spark: SparkSession, dir: String, key: String,
+      stagingTarget: String, partitionCols: Seq[String] = Nil,
+      targetFileBytes: Long = DefaultTargetFileBytes,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit = {
+    val fs0 = fileSystem(spark, dir)
+    val dirPath = new Path(dir)
+    if (!fs0.exists(dirPath)) return
+    if (!fs0.listStatus(dirPath).exists(_.isDirectory)) return
+    {
       // partition discovery surfaces <key> (and any nested partition
       // cols); drop the epoch key, keep the data partition cols for the
       // rewrite. CONSOLIDATE while rewriting: without the repartition,
@@ -126,8 +150,9 @@ object StateCompaction {
          } else df)
           .write.mode("overwrite")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(s"$staging/$key=-1")
+        .parquet(s"$stagingTarget/$key=-1")
     }
+  }
 
   /** The swap protocol with the compacted WRITE as a hook — for at-rest
     * state that is not parquet (e.g. [[graft.sources.PackedCorpus]]'s
@@ -135,8 +160,13 @@ object StateCompaction {
     * compacted form UNDER the passed staging path (reading from the
     * still-intact `dir`); this then commits and promotes it over `dir`
     * with [[recover]]'s crash contract. No-op when `dir` has no
-    * subdirectories. */
-  def compactWith(spark: SparkSession, dir: String)(writeStaged: String => Unit): Unit = {
+    * subdirectories. `fence` runs immediately BEFORE the commit marker is
+    * created — the [[MaintenanceLease.verifyHeld]] hook: a maintenance
+    * run whose stale lease was broken by a new writer throws here and
+    * aborts with its staging still non-authoritative (garbage the next
+    * compact clears), never after the commit point. */
+  def compactWith(spark: SparkSession, dir: String,
+      fence: () => Unit = () => ())(writeStaged: String => Unit): Unit = {
     val fs = fileSystem(spark, dir)
     recover(spark, dir)
     val dirPath = new Path(dir)
@@ -152,6 +182,7 @@ object StateCompaction {
     // an all-empty compaction may write zero files — the swap still needs
     // the staging directory to exist for the promote
     if (!fs.exists(staging)) fs.mkdirs(staging)
+    fence() // last exit before the commit point (lease fencing)
     fs.create(marker, true).close() // COMMIT POINT
     promote(fs, dirPath, staging, marker)
   }
@@ -222,6 +253,20 @@ object StateCompaction {
     bytes.map { case (p, b) =>
       p -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
     }.toMap
+  }
+
+  /** True when `dir` exists and holds at least one NON-HIDDEN entry —
+    * the guard tombstone readers use: a tombstones directory holding only
+    * ForgetTool's `.reserved-N` dot-files (its crash window between
+    * reserving an epoch and writing the delete set) must read as "no
+    * tombstones", not feed a data-less directory to a parquet read. */
+  def hasVisibleEntries(spark: SparkSession, dir: String): Boolean = {
+    val fs = fileSystem(spark, dir)
+    val p = new Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
   }
 
   private def stagingPath(dir: String) = new Path(dir + ".compacting")

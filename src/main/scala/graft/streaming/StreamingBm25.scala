@@ -47,12 +47,76 @@ import graft.functions.TextFunctions
   */
 object StreamingBm25 {
 
+  /** Name of the bucket-count meta file, INSIDE the postings root (so a
+    * [[rebucket]] swap replaces count and layout in the same commit; the
+    * underscore prefix keeps it invisible to parquet file listing). */
+  private val NBucketsFile = "_NBUCKETS"
+
+  private def hadoopFs(spark: SparkSession, p: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sessionState.newHadoopConf())
+
+  /** The store's authoritative bucket count, if recorded. Probes and
+    * appends resolve their `nBuckets` through this, so a caller holding a
+    * stale count after a [[rebucket]] gets the store's real layout (or a
+    * loud error on append), never silently wrong partial results. */
+  def storedNBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/postings/$NBucketsFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeNBucketsInto(spark: SparkSession, postingsDir: String,
+      n: Int): Unit = {
+    val out = hadoopFs(spark, postingsDir)
+      .create(new org.apache.hadoop.fs.Path(s"$postingsDir/$NBucketsFile"), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** First append RECORDS the store's bucket count; later appends must
+    * match it (a mismatched count would route the same term to different
+    * buckets across epochs, silently corrupting probe pruning). */
+  private def validateOrRecordNBuckets(spark: SparkSession, path: String,
+      nBuckets: Int): Unit =
+    storedNBuckets(spark, path) match {
+      case Some(m) =>
+        require(m == nBuckets,
+          s"store at $path is bucketed with nBuckets=$m, got $nBuckets — " +
+            "pass the stored count (or rebucket the store first)")
+      case None =>
+        try writeNBucketsExclusive(spark, path, nBuckets)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // lost the first-writer race — re-validate against the winner
+            storedNBuckets(spark, path).foreach(m => require(m == nBuckets,
+              s"store at $path is bucketed with nBuckets=$m, got $nBuckets"))
+        }
+    }
+
+  private def writeNBucketsExclusive(spark: SparkSession, path: String,
+      n: Int): Unit = {
+    val out = hadoopFs(spark, path).create(
+      new org.apache.hadoop.fs.Path(s"$path/postings/$NBucketsFile"), false)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Tokenize one epoch's documents and overwrite its postings + stats
-    * epoch directories — idempotent under foreachBatch replay. */
+    * epoch directories — idempotent under foreachBatch replay. Refuses
+    * while a maintenance swap holds the store's lease (and finishes any
+    * torn swap a crashed one left) — see [[MaintenanceLease]]. */
   def appendEpoch(batch: DataFrame, path: String, epoch: Long,
       nBuckets: Int = 64, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val spark0 = batch.sparkSession
+    MaintenanceLease.guardEpochWrite(spark0, path,
+      Seq(path, s"$path/postings", s"$path/stats"))
+    validateOrRecordNBuckets(spark0, path, nBuckets)
     val toks = batch.select(col(idCol),
       TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -100,60 +164,83 @@ object StreamingBm25 {
     * no postings to see: it keeps its +1 in N until a rebuild (it never
     * ranks, carrying no terms). */
   def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id"): Unit = {
+    // refuse during a maintenance swap: a tombstone written after the
+    // swap staged its masked rewrite would be retired UNAPPLIED by the
+    // promote — a silently lost delete request
+    MaintenanceLease.guardEpochWrite(ids.sparkSession, path,
+      Seq(path, s"$path/postings", s"$path/stats"))
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+  }
 
   private def tombstoneDf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
-      spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val t = s"$path/tombstones"
+    if (StateCompaction.hasVisibleEntries(spark, t))
+      Some(spark.read.parquet(t))
+    else None
   }
 
   /** Fold the per-epoch directories into one (`epoch=-1`), preserving the
     * `bucket` partitioning (and with it the probe's partition pruning),
     * applying any tombstones — postings rows dropped, corpus stats
-    * debited by the victims' (count, Σdl), tombstone store cleared —
-    * run while the pipeline is stopped. Crash ordering mirrors
-    * [[StreamingIvf.compact]]: the clear comes last and a reapplied
-    * tombstone is a no-op. */
+    * debited by the victims' (count, Σdl), tombstone store retired.
+    *
+    * SINGLE-COMMIT shape (round-13 verdict #1, the [[StreamingIvf.refit]]
+    * stance): the masked postings AND the debited stats stage together
+    * under the STORE ROOT and promote in ONE commit-marker swap; the
+    * tombstones are simply not restaged, so apply, debit, and retire are
+    * the same commit. The debit is measured from the still-live postings
+    * and rides into the STAGED stats bytes — a crash anywhere either
+    * replays the whole compact from intact live state (pre-marker) or
+    * re-promotes the already-debited staging (post-marker): the debit can
+    * never be lost or applied twice. Run while the pipeline is stopped
+    * (enforced: takes the store's [[MaintenanceLease]]). */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
       idCol: String = "doc_id"): Unit = {
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = org.apache.hadoop.fs.FileSystem.get(postingsPath.toUri,
-      spark.sessionState.newHadoopConf())
-    val ts = tombstoneDf(spark, path)
-      .filter(_ => fs.exists(postingsPath))
-      .map(_.select(col(idCol).cast("long").as(idCol)).distinct()
-        .localCheckpoint(true))
-    ts match {
-      case None =>
-        StateCompaction.compact(spark, s"$path/postings", key = "epoch",
-          partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes)
-        StateCompaction.compact(spark, s"$path/stats", key = "epoch")
-      case Some(t) =>
-        // the victims' stats delta, measured BEFORE the rewrite drops
-        // their rows ((doc, dl) distinct — dl repeats per term row)
-        val removed = spark.read.parquet(s"$path/postings")
-          .join(broadcast(t), Seq(idCol), "left_semi")
-          .select(col(idCol), col("dl")).distinct()
-          .agg(count(lit(1)).as("rc"), coalesce(sum("dl"), lit(0.0)).as("rs"))
-          .head()
-        val (rc, rs) = (removed.getLong(0), removed.getDouble(1))
-        StateCompaction.compact(spark, s"$path/postings", key = "epoch",
-          partitionCols = Seq("bucket"), targetFileBytes = targetFileBytes,
-          transform = df => df.join(broadcast(t), Seq(idCol), "left_anti"))
-        StateCompaction.compactWith(spark, s"$path/stats") { staging =>
-          spark.read.parquet(s"$path/stats").drop("epoch")
-            .agg((coalesce(sum("n_docs"), lit(0L)) - rc).as("n_docs"),
-              (coalesce(sum("sum_dl"), lit(0.0)) - rs).as("sum_dl"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$staging/epoch=-1")
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val postingsDir = s"$path/postings"
+    MaintenanceLease.withLease(spark, path) { fence =>
+      // finish torn swaps FIRST — a rebucket/legacy crash can leave the
+      // postings only in a staging sibling, which must promote before the
+      // existence check below can see it
+      StateCompaction.recover(spark, postingsDir)
+      StateCompaction.recover(spark, path)
+      // ids deleted BEFORE any append must keep masking future appends:
+      // with no postings there is nothing to apply them to, so leave the
+      // store (tombstones included) untouched rather than swap them away
+      if (!hadoopFs(spark, path).exists(new org.apache.hadoop.fs.Path(postingsDir)))
         ()
+      else StateCompaction.compactWith(spark, path, fence) { staging =>
+        val nb = storedNBuckets(spark, path)
+        val ts = tombstoneDf(spark, path)
+          .map(_.select(col(idCol).cast("long").as(idCol)).distinct()
+            .localCheckpoint(true))
+        val (rc, rs) = ts.map { t =>
+          // the victims' stats delta, measured from the still-live
+          // postings ((doc, dl) distinct — dl repeats per term row)
+          val removed = spark.read.parquet(postingsDir)
+            .join(broadcast(t), Seq(idCol), "left_semi")
+            .select(col(idCol), col("dl")).distinct()
+            .agg(count(lit(1)).as("rc"), coalesce(sum("dl"), lit(0.0)).as("rs"))
+            .head()
+          (removed.getLong(0), removed.getDouble(1))
+        }.getOrElse((0L, 0.0))
+        StateCompaction.stageCompacted(spark, postingsDir, key = "epoch",
+          stagingTarget = s"$staging/postings", partitionCols = Seq("bucket"),
+          targetFileBytes = targetFileBytes,
+          transform = df =>
+            ts.map(t => df.join(broadcast(t), Seq(idCol), "left_anti"))
+              .getOrElse(df))
+        spark.read.parquet(s"$path/stats").drop("epoch")
+          .agg((coalesce(sum("n_docs"), lit(0L)) - rc).as("n_docs"),
+            (coalesce(sum("sum_dl"), lit(0.0)) - rs).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/stats/epoch=-1")
+        // the bucket-count meta swaps with the layout it describes
+        nb.foreach(n => writeNBucketsInto(spark, s"$staging/postings", n))
+      }
     }
   }
 
@@ -187,6 +274,10 @@ object StreamingBm25 {
       queryIdCol: String = "query_id", queryTextCol: String = "text",
       roundDigits: Int = 4): (DataFrame, () => Unit) = {
     require(k >= 1, s"k must be >= 1: $k")
+    // the store's persisted bucket count is authoritative — a caller
+    // holding a stale count after a rebucket still probes correctly
+    // (the passed value is the fallback for meta-less legacy stores)
+    val nBucketsEff = storedNBuckets(spark, path).getOrElse(nBuckets)
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // a never-written index (run() started, no epoch committed yet) has no
     // stats directory at all — read as the empty shape, not PATH_NOT_FOUND
@@ -213,7 +304,7 @@ object StreamingBm25 {
     // the probed-bucket set is query-vocabulary-sized: collect it and
     // prune the index scan with a literal partition filter (the
     // StreamingIvf.search probed-cells stance)
-    val buckets = qTerms.select(termBucket(col("term"), nBuckets).as("bucket"))
+    val buckets = qTerms.select(termBucket(col("term"), nBucketsEff).as("bucket"))
       .distinct().collect().map(_.getLong(0))
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings")
@@ -256,19 +347,29 @@ object StreamingBm25 {
     * [[StateCompaction.compactWith]]'s commit-marker swap. Stats and
     * tombstones are bucket-independent and stay in place (tombstones
     * keep masking probes; the next [[compact]] purges them). The new
-    * count becomes part of the probe contract — [[search]] callers must
-    * pass the SAME `nBuckets` the store was re-routed to, exactly as
-    * they must after choosing it at [[appendEpoch]] time. Run while the
-    * pipeline is stopped, like every maintenance op. */
+    * count is PERSISTED inside the swapped postings root (`_NBUCKETS`),
+    * so count and layout change in the same commit and [[search]]/
+    * [[appendEpoch]] resolve it from the store — a caller holding the
+    * old count can no longer get silently wrong partial results. Run
+    * while the pipeline is stopped (enforced: takes the store's
+    * [[MaintenanceLease]]). */
   def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    val postings = spark.read.option("basePath", s"$path/postings")
-      .parquet(s"$path/postings").drop("epoch").drop("bucket")
-    StateCompaction.compactWith(spark, s"$path/postings") { staging =>
-      postings.withColumn("bucket", termBucket(col("term"), nBuckets))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$staging/epoch=-1")
+    MaintenanceLease.withLease(spark, path) { fence =>
+      // finish a torn COMPACT swap first (it swaps the store root this
+      // subdir swap lives under)
+      StateCompaction.recover(spark, path)
+      StateCompaction.compactWith(spark, s"$path/postings", fence) { staging =>
+        // source read built AFTER compactWith's recover(): a pre-listed
+        // file index would dangle if recover finished a torn prior swap
+        val postings = spark.read.option("basePath", s"$path/postings")
+          .parquet(s"$path/postings").drop("epoch").drop("bucket")
+        postings.withColumn("bucket", termBucket(col("term"), nBuckets))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$staging/epoch=-1")
+        writeNBucketsInto(spark, staging, nBuckets)
+      }
     }
   }
 

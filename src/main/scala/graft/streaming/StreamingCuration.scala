@@ -288,6 +288,10 @@ object StreamingCuration {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // refuse during a maintenance swap (and finish any torn swap a
+        // crashed one left) — see MaintenanceLease
+        MaintenanceLease.guardEpochWrite(spark, stateDir,
+          Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s"))
         // un-compacted tombstones mask the dedup memory: a batch arriving
         // after a delete is judged as if the deleted docs never landed
         val digests = maskTombstones(spark, stateDir,
@@ -334,16 +338,22 @@ object StreamingCuration {
     * folds them into the rewrite and clears the store — the same LSM
     * delete as the other three standing stores. */
   def deleteEpoch(ids: DataFrame, stateDir: String, epoch: Long,
-      idCol: String = "doc_id"): Unit =
+      idCol: String = "doc_id"): Unit = {
+    // refuse during a maintenance swap: a tombstone written after the
+    // swap staged its masked rewrite would be retired UNAPPLIED by the
+    // promote — a silently lost delete (anti-RTBF) request
+    MaintenanceLease.guardEpochWrite(ids.sparkSession, stateDir,
+      Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s"))
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/tombstones/batch=$epoch")
+  }
 
   private def tombstoneDf(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
-    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
-      spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val t = s"$stateDir/tombstones"
+    if (StateCompaction.hasVisibleEntries(spark, t))
+      Some(spark.read.parquet(t))
+    else None
   }
 
   /** Mask un-compacted tombstones out of a state relation keyed by
@@ -379,21 +389,28 @@ object StreamingCuration {
     * `idCol` names the verdict relation's id column (the [[run]]
     * caller's choice). */
   def compactState(spark: SparkSession, stateDir: String,
-      idCol: String = "doc_id"): Unit = {
-    val ts = tombstoneDf(spark, stateDir)
-      .map(_.select(col("id").cast("long").as("id")).distinct())
-    def drop(df: DataFrame, keyCol: String): DataFrame =
-      ts.map(t => df.join(broadcast(t.select(col("id").as(keyCol))),
-        Seq(keyCol), "left_anti")).getOrElse(df)
-    Seq("digests" -> "id", "sigs" -> "id", "verdicts" -> idCol).foreach {
-      case (sub, kc) =>
-        StateCompaction.compact(spark, s"$stateDir/$sub", key = "batch",
-          transform = df => drop(df, kc))
+      idCol: String = "doc_id"): Unit =
+    MaintenanceLease.withLease(spark, stateDir) { fence =>
+      val ts = tombstoneDf(spark, stateDir)
+        .map(_.select(col("id").cast("long").as("id")).distinct())
+      def drop(df: DataFrame, keyCol: String): DataFrame =
+        ts.map(t => df.join(broadcast(t.select(col("id").as(keyCol))),
+          Seq(keyCol), "left_anti")).getOrElse(df)
+      // three INDEPENDENT swaps (no cross-relation derived quantity —
+      // each relation's tombstone mask is self-contained, unlike the
+      // BM25 stats debit), so ordered-idempotent is enough: a crash
+      // between swaps leaves the tombstones intact, reads keep masking,
+      // and the re-run re-applies (an anti-join of already-gone rows is
+      // a no-op) before the clear — adjudicated in PLANS.md
+      Seq("digests" -> "id", "sigs" -> "id", "verdicts" -> idCol).foreach {
+        case (sub, kc) =>
+          StateCompaction.compact(spark, s"$stateDir/$sub", key = "batch",
+            transform = df => drop(df, kc), fence = fence)
+      }
+      ts.foreach { _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
+        org.apache.hadoop.fs.FileSystem.get(p.toUri,
+          spark.sessionState.newHadoopConf()).delete(p, true)
+      }
     }
-    ts.foreach { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$stateDir/tombstones")
-      org.apache.hadoop.fs.FileSystem.get(p.toUri,
-        spark.sessionState.newHadoopConf()).delete(p, true)
-    }
-  }
 }

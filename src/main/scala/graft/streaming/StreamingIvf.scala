@@ -43,6 +43,10 @@ object StreamingIvf {
       vecCol: String = "embedding", idCol: String = "vec_id",
       payloadCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    // refuse during a maintenance swap (and finish any torn swap a
+    // crashed one left) — see MaintenanceLease; path itself is a swap
+    // root (refit), corpus is one (compact)
+    MaintenanceLease.guardEpochWrite(spark, path, Seq(path, s"$path/corpus"))
     val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
     batch.select(col(idCol) +: col(vecCol) +: payloadCols.map(col): _*)
       .withColumn("cell",
@@ -74,17 +78,24 @@ object StreamingIvf {
     * dominates ANY epoch's row for that id, including re-appends after
     * the delete, until a compact clears it. */
   def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id"): Unit = {
+    // refuse during a maintenance swap: a tombstone written after the
+    // swap staged its masked rewrite would be retired UNAPPLIED by the
+    // promote — a silently lost delete request
+    MaintenanceLease.guardEpochWrite(ids.sparkSession, path,
+      Seq(path, s"$path/corpus"))
     ids.select(col(idCol).cast("long").as(idCol)).distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+  }
 
-  /** The at-rest tombstone union, if any delete epoch exists. */
+  /** The at-rest tombstone union, if any delete epoch exists (a dir
+    * holding only ForgetTool reservation dot-files reads as none). */
   private def tombstoneDf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri,
-      spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val t = s"$path/tombstones"
+    if (StateCompaction.hasVisibleEntries(spark, t))
+      Some(spark.read.parquet(t))
+    else None
   }
 
   /** Fold the per-epoch corpus directories into one (`epoch=-1`),
@@ -97,19 +108,24 @@ object StreamingIvf {
     * nothing. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
-      idCol: String = "vec_id"): Unit = {
-    val ts = tombstoneDf(spark, path)
-      .map(_.select(col(idCol).cast("long").as(idCol)).distinct())
-    StateCompaction.compact(spark, s"$path/corpus", key = "epoch",
-      partitionCols = Seq("cell"), targetFileBytes = targetFileBytes,
-      transform = df =>
-        ts.map(t => df.join(broadcast(t), Seq(idCol), "left_anti")).getOrElse(df))
-    ts.foreach { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      org.apache.hadoop.fs.FileSystem.get(p.toUri,
-        spark.sessionState.newHadoopConf()).delete(p, true)
+      idCol: String = "vec_id"): Unit =
+    MaintenanceLease.withLease(spark, path) { fence =>
+      // finish a torn REFIT swap first (it swaps the store root this
+      // subdir swap lives under)
+      StateCompaction.recover(spark, path)
+      val ts = tombstoneDf(spark, path)
+        .map(_.select(col(idCol).cast("long").as(idCol)).distinct())
+      StateCompaction.compact(spark, s"$path/corpus", key = "epoch",
+        partitionCols = Seq("cell"), targetFileBytes = targetFileBytes,
+        transform = df =>
+          ts.map(t => df.join(broadcast(t), Seq(idCol), "left_anti")).getOrElse(df),
+        fence = fence)
+      ts.foreach { _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        org.apache.hadoop.fs.FileSystem.get(p.toUri,
+          spark.sessionState.newHadoopConf()).delete(p, true)
+      }
     }
-  }
 
   /** REFIT — the answer to centroid drift that the per-epoch append
     * model defers (see the class doc): rebuild the quantizer and
@@ -127,23 +143,30 @@ object StreamingIvf {
   def refit(spark: SparkSession, path: String, newCentroids: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val cents = Similarity.collectCentroids(newCentroids)
-    val corpus = spark.read.option("basePath", s"$path/corpus")
-      .parquet(s"$path/corpus").drop("epoch").drop("cell")
-    val masked = tombstoneDf(spark, path)
-      .map(t => corpus.join(
-        broadcast(t.select(col(idCol).cast("long").as(idCol)).distinct()),
-        Seq(idCol), "left_anti"))
-      .getOrElse(corpus)
-    StateCompaction.compactWith(spark, path) { staging =>
-      newCentroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$staging/centroids")
-      masked
-        .withColumn("cell",
-          element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
-            .getField("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$staging/corpus/epoch=-1")
+    MaintenanceLease.withLease(spark, path) { fence =>
+      // finish a torn COMPACT swap first (it swaps the corpus subdir
+      // this root swap is about to read)
+      StateCompaction.recover(spark, s"$path/corpus")
+      StateCompaction.compactWith(spark, path, fence) { staging =>
+        // source read built AFTER compactWith's recover(): a pre-listed
+        // file index would dangle if recover finished a torn prior swap
+        val corpus = spark.read.option("basePath", s"$path/corpus")
+          .parquet(s"$path/corpus").drop("epoch").drop("cell")
+        val masked = tombstoneDf(spark, path)
+          .map(t => corpus.join(
+            broadcast(t.select(col(idCol).cast("long").as(idCol)).distinct()),
+            Seq(idCol), "left_anti"))
+          .getOrElse(corpus)
+        newCentroids.coalesce(1).write.mode("overwrite")
+          .parquet(s"$staging/centroids")
+        masked
+          .withColumn("cell",
+            element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+              .getField("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$staging/corpus/epoch=-1")
+      }
     }
   }
 
@@ -208,11 +231,26 @@ object StreamingIvf {
     * re-rank is [[Similarity.mmrSelect]]'s driver-side selection over
     * the CONTRACT-BOUNDED candidate set (candidates × |queries| rows —
     * never corpus-sized). Candidate vectors re-attach via one broadcast
-    * join against a two-column corpus scan. */
+    * join against a two-column corpus scan. The bound is ENFORCED, not
+    * just documented: `maxQueries` caps the query frame (counted with a
+    * limit, so the check itself never scans an unbounded input) — a
+    * caller needing more anchors batches them, instead of silently
+    * collecting an unbounded relation onto the driver. */
   def mmrSearch(spark: SparkSession, path: String, queries: DataFrame,
       candidates: Int, k: Int, lambda: Double = 0.7, nProbe: Int = 2,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxQueries: Int = 10000): DataFrame = {
     import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k) — the greedy re-rank " +
+        "selects k of the candidate pool")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1]: $lambda")
+    require(queries.limit(maxQueries + 1).count() <= maxQueries,
+      s"mmrSearch collects candidates x |queries| rows to the driver; " +
+        s"|queries| exceeds maxQueries=$maxQueries — batch the anchors " +
+        "or raise the cap deliberately")
     val cand = filteredSearch(spark, path, queries, candidates, nProbe,
         vecCol, idCol)
       .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"))

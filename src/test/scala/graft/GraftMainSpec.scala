@@ -55,7 +55,7 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
     } finally mgr.stopAll()
   }
 
-  test("agent boots standing data pipelines (curation + ivf) from the same conf directory") {
+  test("agent boots standing data pipelines (all four stores) from the same conf directory") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val confDir = Files.createTempDirectory("graft-dconf")
@@ -88,6 +88,23 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
          |centroidsPath=$centsPath
          |checkpointDir=${Files.createTempDirectory("dcp2")}
          |""".stripMargin)
+    val lexIn = Files.createTempDirectory("graft-dp-lex")
+    val lexIdx = Files.createTempDirectory("graft-dp-lexidx").toString + "/idx"
+    Files.writeString(confDir.resolve("lexical.properties"),
+      s"""pipeline.type=bm25
+         |inputDir=$lexIn
+         |indexPath=$lexIdx
+         |checkpointDir=${Files.createTempDirectory("dcp3")}
+         |bm25.nBuckets=8
+         |""".stripMargin)
+    val packIn = Files.createTempDirectory("graft-dp-pack")
+    val packDir = Files.createTempDirectory("graft-dp-packdir").toString + "/corpus"
+    Files.writeString(confDir.resolve("packed.properties"),
+      s"""pipeline.type=packed
+         |inputDir=$packIn
+         |packedDir=$packDir
+         |checkpointDir=${Files.createTempDirectory("dcp4")}
+         |""".stripMargin)
 
     Files.writeString(docsIn.resolve("d1.json"),
       """{"doc_id":1,"text":"the quick brown fox jumps over the lazy dog near the river bank today"}
@@ -96,6 +113,14 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
     Files.writeString(vecsIn.resolve("v1.json"),
       (0L until 12L).map(i => s"""{"vec_id":$i,"embedding":[${vec(i).mkString(",")}]}""")
         .mkString("", "\n", "\n"))
+    Files.writeString(lexIn.resolve("l1.json"),
+      """{"doc_id":1,"text":"spark shuffle probe"}
+        |{"doc_id":2,"text":"spark hash join"}
+        |""".stripMargin)
+    Files.writeString(packIn.resolve("p1.json"),
+      """{"doc_id":1,"token_ids":[1,2,3]}
+        |{"doc_id":2,"token_ids":[4,5]}
+        |""".stripMargin)
 
     // data-pipeline files are invisible to the log-pipeline loader
     assert(GraftMain.loadConfigs(confDir).isEmpty)
@@ -103,12 +128,18 @@ class GraftMainSpec extends AnyFunSuite with SparkTestBase {
       trigger = Trigger.ProcessingTime("100 milliseconds"))
     try {
       mgr.active.values.foreach(_.processAllAvailable())
-      assert(mgr.active.keySet == Set("curate", "vectors"))
+      assert(mgr.active.keySet == Set("curate", "vectors", "lexical", "packed"))
       val v = graft.streaming.StreamingCuration.verdicts(spark, stateDir)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(v == Map(1L -> "kept", 2L -> "exact_dup"))
       assert(graft.streaming.StreamingIvf.search(spark, idxPath,
         Seq((0L, vec(0))).toDF("vec_id", "embedding"), k = 3).count() == 3)
+      // the bm25 pipeline fixed its layout from the conf and recorded it
+      assert(graft.streaming.StreamingBm25.storedNBuckets(spark, lexIdx)
+        .contains(8))
+      assert(graft.streaming.StreamingBm25.search(spark, lexIdx,
+        Seq((0L, "spark")).toDF("query_id", "text"), k = 2).count() == 2)
+      assert(graft.sources.PackedCorpus.readAll(spark, packDir).count() == 2)
     } finally mgr.stopAll()
   }
 

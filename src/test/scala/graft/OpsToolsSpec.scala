@@ -92,6 +92,76 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ForgetTool: epoch allocation is reservation-based — a racer's reservation is never reused, and a reservation alone never breaks reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-forget-resv").toString
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 6L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 0L)
+    assert(ForgetTool.forget(spark, "packed", dir, Seq(1L)) == 0L)
+    // a concurrent invocation that RESERVED epoch 1 but has not written
+    // its delete set yet (the round-13-advisory race window, frozen):
+    // this invocation must skip to 2, never overwrite the reservation
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/tombstones/.reserved-1"),
+      false).close()
+    assert(ForgetTool.forget(spark, "packed", dir, Seq(2L)) == 2L,
+      "a standing reservation must never be reallocated")
+    // the frozen racer's crash shape — reservation with no delete set —
+    // must read as 'tombstones 1 and 2 present', not a schema error
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      (0L until 6L).toSet -- Set(1L, 2L))
+    // a store whose tombstone dir holds ONLY a reservation (crash before
+    // the very first delete set landed) reads as no tombstones at all
+    val dir2 = Files.createTempDirectory("graft-forget-resv2").toString
+    graft.sources.PackedCorpus.writeEpoch(
+      Seq((0L, Seq(0))).toDF("doc_id", "token_ids").coalesce(1), dir2, 0L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir2/tombstones"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir2/tombstones/.reserved-0"),
+      false).close()
+    assert(graft.sources.PackedCorpus.readAll(spark, dir2).count() == 1L,
+      "reservation dot-files alone must be invisible to tombstone reads")
+    // ... and the next allocation skips the orphaned reservation
+    assert(ForgetTool.forget(spark, "packed", dir2, Seq(0L)) == 1L)
+  }
+
+  test("ProbeTool: CLI-level store oracles — bm25 search lines, packed counts, forget parity") {
+    import spark.implicits._
+    // bm25: results as deterministic "rank doc score" lines, stable
+    // across forget(mask) -> compact(purge) — the e2e parity oracle
+    val idx = Files.createTempDirectory("graft-probe-bm25").toString + "/idx"
+    val docs = Seq((1L, "spark shuffle probe scan"), (2L, "spark hash join"),
+      (3L, "spark probe window"), (4L, "sort merge join"))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingBm25.appendEpoch(docs, idx, 0L, nBuckets = 4)
+    val before = ProbeTool.probe(spark, "bm25", Seq(idx, "3", "spark", "probe"))
+    assert(before.size == 3 && before.head.startsWith("1 "),
+      s"ranked lines expected: $before")
+    ForgetTool.forget(spark, "bm25", idx, Seq(before.head.split(' ')(1).toLong))
+    val masked = ProbeTool.probe(spark, "bm25", Seq(idx, "3", "spark", "probe"))
+    assert(!masked.exists(_.split(' ')(1) == before.head.split(' ')(1)),
+      "forgotten doc must vanish from the CLI probe immediately")
+    CompactTool.compact(spark, "bm25", idx)
+    val purged = ProbeTool.probe(spark, "bm25", Seq(idx, "3", "spark", "probe"))
+    assert(purged.map(_.split(' ')(1)) == masked.map(_.split(' ')(1)),
+      "post-compact result ids must equal the post-forget (masked) ids")
+    // packed: masked counts line
+    val dir = Files.createTempDirectory("graft-probe-packed").toString
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 5L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
+        .toDF("doc_id", "token_ids").coalesce(1), dir, 0L)
+    assert(ProbeTool.probe(spark, "packed", Seq(dir)) ==
+      Seq("sequences=5 tokens=10 id_min=0 id_max=4"))
+    ForgetTool.forget(spark, "packed", dir, Seq(0L, 4L))
+    assert(ProbeTool.probe(spark, "packed", Seq(dir)) ==
+      Seq("sequences=3 tokens=6 id_min=1 id_max=3"))
+    intercept[IllegalArgumentException] {
+      ProbeTool.probe(spark, "nope", Seq(dir))
+    }
+  }
+
   test("ForgetTool: curation deletes accumulate across batch= epochs too") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-forget-cur").toString

@@ -116,6 +116,137 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
       "post-compact, the re-routed index answers like the batch recompute")
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(src),
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(dst), false, true, fs.getConf)
+    ()
+  }
+
+  /** Round-13 verdict #1: the tombstone compact is ONE commit — the
+    * masked postings and the debited stats stage under one swapped root,
+    * so no crash shape can purge the postings while losing the stats
+    * debit (the old two-swap window silently un-debited N/avgdl forever).
+    * Each shape below is constructed around the commit marker and
+    * finished via a re-entry path; the oracle is the w34 STRONG law —
+    * search ≡ batch recompute minus the deleted docs, scores EXACT
+    * (length-normalized scores only match if N/avgdl are right). */
+  test("single-commit compact: every crash shape debits the stats exactly once") {
+    val root = Files.createTempDirectory("graft-sbm25-crash").toString
+    val path = s"$root/idx"
+    val docs = all.toDF("doc_id", "text")
+    def build(): Unit = {
+      StreamingBm25.appendEpoch(docs.filter(col("doc_id") < 20), path, 0, nBuckets = 8)
+      StreamingBm25.appendEpoch(docs.filter(col("doc_id") >= 20), path, 1, nBuckets = 8)
+      StreamingBm25.deleteEpoch(Seq(2L, 7L, 33L).toDF("doc_id"), path, 0)
+    }
+    val qs = Seq((100L, "spark hash"), (101L, "probe sort shuffle"))
+      .toDF("query_id", "text")
+    val live = docs.filter(!col("doc_id").isin(2L, 7L, 33L))
+    val expected = Bm25.topK(live, qs, k = 5, queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def hits() = StreamingBm25.search(spark, path, qs, k = 5,
+        queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def statsRow() = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs"), sum("sum_dl")).head()
+
+    // ---- shape A: crash BEFORE the commit marker (partial staging is
+    // garbage) — the re-run replays the whole compact from intact state
+    build()
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sessionState.newHadoopConf())
+    val junk = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path.compacting/postings/epoch=-1/junk"), true)
+    junk.write("garbage".getBytes); junk.close()
+    StreamingBm25.compact(spark, path)
+    assert(hits() == expected, "shape A: strong law after re-run")
+    assert(statsRow().getLong(0) == all.size - 3, "shape A: debited once")
+
+    // ---- shape B: crash AFTER the commit marker, BEFORE the promote —
+    // the OLD design's lost-debit window. Construct it from real
+    // artifacts: snapshot the pre-compact store, run a real compact to
+    // obtain the staged (debited) form, then restore live + staging +
+    // marker and re-enter.
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    build()
+    copyDir(path, s"$root/pre") // live store incl. tombstones
+    StreamingBm25.compact(spark, path)
+    copyDir(path, s"$root/staged") // the debited compacted form
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    copyDir(s"$root/pre", path) // crash state: live is PRE-compact
+    copyDir(s"$root/staged", s"$path.compacting")
+    fs.create(new org.apache.hadoop.fs.Path(s"$path.compacting.COMMITTED"), true)
+      .close()
+    // re-entry path 1: the next compact's recover() finishes the promote
+    // FIRST (debited staging becomes live, tombstones retired with the
+    // swap), then re-compacts the already-clean store — debit stays once
+    StreamingBm25.compact(spark, path)
+    assert(hits() == expected, "shape B: strong law after recover + re-run")
+    assert(statsRow().getLong(0) == all.size - 3,
+      "shape B: the debit must be applied EXACTLY once (the old two-swap " +
+        "window lost it: rc=0 recomputed from already-purged postings)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "the swap retires the tombstone store with the same commit")
+
+    // ---- shape B via the EPOCH-WRITER re-entry: appendEpoch's guard
+    // finishes the torn swap before appending, so the new epoch can never
+    // land in a directory the deferred promote would replace
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    copyDir(s"$root/pre", path)
+    copyDir(s"$root/staged", s"$path.compacting")
+    fs.create(new org.apache.hadoop.fs.Path(s"$path.compacting.COMMITTED"), true)
+      .close()
+    val extra = Seq((50L, "spark probe window")).toDF("doc_id", "text")
+    StreamingBm25.appendEpoch(extra, path, 2, nBuckets = 8)
+    val expected2 = Bm25.topK(live.unionByName(extra), qs, k = 5,
+        queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(hits() == expected2,
+      "append-after-torn-swap: recover first, then the epoch lands on the " +
+        "compacted state — debited once, nothing lost")
+  }
+
+  test("bucket count is persisted in the store: appends validate it, probes resolve it") {
+    val path = Files.createTempDirectory("graft-sbm25-meta").toString + "/idx"
+    val docs = all.toDF("doc_id", "text")
+    StreamingBm25.appendEpoch(docs.filter(col("doc_id") < 20), path, 0, nBuckets = 8)
+    assert(StreamingBm25.storedNBuckets(spark, path).contains(8))
+    // a mismatched later append would split terms across bucket layouts —
+    // loud error, not silent corruption
+    val e = intercept[IllegalArgumentException] {
+      StreamingBm25.appendEpoch(docs.filter(col("doc_id") >= 20), path, 1,
+        nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets=8"), e.getMessage)
+    StreamingBm25.appendEpoch(docs.filter(col("doc_id") >= 20), path, 1,
+      nBuckets = 8)
+    val qs = Seq((100L, "spark hash"), (101L, "probe sort shuffle"))
+      .toDF("query_id", "text")
+    def hitsWith(n: Int) = StreamingBm25.search(spark, path, qs, k = 5,
+        nBuckets = n, queryIdCol = "query_id")
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val right = hitsWith(8)
+    assert(hitsWith(64) == right,
+      "a caller passing a WRONG count still probes correctly: the stored " +
+        "count is authoritative")
+    // rebucket swaps count + layout in ONE commit; a caller still holding
+    // the OLD count resolves the new one from the store
+    StreamingBm25.rebucket(spark, path, nBuckets = 4)
+    assert(StreamingBm25.storedNBuckets(spark, path).contains(4))
+    assert(hitsWith(8) == right, "stale-count probe after rebucket is exact")
+    // ... and appends now validate against the NEW count
+    intercept[IllegalArgumentException] {
+      StreamingBm25.appendEpoch(docs.limit(1), path, 2, nBuckets = 8)
+    }
+  }
+
   test("ingest resumes after restart; at-rest search equals batch Bm25.topK") {
     val inDir = Files.createTempDirectory("graft-sbm25-in")
     val path = Files.createTempDirectory("graft-sbm25-idx").toString
