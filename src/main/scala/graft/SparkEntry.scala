@@ -129,6 +129,7 @@ object SparkEntry {
     "e19_opq_ivfpq", "e20_ivfpq_rerank", "e21_opq_ivfpq_refine",
     "e23_hybrid_rrf", "e27_mmr_diversify", "e28_nprobe_sweep",
     "e30_bm25_topk", "e31_rrf_hybrid", "e32_bm25_fixedq", "e33_rrf_fixedq",
+    "e40_weighted_hybrid",
     "m10_image_dup_pairs",
     "q48_bucketed_join",
     "s17_orc_roundtrip", "s21_rotation_replay", "s22_packed_roundtrip",
@@ -2087,6 +2088,27 @@ object SparkEntry {
       graft.operators.Hybrid.rrfFuse(Seq(bm, jc), topK = 10)
         .orderBy("query_id", "rank")
     }),
+    "e40_weighted_hybrid" -> ((s, d) => {
+      // convex-combination hybrid — the SCORE-CALIBRATING fusion next to
+      // e31/e33's rank-only RRF (the other standard RAG stack: min-max
+      // normalize each list per query, fused = 0.7·bm25 + 0.3·jaccard;
+      // a doc missing from a list contributes the normalized minimum,
+      // 0). Fusion stays rank-list-sized — the per-(query, list)
+      // min/max relations aggregate over <= |q| x k rows and broadcast
+      // back; nothing touches the corpus. Corpus-independent fixed
+      // query set (the e32/e33 10x stance).
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0 &&
+          col("doc_id") < 4850)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val bm = graft.operators.Bm25.topK(docs, qs, k = 10)
+      val jc = graft.operators.Hybrid.jaccardTopK(docs, qs, k = 10)
+      graft.operators.Hybrid.weightedFuse(Seq(bm -> 0.7, jc -> 0.3),
+          topK = 10)
+        .orderBy("query_id", "rank")
+    }),
     "w37_hybrid_at_rest" -> ((s, d) => {
       // HYBRID retrieval off the STANDING stores — reciprocal-rank
       // fusion of the at-rest lexical index (StreamingBm25) with the
@@ -3050,6 +3072,17 @@ object SparkEntry {
             floor(col("value") / 100).cast("long")),
           Seq("event_type", "day", "band"), k = 5)
         .orderBy("event_type", "day", "band")),
+    "d106_dp_counts" -> ((s, d) =>
+      // differentially-private release of per-(lang, source) doc counts:
+      // Laplace(scale=5 => epsilon=0.2 for sensitivity-1 counts) via a
+      // DETERMINISTIC md5 draw keyed by (seed, group) — re-running the
+      // job republishes the SAME noised statistics instead of spending
+      // more privacy budget on fresh draws. One hash aggregation; the
+      // noise is a narrow projection on the group-cardinality relation.
+      graft.operators.Privacy.dpNoisedCounts(t(s, d, "documents"),
+          Seq(col("lang"), col("source")), Seq("lang", "source"),
+          scale = 5.0)
+        .orderBy("lang", "source")),
     "d82_dataset_card" -> ((s, d) => {
       // dataset-card report: the one-relation "datasheet" summary a corpus
       // release carries (volume, source/language breadth, token stats,
@@ -5971,6 +6004,19 @@ object SparkEntry {
            (count(*) >= 5) AS anonymous
          FROM events GROUP BY 1, 2, 3
          ORDER BY event_type, day, band""",
+    "d106_dp_counts" ->
+      // the deterministic Laplace draw replayed: u = (13 md5 hex chars
+      // + 0.5) / 2^52, noise = -scale * sign(u-1/2) * ln(1 - 2|u-1/2|)
+      """WITH c AS (SELECT lang, source, count(*)::DOUBLE AS n
+           FROM documents GROUP BY 1, 2),
+         h AS (SELECT lang, source, n,
+             (('0x' || substr(md5('graft-dp' || '|' || lang || '|' || source),
+               1, 13))::UBIGINT::DOUBLE + 0.5) / 4503599627370496.0 AS u
+           FROM c)
+         SELECT lang, source,
+           round(n + (-5.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+             AS noised_count
+         FROM h ORDER BY lang, source""",
     "d82_dataset_card" ->
       """WITH s AS (SELECT *,
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -7928,6 +7974,66 @@ object SparkEntry {
          u AS (SELECT * FROM btop UNION ALL SELECT * FROM jtop),
          fus AS (SELECT query_id, doc_id,
              round(sum(1.0 / (60.0 + rank)), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM fus)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "e40_weighted_hybrid" ->
+      // e33's lists fused by CONVEX COMBINATION instead of RRF: each
+      // list min-max normalizes within the query's retrieved top-10
+      // (constant list -> 0), missing-from-a-list contributes 0,
+      // fused = 0.7*bm25_norm + 0.3*jaccard_norm, rounded pre-ranking
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0 AND doc_id < 4850),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         bsc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         btop AS (SELECT query_id, doc_id, score FROM (
+             SELECT query_id, doc_id, score, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             FROM bsc) WHERE rank <= 10),
+         qs AS (SELECT query_id, count(*)::DOUBLE AS qsize FROM qt GROUP BY 1),
+         dd AS (SELECT doc_id, unnest(list_distinct(tk)) AS term FROM dt),
+         ds AS (SELECT doc_id, count(*)::DOUBLE AS dsize FROM dd GROUP BY 1),
+         ij AS (SELECT q.query_id, d.doc_id, count(*)::DOUBLE AS i
+           FROM qt q JOIN dd d USING (term) GROUP BY 1, 2),
+         jsc AS (SELECT ij.query_id, ij.doc_id,
+             round(i / (qs.qsize + ds.dsize - i), 6) AS score
+           FROM ij JOIN qs USING (query_id) JOIN ds USING (doc_id)),
+         jtop AS (SELECT query_id, doc_id, score FROM (
+             SELECT query_id, doc_id, score, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             FROM jsc) WHERE rank <= 10),
+         bn AS (SELECT query_id, doc_id,
+             0.7 * CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                        ELSE 0.0 END AS contrib
+           FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS lo,
+               max(score) OVER (PARTITION BY query_id) AS hi FROM btop)),
+         jn AS (SELECT query_id, doc_id,
+             0.3 * CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                        ELSE 0.0 END AS contrib
+           FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS lo,
+               max(score) OVER (PARTITION BY query_id) AS hi FROM jtop)),
+         u AS (SELECT * FROM bn UNION ALL SELECT * FROM jn),
+         fus AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS score
            FROM u GROUP BY 1, 2),
          fr AS (SELECT query_id, doc_id, score, row_number() OVER (
              PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank

@@ -87,4 +87,40 @@ object Hybrid {
     graft.functions.ScoredTopK
       .rankTopK(fused, Seq(queryCol), col(idCol), col("score"), topK, idCol)
   }
+
+  /** Weighted-sum (convex-combination) fusion with per-(query, list)
+    * MIN-MAX normalization — the score-calibrating alternative to
+    * [[rrfFuse]]: each list's scores normalize to [0, 1] WITHIN the
+    * query's retrieved list ((s − min)/(max − min); a constant list
+    * normalizes to 0), a doc missing from a list contributes 0 (the
+    * normalized minimum), fused = Σᵢ wᵢ·normᵢ. Scores round to
+    * `roundDigits` before ranking (the cross-engine tie contract), ids
+    * ascending on ties.
+    *
+    * Scale shape: rank-list-sized like [[rrfFuse]] — the per-(query,
+    * list) min/max relations are tiny aggregations over ≤ |queries| × k
+    * rows and broadcast back; fusion never touches the corpus. */
+  def weightedFuse(rankings: Seq[(DataFrame, Double)], topK: Int = 10,
+      queryCol: String = "query_id", idCol: String = "doc_id",
+      scoreCol: String = "score", roundDigits: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "need >= 1 (ranking, weight)")
+    require(topK >= 1, s"bad topK=$topK")
+    require(rankings.forall(_._2 >= 0.0), "weights must be >= 0")
+    val normed = rankings.map { case (df, w) =>
+      val s = df.select(col(queryCol), col(idCol),
+        col(scoreCol).cast("double").as("s"))
+      val mm = s.groupBy(queryCol)
+        .agg(min("s").as("lo"), max("s").as("hi"))
+      s.join(broadcast(mm), Seq(queryCol))
+        .select(col(queryCol), col(idCol),
+          (lit(w) * when(col("hi") > col("lo"),
+            (col("s") - col("lo")) / (col("hi") - col("lo")))
+            .otherwise(lit(0.0))).as("contrib"))
+    }
+    val fused = normed.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(idCol))
+      .agg(round(sum("contrib"), roundDigits).as("score"))
+    graft.functions.ScoredTopK
+      .rankTopK(fused, Seq(queryCol), col(idCol), col("score"), topK, idCol)
+  }
 }

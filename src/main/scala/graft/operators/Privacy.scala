@@ -49,4 +49,41 @@ object Privacy {
     val cond = qi.map(q => keyed(q) <=> bad(q)).reduce(_ && _)
     keyed.join(bad, cond, "left_anti").drop(qi: _*)
   }
+
+  /** Differentially-private group-count release: per-group counts with
+    * Laplace(`scale`) noise (ε = sensitivity/scale; count queries have
+    * sensitivity 1, so scale = 1/ε — Dwork et al. 2006). The noise draw
+    * is a DETERMINISTIC function of the group key and `seed` (md5 → a
+    * 52-bit uniform → inverse-CDF Laplace), the reproducible-release
+    * form a pipeline needs: re-running the job republishes the SAME
+    * noised statistics instead of leaking fresh independent draws of
+    * the same true counts (each re-release would otherwise spend more
+    * of the privacy budget).
+    *
+    * Determinism construction (cross-engine exact up to one `ln`):
+    * u = (first 13 md5 hex chars + 0.5) / 2^52 — u ∈ (0, 1), never
+    * exactly 0.5 (integer + 0.5 over a power of two), so the inverse
+    * CDF −scale·sign(u−½)·ln(1−2|u−½|) never sees ln(0) and the sign
+    * is never ambiguous. All arithmetic before the `ln` is exact in
+    * doubles. Scale shape: ONE hash aggregation; the noise is a narrow
+    * codegen'd projection on the group-count relation (group-cardinality
+    * sized, never corpus-sized). */
+  def dpNoisedCounts(df: DataFrame, groupCols: Seq[Column],
+      names: Seq[String], scale: Double, seed: String = "graft-dp",
+      roundDigits: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty && groupCols.length == names.length,
+      "one name per group column")
+    require(scale > 0.0, s"Laplace scale must be > 0: $scale")
+    val counts = df
+      .groupBy(groupCols.zip(names).map { case (c, n) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+    val key = concat_ws("|", lit(seed) +: names.map(n => col(n).cast("string")): _*)
+    val u = (conv(substring(md5(key), 1, 13), 16, 10).cast("double") + 0.5) /
+      lit(4503599627370496.0) // 2^52
+    val centered = u - 0.5
+    val noise = -lit(scale) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    counts.select(names.map(col) :+
+      round(col("n") + noise, roundDigits).as("noised_count"): _*)
+  }
 }

@@ -47,6 +47,37 @@ class HybridSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) == ((4L, 30L, rd(rr(3)))))
   }
 
+  test("weightedFuse min-max normalizes per (query, list), missing docs contribute 0") {
+    import org.apache.spark.sql.functions.col
+    // list A: scores 10 (doc 1), 5 (doc 2), 0 (doc 3) -> norm 1.0, 0.5, 0.0
+    val a = Seq((7L, 1L, 10.0), (7L, 2L, 5.0), (7L, 3L, 0.0))
+      .toDF("query_id", "doc_id", "score")
+    // list B: doc 2 = 4 (norm 1.0), doc 4 = 2 (norm 0.0); docs 1/3 missing
+    val b = Seq((7L, 2L, 4.0), (7L, 4L, 2.0))
+      .toDF("query_id", "doc_id", "score")
+    val out = Hybrid.weightedFuse(Seq(a -> 0.7, b -> 0.3), topK = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // doc 1: 0.7*1.0 = 0.7; doc 2: 0.7*0.5 + 0.3*1.0 = 0.65;
+    // doc 3: 0.0; doc 4: 0.3*0.0 = 0.0
+    assert(out == Map(1L -> 0.7, 2L -> 0.65, 3L -> 0.0, 4L -> 0.0))
+    val ranks = Hybrid.weightedFuse(Seq(a -> 0.7, b -> 0.3), topK = 10)
+      .orderBy(col("rank")).select("doc_id").as[Long].collect().toSeq
+    assert(ranks == Seq(1L, 2L, 3L, 4L),
+      "rank by fused score desc, ties (3 vs 4 at 0.0) by ascending id")
+  }
+
+  test("weightedFuse: a constant list normalizes to 0 (no spurious signal)") {
+    val a = Seq((1L, 1L, 3.0), (1L, 2L, 3.0)).toDF("query_id", "doc_id", "score")
+    val b = Seq((1L, 1L, 9.0), (1L, 2L, 1.0)).toDF("query_id", "doc_id", "score")
+    val out = Hybrid.weightedFuse(Seq(a -> 0.5, b -> 0.5), topK = 2)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // list a is constant -> contributes 0 everywhere; only b ranks
+    assert(out == Map(1L -> 0.5, 2L -> 0.0))
+    intercept[IllegalArgumentException] {
+      Hybrid.weightedFuse(Seq(a -> -0.1), topK = 2)
+    }
+  }
+
   test("rrfFuse: equal scores break ties by ascending id") {
     val l1 = Seq((1L, 50L, 1L), (1L, 40L, 2L)).toDF("query_id", "doc_id", "rank")
     val l2 = Seq((1L, 40L, 1L), (1L, 50L, 2L)).toDF("query_id", "doc_id", "rank")

@@ -60,6 +60,31 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(audited == 1L)
   }
 
+  test("dpNoisedCounts: deterministic, seed-keyed, bounded-perturbation Laplace release") {
+    val docs = (1L to 100L).map(i => (i, if (i <= 70) "en" else "de"))
+      .toDF("id", "lang")
+    def release(seed: String) = Privacy.dpNoisedCounts(docs,
+        Seq(col("lang")), Seq("lang"), scale = 5.0, seed = seed)
+      .select("lang", "noised_count").as[(String, Double)].collect().toMap
+    val r1 = release("graft-dp")
+    // REPRODUCIBLE release: re-running republishes identical statistics
+    // (fresh draws would spend more privacy budget)
+    assert(r1 == release("graft-dp"))
+    // a different seed is a different draw (the noise is real)
+    assert(r1 != release("other-seed"))
+    // the noise is Laplace-scaled, not unbounded: |noise| = scale *
+    // |ln(u')| <= scale * 52 ln 2 ~ 180 at the 2^-52 tail; and it
+    // actually perturbs (an exact integer back out is ~impossible)
+    r1.foreach { case (lang, v) =>
+      val truth = if (lang == "en") 70.0 else 30.0
+      assert(math.abs(v - truth) < 200.0, s"$lang: $v vs $truth")
+      assert(v != truth, "noise must actually perturb the count")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisedCounts(docs, Seq(col("lang")), Seq("lang"), scale = 0.0)
+    }
+  }
+
   test("a quasi name colliding with an existing column never clobbers it") {
     // names = Seq("age") while `age` is a data column: output must keep the
     // ORIGINAL age values and column set.
