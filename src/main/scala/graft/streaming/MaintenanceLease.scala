@@ -34,6 +34,17 @@ import org.apache.spark.sql.SparkSession
   *    before the commit marker — a zombie maintenance run whose lease was
   *    broken aborts BEFORE its staging becomes authoritative, never
   *    after.
+  *
+  * Object-store semantics: the protocol uses only create/open/list/
+  * delete — no rename, no append (spec-pinned over the S3-semantics
+  * mock FS). On HDFS/local, `create(overwrite=false)` is atomic and the
+  * lease is a true mutex; on eventually-exclusive stores (S3A's create
+  * is HEAD-then-PUT), acquire is BEST-EFFORT — two racers could both
+  * believe they hold it — and the commit-point FENCE is the
+  * authoritative guard: whichever racer's token survives in the lease
+  * object wins, the other aborts pre-commit. Data-destroying races are
+  * prevented by the fence on every store; the lease upgrades that to
+  * fail-fast where the filesystem can express it.
   */
 object MaintenanceLease {
 

@@ -40,21 +40,44 @@ case class HHSketch(entries: Seq[HHEntry])
 object StreamingHeavyHitters extends Serializable {
 
   /** Fold one group's arrivals (item, weight) into the sketch. Pure —
-    * shared by the streaming operator and the batch epoch fold. */
+    * shared by the streaming operator and the batch epoch fold.
+    *
+    * Eviction is O(log n) amortized via a LAZY-DELETION priority queue
+    * (a linear min-scan per evicting arrival made the fold O(n·capacity)
+    * exactly in the regime the sketch exists for — distinct items ≫
+    * capacity; measured 53× at 10× data on the w23 gate, round 14). The
+    * queue holds every (count, item) version ever written; a popped
+    * version is live iff it still matches the map, so the dequeued live
+    * minimum is EXACTLY the old `minBy((count, -item))` victim — same
+    * evictions, same tie-break (largest item id), same output order
+    * (the LinkedHashMap is untouched as the order-carrying structure). */
   def foldGroup(entries: Seq[HHEntry], arrivals: Seq[(Long, Long)],
       capacity: Int): Seq[HHEntry] = {
     require(capacity > 0, "capacity must be positive")
     val m = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
-    entries.foreach(e => m(e.item) = (e.count, e.err))
+    // dequeue priority: smallest count first, ties toward the LARGEST id
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.by { case (c, i) => (-c, i) })
+    def write(item: Long, count: Long, err: Long): Unit = {
+      m(item) = (count, err)
+      pq.enqueue((count, item))
+    }
+    entries.foreach(e => write(e.item, e.count, e.err))
     arrivals.foreach { case (item, w) =>
       m.get(item) match {
-        case Some((c, e)) => m(item) = (c + w, e)
-        case None if m.size < capacity => m(item) = (w, 0L)
+        case Some((c, e)) => write(item, c + w, e)
+        case None if m.size < capacity => write(item, w, 0L)
         case None =>
-          // evict the minimum count; ties toward the LARGEST item id
-          val (evItem, (evCount, _)) = m.minBy { case (i, (c, _)) => (c, -i) }
-          m.remove(evItem)
-          m(item) = (evCount + w, evCount)
+          // pop stale versions until the live minimum surfaces
+          var evicted = false
+          while (!evicted) {
+            val (c, i) = pq.dequeue()
+            if (m.get(i).exists(_._1 == c)) {
+              m.remove(i)
+              write(item, c + w, c)
+              evicted = true
+            }
+          }
       }
     }
     m.map { case (i, (c, e)) => HHEntry(i, c, e) }.toSeq

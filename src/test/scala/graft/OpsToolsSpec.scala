@@ -160,6 +160,24 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       ProbeTool.probe(spark, "nope", Seq(dir))
     }
+    // ivf: ranked "rank id cosine" lines off a tiny store
+    val ivf = Files.createTempDirectory("graft-probe-ivf").toString + "/idx"
+    def vec(i: Long) = (0 until 4).map(j => (math.sin(i * 31 + j * 7) + 2.0).toFloat)
+    graft.streaming.StreamingIvf.init(
+      (0 until 2).map(i => (i, vec(i * 5))).toDF("centroid_id", "centroid_vec"), ivf)
+    graft.streaming.StreamingIvf.appendEpoch(
+      (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding"), ivf, 0L)
+    val ivfOut = ProbeTool.probe(spark, "ivf",
+      Seq(ivf, "3", vec(1L).mkString(","), "2"))
+    assert(ivfOut.size == 3 && ivfOut.head.startsWith("1 1 "),
+      s"nearest to vec(1) is vec 1 itself... excluded? got: $ivfOut")
+    // curation: verdict totals by stage
+    val cur = Files.createTempDirectory("graft-probe-cur").toString
+    Seq((1L, "kept", Some(3L)), (2L, "exact_dup", None), (3L, "kept", Some(1L)))
+      .toDF("doc_id", "stage", "shard")
+      .coalesce(1).write.parquet(s"$cur/verdicts/batch=0")
+    assert(ProbeTool.probe(spark, "curation", Seq(cur)) ==
+      Seq("exact_dup=1", "kept=2"))
   }
 
   test("ForgetTool: curation deletes accumulate across batch= epochs too") {

@@ -115,6 +115,42 @@ class MaintenanceLeaseSpec extends AnyFunSuite with SparkTestBase {
       "the legitimate compact folds the same rows")
   }
 
+  test("the lease protocol is object-store legal: create/read/delete only, no rename/append") {
+    val localRoot = Files.createTempDirectory("lease-s3mock").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3mock.impl", classOf[S3SemanticsMockFs].getName)
+    hc.set("fs.s3mock.root", localRoot)
+    hc.setBoolean("fs.s3mock.impl.disable.cache", true)
+    try {
+      val root = "s3mock://bucket/stores/idx"
+      // the mock THROWS on rename/append — a green lifecycle is a
+      // structural proof the lease needs neither
+      val token = MaintenanceLease.acquire(spark, root)
+      intercept[Exception] { MaintenanceLease.acquire(spark, root) }
+      MaintenanceLease.verifyHeld(spark, root, token)
+      intercept[IllegalStateException] {
+        MaintenanceLease.guardEpochWrite(spark, root)
+      }
+      MaintenanceLease.release(spark, root, token)
+      MaintenanceLease.guardEpochWrite(spark, root) // free again
+      // fence semantics survive the object store: a takeover fences the
+      // old token out
+      val t1 = MaintenanceLease.acquire(spark, root)
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+          spark.sessionState.newHadoopConf())
+        .delete(MaintenanceLease.leasePath(root), false)
+      val t2 = MaintenanceLease.acquire(spark, root)
+      intercept[IllegalStateException] {
+        MaintenanceLease.verifyHeld(spark, root, t1)
+      }
+      MaintenanceLease.verifyHeld(spark, root, t2)
+      MaintenanceLease.release(spark, root, t2)
+    } finally {
+      hc.unset("fs.s3mock.impl")
+      hc.unset("fs.s3mock.root")
+    }
+  }
+
   test("maintenance ops hold the lease for their duration and release on exit, even on failure") {
     val path = freshIvf()
     val fs = org.apache.hadoop.fs.FileSystem.get(
