@@ -112,11 +112,13 @@ object PackedCorpus {
     * the epochs. */
   def writeEpoch(docs: DataFrame, dir: String, epoch: Long,
       idCol: String = "doc_id", tokensCol: String = "token_ids"): Seq[PartMeta] = {
-    // refuse during a maintenance swap (and finish any torn swap a
-    // crashed one left) — see graft.streaming.MaintenanceLease
-    graft.streaming.MaintenanceLease.guardEpochWrite(docs.sparkSession, dir,
-      Seq(dir))
-    write(docs, s"$dir/epoch=$epoch", idCol, tokensCol)
+    // write-intent protocol: refuse on a live maintenance lease at entry
+    // AND publish an intent so a maintenance acquire refuses over this
+    // in-flight write — see graft.streaming.MaintenanceLease
+    graft.streaming.MaintenanceLease.withEpochWriteIntent(docs.sparkSession,
+      dir, Seq(dir)) {
+      write(docs, s"$dir/epoch=$epoch", idCol, tokensCol)
+    }
   }
 
   /** The standing pipeline: token-id stream → per-epoch packed part
@@ -150,12 +152,14 @@ object PackedCorpus {
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the
     // swap staged its masked rewrite would be retired UNAPPLIED by the
-    // promote — a silently lost delete request
-    graft.streaming.MaintenanceLease.guardEpochWrite(ids.sparkSession, dir,
-      Seq(dir))
-    ids.select(col(idCol).cast("long").as(idCol)).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/tombstones/epoch=$epoch")
+    // promote — a silently lost delete request; the intent marker makes
+    // the write-starts-first ordering refuse on the maintenance side too
+    graft.streaming.MaintenanceLease.withEpochWriteIntent(ids.sparkSession,
+      dir, Seq(dir)) {
+      ids.select(col(idCol).cast("long").as(idCol)).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/tombstones/epoch=$epoch")
+    }
   }
 
   /** The at-rest tombstone union, if any delete epoch exists. The
@@ -201,7 +205,7 @@ object PackedCorpus {
       idCol: String = "doc_id", tokensCol: String = "token_ids"): Unit = {
     val parts =
       if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
-    graft.streaming.MaintenanceLease.withLease(spark, dir) { fence =>
+    graft.streaming.MaintenanceLease.withLease(spark, dir, op = "compact") { fence =>
       graft.streaming.StateCompaction.compactWith(spark, dir, fence) { staging =>
         write(readAll(spark, dir, idCol, tokensCol)
             .repartitionByRange(parts, col(idCol)),

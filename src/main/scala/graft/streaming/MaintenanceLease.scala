@@ -16,46 +16,86 @@ import org.apache.spark.sql.SparkSession
   * .refit]], [[StreamingBm25.compact]]) can never delete its own lock
   * mid-swap.
   *
-  * Protocol:
+  * Protocol — BOTH orderings of the write-vs-maintenance race are loud
+  * (round-14 verdict #1: a guard that only refuses writes which START
+  * during maintenance leaves a write already in flight silently
+  * destroyable by the promote):
   *  - a maintenance op [[acquire]]s the lease at entry — atomic exclusive
-  *    create (`FileSystem.create(overwrite=false)`), so two concurrent
-  *    maintenance runs cannot both hold it — and [[release]]s it in a
-  *    `finally`;
-  *  - `appendEpoch`/`deleteEpoch` call [[guardEpochWrite]] first and
-  *    REFUSE (throw) while a live lease is held — the lost-epoch
-  *    interleaving (an epoch write racing a directory swap) becomes a
-  *    loud error instead of silent data loss;
-  *  - a lease older than [[ttlMillis]] is STALE (the holder crashed
-  *    without a `finally`): both maintenance and epoch writers may break
-  *    it and proceed, so a crashed run never bricks the store;
+  *    create (`FileSystem.create(overwrite=false)`), re-read to verify
+  *    the file still carries this run's token (two breakers of the same
+  *    stale lease can interleave delete-then-create; the re-read makes
+  *    the loser fail at acquire, not at the fence) — and [[release]]s it
+  *    in a `finally`;
+  *  - every epoch write runs under [[withEpochWriteIntent]]: it publishes
+  *    a WRITE-INTENT marker (atomic exclusive create of a sibling
+  *    dot-file `<root>.EPOCH_WRITE-<uuid>`, deleted in a `finally`)
+  *    BEFORE writing, then re-checks the lease — so an epoch write that
+  *    starts during maintenance refuses loudly;
+  *  - [[acquire]] REFUSES while a live intent marker exists — so
+  *    maintenance cannot start over an epoch write already in flight
+  *    (the write-starts-first ordering); at least one side always sees
+  *    the other (intent-then-check-lease vs lease-then-check-intents —
+  *    the two-flag mutual-exclusion shape), and a simultaneous race can
+  *    at worst make BOTH refuse, never both proceed;
+  *  - after its final write, [[withEpochWriteIntent]] re-checks the lease
+  *    once more: a lease that appeared mid-write (possible only by
+  *    breaking this write's intent as TTL-stale, or on an
+  *    eventually-exclusive object store) fails the epoch write loudly —
+  *    the stream retries the batch rather than checkpointing bytes a
+  *    maintenance promote may erase;
+  *  - a lease older than [[ttlMillis]] is STALE (the holder crashed):
+  *    both maintenance and epoch writers may break it and proceed, so a
+  *    crashed run never bricks the store. A LIVE holder inside
+  *    [[withLease]] RENEWS the lease from a driver-side heartbeat thread
+  *    (mtime touch, token unchanged) every ttl/3, so the TTL can stay
+  *    short for genuinely-crashed holders while a legit 100-TB compact
+  *    longer than the TTL survives. Intent markers carry their own,
+  *    shorter TTL ([[intentTtlMillis]]) with the same stale-break rule.
   *  - breaking a stale lease is safe because the swap is FENCED: the
   *    lease file records a per-run token, and [[StateCompaction
   *    .compactWith]] re-checks it (via the `fence` hook) immediately
-  *    before the commit marker — a zombie maintenance run whose lease was
-  *    broken aborts BEFORE its staging becomes authoritative, never
-  *    after.
+  *    before the commit marker — and the fence ALSO refuses if any live
+  *    intent marker exists (an intent at fence time means an epoch
+  *    writer slipped in by breaking this run's lease, or the race window
+  *    closed on the writer's side after the staging read began) — so a
+  *    zombie maintenance run aborts BEFORE its staging becomes
+  *    authoritative, never after.
   *
   * Object-store semantics: the protocol uses only create/open/list/
-  * delete — no rename, no append (spec-pinned over the S3-semantics
-  * mock FS). On HDFS/local, `create(overwrite=false)` is atomic and the
-  * lease is a true mutex; on eventually-exclusive stores (S3A's create
-  * is HEAD-then-PUT), acquire is BEST-EFFORT — two racers could both
-  * believe they hold it — and the commit-point FENCE is the
-  * authoritative guard: whichever racer's token survives in the lease
-  * object wins, the other aborts pre-commit. Data-destroying races are
-  * prevented by the fence on every store; the lease upgrades that to
-  * fail-fast where the filesystem can express it.
+  * delete plus a best-effort mtime touch — no rename, no append
+  * (spec-pinned over the S3-semantics mock FS). On HDFS/local,
+  * `create(overwrite=false)` is atomic and the lease is a true mutex; on
+  * eventually-exclusive stores (S3A's create is HEAD-then-PUT), acquire
+  * is BEST-EFFORT — two racers could both believe they hold it — and the
+  * commit-point FENCE is the authoritative guard: whichever racer's
+  * token survives in the lease object wins, the other aborts pre-commit.
+  * Data-destroying races are prevented by the fence on every store; the
+  * lease and intent markers upgrade that to fail-fast where the
+  * filesystem can express it.
   */
 object MaintenanceLease {
 
-  /** Lease age beyond which the holder is presumed crashed. Overridable
-    * per session for long maintenance windows (a 100-TB compact sets it
-    * above its expected runtime) and for specs. */
+  /** Lease age beyond which the holder is presumed crashed. [[withLease]]
+    * renews every ttl/3, so this bounds CRASH detection latency, not
+    * legitimate maintenance duration; override per session for specs. */
   val TtlConfKey = "spark.graft.maintenanceLeaseTtlMs"
   val DefaultTtlMillis: Long = 6L * 60 * 60 * 1000 // 6 h
 
+  /** Intent-marker age beyond which the epoch writer is presumed crashed
+    * (epoch writes are minutes, not hours — a shorter TTL keeps a
+    * crashed writer from blocking maintenance for long). */
+  val IntentTtlConfKey = "spark.graft.epochWriteIntentTtlMs"
+  val DefaultIntentTtlMillis: Long = 30L * 60 * 1000 // 30 min
+
+  private val IntentInfix = ".EPOCH_WRITE-"
+
   def leasePath(root: String): Path =
     new Path(root.stripSuffix("/") + ".MAINTENANCE_LEASE")
+
+  /** Parsed live-lease state for the status plane ([[StatusReporter]]):
+    * which op holds the store, since when, renewed how recently. */
+  final case class LeaseStatus(op: String, token: String, acquiredAtMs: Long,
+      renewedAgeMs: Long, host: String)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new URI(root), spark.sessionState.newHadoopConf())
@@ -63,21 +103,91 @@ object MaintenanceLease {
   private def ttlMillis(spark: SparkSession): Long =
     spark.conf.getOption(TtlConfKey).map(_.toLong).getOrElse(DefaultTtlMillis)
 
+  private def intentTtlMillis(spark: SparkSession): Long =
+    spark.conf.getOption(IntentTtlConfKey).map(_.toLong)
+      .getOrElse(DefaultIntentTtlMillis)
+
   private def ageMillis(f: FileSystem, p: Path): Long =
     System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
 
-  private def readToken(f: FileSystem, p: Path): Option[String] =
+  private def readLines(f: FileSystem, p: Path): Option[Seq[String]] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.linesIterator.toSeq)
       finally in.close()
     }
 
+  /** First line of the lease file = the fencing token (later lines are
+    * status metadata — see [[status]]). */
+  private def readToken(f: FileSystem, p: Path): Option[String] =
+    readLines(f, p).flatMap(_.headOption).map(_.trim)
+
+  /** True while a lease file exists and is younger than the TTL. */
+  private def liveLease(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    val p = leasePath(root)
+    f.exists(p) && {
+      val age = try ageMillis(f, p) catch {
+        case _: java.io.FileNotFoundException => Long.MaxValue
+      }
+      age <= ttlMillis(spark)
+    }
+  }
+
+  /** The live-lease status, if one is held (stale leases read as None —
+    * they are break-on-sight). Tolerates the legacy token-only format. */
+  def status(spark: SparkSession, root: String): Option[LeaseStatus] = {
+    val f = fs(spark, root)
+    val p = leasePath(root)
+    if (!liveLease(spark, root)) None
+    else readLines(f, p).map { lines =>
+      val kv = lines.drop(1).flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      LeaseStatus(
+        op = kv.getOrElse("op", "maintenance"),
+        token = lines.headOption.map(_.trim).getOrElse(""),
+        acquiredAtMs = kv.get("acquiredAtMs").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(-1L),
+        renewedAgeMs = try ageMillis(f, p) catch {
+          case _: java.io.FileNotFoundException => -1L
+        },
+        host = kv.getOrElse("host", ""))
+    }
+  }
+
+  /** Live epoch-write intent markers for `root` (stale ones are BROKEN —
+    * deleted — on sight, mirroring the lease's crash story). Bounded:
+    * lists only `root`'s parent directory filtered to the intent prefix. */
+  def liveIntents(spark: SparkSession, root: String): Seq[Path] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root.stripSuffix("/"))
+    val parent = rootPath.getParent
+    if (parent == null || !f.exists(parent)) return Nil
+    val prefix = rootPath.getName + IntentInfix
+    val ttl = intentTtlMillis(spark)
+    f.listStatus(parent).toSeq
+      .filter(_.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        val age = System.currentTimeMillis() - st.getModificationTime
+        if (age > ttl) { f.delete(st.getPath, false); None } // crashed writer
+        else Some(st.getPath)
+      }
+  }
+
   /** Take the lease (atomic exclusive create). Throws while a LIVE lease
-    * is held by another run; breaks a stale one. Returns the fencing
-    * token to pass to [[verifyHeld]] / [[release]]. */
-  def acquire(spark: SparkSession, root: String): String = {
+    * is held by another run, while any epoch write's intent marker is
+    * live (the write-starts-first ordering of the lost-epoch race), or
+    * when a concurrent stale-breaker won the re-create race; breaks a
+    * stale lease. Returns the fencing token for [[verifyHeld]] /
+    * [[release]]. `op` is recorded for the status plane. */
+  def acquire(spark: SparkSession, root: String,
+      op: String = "maintenance"): String = {
     val f = fs(spark, root)
     val p = leasePath(root)
     if (f.exists(p)) {
@@ -95,7 +205,30 @@ object MaintenanceLease {
     // overwrite=false: if a concurrent acquirer won the race after the
     // exists() check, this throws (FileAlreadyExists) — loud, never shared
     val out = f.create(p, false)
-    try out.write(token.getBytes("UTF-8")) finally out.close()
+    try out.write((token + "\n" +
+      s"op=$op\n" +
+      s"acquiredAtMs=${System.currentTimeMillis()}\n" +
+      s"host=${LogPipeline.hostname}\n").getBytes("UTF-8"))
+    finally out.close()
+    // two breakers of the same stale lease can interleave delete-then-
+    // create so B's delete removes A's fresh lease: re-read and verify the
+    // file still carries OUR token before claiming the acquire succeeded
+    if (!readToken(f, p).contains(token))
+      throw new IllegalStateException(
+        s"lost the lease-acquire race on $root: another writer re-broke the " +
+          "stale lease after this run created its own; retry the maintenance op")
+    // write-intent barrier (lease-then-check-intents): an epoch write
+    // already in flight published its intent BEFORE checking the lease,
+    // so at least one side sees the other — refuse to start maintenance
+    // over a live write instead of silently destroying it at the promote
+    val intents = liveIntents(spark, root)
+    if (intents.nonEmpty) {
+      release(spark, root, token)
+      throw new IllegalStateException(
+        s"epoch write(s) in flight on $root (${intents.map(_.getName).mkString(", ")}): " +
+          "maintenance must not start over a live write; wait for it to finish " +
+          "(stale intents break after the intent TTL)")
+    }
     token
   }
 
@@ -111,6 +244,23 @@ object MaintenanceLease {
           "this run out; aborting without committing")
   }
 
+  /** The full commit-point fence [[withLease]] hands to
+    * [[StateCompaction.compactWith]]: token still ours AND no live epoch
+    * write intent exists. An intent at fence time means a writer slipped
+    * in after the staging read began (by breaking this run's lease as
+    * stale, or through an eventually-exclusive object store's create) —
+    * the staging may have read a partially-written epoch, so abort
+    * pre-commit rather than promote it. */
+  def fenceCheck(spark: SparkSession, root: String, token: String): Unit = {
+    verifyHeld(spark, root, token)
+    val intents = liveIntents(spark, root)
+    if (intents.nonEmpty)
+      throw new IllegalStateException(
+        s"epoch write intent appeared on $root during maintenance staging " +
+          s"(${intents.map(_.getName).mkString(", ")}): the staged fold may " +
+          "have read a partial epoch; aborting without committing")
+  }
+
   /** Drop the lease iff it is still ours (a broken-and-retaken lease
     * belongs to the new holder and is left alone). */
   def release(spark: SparkSession, root: String, token: String): Unit = {
@@ -119,12 +269,14 @@ object MaintenanceLease {
     if (readToken(f, p).contains(token)) { f.delete(p, false); () }
   }
 
-  /** Epoch-writer guard (`appendEpoch`/`deleteEpoch`): refuse while a
-    * live maintenance lease is held; break a stale one (the fence
-    * protects the store from the zombie), then FINISH any torn swap the
-    * crashed run left (`recoverDirs` — the directories this writer is
-    * about to append under), so the new epoch can never land in a
-    * directory a deferred recover would replace. */
+  /** Epoch-writer ENTRY guard: refuse while a live maintenance lease is
+    * held; break a stale one (the fence protects the store from the
+    * zombie), then FINISH any torn swap the crashed run left
+    * (`recoverDirs` — the directories this writer is about to append
+    * under), so the new epoch can never land in a directory a deferred
+    * recover would replace. This is only the entry half — the full
+    * both-orderings protection is [[withEpochWriteIntent]], which every
+    * store's `appendEpoch`/`deleteEpoch` wraps its write in. */
   def guardEpochWrite(spark: SparkSession, root: String,
       recoverDirs: Seq[String] = Nil): Unit = {
     val f = fs(spark, root)
@@ -143,11 +295,78 @@ object MaintenanceLease {
     recoverDirs.foreach(d => StateCompaction.recover(spark, d))
   }
 
+  /** Run one epoch write under a WRITE-INTENT marker — the write-side
+    * half of the maintenance race (round-14 verdict #1). Publishes the
+    * intent BEFORE writing (atomic exclusive create of a sibling
+    * dot-file, deleted in a `finally`, TTL-stale like the lease), then:
+    *  - re-checks the lease AFTER publishing (a maintenance acquire that
+    *    ran between the entry guard and the intent create is visible now
+    *    — refuse before any byte lands);
+    *  - re-checks the lease AFTER the final write (a lease can only have
+    *    appeared mid-write by breaking this intent as TTL-stale or via
+    *    an eventually-exclusive create — the epoch's bytes may be
+    *    destroyed by the maintenance promote, so the write FAILS loudly
+    *    and the stream retries the batch instead of checkpointing it).
+    * Every interleaving of an epoch write with a maintenance op now
+    * loses LOUDLY on one side or the other, never silently. */
+  def withEpochWriteIntent[T](spark: SparkSession, root: String,
+      recoverDirs: Seq[String] = Nil)(body: => T): T = {
+    guardEpochWrite(spark, root, recoverDirs)
+    val f = fs(spark, root)
+    val ip = new Path(root.stripSuffix("/") + IntentInfix +
+      java.util.UUID.randomUUID().toString)
+    f.create(ip, false).close() // atomic publish; collision impossible (uuid)
+    try {
+      if (liveLease(spark, root))
+        throw new IllegalStateException(
+          s"store $root came under maintenance before this epoch write started " +
+            "(lease acquired between the entry guard and the intent publish); " +
+            "refusing before any byte lands")
+      val r = body
+      if (liveLease(spark, root))
+        throw new IllegalStateException(
+          s"store $root came under maintenance DURING this epoch write (the " +
+            "write's intent marker was broken as stale, or an object store's " +
+            "create raced): the epoch's bytes may be destroyed by the " +
+            "maintenance promote — failing the batch loudly so it retries " +
+            "instead of checkpointing data a swap may erase")
+      r
+    } finally { f.delete(ip, false); () }
+  }
+
   /** Run `body` under the lease; `body` receives the FENCE thunk to pass
-    * to [[StateCompaction.compactWith]]/[[StateCompaction.compact]]. */
-  def withLease[T](spark: SparkSession, root: String)(body: (() => Unit) => T): T = {
-    val token = acquire(spark, root)
-    try body(() => verifyHeld(spark, root, token))
-    finally release(spark, root, token)
+    * to [[StateCompaction.compactWith]]/[[StateCompaction.compact]]
+    * ([[fenceCheck]]: token intact AND no live write intent). While
+    * `body` runs, a daemon heartbeat thread RENEWS the lease (mtime
+    * touch, token unchanged) every ttl/3 — so the TTL stays short enough
+    * to break genuinely-crashed holders fast, while a legitimate
+    * long-running compact never gets its lease broken mid-work. A killed
+    * holder's renewal dies with its JVM, so its lease still goes stale. */
+  def withLease[T](spark: SparkSession, root: String,
+      op: String = "maintenance")(body: (() => Unit) => T): T = {
+    val token = acquire(spark, root, op)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val renewIntervalMs = math.max(50L, ttlMillis(spark) / 3)
+    val renewer = new Thread(() => {
+      while (!stop.await(renewIntervalMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          val f = fs(spark, root)
+          val p = leasePath(root)
+          // renew only while the file still carries OUR token: a broken-
+          // and-retaken lease belongs to the new holder; never re-create
+          if (readToken(f, p).contains(token))
+            try f.setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: UnsupportedOperationException => () } // best-effort
+        } catch { case _: Exception => () } // transient IO: next tick retries
+      }
+    }, s"graft-lease-renewal-${token.take(8)}")
+    renewer.setDaemon(true)
+    renewer.start()
+    try body(() => fenceCheck(spark, root, token))
+    finally {
+      stop.countDown()
+      release(spark, root, token)
+    }
   }
 }

@@ -114,27 +114,28 @@ object StreamingBm25 {
       idCol: String = "doc_id"): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     val spark0 = batch.sparkSession
-    MaintenanceLease.guardEpochWrite(spark0, path,
-      Seq(path, s"$path/postings", s"$path/stats"))
-    validateOrRecordNBuckets(spark0, path, nBuckets)
-    val toks = batch.select(col(idCol),
-      TextFunctions.tokens(lower(col(textCol))).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toks
-      .select(col(idCol), size(col("toks")).cast("double").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", termBucket(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings/epoch=$epoch")
-    // mergeable corpus-stats partials; coalesce(sum, 0) keeps an
-    // all-empty-docs epoch a valid zero row rather than a null
-    toks.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(col("toks")).cast("double")), lit(0.0)).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/epoch=$epoch")
-    toks.unpersist(false)
-    ()
+    MaintenanceLease.withEpochWriteIntent(spark0, path,
+      Seq(path, s"$path/postings", s"$path/stats")) {
+      validateOrRecordNBuckets(spark0, path, nBuckets)
+      val toks = batch.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks
+        .select(col(idCol), size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("bucket", termBucket(col("term"), nBuckets))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/epoch=$epoch")
+      // mergeable corpus-stats partials; coalesce(sum, 0) keeps an
+      // all-empty-docs epoch a valid zero row rather than a null
+      toks.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("toks")).cast("double")), lit(0.0)).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/epoch=$epoch")
+      toks.unpersist(false)
+      ()
+    }
   }
 
   /** The standing pipeline: document stream → tokenize once → per-epoch
@@ -167,12 +168,14 @@ object StreamingBm25 {
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the
     // swap staged its masked rewrite would be retired UNAPPLIED by the
-    // promote — a silently lost delete request
-    MaintenanceLease.guardEpochWrite(ids.sparkSession, path,
-      Seq(path, s"$path/postings", s"$path/stats"))
-    ids.select(col(idCol).cast("long").as(idCol)).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+    // promote — a silently lost delete request; the intent marker makes
+    // the write-starts-first ordering refuse on the maintenance side too
+    MaintenanceLease.withEpochWriteIntent(ids.sparkSession, path,
+      Seq(path, s"$path/postings", s"$path/stats")) {
+      ids.select(col(idCol).cast("long").as(idCol)).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+    }
   }
 
   private def tombstoneDf(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -201,7 +204,7 @@ object StreamingBm25 {
       targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
       idCol: String = "doc_id"): Unit = {
     val postingsDir = s"$path/postings"
-    MaintenanceLease.withLease(spark, path) { fence =>
+    MaintenanceLease.withLease(spark, path, op = "compact") { fence =>
       // finish torn swaps FIRST — a rebucket/legacy crash can leave the
       // postings only in a staging sibling, which must promote before the
       // existence check below can see it
@@ -355,7 +358,7 @@ object StreamingBm25 {
     * [[MaintenanceLease]]). */
   def rebucket(spark: SparkSession, path: String, nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    MaintenanceLease.withLease(spark, path) { fence =>
+    MaintenanceLease.withLease(spark, path, op = "rebucket") { fence =>
       // finish a torn COMPACT swap first (it swaps the store root this
       // subdir swap lives under)
       StateCompaction.recover(spark, path)

@@ -288,23 +288,26 @@ object StreamingCuration {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // refuse during a maintenance swap (and finish any torn swap a
-        // crashed one left) — see MaintenanceLease
-        MaintenanceLease.guardEpochWrite(spark, stateDir,
-          Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s"))
-        // un-compacted tombstones mask the dedup memory: a batch arriving
-        // after a delete is judged as if the deleted docs never landed
-        val digests = maskTombstones(spark, stateDir,
-          readStateOr(spark, s"$stateDir/digests", emptyDigests(spark)), "id")
-        val sigs = maskTombstones(spark, stateDir,
-          readStateOr(spark, s"$stateDir/sigs", emptySigs(spark)), "id")
-        val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
-          minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
-        // deltas first (overwrite = replay-idempotent), verdict last
-        dd.write.mode("overwrite").parquet(s"$stateDir/digests/batch=$epoch")
-        sd.write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$epoch")
-        v.write.mode("overwrite").parquet(s"$stateDir/verdicts/batch=$epoch")
-        release()
+        // write-intent protocol: refuse on a live maintenance lease at
+        // entry AND publish an intent over the whole read-judge-write
+        // batch so a maintenance acquire refuses mid-flight — see
+        // MaintenanceLease
+        MaintenanceLease.withEpochWriteIntent(spark, stateDir,
+          Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s")) {
+          // un-compacted tombstones mask the dedup memory: a batch arriving
+          // after a delete is judged as if the deleted docs never landed
+          val digests = maskTombstones(spark, stateDir,
+            readStateOr(spark, s"$stateDir/digests", emptyDigests(spark)), "id")
+          val sigs = maskTombstones(spark, stateDir,
+            readStateOr(spark, s"$stateDir/sigs", emptySigs(spark)), "id")
+          val (v, dd, sd, release) = curateBatch(batch, digests, sigs, probeH,
+            minQuality, threshold, probeNgram, nShards, maxBucket, textCol, idCol)
+          // deltas first (overwrite = replay-idempotent), verdict last
+          dd.write.mode("overwrite").parquet(s"$stateDir/digests/batch=$epoch")
+          sd.write.mode("overwrite").parquet(s"$stateDir/sigs/batch=$epoch")
+          v.write.mode("overwrite").parquet(s"$stateDir/verdicts/batch=$epoch")
+          release()
+        }
       }
       .start()
   }
@@ -341,12 +344,15 @@ object StreamingCuration {
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the
     // swap staged its masked rewrite would be retired UNAPPLIED by the
-    // promote — a silently lost delete (anti-RTBF) request
-    MaintenanceLease.guardEpochWrite(ids.sparkSession, stateDir,
-      Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s"))
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/tombstones/batch=$epoch")
+    // promote — a silently lost delete (anti-RTBF) request; the intent
+    // marker makes the write-starts-first ordering refuse on the
+    // maintenance side too
+    MaintenanceLease.withEpochWriteIntent(ids.sparkSession, stateDir,
+      Seq("digests", "sigs", "verdicts").map(s => s"$stateDir/$s")) {
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/tombstones/batch=$epoch")
+    }
   }
 
   private def tombstoneDf(spark: SparkSession, stateDir: String): Option[DataFrame] = {
@@ -390,7 +396,7 @@ object StreamingCuration {
     * caller's choice). */
   def compactState(spark: SparkSession, stateDir: String,
       idCol: String = "doc_id"): Unit =
-    MaintenanceLease.withLease(spark, stateDir) { fence =>
+    MaintenanceLease.withLease(spark, stateDir, op = "compact") { fence =>
       val ts = tombstoneDf(spark, stateDir)
         .map(_.select(col("id").cast("long").as("id")).distinct())
       def drop(df: DataFrame, keyCol: String): DataFrame =

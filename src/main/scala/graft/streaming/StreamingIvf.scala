@@ -43,17 +43,19 @@ object StreamingIvf {
       vecCol: String = "embedding", idCol: String = "vec_id",
       payloadCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    // refuse during a maintenance swap (and finish any torn swap a
-    // crashed one left) — see MaintenanceLease; path itself is a swap
+    // write-intent protocol: refuse on a live maintenance lease at entry
+    // AND publish an intent so a maintenance acquire refuses over this
+    // in-flight write — see MaintenanceLease; path itself is a swap
     // root (refit), corpus is one (compact)
-    MaintenanceLease.guardEpochWrite(spark, path, Seq(path, s"$path/corpus"))
-    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
-    batch.select(col(idCol) +: col(vecCol) +: payloadCols.map(col): _*)
-      .withColumn("cell",
-        element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
-          .getField("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/corpus/epoch=$epoch")
+    MaintenanceLease.withEpochWriteIntent(spark, path, Seq(path, s"$path/corpus")) {
+      val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+      batch.select(col(idCol) +: col(vecCol) +: payloadCols.map(col): _*)
+        .withColumn("cell",
+          element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
+            .getField("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/corpus/epoch=$epoch")
+    }
   }
 
   /** The standing pipeline: stream → cell-route → per-epoch at-rest append. */
@@ -81,12 +83,14 @@ object StreamingIvf {
       idCol: String = "vec_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the
     // swap staged its masked rewrite would be retired UNAPPLIED by the
-    // promote — a silently lost delete request
-    MaintenanceLease.guardEpochWrite(ids.sparkSession, path,
-      Seq(path, s"$path/corpus"))
-    ids.select(col(idCol).cast("long").as(idCol)).distinct()
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+    // promote — a silently lost delete request; the intent marker makes
+    // the write-starts-first ordering refuse on the maintenance side too
+    MaintenanceLease.withEpochWriteIntent(ids.sparkSession, path,
+      Seq(path, s"$path/corpus")) {
+      ids.select(col(idCol).cast("long").as(idCol)).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/tombstones/epoch=$epoch")
+    }
   }
 
   /** The at-rest tombstone union, if any delete epoch exists (a dir
@@ -109,7 +113,7 @@ object StreamingIvf {
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = StateCompaction.DefaultTargetFileBytes,
       idCol: String = "vec_id"): Unit =
-    MaintenanceLease.withLease(spark, path) { fence =>
+    MaintenanceLease.withLease(spark, path, op = "compact") { fence =>
       // finish a torn REFIT swap first (it swaps the store root this
       // subdir swap lives under)
       StateCompaction.recover(spark, path)
@@ -143,7 +147,7 @@ object StreamingIvf {
   def refit(spark: SparkSession, path: String, newCentroids: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val cents = Similarity.collectCentroids(newCentroids)
-    MaintenanceLease.withLease(spark, path) { fence =>
+    MaintenanceLease.withLease(spark, path, op = "refit") { fence =>
       // finish a torn COMPACT swap first (it swaps the corpus subdir
       // this root swap is about to read)
       StateCompaction.recover(spark, s"$path/corpus")

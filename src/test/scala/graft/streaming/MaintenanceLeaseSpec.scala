@@ -151,6 +151,135 @@ class MaintenanceLeaseSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- round-14 verdict #1: the WRITE-SIDE half of the race — an epoch
+  // write already in flight when maintenance starts must lose LOUDLY on
+  // one side or the other, never silently, in EVERY interleaving.
+
+  test("maintenance acquire refuses while an epoch write intent is in flight") {
+    val path = freshIvf()
+    val batch = Seq((200L, mkVec(200))).toDF("vec_id", "embedding")
+    // the write publishes its intent, then maintenance tries to start
+    // mid-write: acquire must refuse (write-starts-first ordering)
+    var acquireRefused = false
+    MaintenanceLease.withEpochWriteIntent(spark, path) {
+      val e = intercept[IllegalStateException] {
+        MaintenanceLease.acquire(spark, path)
+      }
+      acquireRefused = e.getMessage.contains("in flight")
+      batch.write.mode("overwrite").parquet(s"$path/corpus/epoch=7")
+    }
+    assert(acquireRefused, "acquire must name the in-flight write")
+    // intent cleared on exit: maintenance proceeds now
+    val t = MaintenanceLease.acquire(spark, path)
+    MaintenanceLease.release(spark, path, t)
+  }
+
+  test("an epoch write whose intent was broken mid-write FAILS loudly, never silently") {
+    val path = freshIvf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    // simulate the only way a lease can appear mid-write: the write's
+    // intent marker is broken as TTL-stale (or an object store's create
+    // raced), then maintenance acquires — the write's post-write check
+    // must throw so the stream retries the batch instead of
+    // checkpointing bytes the maintenance promote may erase
+    val e = intercept[IllegalStateException] {
+      MaintenanceLease.withEpochWriteIntent(spark, path) {
+        Seq((201L, mkVec(201))).toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$path/corpus/epoch=8")
+        // mid-write: break this write's intent, then take the lease
+        MaintenanceLease.liveIntents(spark, path)
+          .foreach(p => fs.delete(p, false))
+        MaintenanceLease.acquire(spark, path)
+      }
+    }
+    assert(e.getMessage.contains("DURING"),
+      s"the failure must say the write raced maintenance: ${e.getMessage}")
+    // the failure left no intent marker behind (finally cleanup)
+    assert(MaintenanceLease.liveIntents(spark, path).isEmpty)
+  }
+
+  test("the commit fence refuses when a write intent appeared since staging began") {
+    val path = freshIvf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    val before = spark.read.parquet(s"$path/corpus")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val corpusDir = s"$path/corpus"
+    intercept[IllegalStateException] {
+      MaintenanceLease.withLease(spark, path) { fence =>
+        StateCompaction.compactWith(spark, corpusDir, fence) { staging =>
+          spark.read.parquet(corpusDir).drop("epoch")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$staging/epoch=-1")
+          // a writer slips in after the staging read (an S3-weak create
+          // or a broken lease): publish its intent by hand
+          fs.create(new Path(path + ".EPOCH_WRITE-racer"), false).close()
+        }
+      }
+    }
+    assert(!fs.exists(new Path(corpusDir + ".compacting.COMMITTED")),
+      "the intent-aware fence must fire before the commit marker")
+    assert(spark.read.parquet(corpusDir)
+      .select("vec_id").as[Long].collect().sorted.toSeq == before,
+      "the aborted staging must never become authoritative")
+    fs.delete(new Path(path + ".EPOCH_WRITE-racer"), false)
+    assert(!fs.exists(MaintenanceLease.leasePath(path)),
+      "the aborted maintenance run must still release its lease")
+  }
+
+  test("a stale intent (crashed epoch writer) breaks instead of blocking maintenance forever") {
+    val path = freshIvf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    fs.create(new Path(path + ".EPOCH_WRITE-crashed"), false).close()
+    spark.conf.set(MaintenanceLease.IntentTtlConfKey, "-1") // everything stale
+    try {
+      val t = MaintenanceLease.acquire(spark, path) // breaks the stale intent
+      assert(!fs.exists(new Path(path + ".EPOCH_WRITE-crashed")),
+        "the broken stale intent must be gone")
+      MaintenanceLease.release(spark, path, t)
+    } finally spark.conf.unset(MaintenanceLease.IntentTtlConfKey)
+  }
+
+  // ---- round-14 verdict #2: long maintenance renews its lease instead
+  // of gambling on a raised TTL.
+
+  test("a slow maintenance op under a tiny TTL survives because renewal outruns it") {
+    val path = freshIvf()
+    spark.conf.set(MaintenanceLease.TtlConfKey, "1000") // renews every ~333 ms
+    try {
+      MaintenanceLease.withLease(spark, path) { fence =>
+        Thread.sleep(2500) // > 2x the TTL: unrenewed, this lease is long stale
+        // still held: an epoch writer must refuse (the lease never went stale)
+        intercept[IllegalStateException] {
+          StreamingIvf.deleteEpoch(Seq(3L).toDF("vec_id"), path, 0L)
+        }
+        fence() // and the fence still passes — the token never changed
+      }
+      // ... while a KILLED holder (no renewal thread) still breaks by TTL
+      MaintenanceLease.acquire(spark, path) // never released, never renewed
+      Thread.sleep(1200)
+      StreamingIvf.appendEpoch( // breaks the stale lease and proceeds
+        Seq((300L, mkVec(300))).toDF("vec_id", "embedding"), path, 9L)
+      assert(spark.read.parquet(s"$path/corpus")
+        .filter($"vec_id" === 300L).count() == 1)
+    } finally spark.conf.unset(MaintenanceLease.TtlConfKey)
+  }
+
+  test("the lease records its op and age for the status plane") {
+    val path = freshIvf()
+    assert(MaintenanceLease.status(spark, path).isEmpty)
+    val t = MaintenanceLease.acquire(spark, path, op = "compact")
+    try {
+      val st = MaintenanceLease.status(spark, path).get
+      assert(st.op == "compact" && st.token == t)
+      assert(st.acquiredAtMs > 0 && st.renewedAgeMs >= 0)
+      assert(st.host.nonEmpty)
+    } finally MaintenanceLease.release(spark, path, t)
+    assert(MaintenanceLease.status(spark, path).isEmpty)
+  }
+
   test("maintenance ops hold the lease for their duration and release on exit, even on failure") {
     val path = freshIvf()
     val fs = org.apache.hadoop.fs.FileSystem.get(
