@@ -57,6 +57,8 @@ object GraftMain {
       mgr.adopt(spec.name, graft.streaming.DataPipelines.start(spark, spec))
     }
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val storeRoots = dataSpecs.map(graft.streaming.DataPipelines.storeRoot)
+    def escJson(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val monitor = new Thread(() => {
       try while (true) {
         Thread.sleep(monitorIntervalMs)
@@ -67,6 +69,20 @@ object GraftMain {
           if (restarted.nonEmpty) log.info(s"daily restart relaunched: $restarted")
           val st = mgr.stuck()
           if (st.nonEmpty) log.warn(s"stuck streams (no recent progress): $st")
+          // maintenance visibility (reference: SingerStatus carries
+          // per-stream health in the heartbeat): while any standing
+          // store's lease is held, each tick emits one heartbeat line
+          // naming the store, the op, and the holder — an operator sees
+          // "compact running on X since T" without listing dot-files
+          heartbeat.foreach { emit =>
+            storeRoots.foreach { case (name, root) =>
+              graft.streaming.MaintenanceLease.status(spark, root).foreach { ls =>
+                emit(s"""{"event":"maintenance","store":"${escJson(name)}",""" +
+                  s""""op":"${escJson(ls.op)}","acquiredAtMs":${ls.acquiredAtMs},""" +
+                  s""""renewedAgeMs":${ls.renewedAgeMs},"host":"${escJson(ls.host)}"}""")
+              }
+            }
+          }
           // kube mode: pod creation from the filesystem, deletion from the
           // kubelet metadata diff — each tick is one reconciliation pass
           podDiscovery.foreach { pd => pd.scanFileSystem(); pd.pollMetadata() }
@@ -175,28 +191,50 @@ object GraftMain {
         .map(_.split(",").map(_.trim).toSet)
         .getOrElse(Set(System.getProperty("user.name")))
       val a = new graft.streaming.AdminServer(mgr,
-        new graft.streaming.StatusReporter(mgr, writeMetrics = Some(writeMetrics)),
+        new graft.streaming.StatusReporter(mgr, writeMetrics = Some(writeMetrics),
+          spark = Some(spark),
+          storeRoots = () => loadDataConfigs(Paths.get(confDir))
+            .map(graft.streaming.DataPipelines.storeRoot)),
         Paths.get(p), users, onStopped = () => stopped.countDown())
       a.start()
       a
     }
     sys.addShutdownHook { admin.foreach(_.close()); mgr.stopAll() }
     val watcher = new Thread(() => {
-      try {
-        var sawTermination = false
-        while (stopped.getCount > 0) {
+      var sawTermination = false
+      while (stopped.getCount > 0) {
+        try {
           if (spark.streams.awaitAnyTermination(1000L)) {
             sawTermination = true
             spark.streams.resetTerminated()
           }
-          if (sawTermination && spark.streams.active.isEmpty) {
-            // grace for a monitor self-restart to re-register its query
-            Thread.sleep(500)
-            if (spark.streams.active.isEmpty) stopped.countDown()
-          }
+        } catch {
+          case t: Throwable =>
+            // a query died WITH an exception. If a supervisor owns it
+            // (restart budget remains), the relaunch is already in flight
+            // — keep watching instead of exiting mid-recovery; once the
+            // budget is spent, restartInFlight goes false and the failure
+            // propagates for a non-zero exit.
+            sawTermination = true
+            try spark.streams.resetTerminated() catch { case _: Throwable => () }
+            if (!mgr.restartInFlight) {
+              streamFailure = t
+              stopped.countDown()
+            }
         }
-      } catch {
-        case t: Throwable => streamFailure = t; stopped.countDown()
+        // "all streams ended" is a MANAGER judgment, not a fixed sleep:
+        // a supervised pipeline between queries (daily scheduledRestart
+        // swapping instances, failure relaunch in its backoff) reports
+        // restartInFlight — on a single-pipeline agent that window can
+        // outlast any grace sleep, and exiting inside it would kill the
+        // pipeline mid-restart (round-14 advisory). restartPending has
+        // no false negative across the whole relaunch window, so the
+        // empty-active + not-restarting conjunction can never observe
+        // a restart as completion.
+        if (stopped.getCount > 0 && sawTermination &&
+            spark.streams.active.isEmpty && !mgr.restartInFlight) {
+          stopped.countDown()
+        }
       }
     }, "graft-lifecycle")
     watcher.setDaemon(true)

@@ -116,6 +116,18 @@ object DataPipelines {
     }
   }
 
+  /** The spec's STANDING-STORE root — the directory its maintenance ops
+    * lease ([[MaintenanceLease.leasePath]] sibling). The status plane
+    * ([[StatusReporter]]) reports per-store lease/intent state from
+    * these, so an operator sees "compact running on store X since T"
+    * in `status` and the heartbeat instead of listing dot-files by hand. */
+  def storeRoot(spec: Spec): (String, String) = spec match {
+    case c: Curation => c.name -> c.stateDir
+    case i: Ivf => i.name -> i.indexPath
+    case b: Bm25 => b.name -> b.indexPath
+    case p: Packed => p.name -> p.packedDir
+  }
+
   def start(spark: SparkSession, spec: Spec): StreamingQuery = spec match {
     case c: Curation =>
       val reader = spark.readStream.schema("doc_id long, text string")

@@ -88,6 +88,15 @@ class PipelineManager(spark: SparkSession,
 
   def active: Map[String, StreamingQuery] = queries.toMap.filter(_._2.isActive)
 
+  /** True while any SUPERVISED pipeline is between queries — its current
+    * query is down but supervision has not concluded (a scheduled restart
+    * is swapping instances, or a failure relaunch is in its backoff).
+    * The agent lifecycle gates its "all streams ended" exit on this: a
+    * daily-restart window on a single-pipeline agent must not read as
+    * process completion (a fixed sleep raced exactly that — the
+    * round-14 advisory). */
+  def restartInFlight: Boolean = supervisors.values.exists(_.restartPending)
+
   /** Queries with no progress for longer than the threshold
     * (reference: stuck-stream alert, monitor/DefaultLogMonitor.java:561-601). */
   def stuck(nowMs: Long = System.currentTimeMillis()): Seq[String] =
@@ -177,6 +186,7 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
   @volatile private var restartCount = 0
   @volatile private var stopped = false
   @volatile private var restarting = false
+  @volatile private var finished = false
 
   private val monitor = new Thread(() => {
     var done = false
@@ -197,12 +207,24 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
         if (!stopped) currentRef.set(factory()) else done = true
       }
     }
+    finished = true // supervision concluded: no further relaunch will come
   }, "graft-supervisor")
   monitor.setDaemon(true)
   monitor.start()
 
   def current: StreamingQuery = currentRef.get()
   def restarts: Int = restartCount
+
+  /** True while the supervised pipeline is BETWEEN queries: its current
+    * query is inactive but the supervision loop has not concluded — a
+    * relaunch (scheduled or failure-backoff) is either in progress or
+    * about to be decided. The key property is NO false negative in the
+    * relaunch window: from the moment the query dies until either the
+    * replacement is active or the monitor marks supervision finished,
+    * this reads true — so a lifecycle watcher polling it can never
+    * observe "all ended" mid-restart. */
+  def restartPending: Boolean =
+    !finished && (restarting || !currentRef.get().isActive)
   def stop(): Unit = {
     stopped = true
     val q = currentRef.get()

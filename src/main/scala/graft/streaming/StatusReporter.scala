@@ -5,9 +5,19 @@ package graft.streaming
   * jvmUptime, timestamp, numLogStreams, numStuckLogStreams, per-topic
   * write/latency counters), sourced from the PipelineManager registry and
   * each query's `lastProgress` instead of a hand-rolled metrics registry.
+  *
+  * `maintenance` reports per-standing-store lease/intent state (the
+  * reference surfaces per-stream health like numStuckLogStreams the same
+  * way — an operator reads the heartbeat, not the filesystem): for each
+  * store root in `storeRoots`, whether a [[MaintenanceLease]] is held,
+  * by which op, since when, how recently renewed, and how many epoch
+  * write intents are live. Supply `spark` to enable it (the lease files
+  * are read through the same Hadoop FileSystem the stores use).
   */
 class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1",
-    writeMetrics: Option[WriteMetricsRegistry] = None) {
+    writeMetrics: Option[WriteMetricsRegistry] = None,
+    spark: Option[org.apache.spark.sql.SparkSession] = None,
+    storeRoots: () => Seq[(String, String)] = () => Nil) {
 
   private val startedAtMs = System.currentTimeMillis()
 
@@ -40,7 +50,32 @@ class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1",
       writeMetrics.map(m =>
         s""","writeMetrics":${m.pipelinesJson},"brokerWrites":${m.brokersJson}""")
         .getOrElse("") +
+      maintenanceJson.map(j => s""","maintenance":$j""").getOrElse("") +
       "}"
+  }
+
+  /** Per-store maintenance state, when a session and store roots are
+    * wired: `{"<store>":{"lease":bool[,"op","acquiredAtMs","renewedAgeMs",
+    * "host"],"intents":n}}`. A store whose lease/intent read fails
+    * reports `"error"` rather than poisoning the whole status body. */
+  private def maintenanceJson: Option[String] = spark.map { s =>
+    storeRoots().sortBy(_._1).map { case (name, root) =>
+      val body =
+        try {
+          val intents = MaintenanceLease.liveIntents(s, root).size
+          MaintenanceLease.status(s, root) match {
+            case Some(st) =>
+              s""""lease":true,"op":"${esc(st.op)}","acquiredAtMs":${st.acquiredAtMs},""" +
+                s""""renewedAgeMs":${st.renewedAgeMs},"host":"${esc(st.host)}",""" +
+                s""""intents":$intents"""
+            case None => s""""lease":false,"intents":$intents"""
+          }
+        } catch {
+          case e: Exception =>
+            s""""error":"${esc(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))}""""
+        }
+      s""""${esc(name)}":{$body}"""
+    }.mkString("{", ",", "}")
   }
 }
 

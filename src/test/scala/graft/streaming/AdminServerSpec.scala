@@ -48,6 +48,44 @@ class AdminServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("status surfaces per-store maintenance lease and intent state over the socket") {
+    val sock = Files.createTempDirectory("graft-admin-mnt").resolve("admin.sock")
+    val store = Files.createTempDirectory("graft-admin-store").toString + "/idx"
+    val mgr = new PipelineManager(spark)
+    val srv = new AdminServer(mgr,
+      new StatusReporter(mgr, spark = Some(spark),
+        storeRoots = () => Seq("ivf-pipe" -> store)),
+      sock, Set(currentUser))
+    srv.start()
+    try {
+      // idle store: the section exists, no lease, no intents
+      val idle = connectAndSend(sock, "status")
+      assert(idle.contains("\"maintenance\":{\"ivf-pipe\":{\"lease\":false,\"intents\":0}}"),
+        idle)
+      // a maintenance op holds the lease: status names the op and holder
+      val token = MaintenanceLease.acquire(spark, store, op = "compact")
+      try {
+        val held = connectAndSend(sock, "status")
+        assert(held.contains("\"lease\":true") && held.contains("\"op\":\"compact\""),
+          held)
+        assert(held.contains("\"acquiredAtMs\":") && held.contains("\"host\":"), held)
+      } finally MaintenanceLease.release(spark, store, token)
+      // an in-flight epoch write shows as a live intent
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(store), spark.sessionState.newHadoopConf())
+      fs.create(new org.apache.hadoop.fs.Path(store + ".EPOCH_WRITE-w1"), false)
+        .close()
+      try {
+        val writing = connectAndSend(sock, "status")
+        assert(writing.contains("\"lease\":false,\"intents\":1"), writing)
+      } finally fs.delete(
+        new org.apache.hadoop.fs.Path(store + ".EPOCH_WRITE-w1"), false)
+      // cleared: back to idle
+      assert(connectAndSend(sock, "status")
+        .contains("\"ivf-pipe\":{\"lease\":false,\"intents\":0}"))
+    } finally srv.close()
+  }
+
   test("stop drains a live pipeline before acknowledging") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

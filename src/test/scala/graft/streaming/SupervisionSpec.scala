@@ -122,6 +122,65 @@ class SupervisionSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(outDir.toString).count() == 1)
   }
 
+  test("restartPending spans the whole relaunch window (the lifecycle exit gate)") {
+    // the agent lifecycle exits when every stream ended AND no restart is
+    // in flight (GraftMain's watcher) — the round-14 advisory: a fixed
+    // grace sleep raced a scheduledRestart's stop-then-relaunch window and
+    // exited 0 mid-restart. The gate property is NO FALSE NEGATIVE: from
+    // the moment the current query dies until the replacement is active
+    // (or supervision concludes), restartPending reads true.
+    val logDir = Files.createTempDirectory("graft-rp-logs")
+    val cp = Files.createTempDirectory("graft-rp-cp")
+    Files.writeString(logDir.resolve("a.log"), "m1\nm2\n")
+    SupervisionSpec.failures.set(0)
+    SupervisionSpec.delivered.set(0)
+    def factory() = spark.readStream.text(logDir.toString)
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (SupervisionSpec.failures.getAndIncrement() == 0)
+          throw new RuntimeException("injected batch failure")
+        SupervisionSpec.delivered.addAndGet(batch.count().toInt)
+        ()
+      }.start()
+    val sup = new SupervisedQuery(factory, maxRestarts = 3, backoffMs = 500L)
+    try {
+      // FAILURE relaunch: poll through the crash + backoff + restart —
+      // "query dead AND nothing pending" must never be observable
+      var badWindow = false
+      var deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+          SupervisionSpec.delivered.get() < 2) {
+        if (!sup.current.isActive && !sup.restartPending) badWindow = true
+        Thread.sleep(10)
+      }
+      assert(SupervisionSpec.delivered.get() == 2, "records delivered after restart")
+      assert(!badWindow,
+        "a lifecycle watcher could have observed 'all ended' mid-relaunch")
+      assert(sup.awaitActive(5000))
+
+      // SCHEDULED restart: the flag covers the drain-stop-relaunch swap too
+      var sawPending = false
+      val swapper = new Thread(() => { sup.scheduledRestart(); () })
+      swapper.start()
+      while (swapper.isAlive) {
+        if (sup.restartPending) sawPending = true
+        if (!sup.current.isActive && !sup.restartPending) badWindow = true
+        Thread.sleep(5)
+      }
+      swapper.join()
+      assert(sawPending, "the swap window must be visible as restart-pending")
+      assert(!badWindow, "the swap window must never read as 'all ended'")
+      assert(sup.awaitActive(5000) && !sup.restartPending)
+    } finally sup.stop()
+    // after a REAL stop, supervision concludes and the gate opens
+    val deadline2 = System.currentTimeMillis() + 10000
+    while (System.currentTimeMillis() < deadline2 && sup.restartPending)
+      Thread.sleep(20)
+    assert(!sup.restartPending, "a clean stop must open the lifecycle gate")
+  }
+
   test("RestartSchedule draws a stable per-host slot inside the window") {
     val day = 86400000L
     val begin = 3600000L; val end = 7200000L // 01:00-02:00 UTC
