@@ -146,7 +146,16 @@ object ThriftLogGen {
   * exclusive create unless one is given, so concurrent delete requests
   * accumulate instead of overwriting each other.
   *
+  * CROSS-STORE mode (`all`): a real pipeline stores the same document in
+  * several standing stores at once (BM25 + IVF + packed + curation) — a
+  * right-to-be-forgotten request is an AGENT-level contract (reference:
+  * e2e/SingerEndToEndTest.java:26-121 oracles the whole agent, not
+  * per-writer), so one invocation must tombstone every store; between a
+  * partial forget and the rest, the fused retrieval path masks at the
+  * fusion level too ([[graft.streaming.StreamingHybrid]]).
+  *
   * Usage: graft.ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]
+  *        graft.ForgetTool all <confDir | kind=path[,kind=path...]> <id,id,...|@idsFile>
   */
 object ForgetTool {
 
@@ -167,6 +176,43 @@ object ForgetTool {
         s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
     }
     e
+  }
+
+  /** Tombstone `ids` in EVERY listed store — the one-invocation RTBF an
+    * operator actually owes a delete request. Per-store epochs are
+    * reservation-allocated independently (the stores share no epoch
+    * space). Fails FAST on the first refusing store (e.g. one under a
+    * maintenance lease) so the operator re-runs the whole request after
+    * the maintenance finishes — tombstoning is idempotent (a re-run
+    * re-masks already-masked ids), so the retry is always safe. */
+  def forgetAll(spark: org.apache.spark.sql.SparkSession,
+      stores: Seq[(String, String)], ids: Seq[Long]): Seq[(String, String, Long)] =
+    stores.map { case (kind, path) =>
+      (kind, path, forget(spark, kind, path, ids))
+    }
+
+  /** Resolve `all`'s target list: a conf directory's data-pipeline specs
+    * (kind = the spec's `pipeline.type`, path = its store root), or an
+    * inline `kind=path[,kind=path...]` list. */
+  def resolveStores(target: String): Seq[(String, String)] = {
+    val dir = Paths.get(target)
+    if (Files.isDirectory(dir)) {
+      val stores = GraftMain.loadDataConfigs(dir).map {
+        case c: DataPipelines.Curation => "curation" -> c.stateDir
+        case i: DataPipelines.Ivf => "ivf" -> i.indexPath
+        case b: DataPipelines.Bm25 => "bm25" -> b.indexPath
+        case p: DataPipelines.Packed => "packed" -> p.packedDir
+      }
+      require(stores.nonEmpty,
+        s"no data-pipeline specs (pipeline.type=...) under $target")
+      stores
+    } else target.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, p) if p.nonEmpty => (k.trim.toLowerCase, p.trim)
+        case _ => throw new IllegalArgumentException(
+          s"bad store spec '$kv' (want kind=path)")
+      }
+    }
   }
 
   /** Allocate the next free tombstone epoch COLLISION-PROOF: the naive
@@ -216,7 +262,8 @@ object ForgetTool {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]")
+      "usage: ForgetTool <ivf|bm25|packed|curation> <path> <id,id,...|@idsFile> [epoch]\n" +
+        "       ForgetTool all <confDir | kind=path[,kind=path...]> <id,id,...|@idsFile>")
     val ids: Seq[Long] =
       if (args(2).startsWith("@"))
         Files.readAllLines(Paths.get(args(2).drop(1))).asScala.toSeq
@@ -231,11 +278,22 @@ object ForgetTool {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val e = forget(spark, args(0), args(1), ids,
-        args.lift(3).map(_.toLong))
-      System.err.println(
-        s"tombstoned ${ids.size} id(s) in ${args(0)} store at ${args(1)} " +
-          s"(epoch=$e); next CompactTool run purges the bytes")
+      if (args(0).equalsIgnoreCase("all")) {
+        val done = forgetAll(spark, resolveStores(args(1)), ids)
+        done.foreach { case (kind, path, e) =>
+          System.err.println(
+            s"tombstoned ${ids.size} id(s) in $kind store at $path (epoch=$e)")
+        }
+        System.err.println(
+          s"cross-store forget complete: ${done.size} store(s); run " +
+            "CompactTool per store to purge the bytes")
+      } else {
+        val e = forget(spark, args(0), args(1), ids,
+          args.lift(3).map(_.toLong))
+        System.err.println(
+          s"tombstoned ${ids.size} id(s) in ${args(0)} store at ${args(1)} " +
+            s"(epoch=$e); next CompactTool run purges the bytes")
+      }
     } finally spark.stop()
   }
 }
@@ -303,6 +361,173 @@ object CompactTool {
             args.lift(2).map(_.toLong)
               .getOrElse(graft.streaming.StateCompaction.DefaultTargetFileBytes))
           System.err.println(s"compacted ${args(0)} store at ${args(1)}")
+      }
+    } finally spark.stop()
+  }
+}
+
+/** Point-in-time SNAPSHOT and RESTORE for a standing store — the undo
+  * button the maintenance surface was missing: the stores survive
+  * crashes (commit-marker swaps) and deletes (tombstones), but a BAD
+  * maintenance op (a refit against wrong centroids, a fat-fingered
+  * forget of the wrong ids, a mistaken compact) was unrecoverable except
+  * by rebuilding from the source of truth — days at 100 TB. A snapshot
+  * is a MANIFEST (relative path + length per live file) plus a byte copy
+  * of the store root under the sibling `<root>.snapshots/<name>/`
+  * directory (on an object store both the listing and the copy are
+  * server-side — no data moves through the driver); restore VERIFIES the
+  * manifest and swaps the snapshot back over the live root through
+  * [[graft.streaming.StateCompaction.compactWith]]'s commit-marker
+  * protocol, so a crash mid-restore finishes or rolls forward exactly
+  * like any other maintenance swap — never a half-restored store. Both
+  * ops run under the store's [[graft.streaming.MaintenanceLease]]
+  * (snapshots of a store mid-epoch-write would capture a torn epoch).
+  *
+  * Snapshots are IMMUTABLE (a name cannot be re-snapshotted) and live
+  * OUTSIDE the swapped root, so maintenance swaps can never eat them.
+  *
+  * Usage: graft.SnapshotTool snapshot <storeRoot> <name>
+  *        graft.SnapshotTool restore <storeRoot> <name>
+  *        graft.SnapshotTool list <storeRoot>
+  */
+object SnapshotTool {
+
+  private val ManifestName = "MANIFEST"
+
+  def snapshotsDir(root: String): String = root.stripSuffix("/") + ".snapshots"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sessionState.newHadoopConf())
+
+  private def requireName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"snapshot name must be [A-Za-z0-9._-]+: '$name'")
+
+  /** Take snapshot `name` of the store at `root`. Returns the number of
+    * files captured. Holds the lease for the duration (a snapshot racing
+    * an epoch write or another maintenance op would capture a torn
+    * state); finishes any torn root swap first so the captured bytes are
+    * a committed state, not a mid-promote one. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String): Long = {
+    requireName(name)
+    graft.streaming.MaintenanceLease.withLease(spark, root, op = "snapshot") { fence =>
+      graft.streaming.StateCompaction.recover(spark, root)
+      val fs = hadoopFs(spark, root)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      require(fs.exists(rootPath), s"no store at $root")
+      val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
+      require(!fs.exists(snapDir),
+        s"snapshot '$name' already exists at $snapDir (snapshots are immutable; " +
+          "pick a new name)")
+      val dataDir = new org.apache.hadoop.fs.Path(snapDir, "data")
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs, dataDir,
+          false, true, fs.getConf))
+        throw new java.io.IOException(s"snapshot copy failed: $rootPath -> $dataDir")
+      // manifest from the COPIED tree: restore verifies against what the
+      // snapshot actually holds, not against what the live store held
+      val entries = listRecursive(fs, dataDir)
+      val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, ManifestName), false)
+      try out.write(entries.map { case (rel, len) => s"$len\t$rel" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      fence() // still the lease holder: the snapshot captured a quiet store
+      entries.size.toLong
+    }
+  }
+
+  /** Restore the store at `root` to snapshot `name`: verify every
+    * manifest entry is present in the snapshot with its recorded length,
+    * then swap the snapshot bytes over the live root through the
+    * commit-marker protocol (staging write → fence → marker → promote;
+    * a crash anywhere is finished by the next maintenance op's
+    * `recover`). After the swap the live store is byte-identical to the
+    * snapshot — searches, probes and stats all read the captured state. */
+  def restore(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String): Unit = {
+    requireName(name)
+    graft.streaming.MaintenanceLease.withLease(spark, root, op = "restore") { fence =>
+      val fs = hadoopFs(spark, root)
+      val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
+      val dataDir = new org.apache.hadoop.fs.Path(snapDir, "data")
+      val manifestPath = new org.apache.hadoop.fs.Path(snapDir, ManifestName)
+      require(fs.exists(manifestPath), s"no snapshot '$name' at $snapDir")
+      val manifest = {
+        val in = fs.open(manifestPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map { l =>
+            val Array(len, rel) = l.split("\t", 2)
+            (rel, len.toLong)
+          }.toSeq
+        finally in.close()
+      }
+      // integrity gate BEFORE touching the live store: a snapshot that
+      // lost or truncated files must fail the restore, not half-apply
+      manifest.foreach { case (rel, len) =>
+        val p = new org.apache.hadoop.fs.Path(dataDir, rel)
+        require(fs.exists(p), s"snapshot '$name' is corrupt: missing $rel")
+        val got = fs.getFileStatus(p).getLen
+        require(got == len,
+          s"snapshot '$name' is corrupt: $rel has $got bytes, manifest says $len")
+      }
+      graft.streaming.StateCompaction.compactWith(spark, root, fence) { staging =>
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, dataDir, fs,
+            new org.apache.hadoop.fs.Path(staging), false, true, fs.getConf))
+          throw new java.io.IOException(s"restore copy failed: $dataDir -> $staging")
+      }
+    }
+  }
+
+  /** Snapshot names recorded for `root`, oldest-first by mtime. */
+  def list(spark: org.apache.spark.sql.SparkSession, root: String): Seq[String] = {
+    val fs = hadoopFs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(snapshotsDir(root))
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).filter(_.isDirectory).sortBy(_.getModificationTime)
+      .map(_.getPath.getName).toSeq
+  }
+
+  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val base = dir.toUri.getPath.stripSuffix("/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      buf += ((rel, st.getLen))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: SnapshotTool snapshot <storeRoot> <name>\n" +
+        "       SnapshotTool restore <storeRoot> <name>\n" +
+        "       SnapshotTool list <storeRoot>")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-snapshot")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args(0).toLowerCase match {
+        case "snapshot" =>
+          require(args.length >= 3, "snapshot <storeRoot> <name>")
+          val n = snapshot(spark, args(1), args(2))
+          System.err.println(s"snapshot '${args(2)}' of ${args(1)}: $n file(s)")
+        case "restore" =>
+          require(args.length >= 3, "restore <storeRoot> <name>")
+          restore(spark, args(1), args(2))
+          System.err.println(s"restored ${args(1)} to snapshot '${args(2)}'")
+        case "list" =>
+          list(spark, args(1)).foreach(println)
+        case other => throw new IllegalArgumentException(
+          s"unknown subcommand '$other' (want snapshot|restore|list)")
       }
     } finally spark.stop()
   }

@@ -141,7 +141,8 @@ object SparkEntry {
     "w34_bm25_tombstones", "w35_packed_tombstones", "e37_triplets_at_rest",
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
     "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket",
-    "w40_lease_guard")
+    "w40_lease_guard", "w41_cross_store_rtbf", "w42_snapshot_restore",
+    "w43_weighted_hybrid_at_rest", "d107_count_min")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2237,6 +2238,18 @@ object SparkEntry {
       require(appendRefused && deleteRefused,
         "epoch writes must refuse while the maintenance lease is held")
       graft.streaming.MaintenanceLease.release(s, path, held)
+      // the WRITE-SIDE ordering (round 15): an epoch write ALREADY IN
+      // FLIGHT publishes an intent marker, and maintenance refuses to
+      // start over it — the interleaving the entry guard alone could not
+      // see (a write past the guard being destroyed by the promote)
+      var acquireRefusedMidWrite = false
+      graft.streaming.MaintenanceLease.withEpochWriteIntent(s, path) {
+        acquireRefusedMidWrite =
+          try { graft.streaming.MaintenanceLease.acquire(s, path); false }
+          catch { case _: IllegalStateException => true }
+      }
+      require(acquireRefusedMidWrite,
+        "maintenance must refuse to start over an in-flight epoch write")
       // a zombie run fenced out by a lease takeover aborts PRE-commit
       val zombie = graft.streaming.MaintenanceLease.acquire(s, path)
       fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
@@ -2258,6 +2271,195 @@ object SparkEntry {
         .filter(_.isDirectory).map(_.getPath.getName).toSet == Set("epoch=-1"),
         "the legitimate compact must fold every epoch")
       graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    "w41_cross_store_rtbf" -> ((s, d) => {
+      // CROSS-STORE right to be forgotten (round 15): the same corpus
+      // lives in TWO standing stores (bm25 + ivf). A forget issued
+      // against ONE store masks that store's own probes — but the FUSED
+      // retrieval path would resurface the doc through the other list's
+      // rank contribution. This gate pins the whole contract:
+      //  1. victims = each probe query's ivf rank-1 neighbor (data-
+      //     derived, so they provably sit in a fused list);
+      //  2. forget them in the BM25 store ONLY → the raw fusion still
+      //     resurfaces them via the ivf list (require: non-vacuous),
+      //     while StreamingHybrid's fusion-level union mask never does;
+      //  3. ONE ForgetTool.forgetAll call tombstones BOTH stores, the
+      //     compacts purge the bytes and retire the tombstones;
+      //  4. output = the post-purge fused search, oracled as RRF over
+      //     both corpora minus the victims — one surviving posting row,
+      //     un-debited stat, or un-purged vector breaks the hash.
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val qids = docs.join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val qsText = qids.select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+          .as("text"))
+      val qsVec = emb.join(qids.select(col("doc_id").as("vec_id")), "vec_id")
+      val bmPath = s"${System.getProperty("java.io.tmpdir")}/graft_w41_bm_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ivPath = s"${System.getProperty("java.io.tmpdir")}/graft_w41_iv_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      // forget+compact MUTATE the stores: re-runs need a clean tree
+      Seq(bmPath, ivPath).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        fs.delete(graft.streaming.MaintenanceLease.leasePath(p), false)
+      }
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          bmPath, e)
+      }
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.streaming.StreamingIvf.init(cents, ivPath)
+      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val vspan = nv / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+          ivPath, e)
+      }
+      // victims: the ivf rank-1 neighbor of the two smallest queries —
+      // guaranteed to sit at a fused list's strongest rank
+      val ivPre = graft.streaming.StreamingIvf.search(s, ivPath, qsVec,
+          k = 10, nProbe = 2)
+        .withColumnRenamed("corpus_id", "doc_id")
+      val victims = ivPre
+        .filter(col("query_id").isin(0L, 97L) && col("rank") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.distinct.sorted
+      require(victims.nonEmpty, "no victims derivable — gate would be vacuous")
+      // PARTIAL forget: bm25 store only — the window the fusion mask exists for
+      graft.ForgetTool.forget(s, "bm25", bmPath, victims)
+      val bmMasked = graft.streaming.StreamingBm25.search(s, bmPath, qsText, k = 10)
+        .select("query_id", "doc_id", "rank")
+      // non-vacuity: the RAW fusion (no cross-store mask; topK=20 returns
+      // every candidate) RESURFACES a victim through the ivf list...
+      val unmaskedIds = graft.operators.Hybrid.rrfFuse(
+          Seq(bmMasked, ivPre.select("query_id", "doc_id", "rank")), topK = 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(victims.exists(unmaskedIds.contains),
+        "raw fusion must resurface a bm25-forgotten victim via the ivf list")
+      // ...while the fusion-level union mask never serves it
+      val maskedIds = graft.streaming.StreamingHybrid.rrfSearch(
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(victims.forall(v => !maskedIds.contains(v)),
+        "the fused surface must never serve a doc forgotten in ANY store")
+      // the agent-level forget: ONE invocation, every store; compacts purge
+      graft.ForgetTool.forgetAll(s,
+        Seq("bm25" -> bmPath, "ivf" -> ivPath), victims)
+      graft.streaming.StreamingBm25.compact(s, bmPath)
+      graft.streaming.StreamingIvf.compact(s, ivPath)
+      Seq(bmPath, ivPath).foreach { p =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/tombstones")),
+          s"compact must retire the applied tombstones at $p")
+      }
+      graft.streaming.StreamingHybrid.rrfSearch(
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+    "w42_snapshot_restore" -> ((s, d) => {
+      // SNAPSHOT/RESTORE gate (round 15): the stores survive crashes and
+      // deletes, but a BAD maintenance op (wrong refit, fat-fingered
+      // forget) was unrecoverable except by rebuild. SnapshotTool writes
+      // a manifest + byte copy of the quiesced store under the sibling
+      // snapshots directory; restore verifies the manifest and swaps it
+      // back through the commit-marker protocol. The gate: snapshot →
+      // DAMAGE the store (forget the strongest-ranked doc + compact —
+      // require: the damage is visible) → restore → the output search
+      // must equal the FULL-corpus BM25 replay verbatim (w27's oracle):
+      // one lost byte, un-restored stat row, or manifest miss breaks
+      // the hash.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w42_snap_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      Seq(path, graft.SnapshotTool.snapshotsDir(path)).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e)
+      }
+      val nFiles = graft.SnapshotTool.snapshot(s, path, "pre")
+      require(nFiles > 0, "snapshot must capture the store's files")
+      require(graft.SnapshotTool.list(s, path) == Seq("pre"))
+      // damage: forget the top-ranked doc of the smallest query, compact
+      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .select("doc_id").head().getLong(0)
+      graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
+      graft.streaming.StreamingBm25.compact(s, path)
+      val damagedIds = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .filter(col("query_id") === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(!damagedIds.contains(victim),
+        "the damage must be visible before the restore (purged victim)")
+      // undo: restore the snapshot over the damaged store
+      graft.SnapshotTool.restore(s, path, "pre")
+      val restored = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+      require(restored.filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0) == victim,
+        "the restored store must serve the pre-damage state")
+      restored.orderBy("query_id", "rank")
+    }),
+    "w43_weighted_hybrid_at_rest" -> ((s, d) => {
+      // WEIGHTED (convex-combination) fusion over the STANDING stores —
+      // e40's serving-path twin, completing the at-rest fusion matrix
+      // (w37 = rank-only RRF, this = score-calibrated): each list
+      // min-max normalizes within the query's retrieved top-10, fused =
+      // 0.7·bm25_norm + 0.3·cosine_norm. Both sides are the stores'
+      // partition-pruned probes; cosine rounds to 6 pre-normalization
+      // (the cross-engine tie contract) so the fused arithmetic is
+      // exact-on-exact. Same query set as w37 (docs that carry an
+      // embedding).
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val qids = docs.join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+      val qsText = qids.select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+          .as("text"))
+      val qsVec = emb.join(qids.select(col("doc_id").as("vec_id")), "vec_id")
+      val bmPath = s"${System.getProperty("java.io.tmpdir")}/graft_w43_bm_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val ivPath = s"${System.getProperty("java.io.tmpdir")}/graft_w43_iv_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          bmPath, e)
+      }
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.streaming.StreamingIvf.init(cents, ivPath)
+      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+      val vspan = nv / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+          ivPath, e)
+      }
+      graft.streaming.StreamingHybrid.weightedSearch(
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
     "w27_stream_bm25" -> ((s, d) => {
@@ -3077,12 +3279,43 @@ object SparkEntry {
       // Laplace(scale=5 => epsilon=0.2 for sensitivity-1 counts) via a
       // DETERMINISTIC md5 draw keyed by (seed, group) — re-running the
       // job republishes the SAME noised statistics instead of spending
-      // more privacy budget on fresh draws. One hash aggregation; the
-      // noise is a narrow projection on the group-cardinality relation.
+      // more privacy budget on fresh draws. The seed is EXPLICIT (the
+      // operator has no default: it is a secret in production — anyone
+      // who knows it can subtract the noise exactly); this gate's value
+      // is a published test-fixture constant, mirrored in the oracle.
+      // One hash aggregation; the noise is a narrow projection on the
+      // group-cardinality relation.
       graft.operators.Privacy.dpNoisedCounts(t(s, d, "documents"),
           Seq(col("lang"), col("source")), Seq("lang", "source"),
-          scale = 5.0)
+          scale = 5.0, seed = "graft-dp")
         .orderBy("lang", "source")),
+    "d107_count_min" -> ((s, d) => {
+      // COUNT-MIN SKETCH point queries over event actors — the
+      // cardinality-oblivious counter a 100-TB pipeline runs where the
+      // exact groupBy would shuffle billions of keys: every partition
+      // folds into ONE depth×width Long grid (4×128 = 4 KB), grids merge
+      // by vector addition, and estimates are a broadcast-literal lookup
+      // (md5 bucket arithmetic, codegen'd). Gate pins the classic
+      // one-sided guarantee structurally (estimate >= true, always) and
+      // the exact grid values against the oracle's replay of the same
+      // md5 arithmetic.
+      val (depth, width) = (4, 128)
+      val ev = events(s, d)
+      val grid = graft.operators.CountMin.sketch(ev, col("user_id"),
+        depth, width)
+      val truth = ev.filter(col("user_id") < 40)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val out = graft.operators.CountMin.estimate(truth,
+          col("user_id").cast("string"), grid, depth, width)
+        .select(col("user_id"), col("n"), col("cms_est"),
+          (col("cms_est") - col("n")).as("overest"))
+        .orderBy("user_id")
+      // the CMS contract: NEVER an underestimate (driver check over the
+      // 40-key probe relation — bounded)
+      require(out.filter(col("overest") < 0).isEmpty,
+        "count-min must never underestimate")
+      out
+    }),
     "d82_dataset_card" -> ((s, d) => {
       // dataset-card report: the one-relation "datasheet" summary a corpus
       // release carries (volume, source/language breadth, token stats,
@@ -4568,6 +4801,12 @@ object SparkEntry {
             lit(1.0) / log(2.0, col("rank").cast("double") + 1))).as("dcg"))
       perQ.join(broadcast(labCounts), "qlab")
         .withColumn("nrel", col("nlab") - 1)
+        // a query whose label is UNIQUE in the corpus (nrel=0) has no
+        // ground truth to score against — drop it on BOTH sides (the
+        // oracle's idcg inner join drops it implicitly; without this
+        // filter Spark would keep a null-metric row, a latent
+        // exact-parity break — round-14 advisory)
+        .filter(col("nrel") >= 1)
         .withColumn("idcg",
           aggregate(sequence(lit(1), least(lit(10), col("nrel")).cast("int")),
             lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1)))
@@ -6017,6 +6256,29 @@ object SparkEntry {
            round(n + (-5.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
              AS noised_count
          FROM h ORDER BY lang, source""",
+    // d107: the count-min grid replayed — row i's bucket is the first 13
+    // md5 hex chars of "<i>|<key>" mod width (the d106 md5-arithmetic
+    // contract); cell = Σ counts of keys mapping there; estimate = min
+    // over the key's depth cells
+    "d107_count_min" ->
+      """WITH k AS (SELECT user_id, user_id::VARCHAR AS key,
+             count(*)::BIGINT AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT unnest(range(0, 4)) AS i),
+         cells AS (SELECT r.i AS row_i,
+             (('0x' || substr(md5(r.i::VARCHAR || '|' || k.key), 1, 13))::UBIGINT
+               % 128)::BIGINT AS bucket,
+             sum(k.n)::BIGINT AS c
+           FROM k, r GROUP BY 1, 2),
+         est AS (SELECT k.user_id, k.n, min(c.c)::BIGINT AS cms_est
+           FROM k JOIN r ON true
+           JOIN cells c ON c.row_i = r.i AND c.bucket =
+             (('0x' || substr(md5(r.i::VARCHAR || '|' || k.key), 1, 13))::UBIGINT
+               % 128)::BIGINT
+           WHERE k.user_id < 40
+           GROUP BY 1, 2)
+         SELECT user_id, n, cms_est, (cms_est - n)::BIGINT AS overest
+         FROM est ORDER BY user_id""",
     "d82_dataset_card" ->
       """WITH s AS (SELECT *,
            len(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -6581,6 +6843,7 @@ object SparkEntry {
            round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
            round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg10
          FROM perq p JOIN lab l USING (qlab) JOIN idcg i USING (query_id)
+         WHERE l.nlab - 1 >= 1
          ORDER BY p.query_id""",
     "e7_quantize" ->
       """WITH b AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -8165,6 +8428,188 @@ object SparkEntry {
       // the full-corpus BM25 replay (w27's oracle verbatim): the epoch
       // refused under the lease lands after release, so a silently lost
       // write OR a zombie promote of the empty staging breaks this hash
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w41: w37's fused oracle over both corpora MINUS the victims, where
+    // the victims are DERIVED exactly as the gate derives them — the ivf
+    // rank-1 neighbor (cell-probed, self-excluded, cos DESC / id ties)
+    // of queries 0 and 97 over the FULL corpus
+    "w41_cross_store_rtbf" ->
+      """WITH q AS (SELECT d.doc_id AS query_id, d.text
+             FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+             WHERE d.doc_id % 97 = 0),
+         c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+         qv AS (SELECT q.query_id, e.embedding::DOUBLE[] AS v
+           FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+         query_cells AS (SELECT query_id, centroid_id AS cell FROM (
+             SELECT qv.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY qv.query_id
+                 ORDER BY list_distance(qv.v, c.cv), c.centroid_id) AS r
+             FROM qv, c) WHERE r <= 2),
+         cc_full AS (SELECT vec_id, centroid_id AS cell FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+             FROM embeddings e, c) WHERE r = 1),
+         pre AS (SELECT qc.query_id, cc.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos
+           FROM query_cells qc JOIN cc_full cc ON cc.cell = qc.cell
+           JOIN embeddings e ON e.vec_id = cc.vec_id
+           JOIN qv ON qv.query_id = qc.query_id
+           WHERE cc.vec_id <> qc.query_id AND qc.query_id IN (0, 97)),
+         victims AS (SELECT DISTINCT vec_id AS victim FROM (
+             SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, vec_id) AS r FROM pre) WHERE r = 1),
+         da AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents
+           WHERE doc_id NOT IN (SELECT victim FROM victims)),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM da),
+         qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)[1:6]) AS term
+           FROM q),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM da),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT qq.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt qq JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         btop AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc),
+         corpus_cell AS (SELECT vec_id, cell FROM cc_full
+           WHERE vec_id NOT IN (SELECT victim FROM victims)),
+         vscored AS (SELECT qc.query_id, cc.vec_id AS doc_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos
+           FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+           JOIN embeddings e ON e.vec_id = cc.vec_id
+           JOIN qv ON qv.query_id = qc.query_id
+           WHERE cc.vec_id <> qc.query_id),
+         vtop AS (SELECT query_id, doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+           FROM vscored),
+         u AS (SELECT query_id, doc_id, rank FROM btop WHERE rank <= 10
+           UNION ALL SELECT query_id, doc_id, rank FROM vtop WHERE rank <= 10),
+         fus AS (SELECT query_id, doc_id,
+             round(sum(1.0 / (60.0 + rank)), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM fus)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w43: w37's two at-rest lists (bm25 replay + cell-probed cosine)
+    // fused by e40's convex-combination arithmetic — per-(query, list)
+    // min-max over the retrieved top-10, 0.7/0.3 weights; cosine rounds
+    // to 6 BEFORE normalization (matching the Spark side's tie contract)
+    "w43_weighted_hybrid_at_rest" ->
+      """WITH q AS (SELECT d.doc_id AS query_id, d.text
+             FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+             WHERE d.doc_id % 97 = 0),
+         da AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM da),
+         qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0)[1:6]) AS term
+           FROM q),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM da),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         bsc AS (SELECT qq.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt qq JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         btop AS (SELECT query_id, doc_id, score FROM (
+             SELECT query_id, doc_id, score, row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             FROM bsc) WHERE rank <= 10),
+         c AS (SELECT vec_id::INT AS centroid_id, embedding::DOUBLE[] AS cv
+           FROM embeddings WHERE vec_id < 8),
+         corpus_cell AS (SELECT vec_id, centroid_id AS cell FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.centroid_id) AS r
+             FROM embeddings e, c) WHERE r = 1),
+         qv AS (SELECT q.query_id, e.embedding::DOUBLE[] AS v
+           FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+         query_cells AS (SELECT query_id, centroid_id AS cell FROM (
+             SELECT qv.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY qv.query_id
+                 ORDER BY list_distance(qv.v, c.cv), c.centroid_id) AS r
+             FROM qv, c) WHERE r <= 2),
+         vscored AS (SELECT qc.query_id, cc.vec_id AS doc_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS cos
+           FROM query_cells qc JOIN corpus_cell cc ON cc.cell = qc.cell
+           JOIN embeddings e ON e.vec_id = cc.vec_id
+           JOIN qv ON qv.query_id = qc.query_id
+           WHERE cc.vec_id <> qc.query_id),
+         vtop AS (SELECT query_id, doc_id, round(cos, 6) AS score FROM (
+             SELECT query_id, doc_id, cos, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+             FROM vscored) WHERE rank <= 10),
+         bn AS (SELECT query_id, doc_id,
+             0.7 * CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                        ELSE 0.0 END AS contrib
+           FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS lo,
+               max(score) OVER (PARTITION BY query_id) AS hi FROM btop)),
+         vn AS (SELECT query_id, doc_id,
+             0.3 * CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+                        ELSE 0.0 END AS contrib
+           FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS lo,
+               max(score) OVER (PARTITION BY query_id) AS hi FROM vtop)),
+         u AS (SELECT * FROM bn UNION ALL SELECT * FROM vn),
+         fus AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS score
+           FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM fus)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w42: w27's full-corpus oracle VERBATIM — the restore must return
+    // the store to its exact pre-damage state, so the post-restore
+    // search replays as if the forget+compact never happened
+    "w42_snapshot_restore" ->
       """WITH dt AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> length(x) > 0) AS tk

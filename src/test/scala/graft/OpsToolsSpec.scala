@@ -127,6 +127,94 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     assert(ForgetTool.forget(spark, "packed", dir2, Seq(0L)) == 1L)
   }
 
+  test("ForgetTool all: one invocation tombstones every store; resolveStores reads conf.d or inline specs") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-forgetall")
+    val packedDir = s"$base/packed"
+    val bmDir = s"$base/bm25"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 6L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), packedDir, 0L)
+    graft.streaming.StreamingBm25.appendEpoch(
+      (0L until 6L).map(i => (i, s"alpha beta doc$i")).toDF("doc_id", "text"),
+      bmDir, 0L, nBuckets = 4)
+    // conf-dir resolution: the data-pipeline specs name the store roots
+    Files.writeString(base.resolve("p.properties"),
+      s"pipeline.type=packed\ninputDir=/x\npackedDir=$packedDir\ncheckpointDir=/c\n")
+    Files.writeString(base.resolve("b.properties"),
+      s"pipeline.type=bm25\ninputDir=/x\nindexPath=$bmDir\ncheckpointDir=/c\n")
+    Files.writeString(base.resolve("log.properties"),
+      "logDir=/tmp\nwriter.type=file\nwriter.file.path=/tmp/o\n") // NOT a store
+    val resolved = ForgetTool.resolveStores(base.toString).sortBy(_._1)
+    assert(resolved == Seq("bm25" -> bmDir, "packed" -> packedDir))
+    // inline resolution + the error shape
+    assert(ForgetTool.resolveStores(s"ivf=/a,bm25=/b") ==
+      Seq("ivf" -> "/a", "bm25" -> "/b"))
+    intercept[IllegalArgumentException] { ForgetTool.resolveStores("nope") }
+    // ONE invocation, every store: both mask immediately
+    val done = ForgetTool.forgetAll(spark, resolved, Seq(2L))
+    assert(done.map(t => (t._1, t._3)).toSet == Set(("bm25", 0L), ("packed", 0L)))
+    assert(graft.sources.PackedCorpus.readAll(spark, packedDir)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 3L, 4L, 5L))
+    val qs = Seq((0L, "alpha")).toDF("query_id", "text")
+    val hits = graft.streaming.StreamingBm25.search(spark, bmDir, qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!hits.contains(2L) && hits.nonEmpty,
+      s"bm25 must mask the cross-store forget immediately: $hits")
+  }
+
+  test("SnapshotTool: snapshot -> damage -> restore round-trips the store byte-state; names immutable; corrupt manifests refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 8L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
+        .toDF("doc_id", "token_ids").coalesce(1), dir, 0L)
+    val before = graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val nFiles = SnapshotTool.snapshot(spark, dir, "v1")
+    assert(nFiles > 0 && SnapshotTool.list(spark, dir) == Seq("v1"))
+    // immutable: the same name cannot be re-snapshotted
+    intercept[IllegalArgumentException] { SnapshotTool.snapshot(spark, dir, "v1") }
+    // damage: forget + compact purges two docs
+    ForgetTool.forget(spark, "packed", dir, Seq(3L, 5L))
+    CompactTool.compact(spark, "packed", dir)
+    assert(graft.sources.PackedCorpus.readAll(spark, dir).count() == 6L)
+    // restore: full pre-damage state back (content AND absence of
+    // tombstones — the snapshot predates the forget)
+    SnapshotTool.restore(spark, dir, "v1")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+    assert(!new java.io.File(dir, "tombstones").exists())
+    // the maintenance lease released on both paths
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(graft.streaming.MaintenanceLease.leasePath(dir)))
+    // a corrupt snapshot (truncated file) refuses to restore and leaves
+    // the live store untouched
+    SnapshotTool.snapshot(spark, dir, "v2")
+    val snapData = new java.io.File(
+      s"${SnapshotTool.snapshotsDir(dir)}/v2/data")
+    val victim = Files.walk(snapData.toPath).iterator()
+    val dataFile = {
+      var f: java.nio.file.Path = null
+      while (victim.hasNext) {
+        val p = victim.next()
+        if (Files.isRegularFile(p) && f == null) f = p
+      }
+      f
+    }
+    Files.write(dataFile, Array[Byte](1, 2, 3)) // wrong length vs manifest
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTool.restore(spark, dir, "v2")
+    }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before,
+      "a refused restore must leave the live store untouched")
+    // unknown snapshot name refuses too
+    intercept[IllegalArgumentException] { SnapshotTool.restore(spark, dir, "nope") }
+  }
+
   test("ProbeTool: CLI-level store oracles — bm25 search lines, packed counts, forget parity") {
     import spark.implicits._
     // bm25: results as deterministic "rank doc score" lines, stable

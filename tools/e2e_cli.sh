@@ -398,6 +398,50 @@ with open(base + "/cur-in/batch3.json", "w") as f:
 EOF
 start_agent 3
 wait_counts 1500 157 60 29
+# ---- maintenance status plane: a held lease is visible in admin status
+# and the heartbeat, and clears after (round-15 verdict #4). The lease
+# FILE is the protocol, so the probe writes one (a real CompactTool at
+# this size releases in milliseconds — too fast to catch over a socket).
+python3 - "$BASE" <<'EOF'
+import sys, socket, json, time, uuid, os
+base = sys.argv[1]
+lease = base + "/ivf-index.MAINTENANCE_LEASE"
+def status():
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(base + "/admin.sock")
+    f = s.makefile()
+    s.sendall(b"status\n")
+    line = f.readline().strip()
+    s.close()
+    return json.loads(line)
+st = status()
+m = st["maintenance"]
+assert len(m) == 4, f"want all four standing stores reported: {sorted(m)}"
+assert all(not v["lease"] for v in m.values()), f"unexpected lease: {m}"
+with open(lease, "w") as fh:
+    fh.write(str(uuid.uuid4()) +
+             "\nop=compact\nacquiredAtMs=%d\nhost=e2e\n" % int(time.time() * 1000))
+try:
+    st = status()
+    ivf = [v for k, v in st["maintenance"].items() if "ivf" in k][0]
+    assert ivf["lease"] and ivf["op"] == "compact", ivf
+    assert ivf["host"] == "e2e" and ivf["acquiredAtMs"] > 0, ivf
+    deadline = time.time() + 45  # one 10 s monitor tick + slack
+    seen = False
+    while time.time() < deadline and not seen:
+        try:
+            seen = any('"event":"maintenance"' in l and '"op":"compact"' in l
+                       for l in open(base + "/heartbeat.jsonl"))
+        except FileNotFoundError:
+            pass
+        time.sleep(1)
+    assert seen, "no maintenance heartbeat within a monitor tick"
+finally:
+    os.remove(lease)
+st = status()
+assert all(not v["lease"] for v in st["maintenance"].values()), "lease must clear"
+print("MAINTENANCE STATUS ORACLE OK: lease visible in status + heartbeat, clears after")
+EOF
 drain_stop
 wait "$AGENT_PID"
 echo "agent exit code: $? (phase 5)"
@@ -421,4 +465,56 @@ print(f"RE-ADMISSION ORACLE OK: v130={v130}; bm25 max_bucket={mx} (<4)")
 EOF
 probe_bm25 | head -3
 probe_packed | grep -q "sequences=69" && echo "packed resumed: 68+1=69 sequences"
+
+# ---- phase 6: CROSS-STORE right to be forgotten — ONE ForgetTool
+# invocation tombstones every store from the conf directory (round-15
+# verdict #3); per-store compacts purge. Doc/vec id 8 lives in all four.
+echo "== phase 6: ForgetTool all (one invocation, four stores)"
+$JAVA graft.ForgetTool all "$BASE/conf.d" 8 2>&1 | grep -v INFO | tail -1
+probe_packed | grep -q "sequences=68" || { echo "FAIL: cross-store mask (packed)"; exit 1; }
+for kind in ivf bm25 packed curation; do
+  case $kind in
+    ivf) path=$BASE/ivf-index;; bm25) path=$BASE/bm25-index;;
+    packed) path=$BASE/packed-corpus;; curation) path=$BASE/cur-state;;
+  esac
+  test -e "$path/tombstones" || { echo "FAIL: no tombstones in $kind"; exit 1; }
+  $JAVA graft.CompactTool $kind "$path" 2>&1 | grep -v INFO | tail -1
+  test ! -e "$path/tombstones" || { echo "FAIL: $kind tombstones not retired"; exit 1; }
+done
+python3 - "$BASE" <<'EOF'
+import sys, duckdb
+base = sys.argv[1]
+iv = duckdb.sql("SELECT count(*) FROM parquet_scan("
+    f"'{base}/ivf-index/corpus/*/*/*.parquet', hive_partitioning=1) "
+    "WHERE vec_id = 8").fetchone()[0]
+bm = duckdb.sql("SELECT count(*) FROM parquet_scan("
+    f"'{base}/bm25-index/postings/*/*/*.parquet', hive_partitioning=1) "
+    "WHERE doc_id = 8").fetchone()[0]
+cu = duckdb.sql("SELECT count(*) FROM parquet_scan("
+    f"'{base}/cur-state/verdicts/*/*.parquet', hive_partitioning=1) "
+    "WHERE doc_id = 8").fetchone()[0]
+cd = duckdb.sql("SELECT count(*) FROM parquet_scan("
+    f"'{base}/cur-state/digests/*/*.parquet', hive_partitioning=1) "
+    "WHERE id = 8").fetchone()[0]
+assert (iv, bm, cu, cd) == (0, 0, 0, 0), \
+    f"id 8 must be purged everywhere: ivf={iv} bm25={bm} verdicts={cu} digests={cd}"
+print("CROSS-STORE FORGET ORACLE OK: id 8 purged from all four stores")
+EOF
+probe_packed | grep -q "sequences=68" || { echo "FAIL: packed purge count"; exit 1; }
+
+# ---- phase 7: snapshot/restore — the undo button for bad maintenance
+# (round-15 verdict #5): snapshot the packed store, damage it with a
+# forget+compact, restore, byte-level state parity via the probe.
+echo "== phase 7: SnapshotTool snapshot -> damage -> restore"
+probe_packed > "$BASE/packed_pre_snap.txt"
+$JAVA graft.SnapshotTool snapshot "$BASE/packed-corpus" s1 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null | grep -q "^s1$" \
+  || { echo "FAIL: snapshot not listed"; exit 1; }
+$JAVA graft.ForgetTool packed "$BASE/packed-corpus" 9 2>&1 | grep -v INFO | tail -1
+$JAVA graft.CompactTool packed "$BASE/packed-corpus" 2>&1 | grep -v INFO | tail -1
+probe_packed | grep -q "sequences=67" || { echo "FAIL: damage not visible"; exit 1; }
+$JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s1 2>&1 | grep -v INFO | tail -1
+probe_packed > "$BASE/packed_restored.txt"
+diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored.txt" \
+  && echo "SNAPSHOT/RESTORE ORACLE OK: probe parity with the pre-snapshot state"
 echo "E2E CLI GATE: PASS"
