@@ -60,6 +60,17 @@ object Privacy {
     * the same true counts (each re-release would otherwise spend more
     * of the privacy budget).
     *
+    * THE SEED IS A SECRET and has no default (round-14 advisory): the
+    * noise is exactly recomputable by anyone who knows it, so a public
+    * or guessable seed voids the ε guarantee outright — treat it like a
+    * key (per-dataset, from a secret store, never a constant in code).
+    * SCOPE OF THE GUARANTEE: determinism buys reproducibility for ONE
+    * release of ONE fixed dataset. Releasing noised counts of a CHANGED
+    * dataset under the same seed reuses identical noise per surviving
+    * group, so count DELTAS between the releases are exact — a new
+    * release of changed data must use a fresh secret seed (and spends
+    * fresh budget, exactly as the composition theorem prices it).
+    *
     * Determinism construction (cross-engine exact up to one `ln`):
     * u = (first 13 md5 hex chars + 0.5) / 2^52 — u ∈ (0, 1), never
     * exactly 0.5 (integer + 0.5 over a power of two), so the inverse
@@ -69,11 +80,15 @@ object Privacy {
     * codegen'd projection on the group-count relation (group-cardinality
     * sized, never corpus-sized). */
   def dpNoisedCounts(df: DataFrame, groupCols: Seq[Column],
-      names: Seq[String], scale: Double, seed: String = "graft-dp",
+      names: Seq[String], scale: Double, seed: String,
       roundDigits: Int = 4): DataFrame = {
     require(groupCols.nonEmpty && groupCols.length == names.length,
       "one name per group column")
     require(scale > 0.0, s"Laplace scale must be > 0: $scale")
+    require(seed != null && seed.nonEmpty,
+      "dpNoisedCounts needs an explicit SECRET seed: the noise is exactly " +
+        "recomputable from it, so a defaulted/public seed voids the epsilon " +
+        "guarantee")
     val counts = df
       .groupBy(groupCols.zip(names).map { case (c, n) => c.as(n) }: _*)
       .agg(count(lit(1)).as("n"))

@@ -81,7 +81,14 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       assert(v != truth, "noise must actually perturb the count")
     }
     intercept[IllegalArgumentException] {
-      Privacy.dpNoisedCounts(docs, Seq(col("lang")), Seq("lang"), scale = 0.0)
+      Privacy.dpNoisedCounts(docs, Seq(col("lang")), Seq("lang"),
+        scale = 0.0, seed = "s")
+    }
+    // the seed is a SECRET with no default: an empty one is refused, so a
+    // caller can never silently ship the recomputable-noise footgun
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisedCounts(docs, Seq(col("lang")), Seq("lang"),
+        scale = 5.0, seed = "")
     }
   }
 
