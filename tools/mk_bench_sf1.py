@@ -24,6 +24,51 @@ def ratios(q0, q1):
 
 
 def main():
+    # full-suite mode (the standing per-round discipline): rebuild the
+    # full_suite_sf1 section from a whole-surface sf0.1 run + sf1 run,
+    # DIFFING each query's sf1 seconds against the PREVIOUS round's
+    # full_suite_sf1 — a new w23-class superlinearity then surfaces as a
+    # flagged `vs_prev` delta needing one line of adjudication, instead
+    # of a fresh hand-pass over the same long tail every round.
+    #   python3 tools/mk_bench_sf1.py --full-suite <what> <sf01json> <sf1json>
+    if sys.argv[1] == "--full-suite":
+        what, p01, p1 = sys.argv[2:5]
+        artifact = json.load(open("BENCH_sf1.json"))
+        prev = artifact.get("full_suite_sf1", {}).get("queries", {})
+        b01, b1 = json.load(open(p01)), json.load(open(p1))
+        qs = ratios(b01["queries"], b1["queries"])
+        flagged, new_queries = [], []
+        for k, row in qs.items():
+            if k in prev and prev[k].get("sf1_sec", 0) > 0:
+                vs = row["sf1_sec"] / prev[k]["sf1_sec"]
+                row["vs_prev_sf1"] = round(vs, 2)
+                # flag only rows that are BOTH slower than 2x the previous
+                # run AND non-trivial in absolute terms (sub-second noise
+                # doubles freely under host jitter)
+                if vs > 2.0 and row["sf1_sec"] > 1.0:
+                    flagged.append(k)
+            else:
+                new_queries.append(k)
+        errs1 = b1.get("errors", {})
+        artifact["full_suite_sf1"] = {
+            "what": what,
+            "sf1_total_sec": round(sum(b1["queries"].values()), 1),
+            "n_queries": len(b1["queries"]),
+            "errors": errs1,
+            "median_ratio_at_10x": round(sorted(
+                r["ratio_at_10x_data"] for r in qs.values())[len(qs) // 2], 2),
+            "flagged_vs_prev_gt2x": sorted(flagged),
+            "new_queries_no_prev_band": sorted(new_queries),
+            "queries": qs,
+        }
+        with open("BENCH_sf1.json", "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"full_suite_sf1 rebuilt: {len(qs)} queries, "
+              f"{len(flagged)} flagged >2x vs prev run "
+              f"({sorted(flagged)}), {len(new_queries)} new "
+              f"({sorted(new_queries)}), errors={errs1}")
+        return
+
     # append mode: add one named family's ratios to the existing artifact
     # without re-running the other four/six benches
     #   python3 tools/mk_bench_sf1.py --append <family_key> <sf01json> <sf1json>
