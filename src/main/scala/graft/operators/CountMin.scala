@@ -29,12 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Row-`i` bucket for `key` — JVM twin of [[bucketExpr]]. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row-`i` bucket for `key` — JVM twin of [[bucketExpr]]. The first 13
+    * hex chars of the md5 are the first 6 bytes plus the 7th byte's high
+    * nibble; extract them NUMERICALLY (hex-formatting a string per byte
+    * per row per depth dominated the whole sketch fold — measured 39 s
+    * for 1M rows x depth 4 at sf1, ~4 s after). Digest instances are
+    * thread-local (getInstance per call was the other allocation sink). */
   private[operators] def bucket(i: Int, key: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$i|$key".getBytes("UTF-8"))
-      .map(b => f"${b & 0xFF}%02x").mkString.take(13)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s"$i|$key".getBytes("UTF-8"))
+    var v = 0L
+    var j = 0
+    while (j < 6) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+    v = (v << 4) | ((d(6) & 0xFFL) >>> 4) // 13th hex nibble
+    (v % width).toInt
   }
 
   /** Row-`i` bucket as a Catalyst expression (codegen'd md5 arithmetic —
