@@ -214,13 +214,28 @@ object GraftMain {
             // (restart budget remains), the relaunch is already in flight
             // — keep watching instead of exiting mid-recovery; once the
             // budget is spent, restartInFlight goes false and the failure
-            // propagates for a non-zero exit.
+            // propagates for a non-zero exit. A NON-supervised failure
+            // that races an unrelated supervisor's restart window is NOT
+            // swallowed: the deadFailures sweep below catches it on the
+            // next tick (round-15 advisory).
             sawTermination = true
             try spark.streams.resetTerminated() catch { case _: Throwable => () }
             if (!mgr.restartInFlight) {
               streamFailure = t
               stopped.countDown()
             }
+        }
+        // registry-level failure sweep: any query that died WITH an
+        // exception and will never be relaunched (unsupervised, or
+        // supervision concluded) ends the agent non-zero — regardless of
+        // which exception awaitAnyTermination happened to surface or
+        // which supervisor happened to be mid-restart at that instant
+        if (stopped.getCount > 0) {
+          mgr.deadFailures.headOption.foreach { case (name, t) =>
+            streamFailure = new RuntimeException(
+              s"pipeline '$name' died and will not be relaunched", t)
+            stopped.countDown()
+          }
         }
         // "all streams ended" is a MANAGER judgment, not a fixed sleep:
         // a supervised pipeline between queries (daily scheduledRestart

@@ -175,6 +175,12 @@ object ForgetTool {
       case other => throw new IllegalArgumentException(
         s"unknown store kind '$other' (want ivf|bm25|packed|curation)")
     }
+    // ledger AFTER the store accepts the tombstone (a crash in between
+    // leaves a forget to re-run, never a recorded-but-unapplied one):
+    // the sibling [[graft.streaming.ForgetLedger]] lives OUTSIDE the
+    // swapped root, so a SnapshotTool restore re-applies it instead of
+    // silently resurrecting the forgotten docs (round-15 verdict #1)
+    graft.streaming.ForgetLedger.append(spark, path, kind, ids)
     e
   }
 
@@ -374,27 +380,65 @@ object CompactTool {
   * by rebuilding from the source of truth — days at 100 TB. A snapshot
   * is a MANIFEST (relative path + length per live file) plus a byte copy
   * of the store root under the sibling `<root>.snapshots/<name>/`
-  * directory (on an object store both the listing and the copy are
-  * server-side — no data moves through the driver); restore VERIFIES the
-  * manifest and swaps the snapshot back over the live root through
-  * [[graft.streaming.StateCompaction.compactWith]]'s commit-marker
+  * directory. The copy is CLUSTER-PARALLEL, never a driver funnel
+  * ([[graft.streaming.DistributedCopy]]: the driver lists metadata, one
+  * Spark task per file moves the bytes — the DistCp shape, so a 100-TB
+  * snapshot runs at the fleet's aggregate NIC bandwidth); restore
+  * VERIFIES the manifest and swaps the snapshot back over the live root
+  * through [[graft.streaming.StateCompaction.swapIn]]'s commit-marker
   * protocol, so a crash mid-restore finishes or rolls forward exactly
-  * like any other maintenance swap — never a half-restored store. Both
-  * ops run under the store's [[graft.streaming.MaintenanceLease]]
-  * (snapshots of a store mid-epoch-write would capture a torn epoch).
+  * like any other maintenance swap — never a half-restored store — and a
+  * DESTROYED live root (the disaster restore exists for) still restores:
+  * swapIn promotes unconditionally, unlike compaction's
+  * nothing-to-fold no-op guards (round-15 advisory). Both ops run under
+  * the store's [[graft.streaming.MaintenanceLease]] (snapshots of a
+  * store mid-epoch-write would capture a torn epoch).
+  *
+  * RIGHT TO BE FORGOTTEN survives a restore (round-15 verdict #1): the
+  * stores' tombstones live INSIDE the swapped root, so a naive
+  * whole-root restore would silently resurrect every document forgotten
+  * between snapshot and restore — a compliance delete undone by an ops
+  * action. Every [[ForgetTool]] invocation therefore also appends the
+  * ids to the store's [[graft.streaming.ForgetLedger]] (a sibling
+  * directory OUTSIDE the swapped root), and restore RE-APPLIES the
+  * ledger's effective set as a fresh tombstone epoch INSIDE the staged
+  * snapshot — re-applied forgets ride the same commit-marker promote as
+  * the snapshot bytes, so the restored store is never, at any instant,
+  * serving a forgotten document. The FAT-FINGER case (the forget itself
+  * was the damage) is an EXPLICIT escape hatch: `--resurrect <ids|all>`
+  * skips the re-apply for those ids and appends the cancellation to the
+  * ledger so future restores skip them too. Forgets that happened
+  * BEFORE the snapshot are part of the captured state (their bytes may
+  * already be compacted away) — resurrect cannot bring those back.
   *
   * Snapshots are IMMUTABLE (a name cannot be re-snapshotted) and live
   * OUTSIDE the swapped root, so maintenance swaps can never eat them.
+  * They are full-size copies that otherwise accumulate forever, so the
+  * lifecycle surface is first-class: `list` reports per-snapshot file
+  * count, bytes and age; `delete` prunes one (refusing while any
+  * maintenance lease is held on the store — a concurrent restore may be
+  * reading the very snapshot).
   *
   * Usage: graft.SnapshotTool snapshot <storeRoot> <name>
-  *        graft.SnapshotTool restore <storeRoot> <name>
+  *        graft.SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]
   *        graft.SnapshotTool list <storeRoot>
+  *        graft.SnapshotTool delete <storeRoot> <name>
   */
 object SnapshotTool {
 
   private val ManifestName = "MANIFEST"
 
   def snapshotsDir(root: String): String = root.stripSuffix("/") + ".snapshots"
+
+  /** Which (if any) ledgered forgets to CANCEL during a restore. */
+  sealed trait Resurrect
+  case object ResurrectNone extends Resurrect
+  case object ResurrectAll extends Resurrect
+  final case class ResurrectIds(ids: Set[Long]) extends Resurrect
+
+  /** One `list` row: name, file count, total bytes, creation mtime. */
+  final case class SnapshotInfo(name: String, files: Long, bytes: Long,
+      createdMs: Long)
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
@@ -423,9 +467,8 @@ object SnapshotTool {
         s"snapshot '$name' already exists at $snapDir (snapshots are immutable; " +
           "pick a new name)")
       val dataDir = new org.apache.hadoop.fs.Path(snapDir, "data")
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs, dataDir,
-          false, true, fs.getConf))
-        throw new java.io.IOException(s"snapshot copy failed: $rootPath -> $dataDir")
+      graft.streaming.DistributedCopy.copyTree(spark, rootPath.toString,
+        dataDir.toString)
       // manifest from the COPIED tree: restore verifies against what the
       // snapshot actually holds, not against what the live store held
       val entries = listRecursive(fs, dataDir)
@@ -440,13 +483,15 @@ object SnapshotTool {
 
   /** Restore the store at `root` to snapshot `name`: verify every
     * manifest entry is present in the snapshot with its recorded length,
-    * then swap the snapshot bytes over the live root through the
-    * commit-marker protocol (staging write → fence → marker → promote;
-    * a crash anywhere is finished by the next maintenance op's
-    * `recover`). After the swap the live store is byte-identical to the
-    * snapshot — searches, probes and stats all read the captured state. */
+    * stage the snapshot bytes (cluster-parallel copy) PLUS the forget
+    * ledger's re-applied tombstones, then swap the staging over the live
+    * root through the commit-marker protocol (staging write → fence →
+    * marker → promote; a crash anywhere is finished by the next
+    * maintenance op's `recover`). After the swap the live store serves
+    * the captured state MINUS every ledgered forget (see the class doc);
+    * `resurrect` cancels chosen forgets and records the cancellation. */
   def restore(spark: org.apache.spark.sql.SparkSession, root: String,
-      name: String): Unit = {
+      name: String, resurrect: Resurrect = ResurrectNone): Unit = {
     requireName(name)
     graft.streaming.MaintenanceLease.withLease(spark, root, op = "restore") { fence =>
       val fs = hadoopFs(spark, root)
@@ -472,21 +517,88 @@ object SnapshotTool {
         require(got == len,
           s"snapshot '$name' is corrupt: $rel has $got bytes, manifest says $len")
       }
-      graft.streaming.StateCompaction.compactWith(spark, root, fence) { staging =>
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs, dataDir, fs,
-            new org.apache.hadoop.fs.Path(staging), false, true, fs.getConf))
-          throw new java.io.IOException(s"restore copy failed: $dataDir -> $staging")
+      // the ledger's effective forgets, minus the operator's explicit
+      // resurrections — computed BEFORE the swap so the re-apply rides it
+      val owed = graft.streaming.ForgetLedger.effective(spark, root)
+      val reapply = resurrect match {
+        case ResurrectNone => owed
+        case ResurrectAll => Map.empty[String, Seq[Long]]
+        case ResurrectIds(ids) =>
+          owed.map { case (k, v) => k -> v.filterNot(ids.contains) }
+            .filter(_._2.nonEmpty)
+      }
+      // swapIn, not compactWith: a destroyed/emptied live root must still
+      // restore (disaster path) — promote unconditionally
+      graft.streaming.StateCompaction.swapIn(spark, root, fence) { staging =>
+        graft.streaming.DistributedCopy.copyTree(spark, dataDir.toString, staging)
+        if (reapply.nonEmpty)
+          graft.streaming.ForgetLedger.reapplyInto(spark, staging, reapply)
+      }
+      // record the cancellation AFTER the promote: a crash in between
+      // leaves the resurrected docs served (as requested) with the ledger
+      // still owing them — re-run the restore with the same --resurrect
+      // to finish; the conservative failure mode (re-masking) never
+      // silently un-forgets anything
+      resurrect match {
+        case ResurrectNone => ()
+        case ResurrectAll => owed.keys.toSeq.sorted.foreach(k =>
+          graft.streaming.ForgetLedger.appendResurrect(spark, root, k, None))
+        case ResurrectIds(ids) => owed.keys.toSeq.sorted.foreach { k =>
+          val cancel = owed(k).filter(ids.contains)
+          if (cancel.nonEmpty)
+            graft.streaming.ForgetLedger.appendResurrect(spark, root, k, Some(cancel))
+        }
       }
     }
   }
 
   /** Snapshot names recorded for `root`, oldest-first by mtime. */
-  def list(spark: org.apache.spark.sql.SparkSession, root: String): Seq[String] = {
+  def list(spark: org.apache.spark.sql.SparkSession, root: String): Seq[String] =
+    listDetailed(spark, root).map(_.name)
+
+  /** Snapshots with their SIZE and AGE — what an operator pruning
+    * full-size copies actually needs. File count/bytes read from the
+    * manifest (one small file per snapshot), not a tree walk. */
+  def listDetailed(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[SnapshotInfo] = {
     val fs = hadoopFs(spark, root)
     val d = new org.apache.hadoop.fs.Path(snapshotsDir(root))
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).filter(_.isDirectory).sortBy(_.getModificationTime)
-      .map(_.getPath.getName).toSeq
+      .map { st =>
+        val mp = new org.apache.hadoop.fs.Path(st.getPath, ManifestName)
+        val (files, bytes) =
+          if (!fs.exists(mp)) (0L, 0L)
+          else {
+            val in = fs.open(mp)
+            try {
+              val lens = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                .filter(_.nonEmpty).map(_.split("\t", 2)(0).toLong).toSeq
+              (lens.size.toLong, lens.sum)
+            } finally in.close()
+          }
+        SnapshotInfo(st.getPath.getName, files, bytes, st.getModificationTime)
+      }.toSeq
+  }
+
+  /** Delete snapshot `name` — the prune half of the lifecycle. Refuses
+    * while ANY maintenance lease is live on the store: a concurrent
+    * restore may be mid-copy out of this very snapshot, and deleting
+    * under it would fail the restore with a half-read tree. */
+  def delete(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String): Unit = {
+    requireName(name)
+    graft.streaming.MaintenanceLease.status(spark, root).foreach { st =>
+      throw new IllegalStateException(
+        s"refusing to delete snapshot '$name': maintenance op '${st.op}' holds " +
+          s"the lease on $root (a restore may be reading the snapshot); " +
+          "wait for it to finish")
+    }
+    val fs = hadoopFs(spark, root)
+    val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
+    require(fs.exists(snapDir), s"no snapshot '$name' at $snapDir")
+    if (!fs.delete(snapDir, true))
+      throw new java.io.IOException(s"failed to delete snapshot at $snapDir")
   }
 
   private def listRecursive(fs: org.apache.hadoop.fs.FileSystem,
@@ -502,11 +614,24 @@ object SnapshotTool {
     buf.sortBy(_._1).toSeq
   }
 
+  private[graft] def parseResurrect(args: Seq[String]): Resurrect =
+    args.indexOf("--resurrect") match {
+      case -1 => ResurrectNone
+      case i =>
+        require(args.length > i + 1, "--resurrect needs all|id,id,...")
+        args(i + 1) match {
+          case "all" => ResurrectAll
+          case ids => ResurrectIds(ids.split(',').map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSet)
+        }
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: SnapshotTool snapshot <storeRoot> <name>\n" +
-        "       SnapshotTool restore <storeRoot> <name>\n" +
-        "       SnapshotTool list <storeRoot>")
+        "       SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]\n" +
+        "       SnapshotTool list <storeRoot>\n" +
+        "       SnapshotTool delete <storeRoot> <name>")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-snapshot")
       .master(sys.props.getOrElse("spark.master",
@@ -521,13 +646,22 @@ object SnapshotTool {
           val n = snapshot(spark, args(1), args(2))
           System.err.println(s"snapshot '${args(2)}' of ${args(1)}: $n file(s)")
         case "restore" =>
-          require(args.length >= 3, "restore <storeRoot> <name>")
-          restore(spark, args(1), args(2))
-          System.err.println(s"restored ${args(1)} to snapshot '${args(2)}'")
+          require(args.length >= 3,
+            "restore <storeRoot> <name> [--resurrect all|id,id,...]")
+          val r = parseResurrect(args.toSeq.drop(3))
+          restore(spark, args(1), args(2), r)
+          System.err.println(s"restored ${args(1)} to snapshot '${args(2)}'" +
+            (if (r == ResurrectNone) " (ledgered forgets re-applied)"
+             else " (resurrected per --resurrect)"))
         case "list" =>
-          list(spark, args(1)).foreach(println)
+          listDetailed(spark, args(1)).foreach(i =>
+            println(s"${i.name}\t${i.files}\t${i.bytes}\t${i.createdMs}"))
+        case "delete" =>
+          require(args.length >= 3, "delete <storeRoot> <name>")
+          delete(spark, args(1), args(2))
+          System.err.println(s"deleted snapshot '${args(2)}' of ${args(1)}")
         case other => throw new IllegalArgumentException(
-          s"unknown subcommand '$other' (want snapshot|restore|list)")
+          s"unknown subcommand '$other' (want snapshot|restore|list|delete)")
       }
     } finally spark.stop()
   }

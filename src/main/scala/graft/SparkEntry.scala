@@ -142,7 +142,7 @@ object SparkEntry {
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
     "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket",
     "w40_lease_guard", "w41_cross_store_rtbf", "w42_snapshot_restore",
-    "w43_weighted_hybrid_at_rest", "d107_count_min")
+    "w43_weighted_hybrid_at_rest", "d107_count_min", "w44_forget_ledger")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2304,8 +2304,11 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sessionState.newHadoopConf())
       // forget+compact MUTATE the stores: re-runs need a clean tree
+      // (forget ledger included — it accumulates across runs by design)
       Seq(bmPath, ivPath).foreach { p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          graft.streaming.ForgetLedger.ledgerDir(p)), true)
         fs.delete(graft.streaming.MaintenanceLease.leasePath(p), false)
       }
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -2386,7 +2389,8 @@ object SparkEntry {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), s.sessionState.newHadoopConf())
-      Seq(path, graft.SnapshotTool.snapshotsDir(path)).foreach(p =>
+      Seq(path, graft.SnapshotTool.snapshotsDir(path),
+          graft.streaming.ForgetLedger.ledgerDir(path)).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
       fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -2410,13 +2414,91 @@ object SparkEntry {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       require(!damagedIds.contains(victim),
         "the damage must be visible before the restore (purged victim)")
-      // undo: restore the snapshot over the damaged store
-      graft.SnapshotTool.restore(s, path, "pre")
+      // undo: restore the snapshot over the damaged store. The forget WAS
+      // the damage here (the fat-finger case), so the restore carries the
+      // EXPLICIT --resurrect escape hatch — without it the forget ledger
+      // re-applies the delete and the victim stays masked (w44's gate);
+      // with it the restored store serves the pre-damage state verbatim
+      graft.SnapshotTool.restore(s, path, "pre",
+        graft.SnapshotTool.ResurrectIds(Set(victim)))
       val restored = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
       require(restored.filter(col("query_id") === 0 && col("rank") === 1)
           .select("doc_id").head().getLong(0) == victim,
         "the restored store must serve the pre-damage state")
       restored.orderBy("query_id", "rank")
+    }),
+    "w44_forget_ledger" -> ((s, d) => {
+      // RTBF SURVIVES A SNAPSHOT RESTORE (round-15 verdict #1): the
+      // stores' tombstones live INSIDE the swapped root, so a naive
+      // whole-root restore silently resurrected every document forgotten
+      // between snapshot and restore — a compliance delete undone by an
+      // ops action. The ForgetLedger (sibling dir OUTSIDE the swapped
+      // root) now records every ForgetTool invocation, and restore
+      // re-applies its effective set as fresh tombstones INSIDE the
+      // staged snapshot, riding the same commit-marker promote. Gate:
+      //  1. build the store, snapshot "pre" (victim still inside);
+      //  2. forget the strongest-ranked doc + compact (purged);
+      //  3. restore "pre" WITHOUT --resurrect → the victim must STAY
+      //     masked (require — this is exactly the resurrection the old
+      //     behavior pinned as success) while the snapshot's other rows
+      //     all come back;
+      //  4. restore "pre" WITH --resurrect <victim> → the explicit
+      //     fat-finger undo: the victim is served again, and the
+      //     cancellation is ledgered so future restores skip it.
+      // Output = the post-resurrect search == the full-corpus BM25
+      // replay (w27's oracle verbatim); the mid-gate requires pin the
+      // masked state.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w44_ledger_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      Seq(path, graft.SnapshotTool.snapshotsDir(path),
+          graft.streaming.ForgetLedger.ledgerDir(path)).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 2 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.SnapshotTool.snapshot(s, path, "pre")
+      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .select("doc_id").head().getLong(0)
+      graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
+      graft.streaming.StreamingBm25.compact(s, path)
+      // the ledger owes the victim a tombstone in any restored state
+      require(graft.streaming.ForgetLedger.effective(s, path)
+          .getOrElse("bm25", Nil).contains(victim),
+        "ForgetTool must have ledgered the forget outside the swapped root")
+      // restore WITHOUT resurrect: the snapshot CONTAINS the victim's
+      // postings, so absent the ledger re-apply this search would serve
+      // it at rank 1 again (w42's old behavior) — the compliance delete
+      // must survive the swap instead
+      graft.SnapshotTool.restore(s, path, "pre")
+      val afterIds = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .filter(col("query_id") === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(!afterIds.contains(victim),
+        "a ledgered forget must survive the snapshot restore (no resurrection)")
+      // the explicit fat-finger undo: resurrect the victim by id; the
+      // cancellation is ledgered, so the effective set drains to empty
+      graft.SnapshotTool.restore(s, path, "pre",
+        graft.SnapshotTool.ResurrectIds(Set(victim)))
+      require(graft.streaming.ForgetLedger.effective(s, path).isEmpty,
+        "--resurrect must ledger the cancellation for future restores")
+      val resurrected = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+      require(resurrected.filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0) == victim,
+        "--resurrect must serve the fat-fingered doc again")
+      resurrected.orderBy("query_id", "rank")
     }),
     "w43_weighted_hybrid_at_rest" -> ((s, d) => {
       // WEIGHTED (convex-combination) fusion over the STANDING stores —
@@ -8606,7 +8688,39 @@ object SparkEntry {
            FROM fus)
          SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM fr
          WHERE rank <= 10 ORDER BY query_id, rank""",
-    // w42: w27's full-corpus oracle VERBATIM — the restore must return
+    // w44: w27's full-corpus oracle VERBATIM — after the explicit
+    // --resurrect of the one ledgered victim, the restored store must
+    // replay as if the forget never happened; the gate's mid-state
+    // requires pin the OTHER half of the contract (the default restore
+    // keeps the victim masked)
+    "w44_forget_ledger" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w42: w27's full-corpus oracle VERBATIM — the restore (with the
+    // explicit --resurrect of the fat-fingered forget; the default
+    // restore re-applies the ledgered delete — w44's gate) must return
     // the store to its exact pre-damage state, so the post-restore
     // search replays as if the forget+compact never happened
     "w42_snapshot_restore" ->

@@ -148,6 +148,10 @@ object PackedCorpus {
     * directory being swapped — apply and clear are one commit).
     * Precedence: a tombstone dominates ANY epoch's sequence for that id,
     * including re-appends after the delete, until a compact clears it. */
+  /** At-rest tombstone id column — the exported schema contract
+    * ([[graft.streaming.StreamingIvf.TombstoneIdCol]]'s stance). */
+  val TombstoneIdCol = "doc_id"
+
   def deleteEpoch(ids: DataFrame, dir: String, epoch: Long,
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.net.URI
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-parallel directory copy — the DistCp shape: the DRIVER lists
+  * the tree (metadata only), then one Spark job copies the files with
+  * one task per file, so the bytes stream through EVERY executor's NIC
+  * in parallel, never through the single driver JVM. This is what
+  * [[graft.SnapshotTool]] funnels its snapshot/restore bytes through
+  * (round-15 verdict #2: `FileUtil.copy` streams every byte
+  * open→create→copyBytes through the CALLING JVM on every FileSystem —
+  * object stores included, whose server-side COPY backs only `rename` —
+  * so a 100-TB snapshot was weeks through one NIC; distributed per-file
+  * copy is the standard answer, cf. Hadoop DistCp).
+  *
+  * Semantics: relative layout (including empty directories) is
+  * preserved; each task verifies its copied length against the source
+  * listing and fails the job loudly on a mismatch (a file that CHANGED
+  * mid-copy means the tree was not quiesced — snapshot runs under the
+  * store's maintenance lease precisely so this cannot happen). The
+  * destination is created fresh by the caller's protocol (snapshot: a
+  * new immutable directory; restore: a commit-marker staging dir), so
+  * tasks never race each other — every task owns distinct target files.
+  */
+object DistributedCopy {
+
+  /** Copy the tree under `srcDir` into `dstDir` (created if missing).
+    * Returns the number of FILES copied. Hadoop configuration is
+    * re-materialized on executors from the session's entries, so
+    * scheme registrations and credentials travel with the job. */
+  def copyTree(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcFs = FileSystem.get(new URI(srcDir), conf)
+    val src = srcFs.makeQualified(new Path(srcDir))
+    require(srcFs.exists(src), s"copy source does not exist: $src")
+    val (dirs, files) = listTree(srcFs, src)
+    val dstFs = FileSystem.get(new URI(dstDir), conf)
+    val dst = dstFs.makeQualified(new Path(dstDir))
+    dstFs.mkdirs(dst)
+    dirs.foreach(rel => dstFs.mkdirs(new Path(dst, rel)))
+    if (files.isEmpty) return 0L
+    // Configuration is Writable, not Serializable — ship the session's
+    // entries and rebuild over classpath defaults on each executor
+    val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val srcStr = src.toString
+    val dstStr = dst.toString
+    val slices = math.min(files.size,
+      math.max(1, spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(files, slices).foreach { case (rel, len) =>
+      val c = new Configuration(true)
+      confKv.foreach { case (k, v) => c.set(k, v) }
+      val sf = FileSystem.get(new URI(srcStr), c)
+      val df = FileSystem.get(new URI(dstStr), c)
+      val from = new Path(srcStr, rel)
+      val to = new Path(dstStr, rel)
+      df.mkdirs(to.getParent)
+      val in = sf.open(from)
+      try {
+        val out = df.create(to, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, c, false)
+        finally out.close()
+      } finally in.close()
+      val got = df.getFileStatus(to).getLen
+      if (got != len)
+        throw new java.io.IOException(
+          s"distributed copy verified wrong length for $rel: " +
+            s"copied $got bytes, source listing said $len (tree not quiesced?)")
+    }
+    files.size.toLong
+  }
+
+  /** (relative dir paths, (relative file path, length)) under `root` —
+    * one driver-side metadata walk. */
+  private def listTree(fs: FileSystem, root: Path): (Seq[String], Seq[(String, Long)]) = {
+    val base = root.toUri.getPath.stripSuffix("/")
+    def rel(p: Path): String = p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) { dirs += rel(st.getPath); walk(st.getPath) }
+      else files += ((rel(st.getPath), st.getLen))
+    }
+    walk(root)
+    (dirs.sorted.toSeq, files.sortBy(_._1).toSeq)
+  }
+}

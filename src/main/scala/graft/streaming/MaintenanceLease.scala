@@ -161,10 +161,17 @@ object MaintenanceLease {
     }
   }
 
-  /** Live epoch-write intent markers for `root` (stale ones are BROKEN —
-    * deleted — on sight, mirroring the lease's crash story). Bounded:
+  /** Live epoch-write intent markers for `root`. With `breakStale` (the
+    * default — what [[acquire]]/[[fenceCheck]] want) stale markers are
+    * BROKEN — deleted — on sight, mirroring the lease's crash story. The
+    * STATUS plane passes `breakStale = false`: a monitoring poll must be
+    * a pure read (round-15 verdict #3 — [[StatusReporter]] calling the
+    * breaking form meant heartbeat traffic performed filesystem writes
+    * and could double-delete against an acquirer's own stale-break);
+    * stale markers are excluded from the result either way. Bounded:
     * lists only `root`'s parent directory filtered to the intent prefix. */
-  def liveIntents(spark: SparkSession, root: String): Seq[Path] = {
+  def liveIntents(spark: SparkSession, root: String,
+      breakStale: Boolean = true): Seq[Path] = {
     val f = fs(spark, root)
     val rootPath = new Path(root.stripSuffix("/"))
     val parent = rootPath.getParent
@@ -175,8 +182,10 @@ object MaintenanceLease {
       .filter(_.getPath.getName.startsWith(prefix))
       .flatMap { st =>
         val age = System.currentTimeMillis() - st.getModificationTime
-        if (age > ttl) { f.delete(st.getPath, false); None } // crashed writer
-        else Some(st.getPath)
+        if (age > ttl) { // crashed writer (a LIVE writer renews its marker)
+          if (breakStale) f.delete(st.getPath, false)
+          None
+        } else Some(st.getPath)
       }
   }
 
@@ -302,11 +311,21 @@ object MaintenanceLease {
     *  - re-checks the lease AFTER publishing (a maintenance acquire that
     *    ran between the entry guard and the intent create is visible now
     *    — refuse before any byte lands);
-    *  - re-checks the lease AFTER the final write (a lease can only have
-    *    appeared mid-write by breaking this intent as TTL-stale or via
-    *    an eventually-exclusive create — the epoch's bytes may be
-    *    destroyed by the maintenance promote, so the write FAILS loudly
-    *    and the stream retries the batch instead of checkpointing it).
+    *  - RENEWS the marker's mtime from a daemon thread every
+    *    intentTtl/3 while the write runs (the [[withLease]] renewal
+    *    pattern — round-15 verdict #4): a legitimate write longer than
+    *    the intent TTL never reads as stale, so maintenance can never
+    *    break a LIVE writer's marker and slip a whole
+    *    acquire→compact→promote→release inside the write's window; a
+    *    killed writer's renewal dies with its JVM, so its marker still
+    *    goes stale and never blocks maintenance forever;
+    *  - after the final write, re-checks BOTH flags: a live lease OR a
+    *    broken/missing intent marker fails the batch loudly (round-15
+    *    advisory: a maintenance op that broke the marker and already
+    *    RELEASED its lease left no lease to see — the marker's absence
+    *    is the only remaining evidence the promote may have destroyed
+    *    this epoch's bytes), so the stream retries the batch instead of
+    *    checkpointing data a swap may erase.
     * Every interleaving of an epoch write with a maintenance op now
     * loses LOUDLY on one side or the other, never silently. */
   def withEpochWriteIntent[T](spark: SparkSession, root: String,
@@ -316,6 +335,12 @@ object MaintenanceLease {
     val ip = new Path(root.stripSuffix("/") + IntentInfix +
       java.util.UUID.randomUUID().toString)
     f.create(ip, false).close() // atomic publish; collision impossible (uuid)
+    val stopRenewal = startRenewal(spark, root, ip,
+      intervalMs = math.max(50L, intentTtlMillis(spark) / 3),
+      // renew only while OUR marker still exists: a broken marker must
+      // stay broken (the post-write check reports it) — never re-create
+      shouldRenew = () => f.exists(ip),
+      name = s"graft-intent-renewal-${ip.getName.takeRight(8)}")
     try {
       if (liveLease(spark, root))
         throw new IllegalStateException(
@@ -330,8 +355,40 @@ object MaintenanceLease {
             "create raced): the epoch's bytes may be destroyed by the " +
             "maintenance promote — failing the batch loudly so it retries " +
             "instead of checkpointing data a swap may erase")
+      if (!f.exists(ip))
+        throw new IllegalStateException(
+          s"this epoch write's intent marker on $root was broken mid-write " +
+            "(a maintenance op judged it stale — and may have already run " +
+            "and released, leaving no lease to observe): the epoch's bytes " +
+            "may be destroyed by its promote — failing the batch loudly so " +
+            "it retries instead of checkpointing data a swap may erase")
       r
-    } finally { f.delete(ip, false); () }
+    } finally {
+      stopRenewal()
+      f.delete(ip, false); ()
+    }
+  }
+
+  /** Shared mtime-renewal daemon for lease files and intent markers:
+    * touch `p` every `intervalMs` while `shouldRenew` holds; returns the
+    * stop thunk. Best-effort (a FileSystem without setTimes just leaves
+    * the TTL story to the caller's spec'd fallback); transient IO errors
+    * retry next tick. */
+  private def startRenewal(spark: SparkSession, root: String, p: Path,
+      intervalMs: Long, shouldRenew: () => Boolean, name: String): () => Unit = {
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val renewer = new Thread(() => {
+      while (!stop.await(intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          if (shouldRenew())
+            try fs(spark, root).setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: UnsupportedOperationException => () } // best-effort
+        } catch { case _: Exception => () } // transient IO: next tick retries
+      }
+    }, name)
+    renewer.setDaemon(true)
+    renewer.start()
+    () => stop.countDown()
   }
 
   /** Run `body` under the lease; `body` receives the FENCE thunk to pass
@@ -345,27 +402,15 @@ object MaintenanceLease {
   def withLease[T](spark: SparkSession, root: String,
       op: String = "maintenance")(body: (() => Unit) => T): T = {
     val token = acquire(spark, root, op)
-    val stop = new java.util.concurrent.CountDownLatch(1)
-    val renewIntervalMs = math.max(50L, ttlMillis(spark) / 3)
-    val renewer = new Thread(() => {
-      while (!stop.await(renewIntervalMs,
-          java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try {
-          val f = fs(spark, root)
-          val p = leasePath(root)
-          // renew only while the file still carries OUR token: a broken-
-          // and-retaken lease belongs to the new holder; never re-create
-          if (readToken(f, p).contains(token))
-            try f.setTimes(p, System.currentTimeMillis(), -1)
-            catch { case _: UnsupportedOperationException => () } // best-effort
-        } catch { case _: Exception => () } // transient IO: next tick retries
-      }
-    }, s"graft-lease-renewal-${token.take(8)}")
-    renewer.setDaemon(true)
-    renewer.start()
+    // renew only while the file still carries OUR token: a broken-and-
+    // retaken lease belongs to the new holder; never re-create
+    val stopRenewal = startRenewal(spark, root, leasePath(root),
+      intervalMs = math.max(50L, ttlMillis(spark) / 3),
+      shouldRenew = () => readToken(fs(spark, root), leasePath(root)).contains(token),
+      name = s"graft-lease-renewal-${token.take(8)}")
     try body(() => fenceCheck(spark, root, token))
     finally {
-      stop.countDown()
+      stopRenewal()
       release(spark, root, token)
     }
   }

@@ -97,6 +97,23 @@ class PipelineManager(spark: SparkSession,
     * round-14 advisory). */
   def restartInFlight: Boolean = supervisors.values.exists(_.restartPending)
 
+  /** Queries that died WITH an exception and will never be relaunched:
+    * unsupervised failures, and supervised ones whose budget is spent
+    * (supervision concluded). The agent lifecycle polls this so a
+    * non-recoverable failure always produces a non-zero exit — even
+    * when its awaitAnyTermination exception raced an UNRELATED
+    * supervisor's restart window, where the restartInFlight gate alone
+    * swallowed it (round-15 advisory). Mid-budget supervised failures
+    * never appear: their supervisor is not `concluded` until either the
+    * relaunch replaced the dead query in the registry or the budget ran
+    * out. */
+  def deadFailures: Seq[(String, Throwable)] =
+    queries.toSeq.collect {
+      case (name, q) if !q.isActive && q.exception.isDefined &&
+          supervisors.get(name).forall(_.concluded) =>
+        (name, q.exception.get: Throwable)
+    }
+
   /** Queries with no progress for longer than the threshold
     * (reference: stuck-stream alert, monitor/DefaultLogMonitor.java:561-601). */
   def stuck(nowMs: Long = System.currentTimeMillis()): Seq[String] =
@@ -225,6 +242,10 @@ class SupervisedQuery(factory: () => StreamingQuery, maxRestarts: Int,
     * observe "all ended" mid-restart. */
   def restartPending: Boolean =
     !finished && (restarting || !currentRef.get().isActive)
+
+  /** True once the supervision loop has ended — no relaunch will ever
+    * come, so a dead current query is dead for good. */
+  def concluded: Boolean = finished
   def stop(): Unit = {
     stopped = true
     val q = currentRef.get()

@@ -172,6 +172,28 @@ object StateCompaction {
     val dirPath = new Path(dir)
     if (!fs.exists(dirPath)) return
     if (!fs.listStatus(dirPath).exists(_.isDirectory)) return
+    doSwap(fs, dir, fence)(writeStaged)
+  }
+
+  /** The commit-marker swap WITHOUT [[compactWith]]'s "live directory
+    * exists and holds subdirectories" guards — for swaps whose staged
+    * content does NOT derive from the live directory. A COMPACTION of a
+    * missing/empty store is rightly a no-op (nothing to fold); a disaster
+    * RESTORE of a destroyed store is exactly the case the restore exists
+    * for, and routing it through the guards made it report success while
+    * writing nothing (round-15 advisory on [[graft.SnapshotTool]]).
+    * Promotes unconditionally: after `writeStaged` + `fence`, the staged
+    * content replaces whatever (possibly nothing) lives at `dir`, with
+    * [[recover]]'s crash contract. */
+  def swapIn(spark: SparkSession, dir: String,
+      fence: () => Unit = () => ())(writeStaged: String => Unit): Unit = {
+    recover(spark, dir) // finish any torn prior swap before staging anew
+    doSwap(fileSystem(spark, dir), dir, fence)(writeStaged)
+  }
+
+  private def doSwap(fs: FileSystem, dir: String,
+      fence: () => Unit)(writeStaged: String => Unit): Unit = {
+    val dirPath = new Path(dir)
     val staging = stagingPath(dir)
     val marker = markerPath(dir)
     // a stale partial staging (crash before the commit point) is garbage:

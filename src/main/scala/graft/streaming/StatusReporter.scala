@@ -62,7 +62,11 @@ class StatusReporter(mgr: PipelineManager, version: String = "graft-0.1",
     storeRoots().sortBy(_._1).map { case (name, root) =>
       val body =
         try {
-          val intents = MaintenanceLease.liveIntents(s, root).size
+          // breakStale = false: a monitoring poll is a PURE read — never
+          // deletes a stale marker (that is acquire/fence's job); stale
+          // markers are excluded from the count either way
+          val intents = MaintenanceLease.liveIntents(s, root,
+            breakStale = false).size
           MaintenanceLease.status(s, root) match {
             case Some(st) =>
               s""""lease":true,"op":"${esc(st.op)}","acquiredAtMs":${st.acquiredAtMs},""" +

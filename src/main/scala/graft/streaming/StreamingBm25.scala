@@ -164,6 +164,10 @@ object StreamingBm25 {
     * while the RESULT SET is already exact. A zero-token deleted doc has
     * no postings to see: it keeps its +1 in N until a rebuild (it never
     * ranks, carrying no terms). */
+  /** At-rest tombstone id column — the exported schema contract
+    * ([[StreamingIvf.TombstoneIdCol]]'s stance). */
+  val TombstoneIdCol = "doc_id"
+
   def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the

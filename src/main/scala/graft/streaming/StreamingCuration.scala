@@ -340,6 +340,12 @@ object StreamingCuration {
     * landed, [[verdicts]] stops reporting them), and [[compactState]]
     * folds them into the rewrite and clears the store — the same LSM
     * delete as the other three standing stores. */
+  /** At-rest tombstone id column — the exported schema contract
+    * ([[StreamingIvf.TombstoneIdCol]]'s stance). NOTE: the curation
+    * store WRITES its tombstones under `id` (the digest relation's key),
+    * whatever the caller's input column was named. */
+  val TombstoneIdCol = "id"
+
   def deleteEpoch(ids: DataFrame, stateDir: String, epoch: Long,
       idCol: String = "doc_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the

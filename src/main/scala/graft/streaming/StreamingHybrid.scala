@@ -51,7 +51,7 @@ object StreamingHybrid {
         nProbe = nProbe)
       .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
     graft.operators.Hybrid.rrfFuse(
-      maskAll(spark, Seq(bm, iv), Seq(bm25Path, ivfPath)),
+      maskAll(spark, Seq(bm, iv), Seq("bm25" -> bm25Path, "ivf" -> ivfPath)),
       topK = topK, rrfK = rrfK)
   }
 
@@ -75,37 +75,41 @@ object StreamingHybrid {
         nProbe = nProbe)
       .select(col("query_id"), col("corpus_id").as("doc_id"),
         round(col("cosine"), 6).as("score"))
-    val masked = maskAll(spark, Seq(bm, iv), Seq(bm25Path, ivfPath))
+    val masked = maskAll(spark, Seq(bm, iv),
+      Seq("bm25" -> bm25Path, "ivf" -> ivfPath))
     graft.operators.Hybrid.weightedFuse(
       masked.zip(Seq(wBm, wIv)), topK = topK)
   }
 
   /** Apply the UNION of every store's un-compacted tombstones to every
     * ranked list (broadcast anti-join per list; ranks preserved — see
-    * the class doc for why masked rows leave gaps, not re-ranks). */
+    * the class doc for why masked rows leave gaps, not re-ranks).
+    * `stores` are (kind, path) pairs — the kind resolves each store's
+    * tombstone id column through the exported [[StoreTombstones]]
+    * contract. */
   def maskAll(spark: SparkSession, lists: Seq[DataFrame],
-      storePaths: Seq[String], idCol: String = "doc_id"): Seq[DataFrame] =
-    unionTombstones(spark, storePaths, idCol) match {
+      stores: Seq[(String, String)], idCol: String = "doc_id"): Seq[DataFrame] =
+    unionTombstones(spark, stores, idCol) match {
       case Some(mask) =>
         val m = broadcast(mask)
         lists.map(_.join(m, Seq(idCol), "left_anti"))
       case None => lists
     }
 
-  /** The distinct union of `storePaths`' visible tombstone ids, if any —
+  /** The distinct union of the stores' visible tombstone ids, if any —
     * every standing store keeps its pending deletes under
-    * `<root>/tombstones/` keyed by a single long id column, whatever
-    * that column is named per store. */
-  def unionTombstones(spark: SparkSession, storePaths: Seq[String],
+    * `<root>/tombstones/`. The id column is resolved PER KIND from the
+    * store's own exported contract ([[StoreTombstones.idCol]]), never
+    * guessed from the relation's columns — an extra column in any
+    * store's tombstone schema (round-15 verdict #5) can no longer
+    * silently redirect the cross-store mask. */
+  def unionTombstones(spark: SparkSession, stores: Seq[(String, String)],
       idCol: String = "doc_id"): Option[DataFrame] = {
-    val sets = storePaths.flatMap { p =>
+    val sets = stores.flatMap { case (kind, p) =>
       val t = s"$p/tombstones"
       if (StateCompaction.hasVisibleEntries(spark, t)) {
-        val df = spark.read.parquet(t)
-        // per-store id column (vec_id / doc_id / id) → one schema
-        val c = df.columns.find(n => n != "epoch" && n != "batch").getOrElse(
-          throw new IllegalStateException(s"no id column in $t: ${df.columns.mkString(",")}"))
-        Some(df.select(col(c).cast("long").as(idCol)))
+        val c = StoreTombstones.idCol(kind)
+        Some(spark.read.parquet(t).select(col(c).cast("long").as(idCol)))
       } else None
     }
     if (sets.isEmpty) None

@@ -79,6 +79,14 @@ object StreamingIvf {
     * cleared) — the log-structured-merge delete. Precedence: a tombstone
     * dominates ANY epoch's row for that id, including re-appends after
     * the delete, until a compact clears it. */
+  /** The column name this store's AT-REST tombstone relation keys on —
+    * the exported schema CONTRACT cross-store readers resolve by kind
+    * ([[StreamingHybrid.unionTombstones]], [[graft.streaming.ForgetLedger]])
+    * instead of guessing from the relation's columns (round-15 verdict
+    * #5: the "first column that isn't epoch/batch" heuristic broke
+    * silently the moment any store grew an extra tombstone column). */
+  val TombstoneIdCol = "vec_id"
+
   def deleteEpoch(ids: DataFrame, path: String, epoch: Long,
       idCol: String = "vec_id"): Unit = {
     // refuse during a maintenance swap: a tombstone written after the

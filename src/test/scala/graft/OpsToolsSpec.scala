@@ -179,9 +179,12 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     ForgetTool.forget(spark, "packed", dir, Seq(3L, 5L))
     CompactTool.compact(spark, "packed", dir)
     assert(graft.sources.PackedCorpus.readAll(spark, dir).count() == 6L)
-    // restore: full pre-damage state back (content AND absence of
-    // tombstones — the snapshot predates the forget)
-    SnapshotTool.restore(spark, dir, "v1")
+    // restore WITH --resurrect all (the forget WAS the damage here — the
+    // fat-finger case): full pre-damage state back (content AND absence
+    // of tombstones — the snapshot predates the forget). The DEFAULT
+    // restore re-applies ledgered forgets instead; see the ForgetLedger
+    // tests below.
+    SnapshotTool.restore(spark, dir, "v1", SnapshotTool.ResurrectAll)
     assert(graft.sources.PackedCorpus.readAll(spark, dir)
       .select("doc_id").as[Long].collect().sorted.toSeq == before)
     assert(!new java.io.File(dir, "tombstones").exists())
@@ -266,6 +269,118 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
       .coalesce(1).write.parquet(s"$cur/verdicts/batch=0")
     assert(ProbeTool.probe(spark, "curation", Seq(cur)) ==
       Seq("exact_dup=1", "kept=2"))
+  }
+
+  test("ForgetLedger: a ledgered forget survives a snapshot restore; --resurrect is the explicit undo and is remembered") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ledger").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 8L).map(i => (i, Seq(i.toInt, i.toInt + 1)))
+        .toDF("doc_id", "token_ids").coalesce(1), dir, 0L)
+    SnapshotTool.snapshot(spark, dir, "pre") // victim still inside
+    ForgetTool.forget(spark, "packed", dir, Seq(3L))
+    CompactTool.compact(spark, "packed", dir) // bytes purged
+    assert(graft.streaming.ForgetLedger.effective(spark, dir) ==
+      Map("packed" -> Seq(3L)),
+      "ForgetTool must ledger the forget outside the swapped root")
+    // DEFAULT restore: the snapshot contains doc 3's bytes, but the
+    // ledger re-applies the forget inside the staged snapshot — the
+    // restored store must never serve the forgotten doc
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      (0L until 8L).toSet - 3L,
+      "a compliance delete must survive the restore swap")
+    assert(new java.io.File(dir, "tombstones").exists(),
+      "the re-applied forget rides the promoted root as a tombstone epoch")
+    // the EXPLICIT fat-finger undo: resurrect by id; the cancellation is
+    // ledgered, so even a LATER default restore keeps the doc served
+    SnapshotTool.restore(spark, dir, "pre", SnapshotTool.ResurrectIds(Set(3L)))
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == (0L until 8L).toSet)
+    assert(graft.streaming.ForgetLedger.effective(spark, dir).isEmpty)
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == (0L until 8L).toSet,
+      "a ledgered resurrection must hold across future restores")
+    // a NEW forget after the resurrection re-masks (the log is ordered:
+    // later forgets dominate earlier resurrects)
+    ForgetTool.forget(spark, "packed", dir, Seq(3L))
+    assert(graft.streaming.ForgetLedger.effective(spark, dir) ==
+      Map("packed" -> Seq(3L)))
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == (0L until 8L).toSet - 3L)
+  }
+
+  test("SnapshotTool: restore onto a DESTROYED live root still restores (disaster path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-disaster").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 5L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 0L)
+    val before = graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    SnapshotTool.snapshot(spark, dir, "pre")
+    // the disaster the restore exists for: the live root is GONE — the
+    // old compactWith routing silently no-opped here and reported success
+    // (round-15 advisory); swapIn promotes unconditionally
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+    // an EMPTIED root (exists, no subdirectories) restores too
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("SnapshotTool: a compact AFTER a snapshot leaves the snapshot restorable (snapshots own their bytes)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-compact").toString + "/packed"
+    (0L until 3L).foreach { e =>
+      graft.sources.PackedCorpus.writeEpoch(
+        (e * 3L until e * 3L + 3L).map(i => (i, Seq(i.toInt)))
+          .toDF("doc_id", "token_ids").coalesce(1), dir, e)
+    }
+    val before = graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    SnapshotTool.snapshot(spark, dir, "pre")
+    // the compact REWRITES the live layout (3 epochs -> 1) and deletes
+    // the displaced files — the snapshot's copied bytes must not care
+    CompactTool.compact(spark, "packed", dir)
+    SnapshotTool.restore(spark, dir, "pre")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("SnapshotTool lifecycle: listDetailed reports size/age; delete prunes but refuses under a live lease") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-life").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 4L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 0L)
+    val n1 = SnapshotTool.snapshot(spark, dir, "a")
+    SnapshotTool.snapshot(spark, dir, "b")
+    val infos = SnapshotTool.listDetailed(spark, dir)
+    assert(infos.map(_.name) == Seq("a", "b"))
+    assert(infos.forall(i => i.files > 0 && i.bytes > 0 && i.createdMs > 0))
+    assert(infos.head.files == n1)
+    // a held lease (a restore may be mid-copy out of the snapshot) refuses
+    val t = graft.streaming.MaintenanceLease.acquire(spark, dir, op = "restore")
+    val e = intercept[IllegalStateException] { SnapshotTool.delete(spark, dir, "a") }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    graft.streaming.MaintenanceLease.release(spark, dir, t)
+    SnapshotTool.delete(spark, dir, "a")
+    assert(SnapshotTool.list(spark, dir) == Seq("b"))
+    intercept[IllegalArgumentException] { SnapshotTool.delete(spark, dir, "a") }
+    // the pruned snapshot is gone; the surviving one still restores
+    SnapshotTool.restore(spark, dir, "b")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir).count() == 4L)
   }
 
   test("ForgetTool: curation deletes accumulate across batch= epochs too") {

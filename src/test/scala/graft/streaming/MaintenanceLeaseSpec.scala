@@ -228,6 +228,73 @@ class MaintenanceLeaseSpec extends AnyFunSuite with SparkTestBase {
       "the aborted maintenance run must still release its lease")
   }
 
+  test("an epoch write whose marker was broken AND whose racer already released still fails loudly") {
+    // the round-15 advisory shape: maintenance breaks the marker as
+    // stale, acquires, compacts, promotes and RELEASES entirely inside
+    // the write's window — the final lease check sees nothing, so the
+    // marker's absence must be the tell
+    val path = freshIvf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    val e = intercept[IllegalStateException] {
+      MaintenanceLease.withEpochWriteIntent(spark, path) {
+        Seq((202L, mkVec(202))).toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$path/corpus/epoch=9")
+        // the racer broke the marker, did its work, and is GONE (no lease)
+        MaintenanceLease.liveIntents(spark, path)
+          .foreach(p => fs.delete(p, false))
+      }
+    }
+    assert(e.getMessage.contains("broken mid-write"),
+      s"the marker's absence alone must fail the batch: ${e.getMessage}")
+  }
+
+  test("a status poll is a PURE read: stale intents survive it and are broken by the next acquire") {
+    val path = freshIvf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    fs.create(new Path(path + ".EPOCH_WRITE-stalepoll"), false).close()
+    spark.conf.set(MaintenanceLease.IntentTtlConfKey, "-1") // everything stale
+    try {
+      // the status plane's read: stale markers are EXCLUDED but NOT deleted
+      assert(MaintenanceLease.liveIntents(spark, path, breakStale = false).isEmpty)
+      assert(fs.exists(new Path(path + ".EPOCH_WRITE-stalepoll")),
+        "a monitoring poll must never mutate coordination state")
+      // acquire (a coordination actor) breaks it
+      val t = MaintenanceLease.acquire(spark, path)
+      assert(!fs.exists(new Path(path + ".EPOCH_WRITE-stalepoll")))
+      MaintenanceLease.release(spark, path, t)
+    } finally spark.conf.unset(MaintenanceLease.IntentTtlConfKey)
+  }
+
+  test("a slow epoch write under a tiny intent TTL survives because marker renewal outruns it") {
+    val path = freshIvf()
+    spark.conf.set(MaintenanceLease.IntentTtlConfKey, "600") // renews every ~200 ms
+    try {
+      // > 2x the TTL: unrenewed, this marker would read stale and any
+      // acquire would break it and destroy the write
+      MaintenanceLease.withEpochWriteIntent(spark, path) {
+        Thread.sleep(1500)
+        // mid-write, the marker still reads LIVE: maintenance refuses
+        val e = intercept[IllegalStateException] {
+          MaintenanceLease.acquire(spark, path)
+        }
+        assert(e.getMessage.contains("in flight"))
+        Seq((203L, mkVec(203))).toDF("vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$path/corpus/epoch=10")
+      }
+      // ... while a KILLED writer's marker (no renewal thread) still
+      // breaks by TTL, so maintenance is never blocked forever
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sessionState.newHadoopConf())
+      fs.create(new Path(path + ".EPOCH_WRITE-killed"), false).close()
+      Thread.sleep(700)
+      val t = MaintenanceLease.acquire(spark, path) // breaks the stale marker
+      assert(!fs.exists(new Path(path + ".EPOCH_WRITE-killed")))
+      MaintenanceLease.release(spark, path, t)
+    } finally spark.conf.unset(MaintenanceLease.IntentTtlConfKey)
+  }
+
   test("a stale intent (crashed epoch writer) breaks instead of blocking maintenance forever") {
     val path = freshIvf()
     val fs = org.apache.hadoop.fs.FileSystem.get(

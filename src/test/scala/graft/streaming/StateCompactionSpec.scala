@@ -158,6 +158,32 @@ class StateCompactionSpec extends AnyFunSuite with SparkTestBase {
     StateCompaction.compactWith(spark, s"$base/flat")(_ => fail("hook must not run"))
   }
 
+  test("swapIn promotes onto a MISSING or empty live directory — the disaster-restore shape compactWith rightly refuses") {
+    val base = Files.createTempDirectory("swapin").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sessionState.newHadoopConf())
+    // missing live dir: compactWith no-ops (nothing to fold), swapIn
+    // stages and promotes (round-15 advisory: a restore routed through
+    // compactWith reported success while writing nothing)
+    val dir = s"$base/store"
+    StateCompaction.swapIn(spark, dir) { staging =>
+      val out = fs.create(new Path(s"$staging/epoch=-1/data"), true)
+      try out.write("restored\n".getBytes("UTF-8")) finally out.close()
+    }
+    assert(fs.exists(new Path(s"$dir/epoch=-1/data")),
+      "swapIn must promote the staged content over a missing root")
+    assert(!fs.exists(new Path(dir + ".compacting")) &&
+      !fs.exists(new Path(dir + ".compacting.COMMITTED")))
+    // an existing root is REPLACED wholesale (same protocol as compact)
+    StateCompaction.swapIn(spark, dir) { staging =>
+      val out = fs.create(new Path(s"$staging/epoch=-1/data2"), true)
+      try out.write("v2\n".getBytes("UTF-8")) finally out.close()
+    }
+    assert(fs.exists(new Path(s"$dir/epoch=-1/data2")) &&
+      !fs.exists(new Path(s"$dir/epoch=-1/data")),
+      "swapIn replaces, never merges")
+  }
+
   test("compaction salts an oversized partition into multiple right-sized files") {
     val s = spark
     import s.implicits._

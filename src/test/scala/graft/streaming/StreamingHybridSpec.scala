@@ -21,13 +21,34 @@ class StreamingHybridSpec extends AnyFunSuite with SparkTestBase {
   test("unionTombstones unions per-store id columns (vec_id/doc_id) into one mask") {
     val bmDir = Files.createTempDirectory("graft-hyb-bm").toString + "/idx"
     val ivDir = Files.createTempDirectory("graft-hyb-iv").toString + "/idx"
+    val stores = Seq("bm25" -> bmDir, "ivf" -> ivDir)
     // an empty pair of stores has no mask at all
-    assert(StreamingHybrid.unionTombstones(spark, Seq(bmDir, ivDir)).isEmpty)
+    assert(StreamingHybrid.unionTombstones(spark, stores).isEmpty)
     StreamingBm25.deleteEpoch(Seq(5L, 7L).toDF("doc_id"), bmDir, 0L)
     StreamingIvf.deleteEpoch(Seq(7L, 9L).toDF("vec_id"), ivDir, 0L)
-    val mask = StreamingHybrid.unionTombstones(spark, Seq(bmDir, ivDir)).get
+    val mask = StreamingHybrid.unionTombstones(spark, stores).get
     assert(mask.columns.toSeq == Seq("doc_id"))
     assert(mask.as[Long].collect().sorted.toSeq == Seq(5L, 7L, 9L))
+  }
+
+  test("the tombstone id column resolves by store KIND, not by guessing — an extra column cannot redirect the mask") {
+    val bmDir = Files.createTempDirectory("graft-hyb-extra").toString + "/idx"
+    // a tombstone relation that grew an audit column whose name sorts
+    // FIRST — the round-15 "first column that isn't epoch/batch"
+    // heuristic would have keyed the mask on it silently
+    Seq((42L, 5L), (43L, 7L)).toDF("audit_seq", "doc_id")
+      .coalesce(1).write.parquet(s"$bmDir/tombstones/epoch=0")
+    val mask = StreamingHybrid.unionTombstones(spark, Seq("bm25" -> bmDir)).get
+    assert(mask.as[Long].collect().sorted.toSeq == Seq(5L, 7L),
+      "the mask must key on the kind's exported TombstoneIdCol (doc_id)")
+    // every kind resolves to its store's exported constant
+    assert(StoreTombstones.idCol("ivf") == StreamingIvf.TombstoneIdCol)
+    assert(StoreTombstones.idCol("bm25") == StreamingBm25.TombstoneIdCol)
+    assert(StoreTombstones.idCol("packed") == graft.sources.PackedCorpus.TombstoneIdCol)
+    assert(StoreTombstones.idCol("curation") == StreamingCuration.TombstoneIdCol)
+    assert(StoreTombstones.epochKey("curation") == "batch")
+    assert(StoreTombstones.epochKey("ivf") == "epoch")
+    intercept[IllegalArgumentException] { StoreTombstones.idCol("nope") }
   }
 
   test("maskAll drops union-masked ids from every list and PRESERVES surviving ranks") {
@@ -35,7 +56,8 @@ class StreamingHybridSpec extends AnyFunSuite with SparkTestBase {
     StreamingBm25.deleteEpoch(Seq(2L).toDF("doc_id"), bmDir, 0L)
     val list = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
       .toDF("query_id", "doc_id", "rank")
-    val Seq(masked) = StreamingHybrid.maskAll(spark, Seq(list), Seq(bmDir))
+    val Seq(masked) = StreamingHybrid.maskAll(spark, Seq(list),
+      Seq("bm25" -> bmDir))
     val rows = masked.orderBy("rank")
       .select("query_id", "doc_id", "rank") // anti-join fronts the key col
       .as[(Long, Long, Long)].collect().toSeq

@@ -181,6 +181,79 @@ class SupervisionSpec extends AnyFunSuite with SparkTestBase {
     assert(!sup.restartPending, "a clean stop must open the lifecycle gate")
   }
 
+  test("deadFailures lists only never-to-be-relaunched failures (the lifecycle's non-zero-exit sweep)") {
+    // round-15 advisory: an UNSUPERVISED failure whose awaitAnyTermination
+    // exception raced an unrelated supervisor's restart window was
+    // swallowed by the restartInFlight gate alone — the agent exited 0
+    // with the pipeline silently dead. deadFailures is the registry-level
+    // sweep GraftMain's watcher now polls: it consults only the FAILED
+    // query's own supervision state, never the global restart flag.
+    val mgr = new PipelineManager(spark)
+    val badDir = Files.createTempDirectory("graft-df-bad")
+    Files.writeString(badDir.resolve("a.log"), "x\n")
+    val badQ = spark.readStream.text(badDir.toString).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-df-cp").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        throw new RuntimeException("unrecoverable")
+      }.start()
+    mgr.adopt("bad", badQ)
+    try badQ.awaitTermination() catch { case _: Exception => () }
+    assert(!badQ.isActive && badQ.exception.isDefined)
+    val dead = mgr.deadFailures
+    assert(dead.map(_._1) == Seq("bad"),
+      s"an unsupervised failure is dead for good: $dead")
+    assert(dead.head._2.getMessage.contains("unrecoverable") ||
+      Option(dead.head._2.getCause).exists(_.getMessage.contains("unrecoverable")))
+
+    // a healthy query is never listed
+    val okDir = Files.createTempDirectory("graft-df-ok")
+    Files.writeString(okDir.resolve("a.log"), "y\n")
+    val okOut = Files.createTempDirectory("graft-df-okout")
+    val okQ = spark.readStream.text(okDir.toString).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-df-okcp").toString)
+      .format("parquet").option("path", okOut.toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    mgr.adopt("ok", okQ)
+    assert(mgr.deadFailures.map(_._1) == Seq("bad"))
+    okQ.stop() // clean stop: exception empty, still never listed
+    assert(mgr.deadFailures.map(_._1) == Seq("bad"))
+  }
+
+  test("a supervised failure is not 'dead' until its supervision concludes") {
+    // the other half of the deadFailures contract: mid-budget crashes are
+    // recoverable (a relaunch is in flight or about to be decided), so
+    // `concluded` must read false across the whole backoff window and
+    // true once the budget is spent
+    val logDir = Files.createTempDirectory("graft-dfc-logs")
+    Files.writeString(logDir.resolve("a.log"), "m1\n")
+    def failingFactory() = spark.readStream.text(logDir.toString).writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dfc-cp").toString)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        throw new RuntimeException("always fails")
+      }.start()
+    val sup = new SupervisedQuery(failingFactory, maxRestarts = 1, backoffMs = 400L)
+    try {
+      // first crash: inside the backoff window, supervision has NOT
+      // concluded — a lifecycle sweep must not report the pipeline dead
+      val q0 = sup.current
+      try q0.awaitTermination() catch { case _: Exception => () }
+      assert(!sup.concluded,
+        "mid-budget: the relaunch is coming, the failure is recoverable")
+      // budget exhausted: the second instance crashes too, supervision ends
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline && !sup.concluded)
+        Thread.sleep(50)
+      assert(sup.concluded && sup.restarts == 1)
+      assert(!sup.current.isActive && sup.current.exception.isDefined,
+        "the final failed instance is what deadFailures would surface")
+    } finally sup.stop()
+  }
+
   test("RestartSchedule draws a stable per-host slot inside the window") {
     val day = 86400000L
     val begin = 3600000L; val end = 7200000L // 01:00-02:00 UTC

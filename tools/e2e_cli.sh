@@ -502,19 +502,47 @@ print("CROSS-STORE FORGET ORACLE OK: id 8 purged from all four stores")
 EOF
 probe_packed | grep -q "sequences=68" || { echo "FAIL: packed purge count"; exit 1; }
 
-# ---- phase 7: snapshot/restore — the undo button for bad maintenance
-# (round-15 verdict #5): snapshot the packed store, damage it with a
-# forget+compact, restore, byte-level state parity via the probe.
-echo "== phase 7: SnapshotTool snapshot -> damage -> restore"
+# ---- phase 7: snapshot/restore + the FORGET LEDGER (round-15 verdict
+# #1): the undo button must not undo a compliance delete. A forget issued
+# AFTER the snapshot is ledgered outside the swapped root, so the DEFAULT
+# restore re-applies it (the forgotten doc stays masked even though the
+# snapshot contains its bytes); the fat-finger case is the EXPLICIT
+# --resurrect escape hatch, which restores byte-parity with the
+# pre-snapshot probe and ledgers the cancellation.
+echo "== phase 7: SnapshotTool snapshot -> forget -> restore (ledger) -> --resurrect"
 probe_packed > "$BASE/packed_pre_snap.txt"
 $JAVA graft.SnapshotTool snapshot "$BASE/packed-corpus" s1 2>&1 | grep -v INFO | tail -1
-$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null | grep -q "^s1$" \
+$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null | cut -f1 | grep -qx s1 \
   || { echo "FAIL: snapshot not listed"; exit 1; }
 $JAVA graft.ForgetTool packed "$BASE/packed-corpus" 9 2>&1 | grep -v INFO | tail -1
 $JAVA graft.CompactTool packed "$BASE/packed-corpus" 2>&1 | grep -v INFO | tail -1
 probe_packed | grep -q "sequences=67" || { echo "FAIL: damage not visible"; exit 1; }
+# DEFAULT restore: the snapshot HOLDS doc 9's bytes, but the ledgered
+# forget rides the swap as a fresh tombstone — RTBF survives the restore
 $JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s1 2>&1 | grep -v INFO | tail -1
+probe_packed | grep -q "sequences=67" \
+  || { echo "FAIL: a ledgered forget must survive the snapshot restore"; exit 1; }
+echo "FORGET LEDGER ORACLE OK: doc 9 stayed masked through the restore swap"
+# EXPLICIT fat-finger undo: resurrect doc 9 by id -> pre-snapshot parity
+$JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s1 --resurrect 9 2>&1 | grep -v INFO | tail -1
 probe_packed > "$BASE/packed_restored.txt"
 diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored.txt" \
-  && echo "SNAPSHOT/RESTORE ORACLE OK: probe parity with the pre-snapshot state"
+  && echo "SNAPSHOT/RESTORE ORACLE OK: --resurrect restored probe parity with the pre-snapshot state"
+
+# ---- phase 8: snapshot lifecycle — list reports size/age; delete prunes
+# (full-size copies must not accumulate forever; round-15 verdict #6).
+echo "== phase 8: SnapshotTool list sizes + delete"
+$JAVA graft.SnapshotTool snapshot "$BASE/packed-corpus" s2 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null > "$BASE/snap_list.txt"
+awk -F'\t' '$1=="s1" || $1=="s2" { if ($2+0 <= 0 || $3+0 <= 0) exit 1; n++ } END { exit n==2 ? 0 : 1 }' \
+  "$BASE/snap_list.txt" || { echo "FAIL: list must report files+bytes for s1 and s2"; exit 1; }
+$JAVA graft.SnapshotTool delete "$BASE/packed-corpus" s1 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null | cut -f1 > "$BASE/snap_list2.txt"
+grep -qx s1 "$BASE/snap_list2.txt" && { echo "FAIL: deleted snapshot still listed"; exit 1; }
+grep -qx s2 "$BASE/snap_list2.txt" || { echo "FAIL: surviving snapshot lost"; exit 1; }
+# the survivor still restores (same state as s1 post-resurrect: no-op parity)
+$JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s2 2>&1 | grep -v INFO | tail -1
+probe_packed > "$BASE/packed_restored2.txt"
+diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored2.txt" \
+  && echo "SNAPSHOT LIFECYCLE OK: sizes listed, s1 pruned, s2 restorable"
 echo "E2E CLI GATE: PASS"
