@@ -413,13 +413,31 @@ object CompactTool {
   *
   * Snapshots are IMMUTABLE (a name cannot be re-snapshotted) and live
   * OUTSIDE the swapped root, so maintenance swaps can never eat them.
-  * They are full-size copies that otherwise accumulate forever, so the
-  * lifecycle surface is first-class: `list` reports per-snapshot file
-  * count, bytes and age; `delete` prunes one (refusing while any
-  * maintenance lease is held on the store — a concurrent restore may be
-  * reading the very snapshot).
+  * Full-size copies accumulate forever at 100 TB each, so the lifecycle
+  * surface is first-class:
+  *  - INCREMENTAL snapshots (`--base <name>`): the standing stores'
+  *    epoch files are immutable once written (every mutation lands as a
+  *    NEW epoch; maintenance REPLACES whole directories), so
+  *    consecutive snapshots share almost every byte. An incremental
+  *    snapshot copies only files that changed vs the base — identity is
+  *    (relative path, length, live mtime), recorded in the manifest at
+  *    capture — and records a POINTER to the base's copy for the rest
+  *    (resolved transitively at capture time, so a chain is always one
+  *    manifest deep and restore never walks chains). Ref'd files are
+  *    length-verified against their source AT SNAPSHOT TIME, so a base
+  *    that lost a file fails the snapshot, not the restore. A daily
+  *    snapshot of a 100-TB store costs one day's epochs, not 100 TB.
+  *  - `list` reports per-snapshot file count, LOGICAL bytes, OWN bytes
+  *    (what a delete would actually free) and age;
+  *  - `delete` prunes one — refusing while any maintenance lease is
+  *    held on the store (a concurrent restore may be reading the very
+  *    snapshot) and refusing while any OTHER snapshot's manifest still
+  *    references this one's files.
+  * Restore is MANIFEST-driven (files only): no graft store encodes
+  * state in empty directories, so they are not part of the snapshot
+  * contract.
   *
-  * Usage: graft.SnapshotTool snapshot <storeRoot> <name>
+  * Usage: graft.SnapshotTool snapshot <storeRoot> <name> [--base <name>]
   *        graft.SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]
   *        graft.SnapshotTool list <storeRoot>
   *        graft.SnapshotTool delete <storeRoot> <name>
@@ -430,15 +448,26 @@ object SnapshotTool {
 
   def snapshotsDir(root: String): String = root.stripSuffix("/") + ".snapshots"
 
+  /** One manifest row: file `rel` of `len` bytes whose BYTES live in
+    * snapshot `source`'s data directory (`"."` = this snapshot);
+    * `mtime` is the LIVE file's modification time at capture — the
+    * identity key incremental snapshots compare (epoch files are
+    * immutable, and Spark part files carry task UUIDs, so an unchanged
+    * (rel, len, mtime) triple is the same bytes). */
+  private final case class ManifestEntry(rel: String, len: Long,
+      mtime: Long, source: String)
+
   /** Which (if any) ledgered forgets to CANCEL during a restore. */
   sealed trait Resurrect
   case object ResurrectNone extends Resurrect
   case object ResurrectAll extends Resurrect
   final case class ResurrectIds(ids: Set[Long]) extends Resurrect
 
-  /** One `list` row: name, file count, total bytes, creation mtime. */
+  /** One `list` row: name, file count, LOGICAL bytes (the restored store's
+    * size), OWN bytes (copied here, what a delete frees — smaller for
+    * incremental snapshots), creation mtime. */
   final case class SnapshotInfo(name: String, files: Long, bytes: Long,
-      createdMs: Long)
+      ownBytes: Long, createdMs: Long)
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
@@ -450,13 +479,16 @@ object SnapshotTool {
       s"snapshot name must be [A-Za-z0-9._-]+: '$name'")
 
   /** Take snapshot `name` of the store at `root`. Returns the number of
-    * files captured. Holds the lease for the duration (a snapshot racing
-    * an epoch write or another maintenance op would capture a torn
-    * state); finishes any torn root swap first so the captured bytes are
-    * a committed state, not a mid-promote one. */
+    * files captured (manifest entries — copied plus base-referenced when
+    * `base` is given). Holds the lease for the duration (a snapshot
+    * racing an epoch write or another maintenance op would capture a
+    * torn state); finishes any torn root swap first so the captured
+    * bytes are a committed state, not a mid-promote one. */
   def snapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-      name: String): Long = {
+      name: String, base: Option[String] = None): Long = {
     requireName(name)
+    base.foreach(requireName)
+    require(!base.contains(name), "a snapshot cannot base on itself")
     graft.streaming.MaintenanceLease.withLease(spark, root, op = "snapshot") { fence =>
       graft.streaming.StateCompaction.recover(spark, root)
       val fs = hadoopFs(spark, root)
@@ -466,16 +498,41 @@ object SnapshotTool {
       require(!fs.exists(snapDir),
         s"snapshot '$name' already exists at $snapDir (snapshots are immutable; " +
           "pick a new name)")
+      val live = listLive(fs, rootPath) // (rel, len, mtime) — metadata walk
+      val baseEntries: Map[String, ManifestEntry] = base match {
+        case None => Map.empty
+        case Some(b) =>
+          val bd = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$b")
+          require(fs.exists(new org.apache.hadoop.fs.Path(bd, ManifestName)),
+            s"no base snapshot '$b' at $bd")
+          readManifest(fs, bd).map(e => e.rel -> e).toMap
+      }
+      val entries = live.map { case (rel, len, mtime) =>
+        baseEntries.get(rel) match {
+          // unchanged vs the base: POINT at where the base keeps the
+          // bytes (transitive — a chain stays one manifest deep)
+          case Some(be) if be.len == len && be.mtime == mtime =>
+            ManifestEntry(rel, len, mtime,
+              if (be.source == ".") base.get else be.source)
+          case _ => ManifestEntry(rel, len, mtime, ".")
+        }
+      }
       val dataDir = new org.apache.hadoop.fs.Path(snapDir, "data")
-      graft.streaming.DistributedCopy.copyTree(spark, rootPath.toString,
-        dataDir.toString)
-      // manifest from the COPIED tree: restore verifies against what the
-      // snapshot actually holds, not against what the live store held
-      val entries = listRecursive(fs, dataDir)
-      val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, ManifestName), false)
-      try out.write(entries.map { case (rel, len) => s"$len\t$rel" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
+      val toCopy = entries.filter(_.source == ".")
+      // cluster-parallel delta copy; each task length-verifies its file
+      graft.streaming.DistributedCopy.copyFiles(spark, rootPath.toString,
+        dataDir.toString, toCopy.map(e => (e.rel, e.len)))
+      if (toCopy.isEmpty) fs.mkdirs(dataDir) // a pure-ref snapshot still has a home
+      // ref'd entries are verified against their SOURCE now: a base that
+      // lost or truncated a file fails this snapshot, not a future restore
+      entries.filter(_.source != ".").foreach { e =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"${snapshotsDir(root)}/${e.source}/data/${e.rel}")
+        require(fs.exists(p) && fs.getFileStatus(p).getLen == e.len,
+          s"base snapshot '${e.source}' no longer holds ${e.rel} at ${e.len} " +
+            "bytes; take a full snapshot instead")
+      }
+      writeManifest(fs, snapDir, entries)
       fence() // still the lease holder: the snapshot captured a quiet store
       entries.size.toLong
     }
@@ -496,26 +553,22 @@ object SnapshotTool {
     graft.streaming.MaintenanceLease.withLease(spark, root, op = "restore") { fence =>
       val fs = hadoopFs(spark, root)
       val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
-      val dataDir = new org.apache.hadoop.fs.Path(snapDir, "data")
-      val manifestPath = new org.apache.hadoop.fs.Path(snapDir, ManifestName)
-      require(fs.exists(manifestPath), s"no snapshot '$name' at $snapDir")
-      val manifest = {
-        val in = fs.open(manifestPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map { l =>
-            val Array(len, rel) = l.split("\t", 2)
-            (rel, len.toLong)
-          }.toSeq
-        finally in.close()
-      }
+      require(fs.exists(new org.apache.hadoop.fs.Path(snapDir, ManifestName)),
+        s"no snapshot '$name' at $snapDir")
+      val manifest = readManifest(fs, snapDir)
       // integrity gate BEFORE touching the live store: a snapshot that
-      // lost or truncated files must fail the restore, not half-apply
-      manifest.foreach { case (rel, len) =>
-        val p = new org.apache.hadoop.fs.Path(dataDir, rel)
-        require(fs.exists(p), s"snapshot '$name' is corrupt: missing $rel")
+      // lost or truncated files (its own OR a base's it references) must
+      // fail the restore, not half-apply
+      def sourceDataDir(source: String): String =
+        if (source == ".") s"${snapshotsDir(root)}/$name/data"
+        else s"${snapshotsDir(root)}/$source/data"
+      manifest.foreach { e =>
+        val p = new org.apache.hadoop.fs.Path(s"${sourceDataDir(e.source)}/${e.rel}")
+        require(fs.exists(p), s"snapshot '$name' is corrupt: missing ${e.rel}" +
+          (if (e.source == ".") "" else s" (referenced from '${e.source}')"))
         val got = fs.getFileStatus(p).getLen
-        require(got == len,
-          s"snapshot '$name' is corrupt: $rel has $got bytes, manifest says $len")
+        require(got == e.len,
+          s"snapshot '$name' is corrupt: ${e.rel} has $got bytes, manifest says ${e.len}")
       }
       // the ledger's effective forgets, minus the operator's explicit
       // resurrections — computed BEFORE the swap so the re-apply rides it
@@ -528,9 +581,16 @@ object SnapshotTool {
             .filter(_._2.nonEmpty)
       }
       // swapIn, not compactWith: a destroyed/emptied live root must still
-      // restore (disaster path) — promote unconditionally
+      // restore (disaster path) — promote unconditionally. The staging is
+      // assembled MANIFEST-driven, one cluster-parallel copy per source
+      // snapshot (an incremental snapshot restores at exactly the same
+      // cost as a full one — the bytes just come from several data dirs).
       graft.streaming.StateCompaction.swapIn(spark, root, fence) { staging =>
-        graft.streaming.DistributedCopy.copyTree(spark, dataDir.toString, staging)
+        manifest.groupBy(_.source).toSeq.sortBy(_._1).foreach {
+          case (source, es) =>
+            graft.streaming.DistributedCopy.copyFiles(spark,
+              sourceDataDir(source), staging, es.map(e => (e.rel, e.len)))
+        }
         if (reapply.nonEmpty)
           graft.streaming.ForgetLedger.reapplyInto(spark, staging, reapply)
       }
@@ -566,25 +626,22 @@ object SnapshotTool {
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).filter(_.isDirectory).sortBy(_.getModificationTime)
       .map { st =>
-        val mp = new org.apache.hadoop.fs.Path(st.getPath, ManifestName)
-        val (files, bytes) =
-          if (!fs.exists(mp)) (0L, 0L)
-          else {
-            val in = fs.open(mp)
-            try {
-              val lens = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-                .filter(_.nonEmpty).map(_.split("\t", 2)(0).toLong).toSeq
-              (lens.size.toLong, lens.sum)
-            } finally in.close()
-          }
-        SnapshotInfo(st.getPath.getName, files, bytes, st.getModificationTime)
+        val entries =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ManifestName))) Nil
+          else readManifest(fs, st.getPath)
+        SnapshotInfo(st.getPath.getName, entries.size.toLong,
+          entries.map(_.len).sum,
+          entries.filter(_.source == ".").map(_.len).sum,
+          st.getModificationTime)
       }.toSeq
   }
 
   /** Delete snapshot `name` — the prune half of the lifecycle. Refuses
-    * while ANY maintenance lease is live on the store: a concurrent
-    * restore may be mid-copy out of this very snapshot, and deleting
-    * under it would fail the restore with a half-read tree. */
+    * while ANY maintenance lease is live on the store (a concurrent
+    * restore may be mid-copy out of this very snapshot), and while any
+    * OTHER snapshot's manifest still references this one's files (an
+    * incremental snapshot's bytes live in its base — deleting the base
+    * would corrupt every dependent). */
   def delete(spark: org.apache.spark.sql.SparkSession, root: String,
       name: String): Unit = {
     requireName(name)
@@ -597,21 +654,60 @@ object SnapshotTool {
     val fs = hadoopFs(spark, root)
     val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
     require(fs.exists(snapDir), s"no snapshot '$name' at $snapDir")
+    val dependents = fs.listStatus(
+        new org.apache.hadoop.fs.Path(snapshotsDir(root)))
+      .filter(st => st.isDirectory && st.getPath.getName != name)
+      .filter(st =>
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ManifestName)) &&
+          readManifest(fs, st.getPath).exists(_.source == name))
+      .map(_.getPath.getName).sorted
+    if (dependents.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to delete snapshot '$name': incremental snapshot(s) " +
+          s"${dependents.mkString(", ")} reference its files; delete them first")
     if (!fs.delete(snapDir, true))
       throw new java.io.IOException(s"failed to delete snapshot at $snapDir")
   }
 
-  private def listRecursive(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+  /** (rel, len, mtime) for every live file under `root` — one driver
+    * metadata walk; mtime is the incremental-identity key. */
+  private def listLive(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
     val base = dir.toUri.getPath.stripSuffix("/")
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      buf += ((rel, st.getLen))
+      buf += ((rel, st.getLen, st.getModificationTime))
     }
     buf.sortBy(_._1).toSeq
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      snapDir: org.apache.hadoop.fs.Path, entries: Seq[ManifestEntry]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, ManifestName), false)
+    try out.write(entries.map(e => s"${e.len}\t${e.mtime}\t${e.source}\t${e.rel}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Tolerates the round-15 two-field format (`len\trel` — all-own,
+    * no mtime identity) alongside the current four-field one. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      snapDir: org.apache.hadoop.fs.Path): Seq[ManifestEntry] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(snapDir, ManifestName))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { l =>
+        l.split("\t", 4) match {
+          case Array(len, mtime, source, rel) =>
+            ManifestEntry(rel, len.toLong, mtime.toLong, source)
+          case Array(len, rel) => ManifestEntry(rel, len.toLong, -1L, ".")
+          case other => throw new IllegalStateException(
+            s"corrupt manifest line in $snapDir: '$l' (${other.length} fields)")
+        }
+      }.toSeq
+    finally in.close()
   }
 
   private[graft] def parseResurrect(args: Seq[String]): Resurrect =
@@ -628,7 +724,7 @@ object SnapshotTool {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: SnapshotTool snapshot <storeRoot> <name>\n" +
+      "usage: SnapshotTool snapshot <storeRoot> <name> [--base <name>]\n" +
         "       SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]\n" +
         "       SnapshotTool list <storeRoot>\n" +
         "       SnapshotTool delete <storeRoot> <name>")
@@ -642,9 +738,16 @@ object SnapshotTool {
     try {
       args(0).toLowerCase match {
         case "snapshot" =>
-          require(args.length >= 3, "snapshot <storeRoot> <name>")
-          val n = snapshot(spark, args(1), args(2))
-          System.err.println(s"snapshot '${args(2)}' of ${args(1)}: $n file(s)")
+          require(args.length >= 3, "snapshot <storeRoot> <name> [--base <name>]")
+          val base = args.indexOf("--base") match {
+            case -1 => None
+            case i =>
+              require(args.length > i + 1, "--base needs a snapshot name")
+              Some(args(i + 1))
+          }
+          val n = snapshot(spark, args(1), args(2), base)
+          System.err.println(s"snapshot '${args(2)}' of ${args(1)}: $n file(s)" +
+            base.map(b => s" (incremental over '$b')").getOrElse(""))
         case "restore" =>
           require(args.length >= 3,
             "restore <storeRoot> <name> [--resurrect all|id,id,...]")
@@ -655,7 +758,7 @@ object SnapshotTool {
              else " (resurrected per --resurrect)"))
         case "list" =>
           listDetailed(spark, args(1)).foreach(i =>
-            println(s"${i.name}\t${i.files}\t${i.bytes}\t${i.createdMs}"))
+            println(s"${i.name}\t${i.files}\t${i.bytes}\t${i.ownBytes}\t${i.createdMs}"))
         case "delete" =>
           require(args.length >= 3, "delete <storeRoot> <name>")
           delete(spark, args(1), args(2))

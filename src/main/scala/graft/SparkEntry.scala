@@ -142,7 +142,8 @@ object SparkEntry {
     "d104_attention_spans", "e38_ivf_mmr_at_rest", "w36_ivf_semihard",
     "w37_hybrid_at_rest", "w38_ivf_refit", "w39_bm25_rebucket",
     "w40_lease_guard", "w41_cross_store_rtbf", "w42_snapshot_restore",
-    "w43_weighted_hybrid_at_rest", "d107_count_min", "w44_forget_ledger")
+    "w43_weighted_hybrid_at_rest", "d107_count_min", "w44_forget_ledger",
+    "w45_incremental_snapshot")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational core
@@ -2499,6 +2500,78 @@ object SparkEntry {
           .select("doc_id").head().getLong(0) == victim,
         "--resurrect must serve the fat-fingered doc again")
       resurrected.orderBy("query_id", "rank")
+    }),
+    "w45_incremental_snapshot" -> ((s, d) => {
+      // INCREMENTAL snapshots (round 16): full-size copies accumulate
+      // forever at 100 TB each, but the stores' epoch files are
+      // IMMUTABLE once written (every mutation is a new epoch;
+      // maintenance replaces whole directories) — so a snapshot taken
+      // over a base copies only the files that changed and records
+      // POINTERS ((rel, len, mtime) identity, resolved transitively)
+      // for the rest; delete refuses while a dependent references the
+      // base. Gate: build two epochs → snapshot "base" → append a THIRD
+      // epoch → snapshot "inc" over base (require: it owns strictly
+      // fewer bytes than its logical size — the sharing is real;
+      // require: deleting the referenced base refuses) → damage
+      // (forget the strongest doc + compact, require visible) →
+      // restore "inc" (--resurrect all: the fat-finger undo) → output
+      // must equal the FULL three-epoch corpus replay (w27's oracle
+      // verbatim): one file restored from the wrong source tree, one
+      // stale pointer, or one lost base byte breaks the hash.
+      val docs = t(s, d, "documents")
+      val qs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
+            .as("text"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_w45_incsnap_" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), s.sessionState.newHadoopConf())
+      Seq(path, graft.SnapshotTool.snapshotsDir(path),
+          graft.streaming.ForgetLedger.ledgerDir(path)).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      fs.delete(graft.streaming.MaintenanceLease.leasePath(path), false)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val span = n / 3 + 1
+      (0L until 2L).foreach { e =>
+        graft.streaming.StreamingBm25.appendEpoch(
+          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+          path, e)
+      }
+      graft.SnapshotTool.snapshot(s, path, "base")
+      // one more epoch lands — the only delta the incremental should copy
+      graft.streaming.StreamingBm25.appendEpoch(
+        docs.filter(col("doc_id") >= 2L * span), path, 2L)
+      graft.SnapshotTool.snapshot(s, path, "inc", base = Some("base"))
+      val infos = graft.SnapshotTool.listDetailed(s, path)
+        .map(i => i.name -> i).toMap
+      require(infos("inc").ownBytes > 0 &&
+          infos("inc").ownBytes < infos("inc").bytes,
+        s"the incremental snapshot must share the base's unchanged files: ${infos("inc")}")
+      // the base is load-bearing for the dependent: delete must refuse
+      val refuse = scala.util.Try(graft.SnapshotTool.delete(s, path, "base"))
+      require(refuse.isFailure &&
+          refuse.failed.get.getMessage.contains("reference"),
+        "deleting a referenced base must refuse, naming the dependent")
+      // damage: forget the top-ranked doc of the smallest query, compact
+      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .select("doc_id").head().getLong(0)
+      graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
+      graft.streaming.StreamingBm25.compact(s, path)
+      require(!graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+          .filter(col("query_id") === 0)
+          .select("doc_id").collect().map(_.getLong(0)).contains(victim),
+        "the damage must be visible before the restore (purged victim)")
+      // undo through the INCREMENTAL snapshot: bytes resolve from both
+      // data dirs (base's epochs 0-1, inc's epoch 2 + stats)
+      graft.SnapshotTool.restore(s, path, "inc",
+        graft.SnapshotTool.ResurrectAll)
+      val restored = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+      require(restored.filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0) == victim,
+        "the restored store must serve the pre-damage three-epoch state")
+      restored.orderBy("query_id", "rank")
     }),
     "w43_weighted_hybrid_at_rest" -> ((s, d) => {
       // WEIGHTED (convex-combination) fusion over the STANDING stores —
@@ -8694,6 +8767,35 @@ object SparkEntry {
     // requires pin the OTHER half of the contract (the default restore
     // keeps the victim masked)
     "w44_forget_ledger" ->
+      """WITH dt AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS tk
+           FROM documents),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(len(tk)::DOUBLE) AS avgdl
+           FROM dt),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+           FROM dt WHERE doc_id % 97 = 0),
+         tok AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS term
+           FROM dt),
+         tfr AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM tok
+           WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+         dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tfr GROUP BY 1),
+         sc AS (SELECT q.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n - f.df + 0.5) / (f.df + 0.5)) * t.tf
+               * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / st.avgdl))),
+               4) AS score
+           FROM qt q JOIN tfr t USING (term) JOIN dfr f USING (term)
+           CROSS JOIN st GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score, row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+         SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    // w45: w27's full-corpus oracle VERBATIM — the incremental
+    // snapshot's restore resolves bytes from BOTH data dirs (the base's
+    // unchanged epochs by pointer, its own delta by copy) and must
+    // replay exactly as the live three-epoch store did pre-damage
+    "w45_incremental_snapshot" ->
       """WITH dt AS (SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> length(x) > 0) AS tk

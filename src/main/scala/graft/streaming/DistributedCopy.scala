@@ -31,20 +31,35 @@ import org.apache.spark.sql.SparkSession
 object DistributedCopy {
 
   /** Copy the tree under `srcDir` into `dstDir` (created if missing).
-    * Returns the number of FILES copied. Hadoop configuration is
-    * re-materialized on executors from the session's entries, so
-    * scheme registrations and credentials travel with the job. */
+    * Returns the number of FILES copied. */
   def copyTree(spark: SparkSession, srcDir: String, dstDir: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val srcFs = FileSystem.get(new URI(srcDir), conf)
     val src = srcFs.makeQualified(new Path(srcDir))
     require(srcFs.exists(src), s"copy source does not exist: $src")
     val (dirs, files) = listTree(srcFs, src)
+    copyFiles(spark, srcDir, dstDir, files, dirs)
+  }
+
+  /** Copy an explicit file list (relative path + expected length) from
+    * `srcDir` into `dstDir` — the manifest-driven form incremental
+    * snapshots and restores use: the caller already knows exactly which
+    * files live where, so no tree walk happens here. `dirs` are extra
+    * relative directories to materialize (empty-dir preservation for
+    * whole-tree copies). Returns the number of files copied. Hadoop
+    * configuration is re-materialized on executors from the session's
+    * entries, so scheme registrations and credentials travel with the
+    * job. */
+  def copyFiles(spark: SparkSession, srcDir: String, dstDir: String,
+      files: Seq[(String, Long)], dirs: Seq[String] = Nil): Long = {
+    val conf = spark.sessionState.newHadoopConf()
     val dstFs = FileSystem.get(new URI(dstDir), conf)
     val dst = dstFs.makeQualified(new Path(dstDir))
     dstFs.mkdirs(dst)
     dirs.foreach(rel => dstFs.mkdirs(new Path(dst, rel)))
     if (files.isEmpty) return 0L
+    val srcFs = FileSystem.get(new URI(srcDir), conf)
+    val src = srcFs.makeQualified(new Path(srcDir))
     // Configuration is Writable, not Serializable — ship the session's
     // entries and rebuild over classpath defaults on each executor
     val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray

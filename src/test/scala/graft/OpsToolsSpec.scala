@@ -383,6 +383,48 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.sources.PackedCorpus.readAll(spark, dir).count() == 4L)
   }
 
+  test("SnapshotTool: incremental snapshots copy only the delta; pointers resolve transitively; a referenced base refuses delete") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-inc").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 4L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 0L)
+    SnapshotTool.snapshot(spark, dir, "full")
+    // a new immutable epoch lands — the only delta "inc" should copy
+    graft.sources.PackedCorpus.writeEpoch(
+      (4L until 6L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 1L)
+    SnapshotTool.snapshot(spark, dir, "inc", base = Some("full"))
+    // a second increment with NOTHING changed is a pure-pointer snapshot
+    SnapshotTool.snapshot(spark, dir, "inc2", base = Some("inc"))
+    val infos = SnapshotTool.listDetailed(spark, dir).map(i => i.name -> i).toMap
+    assert(infos("full").ownBytes == infos("full").bytes)
+    assert(infos("inc").ownBytes > 0 && infos("inc").ownBytes < infos("inc").bytes,
+      s"inc must copy only epoch 1: ${infos("inc")}")
+    assert(infos("inc2").ownBytes == 0 &&
+      infos("inc2").bytes == infos("inc").bytes,
+      s"an unchanged store increments to a pure-pointer snapshot: ${infos("inc2")}")
+    // transitive resolution: inc2's epoch-0 pointers name "full" directly,
+    // so BOTH ancestors are load-bearing and refuse deletion
+    Seq("full", "inc").foreach { b =>
+      val e = intercept[IllegalStateException] { SnapshotTool.delete(spark, dir, b) }
+      assert(e.getMessage.contains("reference"), e.getMessage)
+    }
+    // disaster restore through the chain: live root destroyed, inc2
+    // resolves every byte from full's and inc's data dirs
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    SnapshotTool.restore(spark, dir, "inc2")
+    assert(graft.sources.PackedCorpus.readAll(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq == (0L until 6L).toSeq)
+    // prune leaf-first: once dependents are gone, ancestors delete fine
+    SnapshotTool.delete(spark, dir, "inc2")
+    SnapshotTool.delete(spark, dir, "inc")
+    SnapshotTool.delete(spark, dir, "full")
+    assert(SnapshotTool.list(spark, dir).isEmpty)
+  }
+
   test("ForgetTool: curation deletes accumulate across batch= epochs too") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-forget-cur").toString

@@ -545,4 +545,26 @@ $JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s2 2>&1 | grep -v INFO | 
 probe_packed > "$BASE/packed_restored2.txt"
 diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored2.txt" \
   && echo "SNAPSHOT LIFECYCLE OK: sizes listed, s1 pruned, s2 restorable"
+
+# ---- phase 9: INCREMENTAL snapshots — an unchanged store increments to
+# a pure-pointer snapshot (ownBytes=0); a referenced base refuses delete
+# until its dependents are pruned (round 16).
+echo "== phase 9: SnapshotTool incremental (--base) + referenced-base refusal"
+$JAVA graft.SnapshotTool snapshot "$BASE/packed-corpus" s3 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool snapshot "$BASE/packed-corpus" s4 --base s3 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool list "$BASE/packed-corpus" 2>/dev/null > "$BASE/snap_list3.txt"
+awk -F'\t' '$1=="s3" { if ($4+0 != $3+0 || $3+0 <= 0) exit 1; ok++ }
+            $1=="s4" { if ($4+0 != 0 || $3+0 <= 0) exit 1; ok++ }
+            END { exit ok==2 ? 0 : 1 }' "$BASE/snap_list3.txt" \
+  || { echo "FAIL: s4 must be a pure-pointer increment of s3 (ownBytes=0)"; exit 1; }
+if $JAVA graft.SnapshotTool delete "$BASE/packed-corpus" s3 >/dev/null 2>&1; then
+  echo "FAIL: deleting a referenced base must refuse"; exit 1
+fi
+$JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s4 2>&1 | grep -v INFO | tail -1
+probe_packed > "$BASE/packed_restored3.txt"
+diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored3.txt" \
+  || { echo "FAIL: pointer-resolved restore must match the captured state"; exit 1; }
+$JAVA graft.SnapshotTool delete "$BASE/packed-corpus" s4 2>&1 | grep -v INFO | tail -1
+$JAVA graft.SnapshotTool delete "$BASE/packed-corpus" s3 2>&1 | grep -v INFO | tail -1
+echo "INCREMENTAL SNAPSHOT OK: pure-pointer increment, refusal while referenced, chain restore parity"
 echo "E2E CLI GATE: PASS"
