@@ -432,7 +432,14 @@ object CompactTool {
   *  - `delete` prunes one — refusing while any maintenance lease is
   *    held on the store (a concurrent restore may be reading the very
   *    snapshot) and refusing while any OTHER snapshot's manifest still
-  *    references this one's files.
+  *    references this one's files;
+  *  - `verify` is restore's integrity gate standalone (every own and
+  *    base-referenced file present at its manifest length,
+  *    metadata-only) — the scheduled backup fsck that surfaces a
+  *    damaged snapshot before the day it is needed;
+  *  - `prune --keep <n>` is chain-aware retention: the newest n
+  *    survive PLUS every base a kept incremental references; the rest
+  *    delete newest-first so dependents always go before their bases.
   * Restore is MANIFEST-driven (files only): no graft store encodes
   * state in empty directories, so they are not part of the snapshot
   * contract.
@@ -440,7 +447,9 @@ object CompactTool {
   * Usage: graft.SnapshotTool snapshot <storeRoot> <name> [--base <name>]
   *        graft.SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]
   *        graft.SnapshotTool list <storeRoot>
+  *        graft.SnapshotTool verify <storeRoot> <name>
   *        graft.SnapshotTool delete <storeRoot> <name>
+  *        graft.SnapshotTool prune <storeRoot> --keep <n>
   */
 object SnapshotTool {
 
@@ -555,21 +564,12 @@ object SnapshotTool {
       val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
       require(fs.exists(new org.apache.hadoop.fs.Path(snapDir, ManifestName)),
         s"no snapshot '$name' at $snapDir")
-      val manifest = readManifest(fs, snapDir)
       // integrity gate BEFORE touching the live store: a snapshot that
       // lost or truncated files (its own OR a base's it references) must
       // fail the restore, not half-apply
+      val manifest = verifiedManifest(fs, root, name)
       def sourceDataDir(source: String): String =
-        if (source == ".") s"${snapshotsDir(root)}/$name/data"
-        else s"${snapshotsDir(root)}/$source/data"
-      manifest.foreach { e =>
-        val p = new org.apache.hadoop.fs.Path(s"${sourceDataDir(e.source)}/${e.rel}")
-        require(fs.exists(p), s"snapshot '$name' is corrupt: missing ${e.rel}" +
-          (if (e.source == ".") "" else s" (referenced from '${e.source}')"))
-        val got = fs.getFileStatus(p).getLen
-        require(got == e.len,
-          s"snapshot '$name' is corrupt: ${e.rel} has $got bytes, manifest says ${e.len}")
-      }
+        SnapshotTool.sourceDataDir(root, name, source)
       // the ledger's effective forgets, minus the operator's explicit
       // resurrections — computed BEFORE the swap so the re-apply rides it
       val owed = graft.streaming.ForgetLedger.effective(spark, root)
@@ -617,23 +617,30 @@ object SnapshotTool {
     listDetailed(spark, root).map(_.name)
 
   /** Snapshots with their SIZE and AGE — what an operator pruning
-    * full-size copies actually needs. File count/bytes read from the
-    * manifest (one small file per snapshot), not a tree walk. */
+    * full-size copies actually needs, oldest-first by capture time.
+    * File count/bytes read from the manifest (one small file per
+    * snapshot), not a tree walk. Capture time is the MANIFEST's mtime,
+    * not the snapshot directory's: the manifest is written exactly once
+    * at capture, while the directory's mtime moves whenever anything
+    * inside it changes (a verify-repair, a fsck-detected damage, an
+    * object-store lifecycle touch) — and retention order (`prune
+    * --keep`) must never reshuffle under such touches. */
   def listDetailed(spark: org.apache.spark.sql.SparkSession,
       root: String): Seq[SnapshotInfo] = {
     val fs = hadoopFs(spark, root)
     val d = new org.apache.hadoop.fs.Path(snapshotsDir(root))
     if (!fs.exists(d)) Nil
-    else fs.listStatus(d).filter(_.isDirectory).sortBy(_.getModificationTime)
+    else fs.listStatus(d).filter(_.isDirectory)
       .map { st =>
-        val entries =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(st.getPath, ManifestName))) Nil
-          else readManifest(fs, st.getPath)
+        val mp = new org.apache.hadoop.fs.Path(st.getPath, ManifestName)
+        val hasManifest = fs.exists(mp)
+        val entries = if (!hasManifest) Nil else readManifest(fs, st.getPath)
         SnapshotInfo(st.getPath.getName, entries.size.toLong,
           entries.map(_.len).sum,
           entries.filter(_.source == ".").map(_.len).sum,
-          st.getModificationTime)
-      }.toSeq
+          if (hasManifest) fs.getFileStatus(mp).getModificationTime
+          else st.getModificationTime)
+      }.sortBy(i => (i.createdMs, i.name)).toSeq
   }
 
   /** Delete snapshot `name` — the prune half of the lifecycle. Refuses
@@ -667,6 +674,83 @@ object SnapshotTool {
           s"${dependents.mkString(", ")} reference its files; delete them first")
     if (!fs.delete(snapDir, true))
       throw new java.io.IOException(s"failed to delete snapshot at $snapDir")
+  }
+
+  /** Integrity-check snapshot `name` WITHOUT restoring: every manifest
+    * entry — own bytes and base-referenced pointers alike — must exist
+    * at its recorded length. This is exactly the gate `restore` runs
+    * before touching the live store, exposed standalone so an operator
+    * can fsck backups on a schedule and learn about a damaged snapshot
+    * (or a damaged base under an incremental) BEFORE the day a restore
+    * is needed. Metadata-only (existence + length, one status call per
+    * file — no bytes move). Returns (files, bytes) checked. */
+  def verify(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String): (Long, Long) = {
+    requireName(name)
+    val fs = hadoopFs(spark, root)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"${snapshotsDir(root)}/$name/$ManifestName")),
+      s"no snapshot '$name' at ${snapshotsDir(root)}/$name")
+    val entries = verifiedManifest(fs, root, name)
+    (entries.size.toLong, entries.map(_.len).sum)
+  }
+
+  /** Chain-aware retention: keep the `keep` NEWEST snapshots plus every
+    * base a kept snapshot's manifest still references (a kept
+    * incremental must stay restorable, so its bases survive the prune
+    * even when they fall outside the newest `keep`); delete the rest,
+    * newest-first, so dependents always go before their bases. Each
+    * deletion runs through [[delete]] and keeps its guards (lease
+    * refusal, dependent refusal — belt and braces under concurrent
+    * snapshot creation). Returns the deleted names, newest-first. */
+  def prune(spark: org.apache.spark.sql.SparkSession, root: String,
+      keep: Int): Seq[String] = {
+    require(keep >= 0, s"--keep must be >= 0, got $keep")
+    val fs = hadoopFs(spark, root)
+    val newestFirst = listDetailed(spark, root).reverse
+    val kept = scala.collection.mutable.Set.empty[String]
+    newestFirst.take(keep).foreach(i => kept += i.name)
+    // close over pointer sources until stable: chains are one manifest
+    // deep by construction, but a base may itself be incremental-format
+    // after a manual copy — the fixpoint costs one extra manifest read
+    var grew = true
+    while (grew) {
+      val before = kept.size
+      kept.toSeq.foreach { n =>
+        val md = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$n")
+        if (fs.exists(new org.apache.hadoop.fs.Path(md, ManifestName)))
+          readManifest(fs, md).foreach(e => if (e.source != ".") kept += e.source)
+      }
+      grew = kept.size > before
+    }
+    val doomed = newestFirst.map(_.name).filterNot(kept.contains)
+    doomed.foreach(n => delete(spark, root, n))
+    doomed
+  }
+
+  /** Where snapshot `name` keeps the bytes for a manifest entry whose
+    * `source` field is `src` (`"."` = the snapshot's own data dir). */
+  private def sourceDataDir(root: String, name: String, src: String): String =
+    if (src == ".") s"${snapshotsDir(root)}/$name/data"
+    else s"${snapshotsDir(root)}/$src/data"
+
+  /** Read snapshot `name`'s manifest and require every entry present at
+    * its recorded length — the shared integrity gate behind [[restore]]
+    * and [[verify]]. */
+  private def verifiedManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Seq[ManifestEntry] = {
+    val snapDir = new org.apache.hadoop.fs.Path(s"${snapshotsDir(root)}/$name")
+    val manifest = readManifest(fs, snapDir)
+    manifest.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"${sourceDataDir(root, name, e.source)}/${e.rel}")
+      require(fs.exists(p), s"snapshot '$name' is corrupt: missing ${e.rel}" +
+        (if (e.source == ".") "" else s" (referenced from '${e.source}')"))
+      val got = fs.getFileStatus(p).getLen
+      require(got == e.len,
+        s"snapshot '$name' is corrupt: ${e.rel} has $got bytes, manifest says ${e.len}")
+    }
+    manifest
   }
 
   /** (rel, len, mtime) for every live file under `root` — one driver
@@ -727,7 +811,9 @@ object SnapshotTool {
       "usage: SnapshotTool snapshot <storeRoot> <name> [--base <name>]\n" +
         "       SnapshotTool restore <storeRoot> <name> [--resurrect all|id,id,...]\n" +
         "       SnapshotTool list <storeRoot>\n" +
-        "       SnapshotTool delete <storeRoot> <name>")
+        "       SnapshotTool verify <storeRoot> <name>\n" +
+        "       SnapshotTool delete <storeRoot> <name>\n" +
+        "       SnapshotTool prune <storeRoot> --keep <n>")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .appName("graft-snapshot")
       .master(sys.props.getOrElse("spark.master",
@@ -759,12 +845,23 @@ object SnapshotTool {
         case "list" =>
           listDetailed(spark, args(1)).foreach(i =>
             println(s"${i.name}\t${i.files}\t${i.bytes}\t${i.ownBytes}\t${i.createdMs}"))
+        case "verify" =>
+          require(args.length >= 3, "verify <storeRoot> <name>")
+          val (nf, nb) = verify(spark, args(1), args(2))
+          System.err.println(
+            s"snapshot '${args(2)}' of ${args(1)} verified: $nf file(s), $nb byte(s)")
         case "delete" =>
           require(args.length >= 3, "delete <storeRoot> <name>")
           delete(spark, args(1), args(2))
           System.err.println(s"deleted snapshot '${args(2)}' of ${args(1)}")
+        case "prune" =>
+          val ki = args.indexOf("--keep")
+          require(ki >= 0 && args.length > ki + 1, "prune <storeRoot> --keep <n>")
+          val gone = prune(spark, args(1), args(ki + 1).toInt)
+          System.err.println(s"pruned ${gone.size} snapshot(s) of ${args(1)}" +
+            (if (gone.isEmpty) "" else s": ${gone.mkString(", ")}"))
         case other => throw new IllegalArgumentException(
-          s"unknown subcommand '$other' (want snapshot|restore|list|delete)")
+          s"unknown subcommand '$other' (want snapshot|restore|list|verify|delete|prune)")
       }
     } finally spark.stop()
   }

@@ -425,6 +425,40 @@ class OpsToolsSpec extends AnyFunSuite with SparkTestBase {
     assert(SnapshotTool.list(spark, dir).isEmpty)
   }
 
+  test("SnapshotTool: verify fscks pointer chains; prune is chain-aware retention") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap-prune").toString + "/packed"
+    graft.sources.PackedCorpus.writeEpoch(
+      (0L until 3L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 0L)
+    SnapshotTool.snapshot(spark, dir, "a")
+    graft.sources.PackedCorpus.writeEpoch(
+      (3L until 5L).map(i => (i, Seq(i.toInt))).toDF("doc_id", "token_ids")
+        .coalesce(1), dir, 1L)
+    SnapshotTool.snapshot(spark, dir, "b", base = Some("a"))
+    SnapshotTool.snapshot(spark, dir, "c")
+    // keep=2 keeps {c, b} and the closure pulls b's base "a" in: a kept
+    // incremental must stay restorable, so nothing dies
+    assert(SnapshotTool.prune(spark, dir, keep = 2).isEmpty)
+    assert(SnapshotTool.list(spark, dir).toSet == Set("a", "b", "c"))
+    // verify green on the intact chain (b's epoch-0 bytes resolve via a)
+    val (nf, nb) = SnapshotTool.verify(spark, dir, "b")
+    assert(nf > 0 && nb > 0)
+    // damage the BASE: b's pointer entries fail the fsck naming the source
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SnapshotTool.snapshotsDir(dir) + "/a/data"), true)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTool.verify(spark, dir, "b")
+    }
+    assert(e.getMessage.contains("referenced from 'a'"), e.getMessage)
+    // keep=1: c survives alone; b (the dependent) deletes BEFORE its base
+    assert(SnapshotTool.prune(spark, dir, keep = 1) == Seq("b", "a"))
+    assert(SnapshotTool.list(spark, dir) == Seq("c"))
+    assert(SnapshotTool.verify(spark, dir, "c")._1 > 0)
+  }
+
   test("ForgetTool: curation deletes accumulate across batch= epochs too") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-forget-cur").toString

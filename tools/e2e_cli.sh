@@ -560,6 +560,8 @@ awk -F'\t' '$1=="s3" { if ($4+0 != $3+0 || $3+0 <= 0) exit 1; ok++ }
 if $JAVA graft.SnapshotTool delete "$BASE/packed-corpus" s3 >/dev/null 2>&1; then
   echo "FAIL: deleting a referenced base must refuse"; exit 1
 fi
+$JAVA graft.SnapshotTool verify "$BASE/packed-corpus" s4 2>&1 | grep -q "verified:" \
+  || { echo "FAIL: verify must fsck s4's pointer chain green"; exit 1; }
 $JAVA graft.SnapshotTool restore "$BASE/packed-corpus" s4 2>&1 | grep -v INFO | tail -1
 probe_packed > "$BASE/packed_restored3.txt"
 diff "$BASE/packed_pre_snap.txt" "$BASE/packed_restored3.txt" \
