@@ -195,27 +195,25 @@ object Pca {
     val sd = Array.tabulate(dim) { j =>
       math.max(math.sqrt(math.max(m.raw(j)(j) - n * mean(j) * mean(j), 0.0) / (n - 1.0)), 1e-30)
     }
-    val z = zip_with(
-      zip_with(transform(col(vecCol), x => x.cast("double")),
-        array(mean.map(lit): _*), (a, b) => a - b),
-      array(sd.map(lit): _*), (a, b) => a / b)
-    vectors.select(col(idCol), z.as("z"))
+    // native center-scale loop (graft.plans.CenterScaleExpr) — the nested
+    // zip_with HOF form was interpreted per element; same element order and
+    // casts, bit-identical output (round-16 optimization, guide §4)
+    vectors.select(col(idCol),
+      graft.plans.VectorExpressions.centerScale(col(vecCol), mean, sd).as("z"))
   }
 
   /** Project onto the model's components: (idCol, proj array<double>[r]).
-    * Narrow codegen'd pass — mean and components are literals in the
-    * expression tree. */
+    * Narrow pass — mean and components ride the expression tree as plain
+    * model arrays inside ONE native expression
+    * ([[graft.plans.CenteredProjectExpr]]). The previous HOF form
+    * (`array(aggregate(zip_with(centered, comp_r, a*b), …) per component)`)
+    * was r×d interpreted element-ops per row AND a 4 096-literal tree
+    * Catalyst re-analyzed per query — measured 1.14 s per sf0.1 corpus
+    * pass vs ~0.04 s native, same arithmetic order, bit-identical
+    * (round-16 optimization, guide §4). */
   def project(vectors: DataFrame, model: PcaModel,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val meanArr = array(model.mean.map(lit): _*)
-    val centered = zip_with(
-      transform(col(vecCol), x => x.cast("double")), meanArr, (a, b) => a - b)
-    val proj: Column = array(model.components.map { comp =>
-      aggregate(zip_with(col("c"), array(comp.map(lit): _*), (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
-    vectors
-      .select(col(idCol), centered.as("c"))
-      .select(col(idCol), proj.as("proj"))
-  }
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    vectors.select(col(idCol),
+      graft.plans.VectorExpressions.centeredProject(col(vecCol), model.mean,
+        model.components).as("proj"))
 }

@@ -248,6 +248,100 @@ case class HyperplaneSketchExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** `centered_project(vec)`: out[r] = Σ_i (vec[i] − mean[i]) · components[r][i]
+  * — the PCA/OPQ projection with mean and the r×d component matrix riding
+  * the expression tree as plain JVM arrays.
+  *
+  * This replaces the HOF form `array(aggregate(zip_with(centered, comp_r,
+  * a*b), 0.0, acc+x) for each r)` — r independent interpreted aggregates
+  * over a shared interpreted `zip_with` subtraction, i.e. r×d boxed
+  * element-ops per row (d=r=64 ⇒ 4 096/row; measured 1.14 s per corpus
+  * pass at sf0.1 vs ~0.04 s for this loop) plus a 4 096-literal expression
+  * tree that Catalyst re-analyzes per query. Arithmetic order is the HOF
+  * form's exactly: center first (element cast to double, left-to-right),
+  * then per component a left-to-right accumulate from 0.0 — bit-identical
+  * results, pinned by the e15/e18/e19/e21 oracles. */
+case class CenteredProjectExpr(child: Expression,
+    mean: Seq[Double], components: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centered_project"
+
+  @transient private lazy val childRead = VecUtil.reader(child.dataType)
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val comps: Array[Array[Double]] =
+    components.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val d = meanArr.length
+    if (vec.numElements() != d)
+      throw new IllegalArgumentException(
+        s"centered_project: vector length ${vec.numElements()} != model dim $d")
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = childRead(vec, i) - meanArr(i); i += 1 }
+    val r = comps.length
+    val out = new Array[Any](r)
+    var j = 0
+    while (j < r) {
+      val comp = comps(j)
+      var acc = 0.0
+      var i2 = 0
+      while (i2 < d) { acc += c(i2) * comp(i2); i2 += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // the model payload (r×d doubles) would otherwise be dumped into every
+  // plan string — summarize instead (the NearestCellsExpr stance)
+  override def toString: String =
+    s"centered_project($child, d=${mean.length}, r=${components.length})"
+  override def simpleString(maxFields: Int): String = toString
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `center_scale(vec)`: out[i] = (vec[i] − mean[i]) / scale[i] — the
+  * z-score pass of [[graft.operators.Pca.standardize]] as one tight loop
+  * (the HOF form is two nested interpreted `zip_with`s per row). Same
+  * left-to-right element order and per-element double cast ⇒ bit-identical. */
+case class CenterScaleExpr(child: Expression, mean: Seq[Double], scale: Seq[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "center_scale"
+
+  @transient private lazy val childRead = VecUtil.reader(child.dataType)
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val scaleArr: Array[Double] = scale.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val d = meanArr.length
+    if (vec.numElements() != d)
+      throw new IllegalArgumentException(
+        s"center_scale: vector length ${vec.numElements()} != model dim $d")
+    val out = new Array[Any](d)
+    var i = 0
+    while (i < d) {
+      out(i) = (childRead(vec, i) - meanArr(i)) / scaleArr(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def toString: String = s"center_scale($child, d=${mean.length})"
+  override def simpleString(maxFields: Int): String = toString
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -265,4 +359,15 @@ object VectorExpressions {
 
   def hyperplaneSketch(vec: Column, nBits: Int): Column =
     ColumnBridge.column(HyperplaneSketchExpr(ColumnBridge.expression(vec), nBits))
+
+  /** `mean` and the r×d `components` ride the expression tree (driver-side
+    * model arrays, metadata scale). */
+  def centeredProject(vec: Column, mean: Array[Double],
+      components: Array[Array[Double]]): Column =
+    ColumnBridge.column(CenteredProjectExpr(ColumnBridge.expression(vec),
+      mean.toSeq, components.map(_.toSeq).toSeq))
+
+  def centerScale(vec: Column, mean: Array[Double], scale: Array[Double]): Column =
+    ColumnBridge.column(CenterScaleExpr(ColumnBridge.expression(vec),
+      mean.toSeq, scale.toSeq))
 }

@@ -117,6 +117,59 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(seeds.map(region).toSet.size == 3)
   }
 
+  test("native centered_project is bit-identical to the HOF aggregate form") {
+    // the HOF form centered_project replaced (round-16 optimization):
+    // center via zip_with, then one interpreted aggregate per component
+    val mean = Array(0.5, -1.0, 2.0)
+    val comps = Array(Array(1.0, 0.0, -1.0), Array(0.25, 4.0, 0.125))
+    val emb = Seq(
+      (0L, Array(0.3f, -1.2f, 2.4f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1e-8f, 2e8f, -3.5f))
+    ).toDF("vec_id", "embedding")
+    val centered = zip_with(
+      transform($"embedding", x => x.cast("double")),
+      array(mean.map(lit): _*), (a, b) => a - b)
+    val hof = emb.select($"vec_id", centered.as("c"))
+      .select($"vec_id", array(comps.map { comp =>
+        aggregate(zip_with($"c", array(comp.map(lit): _*), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*).as("proj"))
+    val native = emb.select($"vec_id",
+      VectorExpressions.centeredProject($"embedding", mean, comps).as("proj"))
+    val h = hof.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val n = native.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(h.length == n.length)
+    h.zip(n).foreach { case (a, b) => assert(a == b) } // exact, not approx
+  }
+
+  test("native center_scale is bit-identical to the nested zip_with form") {
+    val mean = Array(1.0, -2.0, 0.5)
+    val sd = Array(2.0, 0.25, 1e-30)
+    val emb = Seq(
+      (0L, Array(0.3f, -1.2f, 0.5f)),
+      (1L, Array(-7.5f, 3.25f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val hof = emb.select($"vec_id", zip_with(
+      zip_with(transform($"embedding", x => x.cast("double")),
+        array(mean.map(lit): _*), (a, b) => a - b),
+      array(sd.map(lit): _*), (a, b) => a / b).as("z"))
+    val native = emb.select($"vec_id",
+      VectorExpressions.centerScale($"embedding", mean, sd).as("z"))
+    val h = hof.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val n = native.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    h.zip(n).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("centered_project refuses a vector whose length disagrees with the model") {
+    val emb = Seq((0L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      emb.select(VectorExpressions.centeredProject($"embedding",
+        Array(0.0, 0.0, 0.0), Array(Array(1.0, 0.0, 0.0)))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("kmeans SSE history is non-increasing") {
     val pts = (0L until 90L).map(i =>
       (i, Array((i % 3 * 10).toFloat + (i % 7) * 0.01f, (i % 5) * 0.02f)))
