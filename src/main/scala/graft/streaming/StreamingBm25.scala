@@ -304,19 +304,35 @@ object StreamingBm25 {
           lit(0L).as(idCol), lit(0.0).as("score")), () => ())
     val avgdl = statRow.getDouble(1) / n
 
-    val qTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(
-          TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
-      .persist(MEMORY_AND_DISK)
-    // the probed-bucket set is query-vocabulary-sized: collect it and
-    // prune the index scan with a literal partition filter (the
-    // StreamingIvf.search probed-cells stance)
-    val buckets = qTerms.select(termBucket(col("term"), nBucketsEff).as("bucket"))
-      .distinct().collect().map(_.getLong(0))
+    // The (query_id, term) relation is rank-list-sized by the search
+    // contract (a probe batch, never a corpus), so it collects ONCE —
+    // tokenized in-cluster with the exact expression the previous form
+    // used — and re-enters the plan as a LOCAL relation. That turns every
+    // downstream use into a job-free broadcast build (LocalTableScan
+    // collects on the driver thread, no stage), where the previous shape
+    // paid a persist + a distinct-collect job for the buckets + separate
+    // broadcast-build jobs for the semi-join and the scored join per
+    // probe (round-16 optimization, guide §2.4/§5: fewer tiny jobs, same
+    // bytes). Probed buckets derive driver-side from the SAME xxhash64
+    // Spark SQL evaluates (XxHash64Function, seed 42) — spec-pinned
+    // against the Column form, which appendEpoch still routes through.
+    val qTermsPlan = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(
+        TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
+    val qTermRows = qTermsPlan.collect()
+    val qTerms = spark.createDataFrame(
+      java.util.Arrays.asList(qTermRows: _*), qTermsPlan.schema)
+    val distinctTerms = qTermRows.map(_.getString(1)).distinct
+    val termsLocal = spark.createDataFrame(
+      java.util.Arrays.asList(distinctTerms.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val buckets = distinctTerms.map(t => termBucketJvm(t, nBucketsEff)).distinct
     val pruned = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets.toSeq: _*))
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(termsLocal), Seq("term"), "left_semi")
     // un-compacted tombstones mask their docs at the pruned scan
     // (broadcast anti-join; df below self-adjusts — it is derived from
     // the surviving rows). N/avgdl stay stale until compact — see
@@ -341,7 +357,7 @@ object StreamingBm25 {
       .agg(round(sum("contrib"), roundDigits).as("score"))
     val out = graft.functions.ScoredTopK
       .rankTopK(scored, Seq("query_id"), col(idCol), col("score"), k, idCol)
-    (out, () => Seq(qTerms, postings).foreach { d => d.unpersist(false); () })
+    (out, () => { postings.unpersist(false); () })
   }
 
   /** REBUCKET — the lexical analog of [[StreamingIvf.refit]]: re-route
@@ -384,4 +400,17 @@ object StreamingBm25 {
     * sessions, so at-rest buckets and probe-time pruning always agree). */
   private def termBucket(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong))
+
+  /** Driver-side twin of [[termBucket]] — evaluates the SAME hash Spark
+    * SQL's `xxhash64` runs (XxHash64Function over the UTF-8 bytes, seed
+    * 42) so the probe's bucket set can be derived from the collected
+    * query terms without a distinct-collect job. Parity is spec-pinned
+    * (StreamingBm25Spec) — the at-rest layout keeps routing through the
+    * Column form in [[appendEpoch]]/[[rebucket]]. */
+  private[streaming] def termBucketJvm(term: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    java.lang.Math.floorMod(h, nBuckets.toLong)
+  }
 }

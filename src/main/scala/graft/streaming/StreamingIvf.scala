@@ -324,15 +324,36 @@ object StreamingIvf {
       scorePredicate: Option[Column] = None): DataFrame = {
     val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
     val topk = udaf(new ScoredTopKAggregator(k))
-    val queryCells = queries
+    // The probe batch is rank-list-sized by the ANN contract, so it
+    // collects ONCE — cell routing still evaluated in-cluster by the same
+    // NearestCellsExpr — and re-enters the plan as a LOCAL relation: the
+    // probed-cell set derives from the collected rows (no distinct-collect
+    // job) and the broadcast build is job-free (LocalTableScan), where the
+    // previous shape executed the queries subplan TWICE (once for the
+    // probed set, once inside the broadcast build — for a derived anchor
+    // frame like w41's join that was a whole re-run) (round-16
+    // optimization, guide §2.4/§5).
+    val qPlan = queries
       .select(col(idCol).cast("long").as("query_id") +:
         col(vecCol).as("query_vec") +:
-        queryPayloadCols.map(c => col(c).as(s"query_$c")): _*)
-      .withColumn("cell",
-        explode(transform(
-          VectorExpressions.nearestCells(col("query_vec"), cents, nProbe),
-          s => s.getField("cell"))))
-    val probed = queryCells.select("cell").distinct().collect().map(_.getInt(0))
+        queryPayloadCols.map(c => col(c).as(s"query_$c")) :+
+        transform(
+          VectorExpressions.nearestCells(col(vecCol), cents, nProbe),
+          s => s.getField("cell")).as("__cells"): _*)
+    val qRows = qPlan.collect()
+    val cellIdx = qPlan.schema.fieldIndex("__cells")
+    val probed = qRows.iterator.flatMap(_.getSeq[Int](cellIdx)).toArray.distinct
+    val cellSchema = org.apache.spark.sql.types.StructType(
+      qPlan.schema.fields.patch(cellIdx, Nil, 1) :+
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val cellRows = qRows.flatMap { r =>
+      val rest = r.toSeq.patch(cellIdx, Nil, 1)
+      r.getSeq[Int](cellIdx).map(c =>
+        org.apache.spark.sql.Row.fromSeq(rest :+ c))
+    }
+    val queryCells = spark.createDataFrame(
+      java.util.Arrays.asList(cellRows: _*), cellSchema)
     val scanned = spark.read.option("basePath", s"$path/corpus")
       .parquet(s"$path/corpus")
       .filter(col("cell").isin(probed.toSeq: _*))

@@ -416,4 +416,22 @@ class StreamingBm25Spec extends AnyFunSuite with SparkTestBase {
     assert(StreamingBm25.search(spark, path, queries, k = 3, nBuckets = 4)
       .count() == 0)
   }
+
+  test("driver-side term bucket matches the SQL xxhash64 form for every probe vocabulary") {
+    // the probe derives its pruned-bucket set driver-side (termBucketJvm);
+    // the at-rest layout routes through the Column form — one divergent
+    // hash would silently skip a live bucket, so pin exact parity across
+    // token shapes (ascii, unicode, empty-ish, long) and bucket counts
+    val terms = Seq("spark", "hash", "window", "Ünïcode", "日本語",
+      "a", "zz9", "the-quick-brown-fox-jumped-over", "0", "én")
+    for (nb <- Seq(1, 4, 64, 1024)) {
+      val sql = terms.toDF("term")
+        .select(col("term"), pmod(xxhash64(col("term")), lit(nb.toLong)).as("b"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      terms.foreach { t =>
+        assert(StreamingBm25.termBucketJvm(t, nb) == sql(t),
+          s"bucket mismatch for '$t' at nBuckets=$nb")
+      }
+    }
+  }
 }
