@@ -94,7 +94,10 @@ object Bm25 {
       queryTextCol: String = "text", roundDigits: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = docs.select(col(idCol),
+    // fanIfNarrow: the corpus tokenizes twice below (stats pass + tf pass)
+    // — parallelize both when the scan planned narrow (no-op at scale)
+    val fanned = Parallelize.fanIfNarrow(docs)
+    val toks = fanned.select(col(idCol),
       TextFunctions.tokens(lower(col(textCol))).as("toks"))
     val stats = toks.agg(count(lit(1)).as("n"),
       avg(size(col("toks")).cast("double")).as("avgdl")).head()
@@ -107,11 +110,21 @@ object Bm25 {
           lit(0L).as(idCol), lit(0.0).as("score"))
     val avgdl = stats.getDouble(1)
 
-    val qTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(
-          TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
-      .persist(MEMORY_AND_DISK)
-    val termSet = qTerms.select("term").distinct()
+    // query relation is rank-list-sized by contract: collect once, re-enter
+    // as a LOCAL relation — job-free broadcast builds, no persist (the
+    // StreamingBm25.searchLazy stance, round 16)
+    val qTermsPlan = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(
+        TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
+    val qTermRows = qTermsPlan.collect()
+    val qTerms = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qTermRows: _*), qTermsPlan.schema)
+    val termSet = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qTermRows.map(_.getString(1)).distinct
+        .map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = true))))
     val tf = toks
       .select(col(idCol), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("term"))
@@ -132,7 +145,7 @@ object Bm25 {
     val out = graft.functions.ScoredTopK
       .rankTopK(scored, Seq("query_id"), col(idCol), col("score"), k, idCol)
       .localCheckpoint(true) // ≤ |queries| x k rows — eager + small
-    Seq(qTerms, tf).foreach(_.unpersist(false))
+    tf.unpersist(false)
     out
   }
 }

@@ -18,6 +18,9 @@ import graft.functions.HashFunctions._
   */
 object Dedup {
 
+  // per-row-heavy passes fan narrow inputs first — see Parallelize.fanIfNarrow
+  private def fanIfNarrow(df: DataFrame): DataFrame = Parallelize.fanIfNarrow(df)
+
   /** Exact dedup: keep the lowest-id row per md5(text). Deterministic (min
     * id), aggregation-based — no window, single shuffle on the digest. */
   def exactDuplicateGroups(docs: DataFrame, textCol: String = "text",
@@ -96,7 +99,9 @@ object Dedup {
     // time. The persisted relation is tiny relative to the corpus — (id, k
     // longs). Shingling is fused into the signature expression: no shingle
     // strings are materialized (graft.plans.MinHashShingleSigExpr).
-    val sigs = docs
+    // fanIfNarrow: the k-hash signature pass is the dominant per-row cost —
+    // parallelize it when the scan planned narrow (no-op at scale)
+    val sigs = fanIfNarrow(docs)
       .select(col(idCol).as("id"),
         graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -190,7 +195,8 @@ object Dedup {
     val bands = 4 // 4 × 16-bit bands of the 64-bit hash
     // persisted: both join sides and the verify step reuse the sketches
     // ((id, i64) — tiny) instead of re-hashing the corpus per side
-    val withSig = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
+    val withSig = fanIfNarrow(docs)
+      .select(col(idCol).as("id"), simHash64(col(textCol)).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("id"), col("sim"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -225,8 +231,11 @@ object Dedup {
       .persist(MEMORY_AND_DISK)
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+    // one persisted shingle pass feeds both attach joins (round 16 — the
+    // containmentPairs stance; previously each join re-shingled its side)
+    val sh = fanIfNarrow(docs).join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -251,8 +260,11 @@ object Dedup {
       .persist(MEMORY_AND_DISK)
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+    // one persisted shingle pass feeds both attach joins (round 16 — the
+    // containmentPairs stance; previously each join re-shingled its side)
+    val sh = fanIfNarrow(docs).join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -277,7 +289,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val inv = docs
+    val fanned = fanIfNarrow(docs)
+    val inv = fanned
       .select(col(idCol), explode(shingleHashes(col(textCol), shingleN)).as("h"))
       .persist(MEMORY_AND_DISK)
     val kept = inv.groupBy("h").agg(count(lit(1)).as("df"))
@@ -295,10 +308,23 @@ object Dedup {
     // shingle). The df cap is the guard that matters here; contrast
     // [[ngramJaccardPairs]], whose LSH candidates ARE small enough to prune
     // the shingle pass by id.
-    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+    //
+    // Round-16 shape fixes, A/B-measured at sf0.1 (5.0 → 2.2 s, identical
+    // 139 pairs): the shingle relation PERSISTS so both attach joins read
+    // ONE pass instead of re-shingling per side, and the attach joins are
+    // hinted SHUFFLE_HASH — Catalyst's size estimate for a text scan
+    // misses the shingle-array expansion and auto-BROADCAST the whole
+    // corpus-sized shingle relation (guide §3.1: estimates are wrong after
+    // transformation, pick the strategy), which at 100 TB would ship the
+    // corpus to every executor and at bench size serialized the pass into
+    // a single broadcast-build task.
+    val sh = fanned.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(MEMORY_AND_DISK)
     candidates
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         containment(col("sh_a"), col("sh_b")).as("cont_a_in_b"),
         containment(col("sh_b"), col("sh_a")).as("cont_b_in_a"))
@@ -323,7 +349,7 @@ object Dedup {
     * corpus token count. */
   def dupSpanStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val spans = docs
+    val spans = fanIfNarrow(docs)
       .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-span document frequency; shingleHashes is per-doc distinct, so
@@ -397,7 +423,7 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 5, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = docs
+    val toks = fanIfNarrow(docs)
       .select(col(idCol), graft.functions.TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .persist(MEMORY_AND_DISK)
     val grams = toks
@@ -713,7 +739,9 @@ object Dedup {
   private[graft] def cappedAnchorIndex(docs: DataFrame, anchor: Int,
       maxDf: Int, textCol: String, idCol: String): DataFrame = {
     require(anchor >= 2, s"need anchor >= 2: $anchor")
-    val toks = docs.select(col(idCol).as("id"),
+    // fanIfNarrow: the windowed-hash pass below is interpreted per anchor
+    // window — the heaviest per-row work in the span family (no-op at scale)
+    val toks = fanIfNarrow(docs).select(col(idCol).as("id"),
       graft.functions.TextFunctions.tokens(lower(col(textCol))).as("tk"))
     val anchors = toks.filter(size(col("tk")) >= anchor)
       .select(col("id"), posexplode(transform(
