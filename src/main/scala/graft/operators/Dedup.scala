@@ -127,6 +127,12 @@ object Dedup {
     * dedup INDEX. At 100 TB this is written once, partitioned by (band,
     * key); arriving batches join against it without ever re-reading or
     * re-signing the resident corpus (see [[dedupAgainstIndex]]). */
+  // NOT fanned (round-16 measured): signatureIndex feeds the STREAMING
+  // curation fold, whose micro-batch slices are deliberately
+  // localCheckpointed with epoch-stable plans (w7's codegen-cache design)
+  // — fanIfNarrow inside it re-added a per-epoch exchange and took w7
+  // from 6.5 to 11.6 s. Batch callers that want the fan apply it at the
+  // call site.
   def signatureIndex(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
     docs.select(col(idCol).as("id"),

@@ -67,7 +67,10 @@ object NaiveBayes {
     // null text featurizes as empty (zero grams), matching the word-token
     // path where tokens(null) is null and the explode drops the row — the
     // typed map must never hand charGramsJvm a null (review finding)
-    fitFeatured(docs.select(col(labelCol).as("label"),
+    // fanIfNarrow: the char-gram featurizer is the heaviest per-row map in
+    // the classifier family — parallelize a narrow scan (no-op at scale)
+    fitFeatured(Parallelize.fanIfNarrow(docs)
+      .select(col(labelCol).as("label"),
         coalesce(lower(col(textCol)), lit("")).as("t"))
       .as[(String, String)]
       .map { case (l, t) =>
@@ -135,7 +138,8 @@ object NaiveBayes {
     import spark.implicits._
     // null-tolerant like fit: a null text scores as the zero-feature doc
     // (prior argmax) instead of NPE-ing the featurizer
-    docs.select(col(idCol).cast("long"),
+    Parallelize.fanIfNarrow(docs)
+      .select(col(idCol).cast("long"),
         coalesce(lower(col(textCol)), lit("")))
       .as[(Long, String)]
       .mapPartitions { it =>
