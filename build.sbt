@@ -31,6 +31,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract requires the ONE JSON line graft.Bench prints to be
+// the final stdout line of the invoking process; sbt's "[success] Total
+// time ..." trailer lands AFTER the forked program's output and has made
+// the driver's bench parser return null every round (BENCH_r*.json all
+// carry `"parsed": null` with the trailer as the last stdout line).
+// Suppress the trailer globally — build/test failures still report
+// normally through [error] lines and the exit code. Also route the forked
+// run's stdout STRAIGHT through (no "[info] " logger prefix — whether sbt
+// prefixes depends on the invoking terminal, and a prefixed JSON line does
+// not parse).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
