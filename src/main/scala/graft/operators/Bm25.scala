@@ -69,7 +69,11 @@ object Bm25 {
   /** Multi-query batch retrieval — the RAG candidate-generation shape:
     * top-`k` documents per query for a whole QUERY TABLE at once, one
     * shared inverted pass over the corpus instead of one [[score]] call
-    * per query. Query term sets are DISTINCT per query (standard bag-of-
+    * per query. The query table is a PROBE BATCH, rank-list-sized by
+    * contract: its (query, term) relation is collected to the driver and
+    * re-entered as a local relation (job-free broadcast builds); the
+    * collect is bounded by `spark.graft.probe.maxLocalRows` and fails
+    * loudly past it — this is NOT the path for corpus-×-corpus scoring. Query term sets are DISTINCT per query (standard bag-of-
     * words BM25 treats repeated query terms as weight; the distinct-set
     * form is the common retrieval convention and is the documented
     * contract here). Returns (queryIdCol, rank, idCol, score), rank 1 =
@@ -112,11 +116,14 @@ object Bm25 {
 
     // query relation is rank-list-sized by contract: collect once, re-enter
     // as a LOCAL relation — job-free broadcast builds, no persist (the
-    // StreamingBm25.searchLazy stance, round 16)
+    // StreamingBm25.searchLazy stance, round 16). The collect is BOUNDED
+    // (spark.graft.probe.maxLocalRows): a corpus-sized queries frame fails
+    // loudly instead of becoming a driver-memory incident (round 17).
     val qTermsPlan = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(
         TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
-    val qTermRows = qTermsPlan.collect()
+    val qTermRows = graft.functions.ProbeCollect.collectBounded(
+      qTermsPlan, "Bm25.topK")
     val qTerms = docs.sparkSession.createDataFrame(
       java.util.Arrays.asList(qTermRows: _*), qTermsPlan.schema)
     val termSet = docs.sparkSession.createDataFrame(

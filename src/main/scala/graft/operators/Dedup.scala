@@ -242,11 +242,18 @@ object Dedup {
     val sh = fanIfNarrow(docs).join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    // result is pair-count-sized: materialize it eagerly, then RELEASE the
+    // shingle/candidate caches — without this every call pins a
+    // corpus-derived shingle-array relation for the session lifetime
+    // (round-17 advice fix; the Bm25.score convention)
+    val out = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    Seq(candidates, sh).foreach(_.unpersist(false))
+    out
   }
 
   /** Sketch-quality audit rows: every LSH candidate pair carrying BOTH the
@@ -271,11 +278,15 @@ object Dedup {
     val sh = fanIfNarrow(docs).join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    // eager + release — see ngramJaccardPairs (round-17 advice fix)
+    val out = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("jaccard_est"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .localCheckpoint(true)
+    Seq(candidates, sh).foreach(_.unpersist(false))
+    out
   }
 
   /** Asymmetric containment pairs: max-side Broder containment
@@ -326,7 +337,9 @@ object Dedup {
     // a single broadcast-build task.
     val sh = fanned.select(col(idCol), wordShingles(col(textCol), shingleN).as("sh"))
       .persist(MEMORY_AND_DISK)
-    candidates
+    // eager + release (inv and sh are corpus-derived and large per row) —
+    // see ngramJaccardPairs (round-17 advice fix)
+    val out = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
         .hint("shuffle_hash"), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -335,6 +348,9 @@ object Dedup {
         containment(col("sh_a"), col("sh_b")).as("cont_a_in_b"),
         containment(col("sh_b"), col("sh_a")).as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .localCheckpoint(true)
+    Seq(inv, sh).foreach(_.unpersist(false))
+    out
   }
 
   /** Cross-document duplicated n-gram span statistics — the detection signal

@@ -312,12 +312,14 @@ object Similarity {
     val q = broadcast(luts.toDF("query_id", "lut"))
     // codebook ids are positions 0..k-1 in LUT order (pqCodebooks preserves
     // centroid order), so code c indexes slot c+1
+    // adc_sum: one tight JVM loop per candidate row — replaces the
+    // interpreted aggregate(zip_with(codes, lut, element_at)) HOF, the
+    // exact pattern CenteredProjectExpr killed one hop upstream (round
+    // 16); left-to-right accumulation, bit-identical (round 17)
     val scored = candidates.filter(col("corpus_id") =!= col("query_id"))
       .join(q, "query_id")
       .select(col("query_id"), col("corpus_id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (a, x) => a + x).as("adc"))
+        VectorExpressions.adcSum(col("codes"), col("lut")).as("adc"))
     scored.groupBy("query_id")
       .agg(topk(col("corpus_id"), -col("adc")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -517,12 +519,11 @@ object Similarity {
     }
     val topk = udaf(new ScoredTopKAggregator(k))
     val q = broadcast(luts.toDF("query_id", "cell", "lut"))
+    // adc_sum: native tight loop, bit-identical to the HOF form (round 17)
     val scored = coded.join(q, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-            (c, t) => element_at(t, c + 1)),
-          lit(0.0), (a, x) => a + x).as("adc"))
+        VectorExpressions.adcSum(col("codes"), col("lut")).as("adc"))
     scored.groupBy("query_id")
       .agg(topk(col("corpus_id"), -col("adc")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -552,10 +553,11 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("cv"))
     val qvec = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv")))
+    // native l2_sq over the candidate rows — same left-to-right
+    // accumulation as the HOF form, bit-identical (round 17)
     val exact = cand.join(cvec, "corpus_id").join(qvec, "query_id")
       .select(col("query_id"), col("corpus_id"),
-        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (a, x) => a + x).as("dist"))
+        VectorExpressions.l2Sq(col("qv"), col("cv")).as("dist"))
     val topk = udaf(new ScoredTopKAggregator(kFinal))
     exact.groupBy("query_id").agg(topk(col("corpus_id"), -col("dist")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))

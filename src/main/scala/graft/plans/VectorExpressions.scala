@@ -306,6 +306,53 @@ case class CenteredProjectExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `adc_sum(codes, lut)`: Σ_j lut[j][codes[j]] — asymmetric-distance
+  * (ADC) scoring for the PQ rerank paths. `codes` is the row's
+  * array<int> of sub-codebook assignments, `lut` the query's
+  * array<array<double>> of per-slice distance tables (riding a broadcast
+  * join, so both are per-row COLUMNS — unlike the model-array
+  * expressions above, nothing rides the tree here).
+  *
+  * This replaces the HOF form `aggregate(zip_with(codes, lut, (c, t) =>
+  * element_at(t, c + 1)), 0.0, acc + x)` — interpreted per element with
+  * InternalRow boxing, paid once per (query, probed-cell candidate row),
+  * the exact pattern CenteredProjectExpr killed one hop upstream (round
+  * 16). Semantics match it exactly: left-to-right accumulation from 0.0
+  * (bit-identical); a null element or a length mismatch (zip_with pads
+  * the shorter side with null, which null-propagates through the sum)
+  * yields null; an out-of-range code throws loudly (ANSI element_at's
+  * behavior). */
+case class AdcSumExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_sum"
+
+  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m != lut.numElements()) return null
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j) || lut.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      val t = lut.getArray(j)
+      if (c < 0 || c >= t.numElements())
+        throw new IllegalArgumentException(
+          s"adc_sum: code $c out of range for a ${t.numElements()}-entry LUT slice")
+      if (t.isNullAt(c)) return null
+      acc += t.getDouble(c)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `center_scale(vec)`: out[i] = (vec[i] − mean[i]) / scale[i] — the
   * z-score pass of [[graft.operators.Pca.standardize]] as one tight loop
   * (the HOF form is two nested interpreted `zip_with`s per row). Same
@@ -370,4 +417,9 @@ object VectorExpressions {
   def centerScale(vec: Column, mean: Array[Double], scale: Array[Double]): Column =
     ColumnBridge.column(CenterScaleExpr(ColumnBridge.expression(vec),
       mean.toSeq, scale.toSeq))
+
+  /** ADC score: Σ_j lut[j][codes[j]] (both sides per-row columns). */
+  def adcSum(codes: Column, lut: Column): Column =
+    ColumnBridge.column(AdcSumExpr(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut)))
 }

@@ -316,10 +316,13 @@ object StreamingBm25 {
     // bytes). Probed buckets derive driver-side from the SAME xxhash64
     // Spark SQL evaluates (XxHash64Function, seed 42) — spec-pinned
     // against the Column form, which appendEpoch still routes through.
+    // bounded (spark.graft.probe.maxLocalRows): a corpus-sized queries
+    // frame fails loudly instead of OOMing the driver (round 17)
     val qTermsPlan = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(
         TextFunctions.tokens(lower(col(queryTextCol))))).as("term"))
-    val qTermRows = qTermsPlan.collect()
+    val qTermRows = graft.functions.ProbeCollect.collectBounded(
+      qTermsPlan, "StreamingBm25.search")
     val qTerms = spark.createDataFrame(
       java.util.Arrays.asList(qTermRows: _*), qTermsPlan.schema)
     val distinctTerms = qTermRows.map(_.getString(1)).distinct

@@ -39,16 +39,27 @@ object StreamingIvf {
     * the at-rest layout (label/source/quality metadata) so probes can
     * filter on them without a join back to the source table — the
     * filtered-ANN-at-rest shape ([[hardNegativeSearch]]). */
+  /** Driver-side handle to the store's frozen quantizer. Collect ONCE
+    * per maintenance/probe RUN and pass it to [[appendEpoch]] /
+    * [[search]] / [[filteredSearch]] via `centsOpt` — each call
+    * otherwise re-reads the centroid parquet (a footer read + collect
+    * job) and a gate issues 5–8 such calls. A WITHIN-RUN handle, not a
+    * cache: nothing memoizes across calls, and a caller spanning a
+    * [[refit]] must re-resolve (refit swaps the quantizer). */
+  def centroids(spark: SparkSession, path: String): Seq[(Int, Array[Double])] =
+    Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+
   def appendEpoch(batch: DataFrame, path: String, epoch: Long,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil,
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): Unit = {
     val spark = batch.sparkSession
     // write-intent protocol: refuse on a live maintenance lease at entry
     // AND publish an intent so a maintenance acquire refuses over this
     // in-flight write — see MaintenanceLease; path itself is a swap
     // root (refit), corpus is one (compact)
     MaintenanceLease.withEpochWriteIntent(spark, path, Seq(path, s"$path/corpus")) {
-      val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+      val cents = centsOpt.getOrElse(centroids(spark, path))
       batch.select(col(idCol) +: col(vecCol) +: payloadCols.map(col): _*)
         .withColumn("cell",
           element_at(VectorExpressions.nearestCells(col(vecCol), cents, 1), 1)
@@ -189,8 +200,10 @@ object StreamingIvf {
     * listing. */
   def search(spark: SparkSession, path: String, queries: DataFrame, k: Int,
       nProbe: Int = 2, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame =
-    filteredSearch(spark, path, queries, k, nProbe, vecCol, idCol)
+      idCol: String = "vec_id",
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): DataFrame =
+    filteredSearch(spark, path, queries, k, nProbe, vecCol, idCol,
+      centsOpt = centsOpt)
 
   /** Hard-negative mining over the AT-REST index — the standing form of
     * [[Similarity.hardNegativeTopK]]: the per-anchor label disequality is
@@ -201,10 +214,12 @@ object StreamingIvf {
   def hardNegativeSearch(spark: SparkSession, path: String,
       anchors: DataFrame, k: Int, nProbe: Int = 2,
       labelCol: String = "label", vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id",
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): DataFrame =
     filteredSearch(spark, path, anchors, k, nProbe, vecCol, idCol,
       queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
-      predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")))
+      predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")),
+      centsOpt = centsOpt)
 
   /** Semi-hard negative mining over the AT-REST index — the standing
     * form of [[Similarity.semiHardNegativeTopK]] (FaceNet's semi-hard
@@ -220,10 +235,14 @@ object StreamingIvf {
   def semiHardNegativeSearch(spark: SparkSession, path: String,
       anchors: DataFrame, k: Int, nProbe: Int = 2,
       labelCol: String = "label", vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    // one quantizer read feeds BOTH probes (round 17)
+    val cents = Some(centsOpt.getOrElse(centroids(spark, path)))
     val pos = filteredSearch(spark, path, anchors, k = 1, nProbe, vecCol, idCol,
         queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
-        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")))
+        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")),
+        centsOpt = cents)
       .select(col("query_id"), col("cosine").as("pc"))
     val anchored = anchors.join(pos,
       anchors(idCol).cast("long") === pos("query_id")).drop("query_id")
@@ -231,7 +250,8 @@ object StreamingIvf {
       queryPayloadCols = Seq(labelCol, "pc"),
       corpusPayloadCols = Seq(labelCol),
       predicate = Some(col(s"corpus_$labelCol") =!= col(s"query_$labelCol")),
-      scorePredicate = Some(col("cosine") < col("query_pc")))
+      scorePredicate = Some(col("cosine") < col("query_pc")),
+      centsOpt = cents)
   }
 
   /** MMR diversified retrieval over the AT-REST index — the standing
@@ -251,7 +271,8 @@ object StreamingIvf {
   def mmrSearch(spark: SparkSession, path: String, queries: DataFrame,
       candidates: Int, k: Int, lambda: Double = 0.7, nProbe: Int = 2,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      maxQueries: Int = 10000): DataFrame = {
+      maxQueries: Int = 10000,
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1: $k")
     require(candidates >= k,
@@ -264,7 +285,7 @@ object StreamingIvf {
         s"|queries| exceeds maxQueries=$maxQueries — batch the anchors " +
         "or raise the cap deliberately")
     val cand = filteredSearch(spark, path, queries, candidates, nProbe,
-        vecCol, idCol)
+        vecCol, idCol, centsOpt = centsOpt)
       .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"))
     val corpus = spark.read.option("basePath", s"$path/corpus")
       .parquet(s"$path/corpus")
@@ -291,12 +312,16 @@ object StreamingIvf {
   def tripletSearch(spark: SparkSession, path: String, anchors: DataFrame,
       k: Int, nProbe: Int = 2, labelCol: String = "label",
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // one quantizer read feeds BOTH probes (round 17)
+    val cents = Some(centroids(spark, path))
     val pos = filteredSearch(spark, path, anchors, k = 1, nProbe, vecCol, idCol,
         queryPayloadCols = Seq(labelCol), corpusPayloadCols = Seq(labelCol),
-        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")))
+        predicate = Some(col(s"corpus_$labelCol") === col(s"query_$labelCol")),
+        centsOpt = cents)
       .select(col("query_id"), col("corpus_id").as("pos_id"),
         col("cosine").as("pos_cos"))
-    hardNegativeSearch(spark, path, anchors, k, nProbe, labelCol, vecCol, idCol)
+    hardNegativeSearch(spark, path, anchors, k, nProbe, labelCol, vecCol,
+        idCol, centsOpt = cents)
       .join(pos, "query_id")
       .select(col("query_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
         col("corpus_id").as("neg_id"), col("cosine").as("neg_cos"), col("rank"))
@@ -321,8 +346,9 @@ object StreamingIvf {
       idCol: String = "vec_id", queryPayloadCols: Seq[String] = Nil,
       corpusPayloadCols: Seq[String] = Nil,
       predicate: Option[Column] = None,
-      scorePredicate: Option[Column] = None): DataFrame = {
-    val cents = Similarity.collectCentroids(spark.read.parquet(s"$path/centroids"))
+      scorePredicate: Option[Column] = None,
+      centsOpt: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(centroids(spark, path))
     val topk = udaf(new ScoredTopKAggregator(k))
     // The probe batch is rank-list-sized by the ANN contract, so it
     // collects ONCE — cell routing still evaluated in-cluster by the same
@@ -333,6 +359,13 @@ object StreamingIvf {
     // probed set, once inside the broadcast build — for a derived anchor
     // frame like w41's join that was a whole re-run) (round-16
     // optimization, guide §2.4/§5).
+    // __cells is null exactly when the row's embedding is null (the
+    // expression null-propagates); the pre-round-16 explode-based shape
+    // silently DROPPED such rows, so filter them out before collecting —
+    // a join-derived anchor frame (w41's caller shape) can carry null
+    // vectors, and the driver flatMap below would NPE on them (round-17
+    // advice fix). The collect is bounded (spark.graft.probe.maxLocalRows):
+    // a corpus-sized probe batch fails loudly instead of OOMing the driver.
     val qPlan = queries
       .select(col(idCol).cast("long").as("query_id") +:
         col(vecCol).as("query_vec") +:
@@ -340,7 +373,9 @@ object StreamingIvf {
         transform(
           VectorExpressions.nearestCells(col(vecCol), cents, nProbe),
           s => s.getField("cell")).as("__cells"): _*)
-    val qRows = qPlan.collect()
+      .filter(col("__cells").isNotNull)
+    val qRows = graft.functions.ProbeCollect.collectBounded(
+      qPlan, "StreamingIvf.filteredSearch")
     val cellIdx = qPlan.schema.fieldIndex("__cells")
     val probed = qRows.iterator.flatMap(_.getSeq[Int](cellIdx)).toArray.distinct
     val cellSchema = org.apache.spark.sql.types.StructType(

@@ -170,6 +170,39 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("adc_sum is bit-identical to the aggregate(zip_with(codes, lut)) HOF form") {
+    val rnd = new scala.util.Random(11)
+    val m = 8; val cb = 16
+    val data = (0 until 60).map { i =>
+      (i.toLong,
+        Seq.fill(m)(rnd.nextInt(cb)),
+        Seq.fill(m)(Seq.fill(cb)(rnd.nextDouble() * 4 - 2)))
+    }.toDF("id", "codes", "lut")
+    val hof = aggregate(zip_with($"codes", $"lut",
+      (c, t) => element_at(t, c + 1)), lit(0.0), (a, x) => a + x)
+    data.select(VectorExpressions.adcSum($"codes", $"lut").as("n"),
+        hof.as("h")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        "adc_sum must match the HOF form bit-for-bit"))
+  }
+
+  test("adc_sum null-propagates a length mismatch like zip_with padding") {
+    val data = Seq((Seq(0, 1), Seq(Seq(1.0, 2.0)))).toDF("codes", "lut")
+    val hof = aggregate(zip_with($"codes", $"lut",
+      (c, t) => element_at(t, c + 1)), lit(0.0), (a, x) => a + x)
+    val r = data.select(VectorExpressions.adcSum($"codes", $"lut").as("n"),
+      hof.as("h")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("adc_sum refuses an out-of-range code loudly") {
+    val data = Seq((Seq(5), Seq(Seq(1.0, 2.0)))).toDF("codes", "lut")
+    val e = intercept[Exception] {
+      data.select(VectorExpressions.adcSum($"codes", $"lut")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("kmeans SSE history is non-increasing") {
     val pts = (0L until 90L).map(i =>
       (i, Array((i % 3 * 10).toFloat + (i % 7) * 0.01f, (i % 5) * 0.02f)))

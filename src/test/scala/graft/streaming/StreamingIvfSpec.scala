@@ -219,6 +219,45 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a null-embedding query row is dropped, not an NPE (explode-parity)") {
+    val path = Files.createTempDirectory("graft-sivf-null").toString
+    val corpus = all.toDF("vec_id", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(corpus, path, 0L)
+    // a join-derived anchor frame can carry null vectors (w41's caller
+    // shape); the pre-round-16 explode-based probe silently dropped such
+    // rows — the collected probe must match that, not throw
+    val queries = (Seq((100L, null: Seq[Float])) ++
+        all.take(2).map { case (i, v) => (i, v) })
+      .toDF("vec_id", "embedding")
+    val got = StreamingIvf.search(spark, path, queries, k = 3, nProbe = 4)
+      .select("query_id").distinct()
+      .as[Long].collect().toSet
+    assert(got == Set(0L, 1L), "null-embedding anchors emit nothing")
+  }
+
+  test("an over-cap probe batch fails filteredSearch loudly") {
+    val key = graft.functions.ProbeCollect.MaxRowsKey
+    val path = Files.createTempDirectory("graft-sivf-cap").toString
+    val corpus = all.toDF("vec_id", "embedding")
+    val cents = all.take(4).toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("centroid_vec"))
+    StreamingIvf.init(cents, path)
+    StreamingIvf.appendEpoch(corpus, path, 0L)
+    spark.conf.set(key, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingIvf.search(spark, path, corpus.filter(col("vec_id") < 10),
+          k = 3, nProbe = 2)
+      }
+      assert(e.getMessage.contains(key))
+    } finally spark.conf.unset(key)
+  }
+
   test("filteredSearch applies an arbitrary payload predicate at the probe scan") {
     val path = Files.createTempDirectory("graft-sivf-flt").toString
     val tagged = all.map { case (i, v) => (i, (i % 5).toInt, v) }
