@@ -1252,29 +1252,45 @@ object SparkEntry {
         .localCheckpoint(true)
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
-        val lo = e * span; val hi = (e + 1) * span
-        graft.streaming.StreamingBm25.appendEpoch(
-          curated.filter(col("doc_id") >= lo && col("doc_id") < hi), bmPath, e)
-        graft.sources.PackedCorpus.writeEpoch(
-          enc.filter(col("doc_id") >= lo && col("doc_id") < hi), pkPath, e)
-      }
       val emb = t(s, d, "embeddings")
-      graft.streaming.StreamingIvf.init(
-        emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").cast("int").as("centroid_id"),
-            col("embedding").as("centroid_vec")), ivPath)
-      val m = emb.agg(max("vec_id")).head.getLong(0) + 1
-      val mspan = m / 3 + 1
-      (0L until 3L).foreach { e =>
-        graft.streaming.StreamingIvf.appendEpoch(
-          emb.filter(col("vec_id") >= e * mspan && col("vec_id") < (e + 1) * mspan),
-          ivPath, e)
-      }
-      // the maintenance step under test
-      graft.streaming.StreamingBm25.compact(s, bmPath)
-      graft.streaming.StreamingIvf.compact(s, ivPath)
-      graft.sources.PackedCorpus.compact(s, pkPath)
+      // the three stores share no state (different roots, no session-conf
+      // mutation): build and compact them as OVERLAPPED chains — one
+      // driver thread per store, epochs within a store stay ordered (the
+      // per-store write-intent marker). Guide §2.6: concurrent jobs
+      // back-fill each other's task tails AND overlap the per-job
+      // Catalyst/scheduling floor that dominates these small maintenance
+      // writes (round 17).
+      graft.operators.Overlap.chains(
+        () => (0L until 3L).foreach { e =>
+          val lo = e * span; val hi = (e + 1) * span
+          graft.streaming.StreamingBm25.appendEpoch(
+            curated.filter(col("doc_id") >= lo && col("doc_id") < hi), bmPath, e)
+        },
+        () => (0L until 3L).foreach { e =>
+          val lo = e * span; val hi = (e + 1) * span
+          graft.sources.PackedCorpus.writeEpoch(
+            enc.filter(col("doc_id") >= lo && col("doc_id") < hi), pkPath, e)
+        },
+        () => {
+          val centsDf = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          graft.streaming.StreamingIvf.init(centsDf, ivPath)
+          // one quantizer handle for the whole build (round 17)
+          val ch = Some(graft.operators.Similarity.collectCentroids(centsDf))
+          val m = emb.agg(max("vec_id")).head.getLong(0) + 1
+          val mspan = m / 3 + 1
+          (0L until 3L).foreach { e =>
+            graft.streaming.StreamingIvf.appendEpoch(
+              emb.filter(col("vec_id") >= e * mspan && col("vec_id") < (e + 1) * mspan),
+              ivPath, e, centsOpt = ch)
+          }
+        })
+      // the maintenance step under test — independent per store, overlapped
+      graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingBm25.compact(s, bmPath),
+        () => graft.streaming.StreamingIvf.compact(s, ivPath),
+        () => graft.sources.PackedCorpus.compact(s, pkPath))
       // structural proof the answers below come from compacted state
       Seq(s"$bmPath/postings", s"$bmPath/stats", s"$ivPath/corpus", pkPath)
         .foreach { p =>
@@ -1287,15 +1303,19 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(split(trim(lower(col("text"))), "\\s+"), 1, 6))
             .as("text"))
-      val bm = graft.streaming.StreamingBm25.search(s, bmPath, qs, k = 10)
-        .select(lit("bm25").as("family"), col("query_id").cast("long").as("k1"),
-          col("rank").cast("long").as("k2"), col("doc_id").cast("long").as("k3"),
-          col("score").cast("double").as("v"))
-      val iv = graft.streaming.StreamingIvf
-        .search(s, ivPath, emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
-        .select(lit("ivf").as("family"), col("query_id").cast("long").as("k1"),
-          col("rank").cast("long").as("k2"), col("corpus_id").cast("long").as("k3"),
-          round(col("cosine"), 6).as("v"))
+      // the two probes read different stores — overlapped (guide §2.6)
+      val probes = graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingBm25.search(s, bmPath, qs, k = 10)
+          .select(lit("bm25").as("family"), col("query_id").cast("long").as("k1"),
+            col("rank").cast("long").as("k2"), col("doc_id").cast("long").as("k3"),
+            col("score").cast("double").as("v")),
+        () => graft.streaming.StreamingIvf
+          .search(s, ivPath, emb.filter(col("vec_id") < 3), k = 5, nProbe = 2)
+          .select(lit("ivf").as("family"), col("query_id").cast("long").as("k1"),
+            col("rank").cast("long").as("k2"), col("corpus_id").cast("long").as("k3"),
+            round(col("cosine"), 6).as("v")))
+      val bm = probes(0)
+      val iv = probes(1)
       val pk = graft.sources.PackedCorpus.readAll(s, pkPath)
         .select(lit("packed").as("family"), col("doc_id").cast("long").as("k1"),
           size(col("token_ids")).cast("long").as("k2"),
@@ -2133,29 +2153,42 @@ object SparkEntry {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val ivPath = s"${System.getProperty("java.io.tmpdir")}/graft_w37_iv_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
-      val span = n / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingBm25.appendEpoch(
-          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          bmPath, e)
-      }
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      graft.streaming.StreamingIvf.init(cents, ivPath)
-      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
-      val vspan = nv / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingIvf.appendEpoch(
-          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
-          ivPath, e)
-      }
-      val bm = graft.streaming.StreamingBm25.search(s, bmPath, qsText, k = 10)
-      val iv = graft.streaming.StreamingIvf.search(s, ivPath, qsVec,
-          k = 10, nProbe = 2)
-        .withColumnRenamed("corpus_id", "doc_id")
-      graft.operators.Hybrid.rrfFuse(Seq(bm, iv), topK = 10)
+      // the two stores share no state: build them (and run their probes)
+      // as overlapped chains — guide §2.6 (round 17). The ivf chain also
+      // publishes the one quantizer handle the probes reuse (safe: set
+      // before the chain join, read after — join is the memory barrier).
+      var ivCents: Option[Seq[(Int, Array[Double])]] = None
+      graft.operators.Overlap.chains(
+        () => {
+          val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+          val span = n / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingBm25.appendEpoch(
+              docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+              bmPath, e)
+          }
+        },
+        () => {
+          val cents = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          graft.streaming.StreamingIvf.init(cents, ivPath)
+          // one quantizer handle for build + probe (round 17)
+          ivCents = Some(graft.operators.Similarity.collectCentroids(cents))
+          val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+          val vspan = nv / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingIvf.appendEpoch(
+              emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+              ivPath, e, centsOpt = ivCents)
+          }
+        })
+      val probes = graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingBm25.search(s, bmPath, qsText, k = 10),
+        () => graft.streaming.StreamingIvf.search(s, ivPath, qsVec,
+            k = 10, nProbe = 2, centsOpt = ivCents)
+          .withColumnRenamed("corpus_id", "doc_id"))
+      graft.operators.Hybrid.rrfFuse(probes, topK = 10)
         .orderBy("query_id", "rank")
     }),
     "w39_bm25_rebucket" -> ((s, d) => {
@@ -2312,28 +2345,40 @@ object SparkEntry {
           graft.streaming.ForgetLedger.ledgerDir(p)), true)
         fs.delete(graft.streaming.MaintenanceLease.leasePath(p), false)
       }
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
-      val span = n / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingBm25.appendEpoch(
-          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          bmPath, e)
-      }
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      graft.streaming.StreamingIvf.init(cents, ivPath)
-      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
-      val vspan = nv / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingIvf.appendEpoch(
-          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
-          ivPath, e)
-      }
+      // the two stores share no state: build them as overlapped chains —
+      // guide §2.6 (round 17). The ivf chain also publishes the one
+      // quantizer handle the probes reuse (set before the chain join,
+      // read after — join is the memory barrier).
+      var ivCents: Option[Seq[(Int, Array[Double])]] = None
+      graft.operators.Overlap.chains(
+        () => {
+          val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+          val span = n / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingBm25.appendEpoch(
+              docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+              bmPath, e)
+          }
+        },
+        () => {
+          val cents = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          graft.streaming.StreamingIvf.init(cents, ivPath)
+          // one quantizer handle for build + probes (round 17)
+          ivCents = Some(graft.operators.Similarity.collectCentroids(cents))
+          val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+          val vspan = nv / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingIvf.appendEpoch(
+              emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+              ivPath, e, centsOpt = ivCents)
+          }
+        })
       // victims: the ivf rank-1 neighbor of the two smallest queries —
       // guaranteed to sit at a fused list's strongest rank
       val ivPre = graft.streaming.StreamingIvf.search(s, ivPath, qsVec,
-          k = 10, nProbe = 2)
+          k = 10, nProbe = 2, centsOpt = ivCents)
         .withColumnRenamed("corpus_id", "doc_id")
       val victims = ivPre
         .filter(col("query_id").isin(0L, 97L) && col("rank") === 1)
@@ -2352,21 +2397,25 @@ object SparkEntry {
         "raw fusion must resurface a bm25-forgotten victim via the ivf list")
       // ...while the fusion-level union mask never serves it
       val maskedIds = graft.streaming.StreamingHybrid.rrfSearch(
-          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2,
+          ivCents = ivCents)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       require(victims.forall(v => !maskedIds.contains(v)),
         "the fused surface must never serve a doc forgotten in ANY store")
       // the agent-level forget: ONE invocation, every store; compacts purge
       graft.ForgetTool.forgetAll(s,
         Seq("bm25" -> bmPath, "ivf" -> ivPath), victims)
-      graft.streaming.StreamingBm25.compact(s, bmPath)
-      graft.streaming.StreamingIvf.compact(s, ivPath)
+      // independent per store — overlapped (guide §2.6, round 17)
+      graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingBm25.compact(s, bmPath),
+        () => graft.streaming.StreamingIvf.compact(s, ivPath))
       Seq(bmPath, ivPath).foreach { p =>
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/tombstones")),
           s"compact must retire the applied tombstones at $p")
       }
       graft.streaming.StreamingHybrid.rrfSearch(
-          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2,
+          ivCents = ivCents)
         .orderBy("query_id", "rank")
     }),
     "w42_snapshot_restore" -> ((s, d) => {
@@ -2401,13 +2450,19 @@ object SparkEntry {
           docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
           path, e)
       }
-      val nFiles = graft.SnapshotTool.snapshot(s, path, "pre")
+      // the snapshot copy and the victim probe both READ the quiesced
+      // store (the snapshot writes only to the sibling snapshots dir, and
+      // searches take no lease) — overlapped, guide §2.6 (round 17)
+      val pre = graft.operators.Overlap.chains[Any](
+        () => graft.SnapshotTool.snapshot(s, path, "pre"),
+        () => graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+          .filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0))
+      val nFiles = pre(0).asInstanceOf[Long]
       require(nFiles > 0, "snapshot must capture the store's files")
       require(graft.SnapshotTool.list(s, path) == Seq("pre"))
       // damage: forget the top-ranked doc of the smallest query, compact
-      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
-        .filter(col("query_id") === 0 && col("rank") === 1)
-        .select("doc_id").head().getLong(0)
+      val victim = pre(1).asInstanceOf[Long]
       graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
       graft.streaming.StreamingBm25.compact(s, path)
       val damagedIds = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
@@ -2469,10 +2524,14 @@ object SparkEntry {
           docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
           path, e)
       }
-      graft.SnapshotTool.snapshot(s, path, "pre")
-      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
-        .filter(col("query_id") === 0 && col("rank") === 1)
-        .select("doc_id").head().getLong(0)
+      // snapshot copy and victim probe are both reads — overlapped
+      // (guide §2.6, round 17; the w42 stance)
+      val pre = graft.operators.Overlap.chains[Any](
+        () => graft.SnapshotTool.snapshot(s, path, "pre"),
+        () => graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+          .filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0))
+      val victim = pre(1).asInstanceOf[Long]
       graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
       graft.streaming.StreamingBm25.compact(s, path)
       // the ledger owes the victim a tombstone in any restored state
@@ -2542,7 +2601,13 @@ object SparkEntry {
       // one more epoch lands — the only delta the incremental should copy
       graft.streaming.StreamingBm25.appendEpoch(
         docs.filter(col("doc_id") >= 2L * span), path, 2L)
-      graft.SnapshotTool.snapshot(s, path, "inc", base = Some("base"))
+      // incremental-snapshot copy and victim probe are both reads —
+      // overlapped (guide §2.6, round 17; the w42 stance)
+      val pre = graft.operators.Overlap.chains[Any](
+        () => graft.SnapshotTool.snapshot(s, path, "inc", base = Some("base")),
+        () => graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
+          .filter(col("query_id") === 0 && col("rank") === 1)
+          .select("doc_id").head().getLong(0))
       val infos = graft.SnapshotTool.listDetailed(s, path)
         .map(i => i.name -> i).toMap
       require(infos("inc").ownBytes > 0 &&
@@ -2554,9 +2619,7 @@ object SparkEntry {
           refuse.failed.get.getMessage.contains("reference"),
         "deleting a referenced base must refuse, naming the dependent")
       // damage: forget the top-ranked doc of the smallest query, compact
-      val victim = graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
-        .filter(col("query_id") === 0 && col("rank") === 1)
-        .select("doc_id").head().getLong(0)
+      val victim = pre(1).asInstanceOf[Long]
       graft.ForgetTool.forget(s, "bm25", path, Seq(victim))
       graft.streaming.StreamingBm25.compact(s, path)
       require(!graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
@@ -2595,26 +2658,39 @@ object SparkEntry {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val ivPath = s"${System.getProperty("java.io.tmpdir")}/graft_w43_iv_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
-      val span = n / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingBm25.appendEpoch(
-          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          bmPath, e)
-      }
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("centroid_id"),
-          col("embedding").as("centroid_vec"))
-      graft.streaming.StreamingIvf.init(cents, ivPath)
-      val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
-      val vspan = nv / 2 + 1
-      (0L until 2L).foreach { e =>
-        graft.streaming.StreamingIvf.appendEpoch(
-          emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
-          ivPath, e)
-      }
+      // the two stores share no state: build them as overlapped chains —
+      // guide §2.6 (round 17). The ivf chain also publishes the one
+      // quantizer handle the probe reuses (set before the chain join,
+      // read after — join is the memory barrier).
+      var ivCents: Option[Seq[(Int, Array[Double])]] = None
+      graft.operators.Overlap.chains(
+        () => {
+          val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+          val span = n / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingBm25.appendEpoch(
+              docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+              bmPath, e)
+          }
+        },
+        () => {
+          val cents = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("centroid_id"),
+              col("embedding").as("centroid_vec"))
+          graft.streaming.StreamingIvf.init(cents, ivPath)
+          // one quantizer handle for build + probe (round 17)
+          ivCents = Some(graft.operators.Similarity.collectCentroids(cents))
+          val nv = emb.agg(max("vec_id")).head.getLong(0) + 1
+          val vspan = nv / 2 + 1
+          (0L until 2L).foreach { e =>
+            graft.streaming.StreamingIvf.appendEpoch(
+              emb.filter(col("vec_id") >= e * vspan && col("vec_id") < (e + 1) * vspan),
+              ivPath, e, centsOpt = ivCents)
+          }
+        })
       graft.streaming.StreamingHybrid.weightedSearch(
-          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2)
+          s, bmPath, ivPath, qsText, qsVec, k = 10, topK = 10, nProbe = 2,
+          ivCents = ivCents)
         .orderBy("query_id", "rank")
     }),
     "w27_stream_bm25" -> ((s, d) => {
@@ -4879,15 +4955,18 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_w30_ivfneg_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"))
+          path, e, payloadCols = Seq("label"), centsOpt = ch)
       }
       graft.streaming.StreamingIvf.hardNegativeSearch(
-          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
+          centsOpt = ch)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -4909,12 +4988,14 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_e38_mmr_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e)
+          path, e, centsOpt = ch)
       }
       graft.streaming.StreamingIvf.mmrSearch(
           s, path, emb.filter(col("vec_id") < 5),
@@ -4986,12 +5067,14 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_e37_trip_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"))
+          path, e, payloadCols = Seq("label"), centsOpt = ch)
       }
       graft.streaming.StreamingIvf.tripletSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
@@ -5015,15 +5098,18 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_w36_semih_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"))
+          path, e, payloadCols = Seq("label"), centsOpt = ch)
       }
       graft.streaming.StreamingIvf.semiHardNegativeSearch(
-          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+          s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
+          centsOpt = ch)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -5044,17 +5130,20 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_w31_ivfq_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("quality"))
+          path, e, payloadCols = Seq("quality"), centsOpt = ch)
       }
       graft.streaming.StreamingIvf.filteredSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           corpusPayloadCols = Seq("quality"),
-          predicate = Some(col("corpus_quality") >= 4))
+          predicate = Some(col("corpus_quality") >= 4),
+          centsOpt = ch)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -5075,14 +5164,18 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_w32_semdd_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val mid = (n + 10) / 2
       graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= 10 && col("vec_id") < mid), path, 0)
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < mid), path, 0,
+        centsOpt = ch)
       graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= mid), path, 1)
+        emb.filter(col("vec_id") >= mid), path, 1, centsOpt = ch)
       graft.streaming.StreamingIvf.search(
-          s, path, emb.filter(col("vec_id") < 10), k = 1, nProbe = 2)
+          s, path, emb.filter(col("vec_id") < 10), k = 1, nProbe = 2,
+          centsOpt = ch)
         .select(col("query_id"), col("corpus_id").as("dup_of"),
           round(col("cosine"), 6).as("cosine"),
           (round(col("cosine"), 6) >= 0.38).as("is_dup"))
@@ -5149,12 +5242,14 @@ object SparkEntry {
       // tree (the swap's staging/marker siblings live under path too)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 2 + 1
       graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") < span), path, 0)
+        emb.filter(col("vec_id") < span), path, 0, centsOpt = ch)
       graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= span), path, 1)
+        emb.filter(col("vec_id") >= span), path, 1, centsOpt = ch)
       graft.streaming.StreamingIvf.deleteEpoch(
         emb.filter(pmod(col("vec_id"), lit(13)) === 0).select("vec_id"), path, 0)
       graft.streaming.StreamingIvf.compact(s, path)
@@ -5182,15 +5277,17 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_w8_ivf_" +
         d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.streaming.StreamingIvf.init(cents, path)
+      // one quantizer handle for the whole gate (round 17)
+      val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
       (0L until 3L).foreach { e =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e)
+          path, e, centsOpt = ch)
       }
       graft.streaming.StreamingIvf.search(s, path, emb.filter(col("vec_id") < 3),
-          k = 5, nProbe = 2)
+          k = 5, nProbe = 2, centsOpt = ch)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy("query_id", "rank")

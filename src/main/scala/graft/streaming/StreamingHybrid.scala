@@ -44,12 +44,19 @@ object StreamingHybrid {
     * shape); both must carry the same query ids. */
   def rrfSearch(spark: SparkSession, bm25Path: String, ivfPath: String,
       queriesText: DataFrame, queriesVec: DataFrame, k: Int = 10,
-      topK: Int = 10, nProbe: Int = 2, rrfK: Int = 60): DataFrame = {
-    val bm = StreamingBm25.search(spark, bm25Path, queriesText, k = k)
-      .select("query_id", "doc_id", "rank")
-    val iv = StreamingIvf.search(spark, ivfPath, queriesVec, k = k,
-        nProbe = nProbe)
-      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      topK: Int = 10, nProbe: Int = 2, rrfK: Int = 60,
+      ivCents: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
+    // the two probes read different stores and share no state: run them
+    // overlapped (guide §2.6 — each search is a short chain of eager
+    // driver-side jobs; round 17)
+    val probes = graft.operators.Overlap.chains(
+      () => StreamingBm25.search(spark, bm25Path, queriesText, k = k)
+        .select("query_id", "doc_id", "rank"),
+      () => StreamingIvf.search(spark, ivfPath, queriesVec, k = k,
+          nProbe = nProbe, centsOpt = ivCents)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank")))
+    val bm = probes(0)
+    val iv = probes(1)
     graft.operators.Hybrid.rrfFuse(
       maskAll(spark, Seq(bm, iv), Seq("bm25" -> bm25Path, "ivf" -> ivfPath)),
       topK = topK, rrfK = rrfK)
@@ -65,16 +72,22 @@ object StreamingHybrid {
   def weightedSearch(spark: SparkSession, bm25Path: String, ivfPath: String,
       queriesText: DataFrame, queriesVec: DataFrame, k: Int = 10,
       topK: Int = 10, nProbe: Int = 2, wBm: Double = 0.7,
-      wIv: Double = 0.3): DataFrame = {
-    val bm = StreamingBm25.search(spark, bm25Path, queriesText, k = k)
-      .select("query_id", "doc_id", "score")
+      wIv: Double = 0.3,
+      ivCents: Option[Seq[(Int, Array[Double])]] = None): DataFrame = {
     // cosine rounds to 6 BEFORE normalization (the cross-engine tie
     // contract): min-max arithmetic on exactly-agreed inputs stays
-    // exactly agreed; bm25 scores arrive already rounded to 4
-    val iv = StreamingIvf.search(spark, ivfPath, queriesVec, k = k,
-        nProbe = nProbe)
-      .select(col("query_id"), col("corpus_id").as("doc_id"),
-        round(col("cosine"), 6).as("score"))
+    // exactly agreed; bm25 scores arrive already rounded to 4.
+    // The two probes read different stores — overlapped (guide §2.6,
+    // round 17).
+    val probes = graft.operators.Overlap.chains(
+      () => StreamingBm25.search(spark, bm25Path, queriesText, k = k)
+        .select("query_id", "doc_id", "score"),
+      () => StreamingIvf.search(spark, ivfPath, queriesVec, k = k,
+          nProbe = nProbe, centsOpt = ivCents)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          round(col("cosine"), 6).as("score")))
+    val bm = probes(0)
+    val iv = probes(1)
     val masked = maskAll(spark, Seq(bm, iv),
       Seq("bm25" -> bm25Path, "ivf" -> ivfPath))
     graft.operators.Hybrid.weightedFuse(
