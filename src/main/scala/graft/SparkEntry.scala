@@ -1339,11 +1339,12 @@ object SparkEntry {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // packed epochs write disjoint epoch dirs under their own
+      // write-intent markers — overlapped (guide §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.sources.PackedCorpus.writeEpoch(
           enc.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          dir, e)
-      }
+          dir, e)): _*)
       graft.sources.PackedCorpus.readAll(s, dir)
         .select(col("doc_id"),
           size(col("token_ids")).cast("long").as("n_tokens"),
@@ -2711,11 +2712,14 @@ object SparkEntry {
         d.replaceAll("[^A-Za-z0-9.]", "_")
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
-        graft.streaming.StreamingBm25.appendEpoch(
-          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          path, e)
-      }
+      def epochW(e: Long): Unit = graft.streaming.StreamingBm25.appendEpoch(
+        docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+        path, e)
+      // epoch 0 seeds the store metadata (_NBUCKETS exclusive create);
+      // the later epochs write disjoint epoch dirs under their own
+      // write-intent markers — overlapped (guide §2.6, round 17)
+      epochW(0)
+      graft.operators.Overlap.chains(() => epochW(1), () => epochW(2))
       graft.streaming.StreamingBm25.search(s, path, qs, k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -2740,11 +2744,14 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val n = docs.agg(max("doc_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
-        graft.streaming.StreamingBm25.appendEpoch(
-          docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
-          path, e)
-      }
+      def epochW(e: Long): Unit = graft.streaming.StreamingBm25.appendEpoch(
+        docs.filter(col("doc_id") >= e * span && col("doc_id") < (e + 1) * span),
+        path, e)
+      // epoch 0 seeds the store metadata (_NBUCKETS exclusive create);
+      // the later epochs write disjoint epoch dirs under their own
+      // write-intent markers — overlapped (guide §2.6, round 17)
+      epochW(0)
+      graft.operators.Overlap.chains(() => epochW(1), () => epochW(2))
       graft.streaming.StreamingBm25.deleteEpoch(
         docs.filter(pmod(col("doc_id"), lit(17)) === 0).select("doc_id"), path, 0)
       graft.streaming.StreamingBm25.compact(s, path)
@@ -4959,11 +4966,11 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // overlapped — see the ivf-epoch note above (guide §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"), centsOpt = ch)
-      }
+          path, e, payloadCols = Seq("label"), centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.hardNegativeSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           centsOpt = ch)
@@ -4992,11 +4999,13 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // the quantizer is already frozen (init) and epochs write disjoint
+      // dirs under their own write-intent markers — overlapped (guide
+      // §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, centsOpt = ch)
-      }
+          path, e, centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.mmrSearch(
           s, path, emb.filter(col("vec_id") < 5),
           candidates = 20, k = 8, lambda = 0.7, nProbe = 2)
@@ -5071,11 +5080,11 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // overlapped — see the ivf-epoch note above (guide §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"), centsOpt = ch)
-      }
+          path, e, payloadCols = Seq("label"), centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.tripletSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 3, nProbe = 2)
         .select(col("anchor_id"), col("pos_id"),
@@ -5102,11 +5111,11 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // overlapped — see the ivf-epoch note above (guide §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("label"), centsOpt = ch)
-      }
+          path, e, payloadCols = Seq("label"), centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.semiHardNegativeSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           centsOpt = ch)
@@ -5134,11 +5143,11 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // overlapped — see the ivf-epoch note above (guide §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, payloadCols = Seq("quality"), centsOpt = ch)
-      }
+          path, e, payloadCols = Seq("quality"), centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.filteredSearch(
           s, path, emb.filter(col("vec_id") < 5), k = 5, nProbe = 2,
           corpusPayloadCols = Seq("quality"),
@@ -5168,11 +5177,13 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val mid = (n + 10) / 2
-      graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= 10 && col("vec_id") < mid), path, 0,
-        centsOpt = ch)
-      graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= mid), path, 1, centsOpt = ch)
+      // the two epochs write disjoint dirs — overlapped (guide §2.6)
+      graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < mid), path, 0,
+          centsOpt = ch),
+        () => graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= mid), path, 1, centsOpt = ch))
       graft.streaming.StreamingIvf.search(
           s, path, emb.filter(col("vec_id") < 10), k = 1, nProbe = 2,
           centsOpt = ch)
@@ -5246,10 +5257,12 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 2 + 1
-      graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") < span), path, 0, centsOpt = ch)
-      graft.streaming.StreamingIvf.appendEpoch(
-        emb.filter(col("vec_id") >= span), path, 1, centsOpt = ch)
+      // the two epochs write disjoint dirs — overlapped (guide §2.6)
+      graft.operators.Overlap.chains(
+        () => graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") < span), path, 0, centsOpt = ch),
+        () => graft.streaming.StreamingIvf.appendEpoch(
+          emb.filter(col("vec_id") >= span), path, 1, centsOpt = ch))
       graft.streaming.StreamingIvf.deleteEpoch(
         emb.filter(pmod(col("vec_id"), lit(13)) === 0).select("vec_id"), path, 0)
       graft.streaming.StreamingIvf.compact(s, path)
@@ -5281,11 +5294,13 @@ object SparkEntry {
       val ch = Some(graft.operators.Similarity.collectCentroids(cents))
       val n = emb.agg(max("vec_id")).head.getLong(0) + 1
       val span = n / 3 + 1
-      (0L until 3L).foreach { e =>
+      // the quantizer is already frozen (init) and epochs write disjoint
+      // dirs under their own write-intent markers — overlapped (guide
+      // §2.6, round 17)
+      graft.operators.Overlap.chains((0L until 3L).map(e => () =>
         graft.streaming.StreamingIvf.appendEpoch(
           emb.filter(col("vec_id") >= e * span && col("vec_id") < (e + 1) * span),
-          path, e, centsOpt = ch)
-      }
+          path, e, centsOpt = ch)): _*)
       graft.streaming.StreamingIvf.search(s, path, emb.filter(col("vec_id") < 3),
           k = 5, nProbe = 2, centsOpt = ch)
         .select(col("query_id"), col("corpus_id"),

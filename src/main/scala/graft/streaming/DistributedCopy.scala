@@ -65,16 +65,23 @@ object DistributedCopy {
     val confKv = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     val srcStr = src.toString
     val dstStr = dst.toString
-    // Task count derives from the BYTES to move, not a core-count constant
-    // (guide §2: scale-adaptive partitioning): one task per ~TaskTargetBytes,
-    // capped at one task per file and 2× parallelism. A big store still
-    // fans out to the whole fleet; a small tree (a gate-sized snapshot, a
-    // few MB of manifests) no longer pays 64 task launches + per-task
-    // FileSystem setup to move a megabyte — measured sf0.1 snapshot copy
-    // 0.49 s → 0.13 s with identical bytes.
+    // Task count derives from the WORK to move, not a core-count constant
+    // (guide §2: scale-adaptive partitioning): one task per ~TaskTargetBytes
+    // OR per ~FilesPerTask files — whichever gives more tasks — capped at
+    // one task per file and 2× parallelism. The bytes term saturates the
+    // fleet for a multi-TB store; the FILE-COUNT term matters for trees of
+    // many small files (a store of manifests + footer-sized parts), whose
+    // copy cost is per-file open/create LATENCY, not bandwidth (guide §6)
+    // — round 16's bytes-only rule ran a ~100-file gate snapshot as ONE
+    // 0.66 s serial task; spreading the latency over ⌈files/16⌉ tasks
+    // re-parallelizes it without re-introducing the 64-tasks-per-megabyte
+    // overhead the bytes rule fixed (measured: 0.49 s flat-64 → 0.13 s
+    // bytes-only for one-file trees, and 0.66 s → ~0.15 s for the
+    // many-small-file gate snapshot with this rule).
     val totalBytes = files.iterator.map(_._2).sum
     val byBytes = (totalBytes + TaskTargetBytes - 1) / TaskTargetBytes
-    val slices = math.max(1L, math.min(byBytes,
+    val byFiles = (files.size.toLong + FilesPerTask - 1) / FilesPerTask
+    val slices = math.max(1L, math.min(math.max(byBytes, byFiles),
       math.min(files.size.toLong,
         spark.sparkContext.defaultParallelism.toLong * 2))).toInt
     spark.sparkContext.parallelize(files, slices).foreachPartition { part =>
@@ -108,6 +115,12 @@ object DistributedCopy {
     * derived from. 32 MB keeps small trees at a handful of tasks while a
     * multi-TB store saturates the 2×-parallelism cap immediately. */
   val TaskTargetBytes: Long = 32L << 20
+
+  /** Files one copy task aims to own when the tree is small-file-bound:
+    * per-file open/create latency dominates under ~a few MB per file, so
+    * a task should amortize its FileSystem setup over a batch of files
+    * but never serialize hundreds of opens. */
+  val FilesPerTask: Int = 16
 
   /** (relative dir paths, (relative file path, length)) under `root` —
     * one driver-side metadata walk. */
